@@ -1,0 +1,160 @@
+"""The Graph data model: one DataFrame per predicate.
+
+This mirrors dgraph's tablet-per-predicate sharding (paper/dgraph.tex:104-113,
+worker/groups.go) in columnar form:
+
+  - scalar predicate P -> DataFrame ``P(subject: long, value: T[, lang: string])``
+  - uid predicate P    -> DataFrame ``P(subject: long, object: long[, facets: struct])``
+
+List predicates are multiple rows per subject (relational form of
+posting lists, posting/list.go:70-78). A posting list ``(P, uid) -> sorted
+objects`` is never materialized — a traversal level is just a join
+(worker/task.go:1012 processTask == ``frontier JOIN P ON subject``).
+
+Edge facets (types/facets/facet_types.go) are a typed struct column
+``facets`` on the edge DataFrame, so facet filters/sorts are plain column
+expressions that Catalyst can push down.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dgraph_spark.schema import Predicate, SchemaRegistry
+
+SUBJECT = "subject"
+OBJECT = "object"
+VALUE = "value"
+LANG = "lang"
+FACETS = "facets"
+TYPE_PRED = "dgraph.type"
+
+
+@dataclass
+class Graph:
+    """A queryable graph: per-predicate DataFrames + schema registry."""
+
+    spark: SparkSession
+    preds: dict[str, DataFrame] = field(default_factory=dict)
+    schema: SchemaRegistry = field(default_factory=SchemaRegistry)
+
+    # ------------------------------------------------------------------ access
+    def pred(self, name: str) -> DataFrame:
+        if name not in self.preds:
+            raise KeyError(f"unknown predicate: {name!r}")
+        return self.preds[name]
+
+    def has_pred(self, name: str) -> bool:
+        return name in self.preds
+
+    def pred_names(self) -> Iterator[str]:
+        return iter(self.preds)
+
+    def edge(self, name: str, reverse: bool = False) -> DataFrame:
+        """Edge table for a uid predicate; ``reverse=True`` gives the
+        ``~pred`` traversal (worker/task.go:1085-1087) by swapping the
+        subject/object roles — no reverse index is materialized because a
+        join works equally well in either direction."""
+        df = self.pred(name)
+        if not self.schema.get(name).is_uid:
+            raise TypeError(f"predicate {name!r} is not a uid predicate")
+        if reverse:
+            cols = [F.col(OBJECT).alias(SUBJECT), F.col(SUBJECT).alias(OBJECT)]
+            if FACETS in df.columns:
+                cols.append(F.col(FACETS))
+            df = df.select(*cols)
+        return df
+
+    def scalar(self, name: str) -> DataFrame:
+        df = self.pred(name)
+        if self.schema.get(name).is_uid:
+            raise TypeError(f"predicate {name!r} is a uid predicate")
+        return df
+
+    def node_types(self) -> DataFrame:
+        """DataFrame (subject, value=type_name) of `dgraph.type`."""
+        return self.pred(TYPE_PRED)
+
+    def uids_of_type(self, type_name: str) -> DataFrame:
+        return (
+            self.node_types()
+            .where(F.col(VALUE) == type_name)
+            .select(SUBJECT)
+            .distinct()
+        )
+
+    def all_uids(self) -> DataFrame:
+        """Union of all subjects — dgraph's `has(_predicate_)` universe."""
+        dfs = [df.select(SUBJECT) for df in self.preds.values()]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.distinct()
+
+    # ------------------------------------------------------------- mutation-ish
+    def with_pred(self, name: str, df: DataFrame, meta: Predicate | None = None) -> "Graph":
+        preds = dict(self.preds)
+        preds[name] = df
+        schema = self.schema
+        if meta is not None:
+            schema.add(meta)
+        return Graph(spark=self.spark, preds=preds, schema=schema)
+
+    # ------------------------------------------------------------ long format
+    def to_triples(self) -> DataFrame:
+        """Single long triples DataFrame ``(subject, predicate, object_uid,
+        value_str)`` — the export/interchange format (worker/export.go).
+        Typed values are serialized to strings; uid edges keep object_uid.
+        """
+        parts = []
+        for name, df in self.preds.items():
+            if self.schema.get(name).is_uid:
+                part = df.select(
+                    F.col(SUBJECT),
+                    F.lit(name).alias("predicate"),
+                    F.col(OBJECT).alias("object_uid"),
+                    F.lit(None).cast("string").alias("value_str"),
+                )
+            else:
+                part = df.select(
+                    F.col(SUBJECT),
+                    F.lit(name).alias("predicate"),
+                    F.lit(None).cast("long").alias("object_uid"),
+                    F.col(VALUE).cast("string").alias("value_str"),
+                )
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------------- persistence
+    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+        """Persist as one parquet dataset per predicate + schema JSON.
+
+        At cluster scale each predicate directory is independently
+        partitioned/bucketed; predicate pruning == dgraph tablet routing.
+        """
+        for name, df in self.preds.items():
+            safe = name.replace("/", "_").replace(".", "_")
+            df.write.mode(mode).parquet(f"{path}/preds/{safe}")
+        meta = self.spark.createDataFrame(
+            [(self.schema.to_json(), "".join(self.preds))],
+            "schema_json string, pred_names string",
+        )
+        meta.coalesce(1).write.mode(mode).json(f"{path}/_graph_meta")
+
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str) -> "Graph":
+        meta = spark.read.json(f"{path}/_graph_meta").collect()[0]
+        schema = SchemaRegistry.from_json(meta["schema_json"])
+        names = meta["pred_names"].split("")
+        preds = {}
+        for name in names:
+            safe = name.replace("/", "_").replace(".", "_")
+            preds[name] = spark.read.parquet(f"{path}/preds/{safe}")
+        return cls(spark=spark, preds=preds, schema=schema)

@@ -1,0 +1,175 @@
+"""Graph view over the driver's TPC-H-ish parquet tables (FIXTURES.md §B).
+
+Every node class gets a disjoint uid space: ``uid = tag << 40 | primary_key``
+(xidmap equivalent — reference xidmap/xidmap.go:252 AssignUid assigns dense
+uids; here the key spaces are already dense integers so a static tag is a
+deterministic, shuffle-free uid assignment that holds at any scale factor).
+
+All predicate DataFrames are *lazy projections* of the raw parquet —
+column-pruned and filter-pushed by Catalyst; nothing is materialized at
+load. A predicate table at 100 TB is a parquet scan of exactly two or
+three columns, which is the same I/O dgraph's tablet would do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dgraph_spark.model import FACETS, OBJECT, SUBJECT, TYPE_PRED, VALUE, Graph
+from dgraph_spark.schema import Predicate, SchemaRegistry
+
+# uid-space tags (must stay stable — uids are the join keys everywhere)
+TAGS = {
+    "region": 1,
+    "nation": 2,
+    "customer": 3,
+    "supplier": 4,
+    "part": 5,
+    "orders": 6,
+    "lineitem": 7,
+    "documents": 8,
+    "embeddings": 9,
+    "events": 10,
+}
+
+UID_SHIFT = 40
+
+
+def uid_col(table: str, key) -> F.Column:
+    """Synthesize a node uid from a table tag + integral primary key."""
+    return (F.lit(TAGS[table]).cast("long") * (1 << UID_SHIFT) + key.cast("long")).alias(SUBJECT)
+
+
+def uid_of(table: str, key: int) -> int:
+    return TAGS[table] << UID_SHIFT | int(key)
+
+
+# table -> (type name, scalar columns that become predicates)
+_SCALARS = {
+    "region": ("Region", ["r_name"]),
+    "nation": ("Nation", ["n_name"]),
+    "customer": ("Customer", ["c_name", "c_acctbal", "c_mktsegment"]),
+    "supplier": ("Supplier", ["s_name", "s_acctbal"]),
+    "part": ("Part", ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"]),
+    "orders": (
+        "Order",
+        ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    ),
+    "lineitem": (
+        "Lineitem",
+        [
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+            "l_linenumber",
+        ],
+    ),
+    "documents": ("Document", ["text", "lang", "source", "n_chars"]),
+    "embeddings": ("Embedding", ["embedding", "label"]),
+}
+
+_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# dgraph scalar type per predicate column (everything else defaults by cast)
+_PRED_TYPES = {
+    "c_acctbal": "float",
+    "s_acctbal": "float",
+    "p_retailprice": "float",
+    "p_size": "int",
+    "o_totalprice": "float",
+    "o_orderdate": "datetime",
+    "l_quantity": "float",
+    "l_extendedprice": "float",
+    "l_discount": "float",
+    "l_tax": "float",
+    "l_shipdate": "datetime",
+    "l_linenumber": "int",
+    "n_chars": "int",
+    "label": "int",
+    "embedding": "float32vector",
+}
+
+
+def _lineitem_uid(df: DataFrame) -> F.Column:
+    # lineitem has a composite key; linenumber < 8 so 3 bits suffice.
+    return (
+        F.lit(TAGS["lineitem"]).cast("long") * (1 << UID_SHIFT)
+        + F.col("l_orderkey").cast("long") * 8
+        + F.col("l_linenumber").cast("long")
+    ).alias(SUBJECT)
+
+
+def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Build the graph view described in FIXTURES.md §B over ``sf_dir``."""
+    raw = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TAGS if t != "events"}
+    reg = SchemaRegistry()
+    preds: dict[str, DataFrame] = {}
+    type_rows: list[DataFrame] = []
+
+    for table, (type_name, cols) in _SCALARS.items():
+        df = raw[table]
+        subj = _lineitem_uid(df) if table == "lineitem" else uid_col(table, F.col(_KEYS[table]))
+        available = [c for c in cols if c in df.columns]
+        for c in available:
+            typ = _PRED_TYPES.get(c, "string")
+            reg.add(Predicate(name=c, typ=typ))
+            preds[c] = df.select(subj, F.col(c).alias(VALUE))
+        reg.define_type(type_name, available)
+        type_rows.append(df.select(subj, F.lit(type_name).alias(VALUE)))
+
+    # ---- edges (uid predicates) ----
+    def edge(name: str, df: DataFrame, subj: F.Column, obj: F.Column,
+             facets: F.Column | None = None, **meta) -> None:
+        cols = [subj.alias(SUBJECT), obj.alias(OBJECT)]
+        if facets is not None:
+            cols.append(facets.alias(FACETS))
+        preds[name] = df.select(*cols)
+        reg.add(Predicate(name=name, typ="uid", list=True, **meta))
+
+    o, li, c, s, n = raw["orders"], raw["lineitem"], raw["customer"], raw["supplier"], raw["nation"]
+    edge("placed", o, uid_col("customer", F.col("o_custkey")),
+         uid_col("orders", F.col("o_orderkey")), reverse=True)
+    edge("line", li, uid_col("orders", F.col("l_orderkey")),
+         _lineitem_uid(li), count=True)
+    edge("of_part", li, _lineitem_uid(li), uid_col("part", F.col("l_partkey")))
+    edge(
+        "by_supplier",
+        li,
+        _lineitem_uid(li),
+        uid_col("supplier", F.col("l_suppkey")),
+        facets=F.struct(
+            F.col("l_quantity").cast("double").alias("qty"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        ),
+    )
+    cust_nation = c.select(uid_col("customer", F.col("c_custkey")).alias(SUBJECT),
+                           uid_col("nation", F.col("c_nationkey")).alias(OBJECT))
+    supp_nation = s.select(uid_col("supplier", F.col("s_suppkey")).alias(SUBJECT),
+                           uid_col("nation", F.col("s_nationkey")).alias(OBJECT))
+    preds["in_nation"] = cust_nation.unionByName(supp_nation)
+    reg.add(Predicate(name="in_nation", typ="uid", reverse=True))
+    edge("in_region", n, uid_col("nation", F.col("n_nationkey")),
+         uid_col("region", F.col("n_regionkey")), reverse=True)
+
+    # node types
+    types_df = type_rows[0]
+    for t in type_rows[1:]:
+        types_df = types_df.unionByName(t)
+    preds[TYPE_PRED] = types_df
+    reg.add(Predicate(name=TYPE_PRED, typ="string", list=True, indexes=("exact",)))
+
+    return Graph(spark=spark, preds=preds, schema=reg)
