@@ -1,0 +1,968 @@
+"""The query executor: DQL AST -> DataFrame plans -> results.
+
+Mirrors the reference's execution lifecycle (SURVEY.md §3.1) Spark-first:
+
+  - Block scheduling by variable dependency rounds
+    (query/query.go:2899-2976 canExecute) — plain Python topo loop.
+  - One traversal level == one uid-equality join
+    (worker/task.go:1012 processTask).
+  - Filters: AND = chained semi-joins, OR = union-distinct,
+    NOT = anti-join (query/query.go:2310-2372; algo/uidlist.go).
+  - Per-parent sort/pagination: window functions
+    (worker/sort.go, query/query.go:2493 applyPagination).
+  - @cascade defers pagination until after pruning
+    (query/query.go:3004-3011).
+  - Nested JSON output: bottom-up collect_list(struct(...)) assembly —
+    the distributed analogue of query/outputnode.go's fastJsonNode tree.
+
+Two result modes:
+  - execute()      -> dgraph-shaped nested dict (golden-testable)
+  - execute_flat() -> flat DataFrame per block (oracle/hash-checkable)
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dgraph_spark.dql.ast import (
+    Attr,
+    Block,
+    FuncCall,
+    Order,
+    ParsedQuery,
+)
+from dgraph_spark.dql.parser import parse_dql
+from dgraph_spark.model import OBJECT, SUBJECT, VALUE, Graph
+from dgraph_spark.plans.functions import FuncCompiler
+from dgraph_spark.plans.mathexpr import compile_math, math_vars
+
+SRC = "_src"
+DST = "_dst"
+RANK = "_rank"
+PATH = "_path"
+
+_AGG_ATTRS = {"min", "max", "sum", "avg"}
+
+
+@dataclass
+class Level:
+    """One executed block level: its (paginated) edges and child levels."""
+
+    block: Block
+    edges: DataFrame                  # columns: _src (null at root), _dst, [_rank], [facet cols], [_path]
+    children: list["Level"] = field(default_factory=list)
+    attr_items: list[Attr] = field(default_factory=list)
+    defer_pagination: bool = False
+
+
+class Executor:
+    def __init__(self, graph: Graph, max_recurse_depth: int = 10):
+        self.g = graph
+        self.spark = graph.spark
+        self.max_recurse_depth = max_recurse_depth
+        self.env: dict[str, DataFrame] = {}
+        # var name -> (edges DF of defining level) for level-aggregation
+        self.var_edges: dict[str, DataFrame] = {}
+
+    # ================================================================ public
+    def execute(self, query: str | ParsedQuery) -> dict:
+        """Run a full DQL query; returns {block_alias: [node dicts...]}."""
+        pq = parse_dql(query) if isinstance(query, str) else query
+        out: dict[str, list] = {}
+        for block in self._schedule(pq.blocks):
+            if block.is_var_block:
+                self._run_block(block)
+                continue
+            result = self._block_json(block)
+            if result is not None:
+                out[block.alias] = result
+        return out
+
+    def execute_flat(self, query: str | ParsedQuery, block_alias: str | None = None) -> DataFrame:
+        """Run a query, return ONE block's result as a flat DataFrame
+        (lineage joins; aliased scalar columns). Used by the oracle gate."""
+        pq = parse_dql(query) if isinstance(query, str) else query
+        target = None
+        for block in self._schedule(pq.blocks):
+            if block.is_var_block:
+                self._run_block(block)
+                continue
+            if block_alias is None or block.alias == block_alias:
+                target = block
+                break
+            self._run_block(block)  # still run (may define vars)
+        if target is None:
+            raise KeyError(f"block {block_alias!r} not found")
+        return self._block_flat(target)
+
+    # ============================================================ scheduling
+    def _schedule(self, blocks: list[Block]) -> list[Block]:
+        """Dependency-ordered rounds (query/query.go:2899 canExecute)."""
+        remaining = list(blocks)
+        ordered: list[Block] = []
+        defined: set[str] = set()
+        for b in blocks:
+            pass
+        while remaining:
+            ready = [b for b in remaining if _block_needs(b) <= defined]
+            if not ready:
+                raise ValueError(
+                    f"circular/undefined variable dependency; remaining={[b.alias for b in remaining]}"
+                )
+            for b in ready:
+                ordered.append(b)
+                defined |= _block_defines(b)
+                remaining.remove(b)
+        return ordered
+
+    # ========================================================== block driver
+    def _run_block(self, block: Block) -> Level | None:
+        """Execute one top-level block tree, registering variables."""
+        if block.shortest is not None:
+            return self._run_shortest(block)
+        frontier = self._root_frontier(block)
+        if frontier is None:
+            return None
+        level = self._descend(block, frontier, root=True)
+        return level
+
+    def _root_frontier(self, block: Block) -> DataFrame | None:
+        fc = FuncCompiler(self.g, self.env)
+        if block.func is None:
+            # aggregation-only block reading vars: no frontier
+            return None
+        # eq(len(v), n) at root — driver-side cardinality check
+        lf = _len_func(block.func)
+        if lf is not None:
+            return self._len_frontier(block.func)
+        frontier = fc.root(block.func).select(F.col(SUBJECT).alias(DST))
+        if block.filter is not None:
+            frontier = self._apply_filter(block.filter, frontier)
+        if block.ignorereflex:
+            frontier = frontier.withColumn(PATH, F.array(F.col(DST)))
+        return frontier
+
+    def _len_frontier(self, f: FuncCall) -> DataFrame:
+        var = next(a for a in f.args if a.is_len)
+        n = int(f.literals()[0])
+        vdf = self.env[str(var.value)]
+        cnt = vdf.select(SUBJECT).distinct().count()
+        ok = {
+            "eq": cnt == n, "le": cnt <= n, "lt": cnt < n,
+            "ge": cnt >= n, "gt": cnt > n,
+        }[f.name.lower()]
+        if ok:
+            return vdf.select(F.col(SUBJECT).alias(DST)).distinct()
+        return self.spark.createDataFrame([], f"{DST} long")
+
+    def _apply_filter(self, tree, frontier: DataFrame) -> DataFrame:
+        fc = FuncCompiler(self.g, self.env)
+        cands = frontier.select(F.col(DST).alias(SUBJECT)).distinct()
+        kept = fc.filter(tree, cands).select(F.col(SUBJECT).alias(DST))
+        return frontier.join(kept, DST, "left_semi")
+
+    # ============================================================== descent
+    def _descend(self, block: Block, frontier: DataFrame, root: bool) -> Level:
+        """frontier: DataFrame with column _dst (+ _src when child level).
+
+        Applies sort/pagination (unless deferred for cascade), registers
+        block-level uid var, recurses into children.
+        """
+        if block.recurse is not None:
+            return self._descend_recurse(block, frontier)
+
+        subtree_cascade = _has_cascade(block)
+        level = Level(block=block, edges=frontier, defer_pagination=subtree_cascade)
+
+        if not subtree_cascade:
+            level.edges = self._sort_paginate(block, level.edges, root=root)
+
+        # register block-level uid variable (DestUIDs)
+        if block.var:
+            self.env[block.var] = level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+            self.var_edges[block.var] = level.edges
+
+        nodes = level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+
+        # groupby blocks: no recursion below (aggregates only)
+        if block.groupby is not None:
+            level.attr_items = [c for c in block.children if isinstance(c, Attr)]
+            return level
+
+        for child in block.children:
+            if isinstance(child, Attr):
+                level.attr_items.append(child)
+                self._register_attr_var(child, nodes, level)
+                continue
+            child_level = self._expand_child(child, level)
+            if child_level is not None:
+                level.children.append(child_level)
+        return level
+
+    def _expand_child(self, child: Block, parent: Level) -> Level | None:
+        """One traversal level: parent dst uids -> child edges via join."""
+        pred = child.attr
+        if pred == "expand":
+            return None
+        if not self.g.has_pred(pred):
+            return Level(block=child, edges=self._empty_edges())
+        if not self.g.schema.get(pred).is_uid:
+            # scalar predicate written in block position — treat as attr
+            parent.attr_items.append(Attr(name=pred, alias=child.alias if child.alias != pred else None))
+            return None
+
+        edges = self.g.edge(pred, reverse=child.reverse)
+        facet_cols = [F.col("facets")] if "facets" in edges.columns else []
+        if PATH in parent.edges.columns:
+            # @ignorereflex (query/query.go:156, ParentIds stack): carry the
+            # data path and drop edges returning to any ancestor.
+            parents = parent.edges.select(F.col(DST).alias(SUBJECT), PATH).distinct()
+            ch = (
+                parents.join(edges, SUBJECT, "inner")
+                .where(~F.array_contains(F.col(PATH), F.col(OBJECT)))
+                .select(
+                    F.col(SUBJECT).alias(SRC),
+                    F.col(OBJECT).alias(DST),
+                    F.concat(F.col(PATH), F.array(F.col(OBJECT))).alias(PATH),
+                    *facet_cols,
+                )
+            )
+        else:
+            parent_uids = parent.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+            ch = parent_uids.join(edges, SUBJECT, "inner").select(
+                F.col(SUBJECT).alias(SRC), F.col(OBJECT).alias(DST), *facet_cols,
+            )
+
+        # facet filter on the edge (@facets(eq(k, v)))
+        if child.facets is not None and child.facets.filter is not None and "facets" in ch.columns:
+            ch = ch.where(self._facet_cond(child.facets.filter))
+
+        if child.filter is not None:
+            ch = self._apply_filter(child.filter, ch)
+
+        lvl = self._descend(child, ch, root=False)
+
+        # facet variables: @facets(w as weight) -> per-dst summed facet
+        if child.facets is not None and child.facets.vars and "facets" in ch.columns:
+            for var, key in child.facets.vars.items():
+                vdf = (
+                    lvl.edges.select(F.col(DST).alias(SUBJECT), F.col(f"facets.{key}").alias(VALUE))
+                    .groupBy(SUBJECT).agg(F.sum(VALUE).alias(VALUE))
+                )
+                self.env[var] = vdf
+                self.var_edges[var] = lvl.edges
+        return lvl
+
+    def _register_attr_var(self, attr: Attr, nodes: DataFrame, level: Level) -> None:
+        """`v as age` / `x as count(p)` / math var — value-variable defs
+        (query/query.go:1550 populateUidValVar)."""
+        if not attr.var:
+            return
+        vdf = self._attr_value_df(attr, nodes, level)
+        if vdf is not None:
+            self.env[attr.var] = vdf
+            self.var_edges[attr.var] = level.edges
+
+    def _attr_value_df(self, attr: Attr, nodes: DataFrame, level: Level) -> DataFrame | None:
+        """DataFrame (subject, value) for a scalar-ish attr over `nodes`."""
+        if attr.name == "uid":
+            return nodes.select(SUBJECT, F.col(SUBJECT).alias(VALUE))
+        if attr.is_count:
+            pred = attr.name
+            reverse = pred.startswith("~")
+            edges = self.g.edge(pred.lstrip("~"), reverse=reverse)
+            return (
+                nodes.join(edges, SUBJECT, "left")
+                .groupBy(SUBJECT)
+                .agg(F.count(OBJECT).alias(VALUE))
+            )
+        if attr.val_var is not None and attr.name == "val":
+            return self.env[attr.val_var]
+        if attr.math is not None:
+            return self._math_value_df(attr, nodes)
+        if self.g.has_pred(attr.name) and not self.g.schema.get(attr.name).is_uid:
+            df = self.g.scalar(attr.name)
+            df = self._lang_select(df, attr.langs)
+            return nodes.join(df, SUBJECT, "inner").select(SUBJECT, VALUE)
+        return None
+
+    def _math_value_df(self, attr: Attr, nodes: DataFrame) -> DataFrame:
+        """Evaluate math() per uid by joining referenced vars."""
+        names = sorted(math_vars(attr.math))
+        out = nodes.select(SUBJECT)
+        for v in names:
+            vdf = self.env[v].select(SUBJECT, F.col(VALUE).alias(f"_v_{v}"))
+            out = out.join(vdf, SUBJECT, "left")
+        col = compile_math(attr.math, lambda n: F.col(f"_v_{n}"))
+        return out.select(SUBJECT, col.alias(VALUE))
+
+    def _lang_select(self, df: DataFrame, langs: list[str]) -> DataFrame:
+        """Language preference chain `name@en:ru:.`
+        (worker/task.go:1194-1219). '.' = any language."""
+        if not langs or "lang" not in df.columns:
+            return df.select(SUBJECT, VALUE) if VALUE in df.columns else df
+        pref = [l for l in langs if l != "."]
+        rank = F.when(F.lit(False), 0)
+        for i, l in enumerate(pref):
+            rank = rank.when(F.col("lang") == l, i)
+        rank = rank.otherwise(len(pref) if "." in langs else None)
+        ranked = df.withColumn("_lr", rank).where(F.col("_lr").isNotNull())
+        w = Window.partitionBy(SUBJECT).orderBy("_lr")
+        return (
+            ranked.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(SUBJECT, VALUE)
+        )
+
+    def _facet_cond(self, tree) -> Column:
+        """Facet FilterTree -> boolean Column over `facets` struct."""
+        if tree.op == "func":
+            f = tree.func
+            key = f.pred
+            lits = f.literals()
+            col = F.col(f"facets.{key}")
+            from dgraph_spark.plans.functions import _cmp
+
+            return _cmp(col, f.name.lower(), [F.lit(x) for x in lits])
+        if tree.op == "and":
+            out = self._facet_cond(tree.children[0])
+            for c in tree.children[1:]:
+                out = out & self._facet_cond(c)
+            return out
+        if tree.op == "or":
+            out = self._facet_cond(tree.children[0])
+            for c in tree.children[1:]:
+                out = out | self._facet_cond(c)
+            return out
+        if tree.op == "not":
+            return ~self._facet_cond(tree.children[0])
+        raise ValueError(tree.op)
+
+    # ===================================================== sort / pagination
+    def _sort_paginate(self, block: Block, edges: DataFrame, root: bool) -> DataFrame:
+        """Per-parent (or global at root) sort + first/offset/after
+        (worker/sort.go; query/query.go:2493 applyPagination).
+        Always emits a _rank column for stable nested-array ordering."""
+        has_page = block.first is not None or block.offset is not None or block.after is not None
+        has_order = bool(block.order) or (block.facets and block.facets.order)
+
+        if block.after is not None:
+            edges = edges.where(F.col(DST) > F.lit(block.after))
+
+        sort_cols = self._order_cols(block, edges)
+        part = [] if root or SRC not in edges.columns else [SRC]
+        w = Window.partitionBy(*part).orderBy(*sort_cols) if (part or has_order or has_page) else None
+
+        edges2, joined_cols = self._join_order_keys(block, edges)
+        if w is not None:
+            sort_cols = self._order_cols(block, edges2)
+            w = Window.partitionBy(*part).orderBy(*sort_cols)
+            edges2 = edges2.withColumn(RANK, F.row_number().over(w))
+        else:
+            edges2 = edges2.withColumn(RANK, F.col(DST))
+
+        first, offset = block.first, block.offset or 0
+        if has_page and (first is not None or offset):
+            if first is not None and first < 0:
+                # negative first = last N (x/x.go:815 PageRange)
+                total = F.count("*").over(Window.partitionBy(*part))
+                edges2 = edges2.withColumn("_total", total).where(
+                    F.col(RANK) > F.col("_total") + first - offset
+                )
+                if offset:
+                    edges2 = edges2.where(F.col(RANK) <= F.col("_total") - offset)
+                edges2 = edges2.drop("_total")
+            else:
+                if offset:
+                    edges2 = edges2.where(F.col(RANK) > offset)
+                if first is not None:
+                    edges2 = edges2.where(F.col(RANK) <= offset + first)
+        return edges2.drop(*joined_cols)
+
+    def _join_order_keys(self, block: Block, edges: DataFrame) -> tuple[DataFrame, list[str]]:
+        """Join scalar/var/facet order keys as temp columns _ok{i}."""
+        joined: list[str] = []
+        out = edges
+        for i, o in enumerate(block.order):
+            cname = f"_ok{i}"
+            if o.is_facet:
+                out = out.withColumn(cname, F.col(f"facets.{o.key}"))
+            elif o.is_var or (o.key in self.env and not self.g.has_pred(o.key)):
+                vdf = self.env[o.key].select(
+                    F.col(SUBJECT).alias(DST), F.col(VALUE).alias(cname)
+                )
+                out = out.join(vdf, DST, "left")
+            else:
+                sdf = self.g.scalar(o.key)
+                sdf = self._lang_select(sdf, [o.lang] if o.lang else [])
+                vdf = sdf.select(F.col(SUBJECT).alias(DST), F.col(VALUE).alias(cname))
+                out = out.join(vdf, DST, "left")
+            joined.append(cname)
+        if block.facets and block.facets.order:
+            for j, o in enumerate(block.facets.order):
+                cname = f"_okf{j}"
+                out = out.withColumn(cname, F.col(f"facets.{o.key}"))
+                joined.append(cname)
+        return out, joined
+
+    def _order_cols(self, block: Block, edges: DataFrame) -> list[Column]:
+        cols: list[Column] = []
+        i = 0
+        for o in block.order:
+            cname = f"_ok{i}"
+            if cname in edges.columns:
+                cols.append(F.col(cname).desc_nulls_last() if o.desc else F.col(cname).asc_nulls_last())
+            i += 1
+        if block.facets and block.facets.order:
+            for j, o in enumerate(block.facets.order):
+                cname = f"_okf{j}"
+                if cname in edges.columns:
+                    cols.append(F.col(cname).desc_nulls_last() if o.desc else F.col(cname).asc_nulls_last())
+        cols.append(F.col(DST).asc())  # uid tiebreak (dgraph sorts by uid)
+        return cols
+
+    # ============================================================== recurse
+    def _descend_recurse(self, block: Block, frontier: DataFrame) -> Level:
+        """@recurse (query/recurse.go): unroll the traversal to depth D,
+        following every uid predicate listed in the body each round.
+        loop=false excludes uids already on the path (reachMap ≈ per-path
+        visited set via a _path array column). Driver checks emptiness per
+        iteration (the reference's edge-cap guard analogue)."""
+        depth = block.recurse.depth or self.max_recurse_depth
+        depth = min(depth, self.max_recurse_depth)
+        scalar_attrs = [c for c in block.children if isinstance(c, Attr)]
+        uid_preds: list[tuple[str, bool]] = []
+        for c in block.children:
+            if isinstance(c, Block):
+                uid_preds.append((c.attr, c.reverse))
+            elif isinstance(c, Attr) and self.g.has_pred(c.name.lstrip("~")) and self.g.schema.get(c.name.lstrip("~")).is_uid:
+                uid_preds.append((c.name.lstrip("~"), c.name.startswith("~")))
+
+        top = Level(block=block, edges=self._sort_paginate(block, frontier, root=True))
+        top.attr_items = [a for a in scalar_attrs if not (self.g.has_pred(a.name.lstrip("~")) and self.g.schema.get(a.name.lstrip("~")).is_uid)]
+        if block.var:
+            self.env[block.var] = top.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+
+        def expand(parent_edges: DataFrame, remaining: int) -> list[Level]:
+            """Per-branch unroll: dgraph re-applies the same predicate set
+            under every expanded node (query/recurse.go:19-215); loop=false
+            drops uids already on the path (reachMap semantics)."""
+            if remaining <= 0:
+                return []
+            parent_sel = parent_edges.select(F.col(DST).alias(SUBJECT), PATH).distinct()
+            levels: list[Level] = []
+            for pred, rev in uid_preds:
+                e = self.g.edge(pred, reverse=rev)
+                step = parent_sel.join(e, SUBJECT, "inner").select(
+                    F.col(SUBJECT).alias(SRC),
+                    F.col(OBJECT).alias(DST),
+                    F.col(PATH),
+                )
+                if not block.recurse.loop:
+                    step = step.where(~F.array_contains(F.col(PATH), F.col(DST)))
+                step = step.withColumn(PATH, F.concat(F.col(PATH), F.array(F.col(DST))))
+                # checkpoint truncates lineage so unrolled plans stay small
+                step = step.localCheckpoint(eager=True)
+                if step.limit(1).count() == 0:
+                    continue
+                sub = Block(alias=("~" + pred) if rev else pred, attr=pred, reverse=rev)
+                lvl = Level(block=sub, edges=step.drop(PATH).withColumn(RANK, F.col(DST)))
+                lvl.attr_items = list(top.attr_items)
+                lvl.children = expand(step, remaining - 1)
+                levels.append(lvl)
+            return levels
+
+        seed = top.edges.withColumn(PATH, F.array(F.col(DST)))
+        top.children = expand(seed, depth - 1)
+        return top
+
+    # ============================================================= shortest
+    def _run_shortest(self, block: Block) -> Level | None:
+        """shortest(from, to, numpaths) — iterative Dijkstra on DataFrames
+        (query/shortest.go:457). Weights: @facets(weight) on the edge
+        blocks, else hop count. Registers the path uid var if `as` given."""
+        sp = block.shortest
+        src, dst = int(sp.from_), int(sp.to)
+        numpaths = sp.numpaths or 1
+        max_depth = sp.depth or self.max_recurse_depth
+
+        preds: list[tuple[str, bool, str | None]] = []
+        for c in block.children:
+            if isinstance(c, Block):
+                wkey = None
+                if c.facets and (c.facets.keys or c.facets.vars):
+                    wkey = c.facets.keys[0][0] if c.facets.keys else list(c.facets.vars.values())[0]
+                preds.append((c.attr, c.reverse, wkey))
+            elif isinstance(c, Attr) and self.g.has_pred(c.name) and self.g.schema.get(c.name).is_uid:
+                wkey = None
+                if c.facets and c.facets.keys:
+                    wkey = c.facets.keys[0][0]
+                preds.append((c.name, False, wkey))
+        if not preds:
+            raise ValueError("shortest block needs at least one edge predicate")
+
+        # unified weighted edge relation
+        edge_frames = []
+        for pred, rev, wkey in preds:
+            e = self.g.edge(pred, reverse=rev)
+            w = F.col(f"facets.{wkey}").cast("double") if (wkey and "facets" in e.columns) else F.lit(1.0)
+            edge_frames.append(e.select(SUBJECT, OBJECT, w.alias("_w")))
+        edges = edge_frames[0]
+        for e in edge_frames[1:]:
+            edges = edges.unionByName(e)
+
+        spark = self.spark
+        paths = spark.createDataFrame(
+            [(src, 0.0, [src])], f"node long, dist double, path array<long>"
+        )
+        best = paths
+        found = spark.createDataFrame([], "node long, dist double, path array<long>")
+        for _ in range(max_depth):
+            grown = (
+                paths.join(edges, paths.node == edges[SUBJECT], "inner")
+                .where(~F.array_contains(F.col("path"), F.col(OBJECT)))
+                .select(
+                    F.col(OBJECT).alias("node"),
+                    (F.col("dist") + F.col("_w")).alias("dist"),
+                    F.concat(F.col("path"), F.array(F.col(OBJECT))).alias("path"),
+                )
+            )
+            if sp.maxweight is not None:
+                grown = grown.where(F.col("dist") <= sp.maxweight)
+            # keep top-k cheapest frontier paths per node to bound growth
+            w = Window.partitionBy("node").orderBy(F.col("dist").asc())
+            grown = grown.withColumn("_rn", F.row_number().over(w)).where(
+                F.col("_rn") <= numpaths
+            ).drop("_rn")
+            grown = grown.localCheckpoint(eager=True)
+            if grown.limit(1).count() == 0:
+                break
+            found = found.unionByName(grown.where(F.col("node") == dst))
+            paths = grown
+        w = Window.orderBy(F.col("dist").asc(), F.size("path").asc())
+        result = found.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= numpaths)
+        if sp.minweight is not None:
+            result = result.where(F.col("dist") >= sp.minweight)
+        result = result.select("node", "dist", "path")
+        if block.var:
+            self.env[block.var] = result.select(F.explode("path").alias(SUBJECT)).distinct()
+        self._last_shortest = result
+        return None
+
+    # ========================================================= JSON assembly
+    def _block_json(self, block: Block) -> list | None:
+        if block.shortest is not None:
+            self._run_shortest(block)
+            rows = self._last_shortest.collect()
+            return [
+                {"path": [f"0x{u:x}" for u in r["path"]], "weight": r["dist"]}
+                for r in rows
+            ]
+        if block.func is None and not block.is_var_block:
+            # aggregation-only block over variables
+            return self._agg_only_json(block)
+        level = self._run_block(block)
+        if level is None:
+            return []
+        if block.groupby is not None:
+            return self._groupby_json(level)
+        node_payload = self._ascend(level)
+        if node_payload is None:
+            return []
+        edges, payload = node_payload
+        if level.defer_pagination:
+            surviving = payload.select(F.col("_pid").alias(DST)).distinct()
+            edges = edges.join(surviving, DST, "left_semi")
+            edges = self._sort_paginate(block, edges, root=True)
+        ordered = edges.join(payload, edges[DST] == payload["_pid"], "inner").orderBy(RANK)
+        rows = [r["_payload"] for r in ordered.select(F.col("_payload")).collect()]
+        out = [_row_to_dict(r) for r in rows if r is not None]
+        if block.normalize:
+            out = list(itertools.chain.from_iterable(_normalize(d) for d in out))
+        return out
+
+    def _agg_only_json(self, block: Block) -> list:
+        out: dict = {}
+        for attr in block.children:
+            if not isinstance(attr, Attr):
+                continue
+            name = attr.out_name
+            if attr.name in _AGG_ATTRS and attr.val_var:
+                vdf = self.env[attr.val_var]
+                fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[attr.name]
+                val = vdf.agg(fn(VALUE).alias("v")).collect()[0]["v"]
+                out[f"{attr.alias or attr.name}"] = val
+            elif attr.math is not None:
+                # math over aggregated vars — evaluate driver-side scalar
+                names = sorted(math_vars(attr.math))
+                scalars = {}
+                for v in names:
+                    scalars[v] = self.env[v].agg(F.sum(VALUE).alias("v")).collect()[0]["v"]
+                col = compile_math(attr.math, lambda n: F.lit(scalars[n]))
+                val = self.spark.range(1).select(col.alias("v")).collect()[0]["v"]
+                out[attr.out_name] = val
+        return [out] if out else []
+
+    def _ascend(self, level: Level) -> tuple[DataFrame, DataFrame] | None:
+        """Bottom-up: build (edges, payload) where payload is
+        DataFrame(_pid, _payload struct) for each distinct node at this
+        level. Cascade pruning + deferred pagination happen here."""
+        block = level.block
+        edges = level.edges
+        nodes = edges.select(F.col(DST).alias(SUBJECT)).distinct()
+
+        struct_fields: list[Column] = []
+        cascade_checks: list[Column] = []
+        casc = block.cascade  # [] = all children required
+
+        df = nodes
+        # scalar attrs
+        for attr in level.attr_items:
+            col_df, out_col, multi = self._attr_output(attr, nodes, level)
+            if col_df is None:
+                continue
+            df = df.join(col_df, SUBJECT, "left")
+            struct_fields.append(F.col(out_col).alias(out_col))
+            if casc is not None and (not casc or attr.name in casc or attr.out_name in casc):
+                cascade_checks.append(F.col(out_col).isNotNull())
+
+        # uid output
+        if any(isinstance(a, Attr) and a.name == "uid" and not a.is_count for a in level.attr_items):
+            pass  # handled via _attr_output
+
+        # child blocks
+        for child in level.children:
+            res = self._ascend(child)
+            if res is None:
+                continue
+            c_edges, c_payload = res
+            if child.defer_pagination:
+                # deferred pagination (query/query.go:3004-3011): first keep
+                # only cascade-surviving children, THEN sort+paginate.
+                surviving = c_payload.select(F.col("_pid").alias(DST)).distinct()
+                c_edges = c_edges.join(surviving, DST, "left_semi")
+                c_edges = self._sort_paginate(child.block, c_edges, root=False)
+            joined = c_edges.join(c_payload, c_edges[DST] == c_payload["_pid"], "inner")
+            child_name = child.block.alias if child.block.alias != child.block.attr else (
+                ("~" if child.block.reverse else "") + child.block.attr
+            )
+            arr = (
+                joined.select(F.col(SRC), F.struct(F.col(RANK).alias("_r"), F.col("_payload").alias("_p")).alias("_rp"))
+                .groupBy(SRC)
+                .agg(F.sort_array(F.collect_list("_rp")).alias("_sorted"))
+                .select(
+                    F.col(SRC).alias(SUBJECT),
+                    F.transform(F.col("_sorted"), lambda x: x["_p"]).alias(child_name),
+                )
+            )
+            df = df.join(arr, SUBJECT, "left")
+            struct_fields.append(F.col(child_name))
+            if casc is not None and (not casc or child.block.attr in casc or child.block.alias in casc):
+                cascade_checks.append(F.size(F.coalesce(F.col(child_name), F.array())) > 0)
+
+        if casc is not None:
+            for c in cascade_checks:
+                df = df.where(c)
+
+        if not struct_fields:
+            struct_fields = [F.col(SUBJECT).alias("uid")]
+        payload = df.select(
+            F.col(SUBJECT).alias("_pid"), F.struct(*struct_fields).alias("_payload")
+        )
+        return level.edges, payload
+
+    def _attr_output(self, attr: Attr, nodes: DataFrame, level: Level):
+        """-> (DataFrame(subject, out_col), out_col name, multivalued?)"""
+        out_name = attr.out_name
+        if attr.name == "uid" and not attr.is_count:
+            return (
+                nodes.select(SUBJECT, F.lower(F.format_string("0x%x", F.col(SUBJECT))).alias("uid")),
+                "uid",
+                False,
+            )
+        if attr.is_count:
+            if attr.name == "uid":
+                return None, "", False  # count(uid) handled at block level
+            pred = attr.name
+            reverse = pred.startswith("~")
+            name = pred.lstrip("~")
+            out = out_name if attr.alias else f"count({pred})"
+            if not self.g.has_pred(name):
+                return nodes.select(SUBJECT, F.lit(0).alias(out)), out, False
+            edges = self.g.edge(name, reverse=reverse)
+            cdf = (
+                nodes.join(edges, SUBJECT, "left")
+                .groupBy(SUBJECT)
+                .agg(F.count(OBJECT).alias(out))
+            )
+            return cdf, out, False
+        if attr.name in _AGG_ATTRS and attr.val_var:
+            # level aggregation: aggregate child-defined var per this node
+            vdf = self.env.get(attr.val_var)
+            if vdf is None:
+                return None, "", False
+            def_edges = self.var_edges.get(attr.val_var)
+            out = out_name if attr.alias else f"{attr.name}(val({attr.val_var}))"
+            fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[attr.name]
+            if def_edges is not None and SRC in def_edges.columns:
+                per_parent = (
+                    def_edges.select(SRC, DST)
+                    .join(vdf.select(F.col(SUBJECT).alias(DST), VALUE), DST, "inner")
+                    .groupBy(SRC)
+                    .agg(fn(VALUE).alias(out))
+                    .select(F.col(SRC).alias(SUBJECT), out)
+                )
+                return per_parent, out, False
+            # var defined at this level: aggregate whole map onto every node
+            total = vdf.agg(fn(VALUE).alias(out))
+            return nodes.crossJoin(F.broadcast(total)), out, False
+        if attr.val_var and attr.name == "val":
+            vdf = self.env.get(attr.val_var)
+            if vdf is None:
+                return None, "", False
+            out = out_name if attr.alias else f"val({attr.val_var})"
+            return (
+                vdf.select(SUBJECT, F.col(VALUE).alias(out)),
+                out,
+                False,
+            )
+        if attr.math is not None:
+            vdf = self._math_value_df(attr, nodes)
+            out = out_name if attr.alias else "math"
+            return vdf.select(SUBJECT, F.col(VALUE).alias(out)), out, False
+        if attr.expand is not None:
+            return self._expand_attr_output(attr, nodes)
+        # plain scalar predicate
+        name = attr.name
+        if not self.g.has_pred(name) or self.g.schema.get(name).is_uid:
+            return None, "", False
+        sdf = self.g.scalar(name)
+        sdf = self._lang_select(sdf, attr.langs)
+        out = out_name
+        if attr.langs and not attr.alias:
+            out = f"{name}@{':'.join(attr.langs)}"
+        meta = self.g.schema.get(name)
+        if meta.list:
+            vdf = (
+                nodes.join(sdf, SUBJECT, "inner")
+                .groupBy(SUBJECT)
+                .agg(F.sort_array(F.collect_list(VALUE)).alias(out))
+            )
+            return vdf, out, True
+        vdf = nodes.join(sdf, SUBJECT, "inner").select(SUBJECT, F.col(VALUE).alias(out))
+        return vdf, out, False
+
+    def _expand_attr_output(self, attr: Attr, nodes: DataFrame):
+        """expand(_all_)/expand(Type): runtime schema discovery
+        (query/query.go:2038-2152). Collects the (tiny) distinct type set
+        driver-side, then emits per-pred scalar joins."""
+        if attr.expand == "_all_":
+            types = [
+                r[VALUE]
+                for r in nodes.join(self.g.node_types(), SUBJECT, "inner")
+                .select(VALUE).distinct().collect()
+            ]
+        else:
+            types = [attr.expand]
+        preds: list[str] = []
+        for t in types:
+            preds.extend(self.g.schema.type_preds(t))
+        preds = [p for p in dict.fromkeys(preds) if self.g.has_pred(p) and not self.g.schema.get(p).is_uid]
+        out = nodes
+        for p in preds:
+            sdf = self.g.scalar(p).select(SUBJECT, F.col(VALUE).alias(p))
+            out = out.join(sdf, SUBJECT, "left")
+        # pack into one struct column; _ascend will place fields
+        packed = out.select(SUBJECT, F.struct(*[F.col(p) for p in preds]).alias("_expand"))
+        return packed, "_expand", False
+
+    # ============================================================== groupby
+    def _groupby_level(self, level: Level) -> DataFrame:
+        """@groupby(attrs){aggs} -> flat grouped DataFrame
+        (query/groupby.go:195 formResult / formGroups)."""
+        block = level.block
+        nodes = level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+        gcols: list[str] = []
+        df = nodes
+        for ga in block.groupby.attrs:
+            name = ga.name
+            out = ga.alias or name
+            if self.g.schema.get(name).is_uid:
+                edf = self.g.edge(name).select(SUBJECT, F.col(OBJECT).alias(out))
+                df = df.join(edf, SUBJECT, "inner")
+            else:
+                sdf = self.g.scalar(name).select(SUBJECT, F.col(VALUE).alias(out))
+                df = df.join(sdf, SUBJECT, "inner")
+            gcols.append(out)
+        aggs: list[Column] = []
+        for attr in level.attr_items:
+            if attr.is_count and attr.name == "uid":
+                aggs.append(F.count("*").alias(attr.alias or "count"))
+            elif attr.name in _AGG_ATTRS and attr.val_var:
+                vdf = self.env[attr.val_var].select(SUBJECT, F.col(VALUE).alias(f"_v_{attr.val_var}"))
+                df = df.join(vdf, SUBJECT, "left")
+                fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[attr.name]
+                aggs.append(fn(f"_v_{attr.val_var}").alias(attr.alias or f"{attr.name}"))
+        if not aggs:
+            aggs = [F.count("*").alias("count")]
+        return df.groupBy(*gcols).agg(*aggs).orderBy(*gcols)
+
+    def _groupby_json(self, level: Level) -> list:
+        rows = self._groupby_level(level).collect()
+        return [{"@groupby": [r.asDict(recursive=True) for r in rows]}]
+
+    # ============================================================ flat mode
+    def _block_flat(self, block: Block) -> DataFrame:
+        """Flat relational result for the oracle gate: lineage joins, one
+        row per root-to-leaf path, aliased columns only."""
+        if block.shortest is not None:
+            self._run_shortest(block)
+            return self._last_shortest
+        level = self._run_block(block)
+        if level is None:
+            # agg-only block
+            data = self._agg_only_json(block)
+            if not data:
+                return self.spark.createDataFrame([], "dummy string")
+            return self.spark.createDataFrame(data)
+        if block.groupby is not None:
+            return self._groupby_level(level)
+        frame = level.edges.select(F.col(DST).alias(f"_uid0"))
+        frame, _ = self._flat_level(level, frame, f"_uid0", depth=0)
+        drop = [c for c in frame.columns if c.startswith("_uid")]
+        return frame.drop(*drop)
+
+    def _flat_level(self, level: Level, frame: DataFrame, uid_col: str, depth: int):
+        nodes = level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+        for attr in level.attr_items:
+            col_df, out, _multi = self._attr_output(attr, nodes, level)
+            if col_df is None:
+                continue
+            col_df = col_df.withColumnRenamed(SUBJECT, uid_col)
+            frame = frame.join(col_df, uid_col, "left")
+        for i, child in enumerate(level.children):
+            c_edges = child.edges
+            child_uid = f"_uid{depth + 1}_{i}"
+            ce = c_edges.select(F.col(SRC).alias(uid_col), F.col(DST).alias(child_uid))
+            frame = frame.join(ce, uid_col, "inner")
+            frame, _ = self._flat_level(child, frame, child_uid, depth + 1)
+        return frame, uid_col
+
+
+# ---------------------------------------------------------------- helpers
+def _block_needs(b: Block) -> set[str]:
+    needed: set[str] = set()
+
+    def from_func(f: FuncCall | None):
+        if f is None:
+            return
+        for a in f.args:
+            if a.is_val_var or a.is_len:
+                needed.add(str(a.value))
+        if f.name == "uid":
+            for a in f.args:
+                if isinstance(a.value, str) and not str(a.value).isdigit() and not str(a.value).startswith("0x"):
+                    needed.add(str(a.value))
+
+    def from_tree(t):
+        if t is None:
+            return
+        if t.func is not None:
+            from_func(t.func)
+        for c in t.children:
+            from_tree(c)
+
+    def walk(b: Block):
+        from_func(b.func)
+        from_tree(b.filter)
+        for o in b.order:
+            if o.is_var:
+                needed.add(o.key)
+        for c in b.children:
+            if isinstance(c, Block):
+                walk(c)
+            else:
+                if c.val_var:
+                    needed.add(c.val_var)
+                if c.math is not None:
+                    needed.update(math_vars(c.math))
+
+    walk(b)
+    return needed - _block_defines(b)
+
+
+def _block_defines(b: Block) -> set[str]:
+    out: set[str] = set()
+
+    def walk(b: Block):
+        if b.var:
+            out.add(b.var)
+        if b.facets and b.facets.vars:
+            out.update(b.facets.vars.keys())
+        for c in b.children:
+            if isinstance(c, Block):
+                walk(c)
+            else:
+                if c.var:
+                    out.add(c.var)
+                if c.facets and c.facets.vars:
+                    out.update(c.facets.vars.keys())
+
+    walk(b)
+    return out
+
+
+def _len_func(f: FuncCall | None):
+    """Return the len() arg if this is an eq/ineq(len(v), n) root."""
+    if f is None:
+        return None
+    return next((a for a in f.args if a.is_len), None)
+
+
+def _has_cascade(b: Block) -> bool:
+    if b.cascade is not None:
+        return True
+    return any(isinstance(c, Block) and _has_cascade(c) for c in b.children)
+
+
+def _find_root_flag(b: Block, flag: str) -> bool:
+    return bool(getattr(b, flag, False))
+
+
+def _row_to_dict(row) -> dict:
+    d = row.asDict(recursive=True) if hasattr(row, "asDict") else row
+    return _clean(d)
+
+
+def _clean(v):
+    if isinstance(v, dict):
+        return {k: _clean(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_clean(x) for x in v if x is not None]
+    return v
+
+
+def _normalize(node: dict) -> list[dict]:
+    """@normalize flatten (query/outputnode.go:921): cartesian-combine
+    child lists, keep only leaf scalars (which in dgraph are the aliased
+    ones — we keep all scalars since un-aliased preds were already
+    filtered during assembly for normalize blocks)."""
+    scalars = {k: v for k, v in node.items() if not isinstance(v, list) or not (v and isinstance(v[0], dict))}
+    child_lists = {k: v for k, v in node.items() if isinstance(v, list) and v and isinstance(v[0], dict)}
+    if not child_lists:
+        return [scalars]
+    results = [scalars]
+    for k, lst in child_lists.items():
+        flattened_children = list(itertools.chain.from_iterable(_normalize(c) for c in lst))
+        new_results = []
+        for base in results:
+            for child in flattened_children:
+                merged = dict(base)
+                merged.update(child)
+                new_results.append(merged)
+        results = new_results
+    return results

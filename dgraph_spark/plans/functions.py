@@ -1,0 +1,249 @@
+"""Root-function / filter-function compilation: FuncCall -> uid DataFrame.
+
+The reference evaluates root functions against indexes and filter
+functions against candidate uid sets (worker/task.go:281-297 asymmetry).
+In Spark both collapse to the same thing: a (pushed-down) scan producing
+a uid set, optionally semi-joined with the candidate frontier — Catalyst
+replaces every index with predicate pushdown + column pruning
+(SURVEY.md §4). Function taxonomy: worker/task.go:245-279.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dgraph_spark.dql.ast import FilterTree, FuncCall
+from dgraph_spark.functions import tokenizers as tok
+from dgraph_spark.model import OBJECT, SUBJECT, VALUE, Graph
+
+_COMPARE = {"eq", "le", "lt", "ge", "gt"}
+_STRSEARCH = {"anyofterms", "allofterms", "anyoftext", "alloftext",
+              "regexp", "match", "ngram"}
+
+
+class FuncCompiler:
+    """Compiles FuncCalls into uid DataFrames, resolving variables from
+    ``env`` (uid vars -> DataFrame[subject], value vars ->
+    DataFrame[subject, value])."""
+
+    def __init__(self, graph: Graph, env: dict | None = None):
+        self.g = graph
+        self.env = env if env is not None else {}
+
+    # ------------------------------------------------------------- helpers
+    def _typed_lit(self, pred: str, v: object) -> Column:
+        typ = self.g.schema.get(pred).typ
+        if typ == "datetime":
+            return F.to_timestamp(F.lit(v))
+        return F.lit(v)
+
+    def _scalar(self, pred: str, lang: str | None = None) -> DataFrame:
+        df = self.g.scalar(pred)
+        if lang and "lang" in df.columns:
+            df = df.where(F.col("lang") == lang)
+        return df
+
+    def _uid_var(self, name: str) -> DataFrame:
+        v = self.env.get(name)
+        if v is None:
+            raise KeyError(f"undefined uid variable {name!r}")
+        return v.select(SUBJECT).distinct()
+
+    def _val_var(self, name: str) -> DataFrame:
+        v = self.env.get(name)
+        if v is None:
+            raise KeyError(f"undefined value variable {name!r}")
+        return v
+
+    # --------------------------------------------------------------- entry
+    def root(self, f: FuncCall) -> DataFrame:
+        """Evaluate at root: no candidate set — full (pushed-down) scan.
+        Returns DataFrame[subject] (distinct)."""
+        return self._eval(f, candidates=None)
+
+    def filter(self, tree: FilterTree, candidates: DataFrame) -> DataFrame:
+        """Apply a FilterTree to a candidate uid set
+        (query/query.go:2310-2372: AND=intersect, OR=merge, NOT=difference;
+        algo/uidlist.go set algebra -> joins here)."""
+        if tree.op == "func":
+            return self._eval(tree.func, candidates)
+        if tree.op == "and":
+            out = candidates
+            for child in tree.children:
+                out = self.filter(child, out)
+            return out
+        if tree.op == "or":
+            parts = [self.filter(child, candidates) for child in tree.children]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.distinct()
+        if tree.op == "not":
+            assert len(tree.children) == 1
+            matched = self.filter(tree.children[0], candidates)
+            return candidates.join(matched, SUBJECT, "left_anti")
+        raise ValueError(f"bad filter op {tree.op!r}")
+
+    # ---------------------------------------------------------------- eval
+    def _eval(self, f: FuncCall, candidates: DataFrame | None) -> DataFrame:
+        name = f.name.lower()
+        if name in _COMPARE:
+            out = self._compare(f)
+        elif name == "between":
+            out = self._between(f)
+        elif name == "has":
+            out = self._has(f)
+        elif name == "uid":
+            out = self._uid(f)
+        elif name == "uid_in":
+            out = self._uid_in(f)
+        elif name == "type":
+            out = self._type(f)
+        elif name in _STRSEARCH:
+            out = self._string_search(f)
+        else:
+            raise NotImplementedError(f"function {f.name!r} not implemented")
+        if candidates is not None:
+            # restrict to candidates: semi join (frontier is usually the
+            # smaller side; Catalyst/AQE picks broadcast when it fits)
+            out = candidates.join(out, SUBJECT, "left_semi")
+        return out.select(SUBJECT)
+
+    # ------------------------------------------------------------ families
+    def _compare(self, f: FuncCall) -> DataFrame:
+        name = f.name.lower()
+        # eq(count(pred), n) — handleCompareScalarFunction worker/task.go:1222
+        count_arg = next((a for a in f.args if a.is_count), None)
+        if count_arg is not None:
+            return self._count_compare(str(count_arg.value), name, f.literals())
+        # eq(len(var), n) — query/query.go:2235
+        len_arg = next((a for a in f.args if a.is_len), None)
+        if len_arg is not None:
+            raise NotImplementedError("len() handled by executor")  # pragma: no cover
+        # eq(val(v), x) — compare value variable
+        val_arg = next((a for a in f.args if a.is_val_var), None)
+        if val_arg is not None:
+            vdf = self._val_var(str(val_arg.value))
+            lits = f.literals()
+            return vdf.where(_cmp(F.col(VALUE), name, [F.lit(x) for x in lits])).select(SUBJECT).distinct()
+        pred = f.pred
+        lits = f.literals()
+        df = self._scalar(pred, f.pred_lang)
+        cols = [self._typed_lit(pred, x) for x in lits]
+        return df.where(_cmp(F.col(VALUE), name, cols)).select(SUBJECT).distinct()
+
+    def _count_compare(self, pred: str, op: str, lits: list) -> DataFrame:
+        reverse = pred.startswith("~")
+        edges = self.g.edge(pred.lstrip("~"), reverse=reverse)
+        n = int(lits[0])
+        counts = edges.groupBy(SUBJECT).agg(F.count("*").alias("_cnt"))
+        return counts.where(_cmp(F.col("_cnt"), op, [F.lit(n)])).select(SUBJECT)
+
+    def _between(self, f: FuncCall) -> DataFrame:
+        pred = f.pred
+        lo, hi = f.literals()[:2]
+        df = self._scalar(pred, f.pred_lang)
+        return df.where(
+            F.col(VALUE).between(self._typed_lit(pred, lo), self._typed_lit(pred, hi))
+        ).select(SUBJECT).distinct()
+
+    def _has(self, f: FuncCall) -> DataFrame:
+        pred = f.pred
+        reverse = pred.startswith("~")
+        name = pred.lstrip("~")
+        if self.g.schema.get(name).is_uid:
+            return self.g.edge(name, reverse=reverse).select(SUBJECT).distinct()
+        return self.g.scalar(name).select(SUBJECT).distinct()
+
+    def _uid(self, f: FuncCall) -> DataFrame:
+        lits: list[int] = []
+        frames: list[DataFrame] = []
+        for a in f.args:
+            if isinstance(a.value, int):
+                lits.append(a.value)
+            elif isinstance(a.value, str) and a.value.startswith("0x"):
+                lits.append(int(a.value, 16))
+            elif isinstance(a.value, str) and a.value.isdigit():
+                lits.append(int(a.value))
+            else:
+                frames.append(self._uid_var(str(a.value)))
+        if lits:
+            frames.append(
+                self.g.spark.createDataFrame([(u,) for u in lits], f"{SUBJECT} long")
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out.distinct()
+
+    def _uid_in(self, f: FuncCall) -> DataFrame:
+        pred = f.pred
+        reverse = pred.startswith("~")
+        edges = self.g.edge(pred.lstrip("~"), reverse=reverse)
+        uids: list[int] = []
+        var_frames: list[DataFrame] = []
+        for a in f.args[1:]:
+            if isinstance(a.value, int):
+                uids.append(a.value)
+            elif isinstance(a.value, str) and a.value.startswith("0x"):
+                uids.append(int(a.value, 16))
+            elif a.is_val_var or (isinstance(a.value, str) and a.value in self.env):
+                var_frames.append(self._uid_var(str(a.value)))
+            else:
+                raise ValueError(f"uid_in: bad arg {a.value!r}")
+        cond = F.col(OBJECT).isin(uids) if uids else F.lit(False)
+        out = edges.where(cond).select(SUBJECT)
+        for vf in var_frames:
+            out = out.unionByName(
+                edges.join(vf.withColumnRenamed(SUBJECT, OBJECT), OBJECT, "left_semi").select(SUBJECT)
+            )
+        return out.distinct()
+
+    def _type(self, f: FuncCall) -> DataFrame:
+        tname = str(f.args[0].value)
+        return self.g.uids_of_type(tname)
+
+    def _string_search(self, f: FuncCall) -> DataFrame:
+        name = f.name.lower()
+        pred = f.pred
+        df = self._scalar(pred, f.pred_lang)
+        col = F.col(VALUE)
+        lits = f.literals()
+        if name == "anyofterms":
+            cond = tok.any_of_terms(col, str(lits[0]))
+        elif name == "allofterms":
+            cond = tok.all_of_terms(col, str(lits[0]))
+        elif name == "anyoftext":
+            cond = tok.any_of_text(col, str(lits[0]))
+        elif name == "alloftext":
+            cond = tok.all_of_text(col, str(lits[0]))
+        elif name == "regexp":
+            cond = tok.regexp_match(col, str(lits[0]))
+        elif name == "match":
+            dist = int(lits[1]) if len(lits) > 1 else 2
+            cond = tok.fuzzy_match(col, str(lits[0]), dist)
+        elif name == "ngram":
+            cond = tok.ngram_search(col, str(lits[0]))
+        else:  # pragma: no cover
+            raise NotImplementedError(name)
+        return df.where(cond).select(SUBJECT).distinct()
+
+
+def _cmp(col: Column, op: str, lits: list[Column]) -> Column:
+    if op == "eq":
+        if len(lits) == 1:
+            return col == lits[0]
+        cond = col == lits[0]
+        for l in lits[1:]:
+            cond = cond | (col == l)
+        return cond
+    if op == "le":
+        return col <= lits[0]
+    if op == "lt":
+        return col < lits[0]
+    if op == "ge":
+        return col >= lits[0]
+    if op == "gt":
+        return col > lits[0]
+    raise ValueError(op)

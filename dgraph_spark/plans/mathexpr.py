@@ -1,0 +1,95 @@
+"""math() expression compiler: MathNode -> pyspark Column.
+
+Op set mirrors dql/math.go:148-157 (+ - * / % pow logbase exp ln sqrt
+floor ceil u- min max dot cond since and comparisons); evaluation
+semantics from query/math.go. Everything compiles to built-in column
+expressions (whole-stage codegen); vector ops use higher-order functions
+(zip_with/aggregate) per SURVEY.md §2.6.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dgraph_spark.dql.ast import MathNode
+
+
+def compile_math(node: MathNode, resolve: Callable[[str], Column]) -> Column:
+    """``resolve(varname)`` maps a value-variable name to its Column."""
+
+    def go(n: MathNode) -> Column:
+        if n.var is not None:
+            return resolve(n.var)
+        if n.const is not None or (n.op is None and not n.children):
+            return F.lit(n.const)
+        ch = [go(c) for c in n.children]
+        op = n.op
+        if op == "+":
+            return ch[0] + ch[1]
+        if op == "-":
+            return ch[0] - ch[1]
+        if op == "*":
+            return ch[0] * ch[1]
+        if op == "/":
+            return ch[0] / ch[1]
+        if op == "%":
+            return ch[0] % ch[1]
+        if op == "u-":
+            return -ch[0]
+        if op == "pow":
+            return F.pow(ch[0], ch[1])
+        if op == "logbase":
+            # logbase(x, b) = ln(x)/ln(b)  (dql/math.go logbase)
+            return F.log(ch[0]) / F.log(ch[1])
+        if op == "exp":
+            return F.exp(ch[0])
+        if op == "ln":
+            return F.log(ch[0])
+        if op == "sqrt":
+            return F.sqrt(ch[0])
+        if op == "floor":
+            return F.floor(ch[0])
+        if op == "ceil":
+            return F.ceil(ch[0])
+        if op == "min":
+            return F.least(*ch)
+        if op == "max":
+            return F.greatest(*ch)
+        if op == "dot":
+            # float32vector dot product, JVM-side higher-order funcs
+            return F.aggregate(
+                F.zip_with(ch[0], ch[1], lambda x, y: x * y),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+        if op == "cond":
+            return F.when(ch[0], ch[1]).otherwise(ch[2])
+        if op == "since":
+            # seconds since timestamp (query/aggregator.go:566-574)
+            return F.unix_timestamp(F.current_timestamp()) - F.unix_timestamp(ch[0])
+        if op in ("<", ">", "<=", ">=", "==", "!="):
+            a, b = ch
+            return {
+                "<": a < b, ">": a > b, "<=": a <= b,
+                ">=": a >= b, "==": a == b, "!=": a != b,
+            }[op]
+        raise NotImplementedError(f"math op {op!r}")
+
+    return go(node)
+
+
+def math_vars(node: MathNode) -> set[str]:
+    """All value-variable names referenced in the expression."""
+    out: set[str] = set()
+
+    def go(n: MathNode) -> None:
+        if n.var is not None:
+            out.add(n.var)
+        for c in n.children:
+            go(c)
+
+    go(node)
+    return out
