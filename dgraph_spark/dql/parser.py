@@ -254,6 +254,12 @@ class Parser:
                 self.accept(",")
                 vec.append(float(self.next().text))
             return Arg(value=vec)
+        if t.text == "~":
+            # reverse-predicate argument, e.g. has(~of_part)
+            self.next()
+            name = self.expect_kind("name").text
+            first_pred = argpos == 0 and f.name not in ("uid",)
+            return Arg(value="~" + name, is_pred=first_pred)
         if t.kind == "name":
             self.next()
             name = t.text

@@ -1,0 +1,467 @@
+"""Registry of driver-checkable queries: each entry pairs a Spark
+callable (spark, sf_dir) -> DataFrame with an equivalent DuckDB oracle
+SQL over the raw parquet views. Column names/aliases MUST match between
+the two sides (the driver hash-compares values after sorting columns by
+name).
+
+Each entry exercises one operator family from SURVEY.md §2; most go
+through the full DQL parse -> plan -> execute pipeline (execute_flat);
+the iterative/vector ones use the operator APIs directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dgraph_spark.model import SUBJECT, Graph
+from dgraph_spark.operators.graph_algos import reachable
+from dgraph_spark.operators.similarity import similar_to
+from dgraph_spark.plans import Executor
+from dgraph_spark.sources.tpch_graph import load_tpch_graph, uid_of
+
+
+def _g(spark: SparkSession, sf_dir: str) -> Graph:
+    return load_tpch_graph(spark, sf_dir)
+
+
+def _flat(spark, sf_dir, dql, block=None) -> DataFrame:
+    return Executor(_g(spark, sf_dir)).execute_flat(dql, block)
+
+
+def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
+    out = df
+    for c, n in cols.items():
+        out = out.withColumn(c, F.round(F.col(c), n))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Each builder returns (callable, oracle_sql | None)
+# --------------------------------------------------------------------------
+
+def q_root_eq_reverse_traversal(spark, sf_dir):
+    """eq root fn + reverse edge + type()/ineq filter (SURVEY §2.3, §2.4)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: eq(n_name, "NATION_3")) {
+        cust: ~in_nation @filter(type(Customer) AND gt(c_acctbal, 1000)) {
+          c_name c_acctbal
+        }
+    } }''')
+
+
+SQL_root_eq_reverse_traversal = """
+SELECT c_name, c_acctbal FROM customer
+WHERE c_nationkey = 3 AND c_acctbal > 1000
+"""
+
+
+def q_between_dates(spark, sf_dir):
+    """between() on datetime + gt filter (SURVEY §2.3)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: between(o_orderdate, "1995-01-01", "1996-12-31")) @filter(gt(o_totalprice, 200000)) {
+        o_totalprice o_orderstatus
+    } }''')
+
+
+SQL_between_dates = """
+SELECT o_totalprice, o_orderstatus FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+  AND o_totalprice > 200000
+"""
+
+
+def q_count_having(spark, sf_dir):
+    """gt(count(pred), n) at root — count index path (worker/task.go:1222)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: gt(count(placed), 12)) { c_name cnt: count(placed) } }''')
+
+
+SQL_count_having = """
+SELECT c_name, COUNT(*) AS cnt
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name HAVING COUNT(*) > 12
+"""
+
+
+def q_topk_root_order(spark, sf_dir):
+    """orderdesc + first at root (worker/sort.go)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: type(Customer), orderdesc: c_acctbal, first: 20) { c_name c_acctbal } }''')
+
+
+SQL_topk_root_order = """
+SELECT c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+"""
+
+
+def q_per_parent_topk(spark, sf_dir):
+    """per-parent sort+pagination window (query/query.go:2493)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: eq(n_name, "NATION_1")) {
+        cust: ~in_nation @filter(type(Customer)) {
+          c_name
+          placed (first: 2, orderdesc: o_totalprice) { o_totalprice }
+        }
+    } }''')
+
+
+SQL_per_parent_topk = """
+SELECT c_name, o_totalprice FROM (
+  SELECT c.c_name, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = 1
+) WHERE rn <= 2
+"""
+
+
+def q_anyofterms(spark, sf_dir):
+    """term tokenizer + any-match (tok/tok.go:369)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: anyofterms(p_name, "green widget")) { p_name p_brand } }''')
+
+
+SQL_anyofterms = """
+SELECT p_name, p_brand FROM part
+WHERE list_has_any(string_split_regex(lower(p_name), '[^a-z0-9]+'),
+                   ['green', 'widget'])
+"""
+
+
+def q_allofterms(spark, sf_dir):
+    return _flat(spark, sf_dir, '''
+    { q(func: allofterms(p_name, "small ring")) { p_name p_type } }''')
+
+
+SQL_allofterms = """
+SELECT p_name, p_type FROM part
+WHERE list_has_all(string_split_regex(lower(p_name), '[^a-z0-9]+'),
+                   ['small', 'ring'])
+"""
+
+
+def q_regexp(spark, sf_dir):
+    """regexp(p, /re/) — exact regex eval (worker/task.go:1240)."""
+    return _flat(spark, sf_dir, r'''
+    { q(func: regexp(p_type, /^ECO/)) { p_name p_type } }''')
+
+
+SQL_regexp = """
+SELECT p_name, p_type FROM part WHERE regexp_matches(p_type, '^ECO')
+"""
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """match() fuzzy Levenshtein (worker/match.go:24)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: match(n_name, "NATION^5", 1)) { n_name } }''')
+
+
+SQL_fuzzy_match = """
+SELECT n_name FROM nation WHERE levenshtein(lower(n_name), 'nation^5') <= 1
+"""
+
+
+def q_math_per_uid(spark, sf_dir):
+    """value vars + math() arithmetic (dql/math.go, query/math.go)."""
+    df = _flat(spark, sf_dir, '''
+    { q(func: type(Lineitem)) @filter(gt(l_extendedprice, 90000)) {
+        p as l_extendedprice
+        d as l_discount
+        revenue: math(p * (1 - d))
+    } }''')
+    return _round(df, {"revenue": 2})
+
+
+SQL_math_per_uid = """
+SELECT l_extendedprice, l_discount,
+       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+FROM lineitem WHERE l_extendedprice > 90000
+"""
+
+
+def q_level_agg_sum(spark, sf_dir):
+    """value variable defined in one block, level-aggregated in another
+    (query/query.go:1042 evalLevelAgg)."""
+    df = _flat(spark, sf_dir, '''
+    {
+      var(func: type(Customer)) { placed { t as o_totalprice } }
+      q(func: type(Customer)) @filter(has(placed)) {
+        c_name
+        revenue: sum(val(t))
+      }
+    }''', block="q")
+    return _round(df, {"revenue": 2})
+
+
+SQL_level_agg_sum = """
+SELECT c_name, round(SUM(o_totalprice), 2) AS revenue
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_groupby_q1(spark, sf_dir):
+    """@groupby + aggregates == TPC-H Q1 shape (query/groupby.go)."""
+    df = _flat(spark, sf_dir, '''
+    {
+      var(func: type(Lineitem)) @filter(le(l_shipdate, "1998-09-02")) { q as l_quantity }
+      grouped(func: type(Lineitem)) @filter(le(l_shipdate, "1998-09-02"))
+          @groupby(l_returnflag, l_linestatus) {
+        sum_qty: sum(val(q))
+        avg_qty: avg(val(q))
+        cnt: count(uid)
+      }
+    }''', block="grouped")
+    return _round(df, {"avg_qty": 6})
+
+
+SQL_groupby_q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       round(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS cnt
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_uid_in(spark, sf_dir):
+    """uid_in(pred, uid) neighbor-set test (worker/task.go:930)."""
+    nation2 = uid_of("nation", 2)
+    return _flat(spark, sf_dir, f'''
+    {{ q(func: type(Customer)) @filter(uid_in(in_nation, {nation2})) {{ c_name }} }}''')
+
+
+SQL_uid_in = """
+SELECT c_name FROM customer WHERE c_nationkey = 2
+"""
+
+
+def q_uid_literal(spark, sf_dir):
+    """uid(...) literal root (query/query.go:2178)."""
+    u5 = uid_of("customer", 5)
+    u9 = uid_of("customer", 9)
+    return _flat(spark, sf_dir, f'''
+    {{ q(func: uid({u5}, {u9})) {{ c_name c_acctbal }} }}''')
+
+
+SQL_uid_literal = """
+SELECT c_name, c_acctbal FROM customer WHERE c_custkey IN (5, 9)
+"""
+
+
+def q_not_has(spark, sf_dir):
+    """NOT + has() — set difference (algo/uidlist.go Difference)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: type(Order)) @filter(NOT has(line)) { o_totalprice o_orderstatus } }''')
+
+
+SQL_not_has = """
+SELECT o_totalprice, o_orderstatus FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+"""
+
+
+def q_facet_filter(spark, sf_dir):
+    """@facets(ge(k, v)) edge-facet filter (worker/task.go:636)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: type(Supplier)) {
+        s_name
+        lines: ~by_supplier @facets(ge(qty, 45)) { l_quantity l_extendedprice }
+    } }''')
+
+
+SQL_facet_filter = """
+SELECT s_name, l_quantity, l_extendedprice
+FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+WHERE l_quantity >= 45
+"""
+
+
+def q_count_uid_root(spark, sf_dir):
+    """count(uid) at root (fast count exit, query/query.go:2278)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: type(Order)) @filter(eq(o_orderstatus, "F")) { total: count(uid) } }''')
+
+
+SQL_count_uid_root = """
+SELECT COUNT(*) AS total FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_cascade(spark, sf_dir):
+    """@cascade inner-join semantics (query/query.go:573 treeCopy)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: type(Customer)) @cascade {
+        c_name
+        placed @filter(gt(o_totalprice, 400000)) { o_totalprice }
+    } }''')
+
+
+SQL_cascade = """
+SELECT c_name, o_totalprice
+FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+"""
+
+
+def q_lang_preference(spark, sf_dir):
+    """language-tagged strings + preference (worker/task.go:1194)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: type(Document)) { src: source txt: text@fr } }''')
+
+
+SQL_lang_preference = """
+SELECT source AS src,
+       CASE WHEN lang = 'fr' THEN text ELSE NULL END AS txt
+FROM documents
+"""
+
+
+def q_recurse_reach(spark, sf_dir):
+    """@recurse reachability semantics (query/recurse.go) — customers to
+    their region via in_nation/in_region, as (c_name, r_name) pairs."""
+    g = _g(spark, sf_dir)
+    starts = g.uids_of_type("Customer")
+    reach = reachable(g, starts, ["in_nation", "in_region"], max_depth=3)
+    regions = g.uids_of_type("Region").withColumnRenamed(SUBJECT, "node")
+    pairs = reach.join(regions, "node", "left_semi")
+    cn = g.scalar("c_name").select(F.col(SUBJECT).alias("start"), F.col("value").alias("c_name"))
+    rn = g.scalar("r_name").select(F.col(SUBJECT).alias("node"), F.col("value").alias("r_name"))
+    return pairs.join(cn, "start").join(rn, "node").select("c_name", "r_name")
+
+
+SQL_recurse_reach = """
+SELECT c_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_shortest_path(spark, sf_dir):
+    """shortest path (query/shortest.go) — hop-count Dijkstra from
+    customer 1 to its region; oracle is a recursive CTE."""
+    g = _g(spark, sf_dir)
+    ex = Executor(g)
+    cust1 = uid_of("customer", 1)
+    # resolve customer 1's region uid (2 hops) for the `to:` endpoint
+    nat = g.edge("in_nation").where(F.col(SUBJECT) == cust1).select(F.col("object").alias("n"))
+    reg = g.edge("in_region").select(F.col(SUBJECT).alias("n"), F.col("object").alias("r"))
+    r_uid = nat.join(reg, "n").select("r").collect()[0]["r"]
+    df = ex.execute_flat(f'''
+    {{ path as shortest(from: {cust1}, to: {r_uid}) {{ in_nation in_region }} }}''')
+    return df.select(F.col("dist"))
+
+
+SQL_shortest_path = """
+WITH RECURSIVE e AS (
+  SELECT (3::BIGINT << 40) + c_custkey AS src,
+         (2::BIGINT << 40) + c_nationkey AS dst FROM customer
+  UNION ALL
+  SELECT (2::BIGINT << 40) + n_nationkey, (1::BIGINT << 40) + n_regionkey FROM nation
+),
+walk(node, dist) AS (
+  SELECT (3::BIGINT << 40) + 1, 0.0::DOUBLE
+  UNION ALL
+  SELECT e.dst, w.dist + 1.0 FROM walk w JOIN e ON e.src = w.node WHERE w.dist < 4
+)
+SELECT min(dist) AS dist FROM walk
+WHERE node = (SELECT (1::BIGINT << 40) + n_regionkey FROM customer
+              JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = 1)
+"""
+
+
+def q_similar_to(spark, sf_dir):
+    """similar_to k-NN, exact top-k (worker/task.go:359, tok/hnsw/)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = similar_to(
+        emb.where(F.col("vec_id") != 0),
+        list(qvec), k=10, metric="euclidean",
+        id_col="vec_id", vec_col="embedding",
+    )
+    return _round(out, {"dist": 3})
+
+
+SQL_similar_to = """
+SELECT vec_id, round(list_distance(embedding,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)), 3) AS dist
+FROM embeddings WHERE vec_id != 0
+ORDER BY list_distance(embedding,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_stream_tumbling(spark, sf_dir):
+    """Structured-Streaming-shaped tumbling window agg (batch-equivalent;
+    extension beyond reference — SURVEY §2.11)."""
+    from dgraph_spark.sources.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    out = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt", "sum_value")
+    )
+    return out
+
+
+SQL_stream_tumbling = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+       COUNT(*) AS cnt, round(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """exact dedup: duplicate-text groups (training-pipeline op)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("text").agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+    )
+
+
+SQL_dedup_exact = """
+SELECT text, COUNT(*) AS c FROM documents GROUP BY text HAVING COUNT(*) > 1
+"""
+
+
+def entry_flagship(spark) -> DataFrame:
+    """Driver smoke entry: flagship traversal on sf0.001."""
+    return q_root_eq_reverse_traversal(spark, "/root/testdata/sf0.001")
+
+
+# -------------------------------------------------------------- registry
+QUERIES: dict[str, tuple] = {
+    "root_eq_reverse_traversal": (q_root_eq_reverse_traversal, SQL_root_eq_reverse_traversal),
+    "between_dates": (q_between_dates, SQL_between_dates),
+    "count_having": (q_count_having, SQL_count_having),
+    "topk_root_order": (q_topk_root_order, SQL_topk_root_order),
+    "per_parent_topk": (q_per_parent_topk, SQL_per_parent_topk),
+    "anyofterms": (q_anyofterms, SQL_anyofterms),
+    "allofterms": (q_allofterms, SQL_allofterms),
+    "regexp": (q_regexp, SQL_regexp),
+    "fuzzy_match": (q_fuzzy_match, SQL_fuzzy_match),
+    "math_per_uid": (q_math_per_uid, SQL_math_per_uid),
+    "level_agg_sum": (q_level_agg_sum, SQL_level_agg_sum),
+    "groupby_q1": (q_groupby_q1, SQL_groupby_q1),
+    "uid_in": (q_uid_in, SQL_uid_in),
+    "uid_literal": (q_uid_literal, SQL_uid_literal),
+    "not_has": (q_not_has, SQL_not_has),
+    "facet_filter": (q_facet_filter, SQL_facet_filter),
+    "count_uid_root": (q_count_uid_root, SQL_count_uid_root),
+    "cascade": (q_cascade, SQL_cascade),
+    "lang_preference": (q_lang_preference, SQL_lang_preference),
+    "recurse_reach": (q_recurse_reach, SQL_recurse_reach),
+    "shortest_path": (q_shortest_path, SQL_shortest_path),
+    "similar_to": (q_similar_to, SQL_similar_to),
+    "stream_tumbling": (q_stream_tumbling, SQL_stream_tumbling),
+    "dedup_exact": (q_dedup_exact, SQL_dedup_exact),
+}

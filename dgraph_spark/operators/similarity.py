@@ -1,0 +1,140 @@
+"""Vector similarity search (similar_to) + ANN scale paths.
+
+Reference: similar_to(v, k, vec) with euclidean/cosine/dotproduct
+metrics backed by HNSW (worker/task.go:359-410, tok/hnsw/). Exact
+brute-force top-k is *more* accurate than HNSW and embarrassingly
+parallel, so it is the baseline (SURVEY.md §7 "HNSW parity"); the scale
+path is LSH bucketing (random hyperplanes), which turns the all-pairs
+scan into a bucket-equi-join.
+
+All distance math uses JVM higher-order functions (zip_with/aggregate)
+— no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def distance_col(a: Column, b: Column, metric: str) -> Column:
+    """euclidean | cosine | dotproduct — tok/hnsw/helper.go metrics.
+    For cosine the 'distance' is 1 - cosine similarity; for dotproduct
+    the negative dot (so smaller = closer), matching HNSW ordering."""
+    if metric == "euclidean":
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    if metric == "cosine":
+        return 1.0 - _dot(a, b) / (_norm(a) * _norm(b))
+    if metric == "dotproduct":
+        return -_dot(a, b)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def similar_to(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Exact top-k nearest neighbors of a literal query vector.
+    Returns (id_col, dist), ascending distance, ties by id.
+
+    Scale: one projection-only scan + a TakeOrderedAndProject (no full
+    sort, no shuffle of vectors) — Spark's limit-sort does per-partition
+    top-k then merges k*partitions rows on one reducer.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = vectors.select(
+        F.col(id_col), distance_col(F.col(vec_col), q, metric).alias("dist")
+    )
+    return scored.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def similar_to_many(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batch k-NN: for every query row, its k nearest vectors.
+    Broadcast the (small) query set against the big vector relation —
+    the 100 TB-side stays partition-local; per-query top-k via window."""
+    joined = vectors.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(qid_col),
+        F.col(id_col),
+        distance_col(F.col(vec_col), F.col(qvec_col), metric).alias("dist"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
+
+
+def lsh_bucket(
+    vectors: DataFrame,
+    hyperplanes: list[list[float]],
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Random-hyperplane LSH signature (cosine family): one bit per
+    hyperplane, packed into a long `bucket` column. ANN search then
+    equi-joins on bucket instead of scanning all pairs — the scale path
+    for 100 TB corpora (candidate generation), with exact re-rank inside
+    buckets."""
+    bits = []
+    for i, h in enumerate(hyperplanes):
+        hcol = F.array(*[F.lit(float(x)) for x in h])
+        bits.append(F.when(_dot(F.col(vec_col), hcol) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return vectors.select(F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket"))
+
+
+def ann_topk_lsh(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int,
+    hyperplanes: list[list[float]],
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    probe_hamming: int = 0,
+) -> DataFrame:
+    """ANN top-k: restrict the exact scorer to the query's LSH bucket
+    (optionally probing neighbors within a Hamming radius)."""
+    bucketed = lsh_bucket(vectors, hyperplanes, id_col, vec_col)
+    qbits = 0
+    for i, h in enumerate(hyperplanes):
+        if sum(a * b for a, b in zip(query_vec, h)) >= 0:
+            qbits |= 1 << i
+    if probe_hamming <= 0:
+        cand = bucketed.where(F.col("bucket") == qbits)
+    else:
+        cand = bucketed.where(
+            F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbits))) <= probe_hamming
+        )
+    return similar_to(cand, query_vec, k, metric, id_col, vec_col)

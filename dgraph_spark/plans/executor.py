@@ -570,6 +570,14 @@ class Executor:
             return []
         if block.groupby is not None:
             return self._groupby_json(level)
+        if _count_uid_only(block):
+            # count-at-root fast exit (query/query.go:2278)
+            n = level.edges.select(DST).distinct().count()
+            alias = next(
+                (a.alias for a in block.children if isinstance(a, Attr) and a.is_count),
+                None,
+            )
+            return [{alias or "count": n}]
         node_payload = self._ascend(level)
         if node_payload is None:
             return []
@@ -799,12 +807,15 @@ class Executor:
                 df = df.join(sdf, SUBJECT, "inner")
             gcols.append(out)
         aggs: list[Column] = []
+        joined_vars: set[str] = set()
         for attr in level.attr_items:
             if attr.is_count and attr.name == "uid":
                 aggs.append(F.count("*").alias(attr.alias or "count"))
             elif attr.name in _AGG_ATTRS and attr.val_var:
-                vdf = self.env[attr.val_var].select(SUBJECT, F.col(VALUE).alias(f"_v_{attr.val_var}"))
-                df = df.join(vdf, SUBJECT, "left")
+                if attr.val_var not in joined_vars:
+                    vdf = self.env[attr.val_var].select(SUBJECT, F.col(VALUE).alias(f"_v_{attr.val_var}"))
+                    df = df.join(vdf, SUBJECT, "left")
+                    joined_vars.add(attr.val_var)
                 fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[attr.name]
                 aggs.append(fn(f"_v_{attr.val_var}").alias(attr.alias or f"{attr.name}"))
         if not aggs:
@@ -831,6 +842,15 @@ class Executor:
             return self.spark.createDataFrame(data)
         if block.groupby is not None:
             return self._groupby_level(level)
+        if _count_uid_only(block):
+            alias = next(
+                (a.alias for a in block.children if isinstance(a, Attr) and a.is_count),
+                None,
+            )
+            return (
+                level.edges.select(DST).distinct()
+                .agg(F.count("*").alias(alias or "count"))
+            )
         frame = level.edges.select(F.col(DST).alias(f"_uid0"))
         frame, _ = self._flat_level(level, frame, f"_uid0", depth=0)
         drop = [c for c in frame.columns if c.startswith("_uid")]
@@ -842,6 +862,12 @@ class Executor:
             col_df, out, _multi = self._attr_output(attr, nodes, level)
             if col_df is None:
                 continue
+            if out in frame.columns:
+                # same predicate selected at several levels (e.g. recurse):
+                # disambiguate deterministically by depth
+                new = f"{out}_l{depth}"
+                col_df = col_df.withColumnRenamed(out, new)
+                out = new
             col_df = col_df.withColumnRenamed(SUBJECT, uid_col)
             frame = frame.join(col_df, uid_col, "left")
         for i, child in enumerate(level.children):
@@ -914,6 +940,18 @@ def _block_defines(b: Block) -> set[str]:
 
     walk(b)
     return out
+
+
+def _count_uid_only(b: Block) -> bool:
+    """Block whose only child is count(uid) — count-at-root."""
+    attrs = [c for c in b.children if isinstance(c, Attr)]
+    blocks = [c for c in b.children if isinstance(c, Block)]
+    return (
+        not blocks
+        and len(attrs) == 1
+        and attrs[0].is_count
+        and attrs[0].name == "uid"
+    )
 
 
 def _len_func(f: FuncCall | None):

@@ -1,0 +1,20 @@
+"""Events table reader — normalizes nanosecond parquet timestamps.
+
+The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
+parquet reader rejects by default. We read nanos as long (legacy conf)
+and convert to microsecond TimestampType, which is what every window/
+watermark operator expects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df

@@ -104,28 +104,49 @@ _PRED_TYPES = {
 }
 
 
-def _lineitem_uid(df: DataFrame) -> F.Column:
-    # lineitem has a composite key; linenumber < 8 so 3 bits suffice.
-    return (
+def _with_lineitem_uid(df: DataFrame) -> DataFrame:
+    """Synthesize a unique lineitem uid. The synthetic data does NOT keep
+    (l_orderkey, l_linenumber) unique, so add an occurrence number via a
+    partition-local window (hash-shuffled by the composite key — no
+    global sort, scales to any SF). occ < 8 and linenumber < 8, so
+    uid = tag<<40 | orderkey*64 + linenumber*8 + occ stays collision-free.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    )
+    occ = F.row_number().over(w) - 1
+    uid = (
         F.lit(TAGS["lineitem"]).cast("long") * (1 << UID_SHIFT)
-        + F.col("l_orderkey").cast("long") * 8
-        + F.col("l_linenumber").cast("long")
-    ).alias(SUBJECT)
+        + F.col("l_orderkey").cast("long") * 64
+        + F.col("l_linenumber").cast("long") * 8
+        + occ.cast("long")
+    )
+    return df.withColumn("_li_uid", uid)
 
 
 def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     """Build the graph view described in FIXTURES.md §B over ``sf_dir``."""
     raw = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TAGS if t != "events"}
+    raw["lineitem"] = _with_lineitem_uid(raw["lineitem"])
     reg = SchemaRegistry()
     preds: dict[str, DataFrame] = {}
     type_rows: list[DataFrame] = []
 
     for table, (type_name, cols) in _SCALARS.items():
         df = raw[table]
-        subj = _lineitem_uid(df) if table == "lineitem" else uid_col(table, F.col(_KEYS[table]))
+        subj = F.col("_li_uid").alias(SUBJECT) if table == "lineitem" else uid_col(table, F.col(_KEYS[table]))
         available = [c for c in cols if c in df.columns]
         for c in available:
             typ = _PRED_TYPES.get(c, "string")
+            if table == "documents" and c == "text":
+                # model document text as a language-tagged string predicate
+                # (name@en-style queries; worker/task.go:1194 lang matching)
+                reg.add(Predicate(name=c, typ="string", lang=True))
+                preds[c] = df.select(subj, F.col(c).alias(VALUE), F.col("lang"))
+                continue
             reg.add(Predicate(name=c, typ=typ))
             preds[c] = df.select(subj, F.col(c).alias(VALUE))
         reg.define_type(type_name, available)
@@ -141,15 +162,16 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
         reg.add(Predicate(name=name, typ="uid", list=True, **meta))
 
     o, li, c, s, n = raw["orders"], raw["lineitem"], raw["customer"], raw["supplier"], raw["nation"]
+    li_uid = F.col("_li_uid")
     edge("placed", o, uid_col("customer", F.col("o_custkey")),
          uid_col("orders", F.col("o_orderkey")), reverse=True)
     edge("line", li, uid_col("orders", F.col("l_orderkey")),
-         _lineitem_uid(li), count=True)
-    edge("of_part", li, _lineitem_uid(li), uid_col("part", F.col("l_partkey")))
+         li_uid, count=True)
+    edge("of_part", li, li_uid, uid_col("part", F.col("l_partkey")))
     edge(
         "by_supplier",
         li,
-        _lineitem_uid(li),
+        li_uid,
         uid_col("supplier", F.col("l_suppkey")),
         facets=F.struct(
             F.col("l_quantity").cast("double").alias("qty"),
