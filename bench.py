@@ -1,0 +1,80 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "root_eq_reverse_traversal",
+    "between_dates",
+    "count_having",
+    "per_parent_topk",
+    "anyofterms",
+    "regexp",
+    "math_per_uid",
+    "level_agg_sum",
+    "groupby_q1",
+    "facet_filter",
+    "cascade",
+    "recurse_reach",
+    "shortest_path",
+    "similar_to",
+    "stream_tumbling",
+    "dedup_exact",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from dgraph_spark import get_spark
+    from dgraph_spark.entry_queries import QUERIES
+
+    spark = get_spark("dgraph-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM, parquet file indexes, and the lazy graph views
+    from dgraph_spark.entry_queries import _g
+
+    g = _g(spark, sf_dir)
+    g.pred("r_name").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

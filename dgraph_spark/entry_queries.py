@@ -21,8 +21,17 @@ from dgraph_spark.plans import Executor
 from dgraph_spark.sources.tpch_graph import load_tpch_graph, uid_of
 
 
+_GRAPH_CACHE: dict[tuple[int, str], Graph] = {}
+
+
 def _g(spark: SparkSession, sf_dir: str) -> Graph:
-    return load_tpch_graph(spark, sf_dir)
+    """Graph views are lazy projections; cache per (session, dir) so
+    repeated queries reuse analyzed plans + parquet file indexes instead
+    of re-listing/re-inferring every call."""
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = load_tpch_graph(spark, sf_dir)
+    return _GRAPH_CACHE[key]
 
 
 def _flat(spark, sf_dir, dql, block=None) -> DataFrame:

@@ -36,11 +36,26 @@ TYPE_PRED = "dgraph.type"
 
 @dataclass
 class Graph:
-    """A queryable graph: per-predicate DataFrames + schema registry."""
+    """A queryable graph: per-predicate DataFrames + schema registry.
+
+    ``wide``/``pred_home`` are an optional physical optimization: when a
+    set of scalar predicates comes from one columnar source (a "node
+    table"), the planner fuses their filters/projections into a single
+    scan+join instead of one per predicate (the Spark analogue of
+    dgraph's tablet locality — predicates of one type living together).
+    Purely an access-path hint; per-predicate semantics are unchanged.
+    """
 
     spark: SparkSession
     preds: dict[str, DataFrame] = field(default_factory=dict)
     schema: SchemaRegistry = field(default_factory=SchemaRegistry)
+    # type/home name -> wide DataFrame with SUBJECT + one column per pred
+    wide: dict[str, DataFrame] = field(default_factory=dict)
+    # pred name -> (home name, column name)
+    pred_home: dict[str, tuple[str, str]] = field(default_factory=dict)
+
+    def home_of(self, pred: str) -> tuple[str, str] | None:
+        return self.pred_home.get(pred)
 
     # ------------------------------------------------------------------ access
     def pred(self, name: str) -> DataFrame:
@@ -80,6 +95,10 @@ class Graph:
         return self.pred(TYPE_PRED)
 
     def uids_of_type(self, type_name: str) -> DataFrame:
+        if type_name in self.wide:
+            # wide node tables have one row per node: no distinct needed
+            # (saves a shuffle on the hottest root function)
+            return self.wide[type_name].select(SUBJECT)
         return (
             self.node_types()
             .where(F.col(VALUE) == type_name)

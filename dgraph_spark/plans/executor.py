@@ -57,6 +57,9 @@ class Level:
     children: list["Level"] = field(default_factory=list)
     attr_items: list[Attr] = field(default_factory=list)
     defer_pagination: bool = False
+    # when the frontier is a fused single-table scan: (home, condition) —
+    # lets attr/var reads reuse that scan instead of self-joining
+    fused: tuple[str, Column] | None = None
 
 
 class Executor:
@@ -127,8 +130,7 @@ class Executor:
         frontier = self._root_frontier(block)
         if frontier is None:
             return None
-        level = self._descend(block, frontier, root=True)
-        return level
+        return self._descend(block, frontier, root=True)
 
     def _root_frontier(self, block: Block) -> DataFrame | None:
         fc = FuncCompiler(self.g, self.env)
@@ -139,9 +141,28 @@ class Executor:
         lf = _len_func(block.func)
         if lf is not None:
             return self._len_frontier(block.func)
-        frontier = fc.root(block.func).select(F.col(SUBJECT).alias(DST))
-        if block.filter is not None:
-            frontier = self._apply_filter(block.filter, frontier)
+        # Fusion fast path: root function AND the whole filter tree live on
+        # one wide node table -> a single pushed-down scan, zero joins.
+        frontier = None
+        self._last_fused = None
+        root_cond = fc.value_condition(block.func)
+        if root_cond is not None:
+            home, cond = root_cond
+            if block.filter is None:
+                frontier = self.g.wide[home].where(cond).select(F.col(SUBJECT).alias(DST))
+                self._last_fused = (home, cond)
+            else:
+                fused = fc.fuse_tree(block.filter)
+                if fused is not None and fused[0] == home:
+                    full = cond & fused[1]
+                    frontier = (
+                        self.g.wide[home].where(full).select(F.col(SUBJECT).alias(DST))
+                    )
+                    self._last_fused = (home, full)
+        if frontier is None:
+            frontier = fc.root(block.func).select(F.col(SUBJECT).alias(DST))
+            if block.filter is not None:
+                frontier = self._apply_filter(block.filter, frontier)
         if block.ignorereflex:
             frontier = frontier.withColumn(PATH, F.array(F.col(DST)))
         return frontier
@@ -177,6 +198,12 @@ class Executor:
 
         subtree_cascade = _has_cascade(block)
         level = Level(block=block, edges=frontier, defer_pagination=subtree_cascade)
+        if root and getattr(self, "_last_fused", None) is not None:
+            # scan reuse is only sound while the node set is exactly the
+            # fused scan's row set — pagination/order re-shapes it
+            if not (block.first is not None or block.offset is not None
+                    or block.after is not None or subtree_cascade):
+                level.fused = self._last_fused
 
         if not subtree_cascade:
             level.edges = self._sort_paginate(block, level.edges, root=root)
@@ -186,7 +213,7 @@ class Executor:
             self.env[block.var] = level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
             self.var_edges[block.var] = level.edges
 
-        nodes = level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+        nodes = self._nodes(level)
 
         # groupby blocks: no recursion below (aggregates only)
         if block.groupby is not None:
@@ -232,7 +259,7 @@ class Executor:
                 )
             )
         else:
-            parent_uids = parent.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+            parent_uids = self._nodes(parent)
             ch = parent_uids.join(edges, SUBJECT, "inner").select(
                 F.col(SUBJECT).alias(SRC), F.col(OBJECT).alias(DST), *facet_cols,
             )
@@ -285,6 +312,17 @@ class Executor:
         if attr.math is not None:
             return self._math_value_df(attr, nodes)
         if self.g.has_pred(attr.name) and not self.g.schema.get(attr.name).is_uid:
+            home = self.g.home_of(attr.name)
+            if home is not None and not attr.langs:
+                hname, c = home
+                if level.fused is not None and level.fused[0] == hname:
+                    # node set == fused scan row set: read values from the
+                    # same single scan, no self-join
+                    return self.g.wide[hname].where(level.fused[1]).select(
+                        SUBJECT, F.col(c).alias(VALUE)
+                    )
+                wdf = self.g.wide[hname].select(SUBJECT, F.col(c).alias(VALUE))
+                return nodes.join(wdf, SUBJECT, "inner").select(SUBJECT, VALUE)
             df = self.g.scalar(attr.name)
             df = self._lang_select(df, attr.langs)
             return nodes.join(df, SUBJECT, "inner").select(SUBJECT, VALUE)
@@ -515,15 +553,18 @@ class Executor:
         for e in edge_frames[1:]:
             edges = edges.unionByName(e)
 
+        unit_weights = all(wkey is None for _p, _r, wkey in preds)
         spark = self.spark
         paths = spark.createDataFrame(
-            [(src, 0.0, [src])], f"node long, dist double, path array<long>"
+            [(src, 0.0, [src])], "node long, dist double, path array<long>"
         )
-        best = paths
         found = spark.createDataFrame([], "node long, dist double, path array<long>")
+        found_any = False
         for _ in range(max_depth):
             grown = (
-                paths.join(edges, paths.node == edges[SUBJECT], "inner")
+                # frontier is small relative to the edge relation: ship it
+                # to the edges (dgraph ships uid lists to tablets — same idea)
+                F.broadcast(paths).join(edges, paths.node == edges[SUBJECT], "inner")
                 .where(~F.array_contains(F.col("path"), F.col(OBJECT)))
                 .select(
                     F.col(OBJECT).alias("node"),
@@ -541,7 +582,13 @@ class Executor:
             grown = grown.localCheckpoint(eager=True)
             if grown.limit(1).count() == 0:
                 break
-            found = found.unionByName(grown.where(F.col("node") == dst))
+            hits = grown.where(F.col("node") == dst)
+            found = found.unionByName(hits)
+            if unit_weights and not found_any and hits.limit(1).count() > 0:
+                found_any = True
+                if numpaths == 1:
+                    # BFS with unit weights: first hit is provably minimal
+                    break
             paths = grown
         w = Window.orderBy(F.col("dist").asc(), F.size("path").asc())
         result = found.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= numpaths)
@@ -621,20 +668,52 @@ class Executor:
         level. Cascade pruning + deferred pagination happen here."""
         block = level.block
         edges = level.edges
-        nodes = edges.select(F.col(DST).alias(SUBJECT)).distinct()
+        nodes = self._nodes(level)
 
         struct_fields: list[Column] = []
         cascade_checks: list[Column] = []
         casc = block.cascade  # [] = all children required
 
         df = nodes
-        # scalar attrs
-        for attr in level.attr_items:
+        # scalar attrs — batched: all plain scalars sharing a wide node
+        # table join in ONE shot (scan fusion), the rest one by one
+        local_cols: dict[str, str] = {}
+        batch, rest = self._split_batchable(level.attr_items)
+        for home, items in batch.items():
+            wdf = self.g.wide[home].select(
+                SUBJECT, *[F.col(c).alias(a.out_name) for a, c in items]
+            )
+            df = df.join(wdf, SUBJECT, "left")
+            for a, _c in items:
+                struct_fields.append(F.col(a.out_name))
+                if a.var:
+                    local_cols[a.var] = a.out_name
+                if casc is not None and (not casc or a.name in casc or a.out_name in casc):
+                    cascade_checks.append(F.col(a.out_name).isNotNull())
+        math_attrs = [a for a in rest if a.math is not None]
+        for attr in (a for a in rest if a.math is None):
             col_df, out_col, multi = self._attr_output(attr, nodes, level)
             if col_df is None:
                 continue
             df = df.join(col_df, SUBJECT, "left")
             struct_fields.append(F.col(out_col).alias(out_col))
+            if attr.var:
+                local_cols[attr.var] = out_col
+            if casc is not None and (not casc or attr.name in casc or attr.out_name in casc):
+                cascade_checks.append(F.col(out_col).isNotNull())
+        for attr in math_attrs:
+            needed = math_vars(attr.math)
+            out_col = attr.out_name if attr.alias else "math"
+            if needed <= set(local_cols):
+                df = df.withColumn(
+                    out_col, compile_math(attr.math, lambda n: F.col(local_cols[n]))
+                )
+            else:
+                col_df, out_col, _m = self._attr_output(attr, nodes, level)
+                if col_df is None:
+                    continue
+                df = df.join(col_df, SUBJECT, "left")
+            struct_fields.append(F.col(out_col))
             if casc is not None and (not casc or attr.name in casc or attr.out_name in casc):
                 cascade_checks.append(F.col(out_col).isNotNull())
 
@@ -789,14 +868,48 @@ class Executor:
         return packed, "_expand", False
 
     # ============================================================== groupby
+    def _nodes(self, level: Level) -> DataFrame:
+        """Distinct node set of a level. Root frontiers are unique by
+        construction (root functions dedup; fused scans have one row per
+        node) — skip the distinct shuffle there."""
+        if SRC not in level.edges.columns:
+            return level.edges.select(F.col(DST).alias(SUBJECT))
+        return level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+
     def _groupby_level(self, level: Level) -> DataFrame:
         """@groupby(attrs){aggs} -> flat grouped DataFrame
         (query/groupby.go:195 formResult / formGroups)."""
         block = level.block
-        nodes = level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+        nodes = self._nodes(level)
         gcols: list[str] = []
         df = nodes
+        # batch grouping keys living on one wide table into a single join
+        by_home: dict[str, list[tuple[str, str]]] = {}
+        singles: list = []
         for ga in block.groupby.attrs:
+            name = ga.name
+            out = ga.alias or name
+            home = self.g.home_of(name)
+            if home is not None and not self.g.schema.get(name).is_uid:
+                by_home.setdefault(home[0], []).append((home[1], out))
+            else:
+                singles.append(ga)
+            gcols.append(out)
+        # process the fused-frontier home first so it can BE the base scan
+        ordered_homes = sorted(
+            by_home.items(),
+            key=lambda kv: 0 if (level.fused is not None and level.fused[0] == kv[0]) else 1,
+        )
+        for idx, (hname, cols) in enumerate(ordered_homes):
+            if idx == 0 and level.fused is not None and level.fused[0] == hname:
+                # grouping keys come straight from the fused frontier scan
+                df = self.g.wide[hname].where(level.fused[1]).select(
+                    SUBJECT, *[F.col(c).alias(o) for c, o in cols]
+                )
+                continue
+            wdf = self.g.wide[hname].select(SUBJECT, *[F.col(c).alias(o) for c, o in cols])
+            df = df.join(wdf, SUBJECT, "inner")
+        for ga in singles:
             name = ga.name
             out = ga.alias or name
             if self.g.schema.get(name).is_uid:
@@ -805,7 +918,6 @@ class Executor:
             else:
                 sdf = self.g.scalar(name).select(SUBJECT, F.col(VALUE).alias(out))
                 df = df.join(sdf, SUBJECT, "inner")
-            gcols.append(out)
         aggs: list[Column] = []
         joined_vars: set[str] = set()
         for attr in level.attr_items:
@@ -851,14 +963,72 @@ class Executor:
                 level.edges.select(DST).distinct()
                 .agg(F.count("*").alias(alias or "count"))
             )
-        frame = level.edges.select(F.col(DST).alias(f"_uid0"))
-        frame, _ = self._flat_level(level, frame, f"_uid0", depth=0)
+        skip: set[str] = set()
+        if level.fused is not None:
+            # single-scan root: frontier + same-home attr columns come out
+            # of ONE pushed-down parquet scan (the plan DuckDB would run)
+            home, cond = level.fused
+            batch, _rest = self._split_batchable(level.attr_items)
+            items = batch.get(home, [])
+            frame = self.g.wide[home].where(cond).select(
+                F.col(SUBJECT).alias("_uid0"),
+                *[F.col(c).alias(a.out_name) for a, c in items],
+            )
+            skip = {a.out_name for a, _ in items}
+        else:
+            frame = level.edges.select(F.col(DST).alias("_uid0"))
+        frame, _ = self._flat_level(level, frame, "_uid0", depth=0, skip=skip)
         drop = [c for c in frame.columns if c.startswith("_uid")]
         return frame.drop(*drop)
 
-    def _flat_level(self, level: Level, frame: DataFrame, uid_col: str, depth: int):
-        nodes = level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
-        for attr in level.attr_items:
+    def _split_batchable(self, attrs: list[Attr]):
+        """Partition scalar attrs into wide-table batches vs singles."""
+        batch: dict[str, list[tuple[Attr, str]]] = {}
+        rest: list[Attr] = []
+        for a in attrs:
+            home = self.g.home_of(a.name) if a.name else None
+            if (
+                home is not None
+                and not a.is_count
+                and a.val_var is None
+                and a.math is None
+                and a.expand is None
+                and not a.langs
+                and not self.g.schema.get(a.name).list
+            ):
+                batch.setdefault(home[0], []).append((a, home[1]))
+            else:
+                rest.append(a)
+        return batch, rest
+
+    def _flat_level(self, level: Level, frame: DataFrame, uid_col: str, depth: int,
+                    skip: set[str] | None = None):
+        skip = skip or set()
+        nodes = self._nodes(level)
+        # var name -> column already present in `frame` (for math elision)
+        local_cols: dict[str, str] = {}
+        batch, rest = self._split_batchable(level.attr_items)
+        for home, items in batch.items():
+            names = []
+            for a, c in items:
+                out = a.out_name
+                if out in skip:
+                    if a.var:
+                        local_cols[a.var] = out
+                    continue
+                if out in frame.columns:
+                    out = f"{out}_l{depth}"
+                names.append((c, out))
+                if a.var:
+                    local_cols[a.var] = out
+            if not names:
+                continue
+            wdf = self.g.wide[home].select(
+                F.col(SUBJECT).alias(uid_col), *[F.col(c).alias(o) for c, o in names]
+            )
+            frame = frame.join(wdf, uid_col, "left")
+        math_attrs = [a for a in rest if a.math is not None]
+        for attr in (a for a in rest if a.math is None):
             col_df, out, _multi = self._attr_output(attr, nodes, level)
             if col_df is None:
                 continue
@@ -870,6 +1040,23 @@ class Executor:
                 out = new
             col_df = col_df.withColumnRenamed(SUBJECT, uid_col)
             frame = frame.join(col_df, uid_col, "left")
+            if attr.var:
+                local_cols[attr.var] = out
+        for attr in math_attrs:
+            needed = math_vars(attr.math)
+            out = attr.out_name if attr.alias else "math"
+            if needed <= set(local_cols):
+                # all inputs already in the frame: pure projection, no join
+                frame = frame.withColumn(
+                    out, compile_math(attr.math, lambda n: F.col(local_cols[n]))
+                )
+            else:
+                col_df, out2, _m = self._attr_output(attr, nodes, level)
+                if col_df is None:
+                    continue
+                frame = frame.join(
+                    col_df.withColumnRenamed(SUBJECT, uid_col), uid_col, "left"
+                )
         for i, child in enumerate(level.children):
             c_edges = child.edges
             child_uid = f"_uid{depth + 1}_{i}"

@@ -65,7 +65,16 @@ class FuncCompiler:
     def filter(self, tree: FilterTree, candidates: DataFrame) -> DataFrame:
         """Apply a FilterTree to a candidate uid set
         (query/query.go:2310-2372: AND=intersect, OR=merge, NOT=difference;
-        algo/uidlist.go set algebra -> joins here)."""
+        algo/uidlist.go set algebra -> joins here).
+
+        Optimization: maximal subtrees whose leaves are all value
+        conditions on ONE wide node table compile to a single fused scan
+        (one semi-join total instead of one per function)."""
+        fused = self.fuse_tree(tree)
+        if fused is not None:
+            home, cond = fused
+            matched = self.g.wide[home].where(cond).select(SUBJECT)
+            return candidates.join(matched, SUBJECT, "left_semi")
         if tree.op == "func":
             return self._eval(tree.func, candidates)
         if tree.op == "and":
@@ -84,6 +93,66 @@ class FuncCompiler:
             matched = self.filter(tree.children[0], candidates)
             return candidates.join(matched, SUBJECT, "left_anti")
         raise ValueError(f"bad filter op {tree.op!r}")
+
+    # ------------------------------------------------------ wide-table fusion
+    def value_condition(self, f: FuncCall) -> tuple[str, Column] | None:
+        """(home, boolean Column over the wide table) for simple value
+        functions, or None if not fusible."""
+        name = f.name.lower()
+        if any(a.is_count or a.is_val_var or a.is_len for a in f.args):
+            return None
+        if name == "type":
+            tname = str(f.args[0].value)
+            if tname in self.g.wide:
+                return tname, F.lit(True)
+            return None
+        pred = f.pred
+        if pred is None or pred.startswith("~"):
+            return None
+        home = self.g.home_of(pred)
+        if home is None:
+            return None
+        home_name, colname = home
+        col = F.col(colname)
+        lits = f.literals()
+        if name in _COMPARE:
+            return home_name, _cmp(col, name, [self._typed_lit(pred, x) for x in lits])
+        if name == "between":
+            return home_name, col.between(
+                self._typed_lit(pred, lits[0]), self._typed_lit(pred, lits[1])
+            )
+        if name == "has":
+            return home_name, col.isNotNull()
+        if name in _STRSEARCH:
+            return home_name, self._search_cond(name, col, lits)
+        return None
+
+    def fuse_tree(self, tree: FilterTree) -> tuple[str, Column] | None:
+        """Fuse a whole FilterTree into one wide-table condition when all
+        leaves live on the same home table."""
+        if tree.op == "func":
+            return self.value_condition(tree.func)
+        parts = [self.fuse_tree(c) for c in tree.children]
+        if any(p is None for p in parts):
+            return None
+        homes = {h for h, _ in parts}
+        if len(homes) != 1:
+            return None
+        home = homes.pop()
+        conds = [c for _, c in parts]
+        if tree.op == "and":
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+        elif tree.op == "or":
+            out = conds[0]
+            for c in conds[1:]:
+                out = out | c
+        elif tree.op == "not":
+            out = ~conds[0]
+        else:  # pragma: no cover
+            return None
+        return home, out
 
     # ---------------------------------------------------------------- eval
     def _eval(self, f: FuncCall, candidates: DataFrame | None) -> DataFrame:
@@ -129,9 +198,10 @@ class FuncCompiler:
             return vdf.where(_cmp(F.col(VALUE), name, [F.lit(x) for x in lits])).select(SUBJECT).distinct()
         pred = f.pred
         lits = f.literals()
-        df = self._scalar(pred, f.pred_lang)
+        df, col, unique = self._value_source(pred, f.pred_lang)
         cols = [self._typed_lit(pred, x) for x in lits]
-        return df.where(_cmp(F.col(VALUE), name, cols)).select(SUBJECT).distinct()
+        out = df.where(_cmp(col, name, cols)).select(SUBJECT)
+        return out if unique else out.distinct()
 
     def _count_compare(self, pred: str, op: str, lits: list) -> DataFrame:
         reverse = pred.startswith("~")
@@ -140,13 +210,26 @@ class FuncCompiler:
         counts = edges.groupBy(SUBJECT).agg(F.count("*").alias("_cnt"))
         return counts.where(_cmp(F.col("_cnt"), op, [F.lit(n)])).select(SUBJECT)
 
+    def _value_source(self, pred: str, lang: str | None):
+        """Pick the access path for a scalar predicate's values:
+        (DataFrame, value Column, subjects_unique?). Prefers the wide
+        node table (fused scan, unique subjects -> no distinct)."""
+        home = self.g.home_of(pred)
+        meta = self.g.schema.get(pred)
+        if home is not None and not (lang and meta.lang):
+            hname, colname = home
+            return self.g.wide[hname], F.col(colname), True
+        df = self._scalar(pred, lang)
+        return df, F.col(VALUE), False
+
     def _between(self, f: FuncCall) -> DataFrame:
         pred = f.pred
         lo, hi = f.literals()[:2]
-        df = self._scalar(pred, f.pred_lang)
-        return df.where(
-            F.col(VALUE).between(self._typed_lit(pred, lo), self._typed_lit(pred, hi))
-        ).select(SUBJECT).distinct()
+        df, col, unique = self._value_source(pred, f.pred_lang)
+        out = df.where(
+            col.between(self._typed_lit(pred, lo), self._typed_lit(pred, hi))
+        ).select(SUBJECT)
+        return out if unique else out.distinct()
 
     def _has(self, f: FuncCall) -> DataFrame:
         pred = f.pred
@@ -207,27 +290,28 @@ class FuncCompiler:
     def _string_search(self, f: FuncCall) -> DataFrame:
         name = f.name.lower()
         pred = f.pred
-        df = self._scalar(pred, f.pred_lang)
-        col = F.col(VALUE)
-        lits = f.literals()
+        df, col, unique = self._value_source(pred, f.pred_lang)
+        cond = self._search_cond(name, col, f.literals())
+        out = df.where(cond).select(SUBJECT)
+        return out if unique else out.distinct()
+
+    def _search_cond(self, name: str, col: Column, lits: list) -> Column:
         if name == "anyofterms":
-            cond = tok.any_of_terms(col, str(lits[0]))
-        elif name == "allofterms":
-            cond = tok.all_of_terms(col, str(lits[0]))
-        elif name == "anyoftext":
-            cond = tok.any_of_text(col, str(lits[0]))
-        elif name == "alloftext":
-            cond = tok.all_of_text(col, str(lits[0]))
-        elif name == "regexp":
-            cond = tok.regexp_match(col, str(lits[0]))
-        elif name == "match":
+            return tok.any_of_terms(col, str(lits[0]))
+        if name == "allofterms":
+            return tok.all_of_terms(col, str(lits[0]))
+        if name == "anyoftext":
+            return tok.any_of_text(col, str(lits[0]))
+        if name == "alloftext":
+            return tok.all_of_text(col, str(lits[0]))
+        if name == "regexp":
+            return tok.regexp_match(col, str(lits[0]))
+        if name == "match":
             dist = int(lits[1]) if len(lits) > 1 else 2
-            cond = tok.fuzzy_match(col, str(lits[0]), dist)
-        elif name == "ngram":
-            cond = tok.ngram_search(col, str(lits[0]))
-        else:  # pragma: no cover
-            raise NotImplementedError(name)
-        return df.where(cond).select(SUBJECT).distinct()
+            return tok.fuzzy_match(col, str(lits[0]), dist)
+        if name == "ngram":
+            return tok.ngram_search(col, str(lits[0]))
+        raise NotImplementedError(name)  # pragma: no cover
 
 
 def _cmp(col: Column, op: str, lits: list[Column]) -> Column:

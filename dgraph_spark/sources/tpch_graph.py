@@ -135,10 +135,15 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     preds: dict[str, DataFrame] = {}
     type_rows: list[DataFrame] = []
 
+    wide: dict[str, DataFrame] = {}
+    pred_home: dict[str, tuple[str, str]] = {}
     for table, (type_name, cols) in _SCALARS.items():
         df = raw[table]
         subj = F.col("_li_uid").alias(SUBJECT) if table == "lineitem" else uid_col(table, F.col(_KEYS[table]))
         available = [c for c in cols if c in df.columns]
+        # wide node table: ONE scan serves every scalar predicate of the
+        # type (filter/projection fusion — dgraph tablet locality analogue)
+        wide[type_name] = df.select(subj, *[F.col(c) for c in available])
         for c in available:
             typ = _PRED_TYPES.get(c, "string")
             if table == "documents" and c == "text":
@@ -149,6 +154,7 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
                 continue
             reg.add(Predicate(name=c, typ=typ))
             preds[c] = df.select(subj, F.col(c).alias(VALUE))
+            pred_home[c] = (type_name, c)
         reg.define_type(type_name, available)
         type_rows.append(df.select(subj, F.lit(type_name).alias(VALUE)))
 
@@ -194,4 +200,4 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     preds[TYPE_PRED] = types_df
     reg.add(Predicate(name=TYPE_PRED, typ="string", list=True, indexes=("exact",)))
 
-    return Graph(spark=spark, preds=preds, schema=reg)
+    return Graph(spark=spark, preds=preds, schema=reg, wide=wide, pred_home=pred_home)
