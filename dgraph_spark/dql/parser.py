@@ -31,7 +31,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+|\#[^\n]*)
   | (?P<string>"(?:\\.|[^"\\])*")
   | (?P<regex>/(?:\\.|[^/\\])+/[a-z]*)
-  | (?P<number>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
+  | (?P<number>0[xX][0-9a-fA-F]+|-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
   | (?P<name>[a-zA-Z_$][a-zA-Z0-9_.\-]*)
   | (?P<punct><=|>=|==|!=|&&|\|\||[{}()\[\]:,@~*/+\-%<>=.!|])
     """,
@@ -142,6 +142,7 @@ class Parser:
         if root:
             if name in ("shortest",):
                 b.shortest = ShortestArgs()
+                b.alias = "_path_"  # dgraph's output key for shortest blocks
         else:
             b.attr = name
         while True:
@@ -662,6 +663,8 @@ def _unquote(s: str) -> str:
 
 
 def _num(s: str):
+    if s.lower().startswith("0x"):
+        return int(s, 16)
     return float(s) if ("." in s or "e" in s or "E" in s) else int(s)
 
 

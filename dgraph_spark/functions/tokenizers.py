@@ -38,16 +38,26 @@ def term_tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), TERM_SPLIT_RE), lambda t: t != "")
 
 
+def _dedouble(x: Column) -> Column:
+    """Porter-style double-consonant reduction after ing/ed stripping
+    (running -> runn -> run); ll/ss kept."""
+    return F.when(
+        F.regexp_extract(x, r"([bdfgmnprt])\1$", 0) != "",
+        x.substr(F.lit(1), F.length(x) - 1),
+    ).otherwise(x)
+
+
 def stem_token(t: Column) -> Column:
     """Cheap English suffix stemmer (porter step-1-ish), pure expression:
-    sses->ss, ies->y, ss stays, trailing s dropped, ing/ed stripped when
-    a long-enough stem remains."""
+    sses->ss, ies->y, ss stays, trailing s dropped, ing/ed stripped (with
+    double-consonant reduction) when a long-enough stem remains."""
     ln = F.length(t)
     return (
         F.when((ln > 4) & t.endswith("sses"), t.substr(F.lit(1), ln - 2))
         .when((ln > 3) & t.endswith("ies"), F.concat(t.substr(F.lit(1), ln - 3), F.lit("y")))
-        .when((ln > 4) & t.endswith("ing"), t.substr(F.lit(1), ln - 3))
-        .when((ln > 3) & t.endswith("ed") & ~t.endswith("eed"), t.substr(F.lit(1), ln - 2))
+        .when((ln > 4) & t.endswith("ing"), _dedouble(t.substr(F.lit(1), ln - 3)))
+        .when((ln > 3) & t.endswith("ed") & ~t.endswith("eed"),
+              _dedouble(t.substr(F.lit(1), ln - 2)))
         .when((ln > 2) & t.endswith("s") & ~t.endswith("ss") & ~t.endswith("us"),
               t.substr(F.lit(1), ln - 1))
         .otherwise(t)
@@ -61,6 +71,12 @@ def fulltext_tokens(col: Column) -> Column:
     return F.transform(toks, stem_token)
 
 
+def _dedouble_py(t: str) -> str:
+    if len(t) >= 2 and t[-1] == t[-2] and t[-1] in "bdfgmnprt":
+        return t[:-1]
+    return t
+
+
 def _stem_py(tok: str) -> str:
     """Python twin of stem_token for query-side literals."""
     t = tok
@@ -70,9 +86,9 @@ def _stem_py(tok: str) -> str:
     if n > 3 and t.endswith("ies"):
         return t[:-3] + "y"
     if n > 4 and t.endswith("ing"):
-        return t[:-3]
+        return _dedouble_py(t[:-3])
     if n > 3 and t.endswith("ed") and not t.endswith("eed"):
-        return t[:-2]
+        return _dedouble_py(t[:-2])
     if n > 2 and t.endswith("s") and not t.endswith("ss") and not t.endswith("us"):
         return t[:-1]
     return t

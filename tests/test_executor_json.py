@@ -1,0 +1,121 @@
+"""Golden-ish JSON shape tests for the executor (model:
+query/query0_test.go JSONEq assertions, on the TPC-H graph fixture)."""
+
+from dgraph_spark.sources.tpch_graph import uid_of
+
+
+def test_nested_traversal(executor):
+    r = executor.execute('''
+    { q(func: eq(n_name, "NATION_3")) {
+        n_name
+        cust: ~in_nation @filter(type(Customer) AND gt(c_acctbal, 1000)) (first: 2, orderdesc: c_acctbal) {
+          c_name c_acctbal
+        }
+    } }''')
+    assert list(r) == ["q"]
+    node = r["q"][0]
+    assert node["n_name"] == "NATION_3"
+    custs = node["cust"]
+    assert len(custs) == 2
+    assert custs[0]["c_acctbal"] >= custs[1]["c_acctbal"]
+    assert all(c["c_acctbal"] > 1000 for c in custs)
+
+
+def test_count_attr_and_uid(executor):
+    u = uid_of("customer", 1)
+    r = executor.execute(f'{{ q(func: uid({u})) {{ uid c_name cnt: count(placed) }} }}')
+    node = r["q"][0]
+    assert node["uid"] == f"0x{u:x}"
+    assert isinstance(node["cnt"], int)
+
+
+def test_count_uid_root(executor):
+    r = executor.execute('{ q(func: type(Region)) { count(uid) } }')
+    assert r["q"] == [{"count": 5}]
+
+
+def test_agg_block(executor):
+    r = executor.execute('''
+    {
+      var(func: type(Order)) { t as o_totalprice }
+      s() { total: sum(val(t)) mn: min(val(t)) }
+    }''')
+    out = r["s"][0]
+    assert out["total"] > 0 and out["mn"] > 0
+
+
+def test_groupby_json(executor):
+    r = executor.execute('''
+    { g(func: type(Lineitem)) @groupby(l_returnflag) { cnt: count(uid) } }''')
+    groups = r["g"][0]["@groupby"]
+    assert {g["l_returnflag"] for g in groups} <= {"A", "N", "R"}
+    assert all(g["cnt"] > 0 for g in groups)
+
+
+def test_cascade_drops_childless(executor):
+    r = executor.execute('''
+    { q(func: type(Customer)) @cascade {
+        c_name
+        placed @filter(gt(o_totalprice, 400000)) { o_totalprice }
+    } }''')
+    assert all("placed" in node and node["placed"] for node in r["q"])
+
+
+def test_normalize_flattens(executor):
+    r = executor.execute('''
+    { q(func: eq(n_name, "NATION_0")) @normalize {
+        nation: n_name
+        ~in_nation @filter(type(Customer)) (first: 2) { cust: c_name }
+    } }''')
+    flat = r["q"]
+    assert all(set(d) <= {"nation", "cust"} for d in flat)
+    assert any("cust" in d for d in flat)
+
+
+def test_recurse_shape(executor):
+    u = uid_of("customer", 1)
+    r = executor.execute(f'''
+    {{ q(func: uid({u})) @recurse(depth: 3) {{ in_nation in_region n_name r_name }} }}''')
+    node = r["q"][0]
+    nation = node["in_nation"][0]
+    assert "n_name" in nation
+    assert "in_region" in nation
+    assert "r_name" in nation["in_region"][0]
+
+
+def test_shortest_path_json(executor):
+    src = uid_of("customer", 1)
+    # region of customer 1 resolved through the graph itself
+    import pyspark.sql.functions as F
+
+    g = executor.g
+    n = g.edge("in_nation").where(F.col("subject") == src).collect()[0]["object"]
+    rgn = g.edge("in_region").where(F.col("subject") == n).collect()[0]["object"]
+    r = executor.execute(f'''
+    {{ path as shortest(from: {src}, to: {rgn}) {{ in_nation in_region }} }}''')
+    assert r["_path_"][0]["weight"] == 2.0
+    assert len(r["_path_"][0]["path"]) == 3
+
+
+def test_expand_all(executor):
+    u = uid_of("region", 0)
+    r = executor.execute(f"{{ q(func: uid({u})) {{ expand(_all_) }} }}")
+    node = r["q"][0]
+    assert node["_expand"]["r_name"] == "AFRICA"
+
+
+def test_pagination_negative_first(executor):
+    r_all = executor.execute('{ q(func: type(Region), orderasc: r_name) { r_name } }')
+    r_last = executor.execute('{ q(func: type(Region), orderasc: r_name, first: -2) { r_name } }')
+    names = [n["r_name"] for n in r_all["q"]]
+    last2 = [n["r_name"] for n in r_last["q"]]
+    assert last2 == names[-2:]
+
+
+def test_filter_or_not(executor):
+    r = executor.execute('''
+    { q(func: type(Nation)) @filter(eq(n_name, "NATION_1") OR eq(n_name, "NATION_2")) { n_name } }''')
+    assert {n["n_name"] for n in r["q"]} == {"NATION_1", "NATION_2"}
+    r2 = executor.execute('''
+    { q(func: type(Region)) @filter(NOT eq(r_name, "AFRICA")) { r_name } }''')
+    assert {n["r_name"] for n in r2["q"]} == {"AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}

@@ -1,0 +1,63 @@
+"""Operator-level tests: similarity, graph algorithms."""
+
+import pyspark.sql.functions as F
+
+from dgraph_spark.operators.graph_algos import connected_components, pagerank, reachable
+from dgraph_spark.operators.similarity import ann_topk_lsh, similar_to, similar_to_many
+from tests.conftest import SF_SMALL
+
+
+def test_similar_to_exact(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = similar_to(emb, list(q), k=5, id_col="vec_id", vec_col="embedding").collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0 and abs(out[0]["dist"]) < 1e-6
+    dists = [r["dist"] for r in out]
+    assert dists == sorted(dists)
+
+
+def test_similar_to_many(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similar_to_many(emb, queries, k=3, id_col="vec_id", vec_col="embedding")
+    rows = out.collect()
+    assert len(rows) == 9
+    # self is always nearest with euclidean
+    firsts = {r["qid"]: r["vec_id"] for r in rows if r["_rn"] == 1} if "_rn" in out.columns else None
+
+
+def test_ann_lsh_contains_near(spark):
+    import random
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    rnd = random.Random(7)
+    planes = [[rnd.gauss(0, 1) for _ in range(len(q))] for _ in range(4)]
+    out = ann_topk_lsh(emb, list(q), k=3, hyperplanes=planes, metric="cosine",
+                       id_col="vec_id", vec_col="embedding", probe_hamming=1).collect()
+    assert any(r["vec_id"] == 1 for r in out)
+
+
+def test_reachable(graph):
+    starts = graph.uids_of_type("Customer").limit(5)
+    out = reachable(graph, starts, ["in_nation", "in_region"], max_depth=3)
+    depths = {r["depth"] for r in out.collect()}
+    assert depths == {1, 2}
+
+
+def test_connected_components(graph):
+    labels = connected_components(graph, ["in_region"])
+    # nations sharing a region share a component
+    n = labels.count()
+    assert n > 0
+    comps = labels.select("component").distinct().count()
+    assert comps <= 5  # at most one component per region
+
+
+def test_pagerank(graph):
+    ranks = pagerank(graph, ["in_nation"], max_iter=3)
+    rows = ranks.collect()
+    assert all(r["rank"] > 0 for r in rows)
