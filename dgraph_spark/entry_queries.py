@@ -442,6 +442,114 @@ SELECT text, COUNT(*) AS c FROM documents GROUP BY text HAVING COUNT(*) > 1
 """
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT word-2-shingle jaccard near-dup pairs >= 0.7 (inverted-index
+    join — the correctness baseline for MinHash/LSH)."""
+    from dgraph_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, threshold=0.7, n=2)
+
+
+SQL_dedup_ngram_jaccard = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT i, j, round(jac, 4) AS jac FROM pairs WHERE jac >= 0.7
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + banded LSH near-dup candidates w/ exact verification —
+    the 100 TB scale path (recall < 1 by design: rows-only check)."""
+    from dgraph_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold=0.7, num_hashes=64, bands=16)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash64 near-pairs within Hamming distance 3 (rows-only: the
+    hash family is engine-specific)."""
+    from dgraph_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding cosine near-dup pairs, label-blocked (ANN blocking)."""
+    from dgraph_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.43, block_col="label")
+
+
+SQL_dedup_embedding_cosine = """
+SELECT a.vec_id AS i, b.vec_id AS j,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.43
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    """Per-document text analysis: token count, rule-based language ID,
+    quality score, md5 fingerprint (formulas are the spec)."""
+    from dgraph_spark.operators.textstats import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_stats(docs)
+
+
+def _text_stats_sql() -> str:
+    from dgraph_spark.operators.textstats import LANG_MARKERS
+
+    vote_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        vote_exprs.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x))) AS v_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"v_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    for lang in langs[:-1]:
+        case += f"WHEN v_{lang} = {m} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+  FROM documents
+), votes AS (
+  SELECT doc_id, s, toks, {", ".join(vote_exprs)} FROM base
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       {case} AS lang_pred,
+       round(0.4 * (length(regexp_replace(s, '[^a-z]', '', 'g'))::DOUBLE
+                    / greatest(length(s), 1))
+             + 0.3 * least(len(toks) / 64.0, 1.0)
+             + 0.3 * (len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)), 4)
+         AS quality,
+       md5(s) AS fp
+FROM votes
+"""
+
+
 def entry_flagship(spark) -> DataFrame:
     """Driver smoke entry: flagship traversal on sf0.001."""
     return q_root_eq_reverse_traversal(spark, "/root/testdata/sf0.001")
@@ -473,4 +581,9 @@ QUERIES: dict[str, tuple] = {
     "similar_to": (q_similar_to, SQL_similar_to),
     "stream_tumbling": (q_stream_tumbling, SQL_stream_tumbling),
     "dedup_exact": (q_dedup_exact, SQL_dedup_exact),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_dedup_ngram_jaccard),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_dedup_embedding_cosine),
+    "text_stats": (q_text_stats, _text_stats_sql()),
 }

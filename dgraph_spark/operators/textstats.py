@@ -1,0 +1,89 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All are deterministic pure column expressions so every one has an exact
+DuckDB oracle twin (the formulas below ARE the spec — they are
+intentionally simple rule systems, not ML models).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dgraph_spark.functions.tokenizers import TERM_SPLIT_RE
+from dgraph_spark.operators.dedup import normalized
+
+# marker words per language for rule-based language ID (votes; argmax,
+# ties and zero votes -> 'und'). Deliberately tiny + deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "is", "that", "with"],
+    "fr": ["le", "la", "les", "des", "une", "est", "dans", "avec"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "ein", "nicht"],
+    "es": ["el", "los", "las", "una", "es", "con", "para", "por"],
+}
+
+
+def tokens_col(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), TERM_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace/punct token count (BPE-ish proxy: tokens, not chars)."""
+    return F.size(tokens_col(col))
+
+
+def lang_votes(col: Column, lang: str) -> Column:
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens_col(col), lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """argmax of marker votes; ties or no votes -> 'und'.
+    Deterministic tie-break: the languages are compared in fixed order
+    and a strictly-greater vote is required to take the lead."""
+    langs = list(LANG_MARKERS)
+    best_lang = F.lit("und")
+    best_votes = F.lit(0)
+    for lang in langs:
+        v = lang_votes(col, lang)
+        take = v > best_votes
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_votes = F.when(take, v).otherwise(best_votes)
+    return best_lang
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]:
+      0.4 * alpha_ratio + 0.3 * clamp(tokens/64) + 0.3 * distinct_ratio
+    where alpha_ratio = letters/chars, distinct_ratio = distinct tokens /
+    tokens. The formula is the spec (oracle-matched)."""
+    s = normalized(col)
+    chars = F.greatest(F.length(s), F.lit(1))
+    alpha = F.length(F.regexp_replace(s, r"[^a-z]", ""))
+    toks = tokens_col(col)
+    ntok = F.greatest(F.size(toks), F.lit(1))
+    ndis = F.size(F.array_distinct(toks))
+    score = (
+        0.4 * (alpha / chars)
+        + 0.3 * F.least(F.size(toks) / F.lit(64.0), F.lit(1.0))
+        + 0.3 * (ndis / ntok)
+    )
+    return F.round(score, 4)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(col))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document stats relation."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        lang_id(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fp"),
+    )
