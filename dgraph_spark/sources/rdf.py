@@ -1,0 +1,190 @@
+"""RDF N-Quad loader / exporter (reference: chunker/rdf_parser.go,
+chunker/chunk.go:86-153 for load; query/outputrdf.go + worker/export.go
+for export).
+
+Spark-first: the N-Quad grammar is regular enough for regexp_extract —
+the whole parse is JVM-side column expressions over spark.read.text
+(no Python in the row path). Uid assignment for blank/external ids is
+xxhash64-based (stateless, shuffle-free — the scalable analogue of
+xidmap/xidmap.go:252 AssignUid; documented divergence: ids are hashes,
+not dense counters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dgraph_spark.model import FACETS, OBJECT, SUBJECT, VALUE, Graph
+from dgraph_spark.schema import SchemaRegistry
+
+# <subj> <pred> <obj-or-literal> (facets)? .
+# subj: <0x1> | <name> | _:blank ; obj: same, or "literal"(@lang|^^<type>)?
+_NQUAD_RE = (
+    r'^\s*'
+    r'(?:<([^>]*)>|(_:[A-Za-z0-9_.\-]+))\s+'      # 1 iri-subject | 2 blank
+    r'<([^>]*)>\s+'                                # 3 predicate
+    r'(?:<([^>]*)>|(_:[A-Za-z0-9_.\-]+)|"((?:[^"\\]|\\.)*)"'  # 4 iri-obj | 5 blank-obj | 6 literal
+    r'(?:@([a-zA-Z\-]+))?'                         # 7 lang
+    r'(?:\^\^<([^>]*)>)?'                          # 8 datatype
+    r')'
+    r'(?:\s+\(([^)]*)\))?'                         # 9 facets "k=v, k2=v2"
+    r'\s*\.\s*$'
+)
+
+
+def _uid_expr(iri: F.Column, blank: F.Column) -> F.Column:
+    """uid for an id token: numeric '<0x..>'/'<123>' parsed directly,
+    anything else (external xid / blank node) hashed via xxhash64."""
+    tok = F.coalesce(iri, blank)
+    hexed = F.regexp_extract(tok, r"^0[xX]([0-9a-fA-F]+)$", 1)
+    dec = F.regexp_extract(tok, r"^([0-9]+)$", 1)
+    return (
+        F.when(hexed != "", F.conv(hexed, 16, 10).cast("long"))
+        .when(dec != "", dec.cast("long"))
+        # hash-uid: top bit cleared to stay positive & out of numeric range
+        .otherwise(F.abs(F.xxhash64(tok)))
+    )
+
+
+def parse_nquads(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """text lines -> triples(subject, predicate, object_uid, value_str,
+    lang, datatype, facets map<string,string>). Malformed/comment lines
+    are dropped (chunker behavior)."""
+    c = F.col(text_col)
+    parts = [F.regexp_extract(c, _NQUAD_RE, i) for i in range(10)]
+    df = (
+        lines.where(~F.trim(c).startswith("#") & (F.trim(c) != ""))
+        .select(
+            _uid_expr(F.nullif(parts[1], F.lit("")), F.nullif(parts[2], F.lit(""))).alias(SUBJECT),
+            F.nullif(parts[3], F.lit("")).alias("predicate"),
+            F.when(
+                (parts[4] != "") | (parts[5] != ""),
+                _uid_expr(F.nullif(parts[4], F.lit("")), F.nullif(parts[5], F.lit(""))),
+            ).alias("object_uid"),
+            F.when(parts[6] != "", parts[6]).alias("value_str"),
+            F.nullif(parts[7], F.lit("")).alias("lang"),
+            F.nullif(parts[8], F.lit("")).alias("datatype"),
+            F.when(
+                parts[9] != "",
+                F.map_from_entries(
+                    F.transform(
+                        F.split(parts[9], r",\s*"),
+                        lambda kv: F.struct(
+                            F.split(kv, "=")[0].alias("key"),
+                            F.split(kv, "=")[1].alias("value"),
+                        ),
+                    )
+                ),
+            ).alias(FACETS),
+        )
+        .where(F.col("predicate").isNotNull())
+    )
+    return df
+
+
+def read_rdf(spark: SparkSession, path: str) -> DataFrame:
+    """Load .rdf/.nq(.gz) files into a triples DataFrame (bulk-loader
+    front half, dgraph/cmd/bulk — in Spark a plain distributed read)."""
+    return parse_nquads(spark.read.text(path))
+
+
+# ---------------------------------------------------------------- to Graph
+_CAST = {
+    "int": "long",
+    "integer": "long",
+    "float": "double",
+    "double": "double",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "datetime": "timestamp",
+    "string": "string",
+    "default": "string",
+}
+
+
+def graph_from_triples(
+    spark: SparkSession, triples: DataFrame, schema: SchemaRegistry
+) -> Graph:
+    """Pivot a long triples DataFrame into the per-predicate Graph model.
+    Predicate pruning on the long table ≈ dgraph tablet routing; at scale
+    the triples table should be written partitioned by predicate so each
+    pred view prunes to its own files."""
+    preds: dict[str, DataFrame] = {}
+    pred_names = [r["predicate"] for r in triples.select("predicate").distinct().collect()]
+    for name in pred_names:
+        meta = schema.get(name)
+        rows = triples.where(F.col("predicate") == name)
+        if meta.is_uid:
+            cols = [F.col(SUBJECT), F.col("object_uid").alias(OBJECT)]
+            if FACETS in triples.columns:
+                cols.append(F.col(FACETS))
+            preds[name] = rows.select(*cols)
+        else:
+            value = F.col("value_str").cast(_CAST.get(meta.typ, "string")).alias(VALUE)
+            cols = [F.col(SUBJECT), value]
+            if meta.lang:
+                cols.append(F.col("lang"))
+            preds[name] = rows.select(*cols)
+    return Graph(spark=spark, preds=preds, schema=schema)
+
+
+def load_rdf_graph(spark: SparkSession, path: str, schema_text: str) -> Graph:
+    """One-call loader: N-Quad files + dgraph schema text -> Graph."""
+    return graph_from_triples(spark, read_rdf(spark, path), SchemaRegistry.parse(schema_text))
+
+
+# ------------------------------------------------------------------ export
+def export_rdf(graph: Graph) -> DataFrame:
+    """Graph -> one N-Quad line per triple (worker/export.go,
+    query/outputrdf.go:28) as DataFrame[line: string]."""
+    frames = []
+    for name, df in graph.preds.items():
+        if graph.schema.get(name).is_uid:
+            line = F.format_string("<0x%x> <%s> <0x%x> .", F.col(SUBJECT), F.lit(name), F.col(OBJECT))
+            frames.append(df.select(line.alias("line")))
+        else:
+            lang = F.col("lang") if "lang" in df.columns else F.lit(None).cast("string")
+            line = F.concat(
+                F.format_string('<0x%x> <%s> "', F.col(SUBJECT), F.lit(name)),
+                F.regexp_replace(F.col(VALUE).cast("string"), r'(["\\])', r"\\$1"),
+                F.lit('"'),
+                F.when(lang.isNotNull(), F.concat(F.lit("@"), lang)).otherwise(F.lit("")),
+                F.lit(" ."),
+            )
+            frames.append(df.select(line.alias("line")))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def export_json(graph: Graph) -> DataFrame:
+    """Graph -> JSON lines, one node per line with all scalar predicates
+    (worker/export.go JSON flavor)."""
+    t = graph.to_triples()
+    per_pred = (
+        t.groupBy(SUBJECT, "predicate")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.coalesce(
+                        F.col("value_str"), F.format_string("0x%x", F.col("object_uid"))
+                    )
+                )
+            ).alias("vals")
+        )
+    )
+    return (
+        per_pred.groupBy(SUBJECT)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("predicate").alias("key"), F.col("vals").alias("value")))
+            ).alias("m")
+        )
+        .select(
+            F.to_json(
+                F.struct(F.format_string("0x%x", F.col(SUBJECT)).alias("uid"), F.col("m").alias("preds"))
+            ).alias("json")
+        )
+    )
