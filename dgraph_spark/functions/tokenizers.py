@@ -41,8 +41,10 @@ def term_tokens(col: Column) -> Column:
 def _dedouble(x: Column) -> Column:
     """Porter-style double-consonant reduction after ing/ed stripping
     (running -> runn -> run); ll/ss kept."""
+    # explicit alternation (no backreference) so the same pattern works
+    # in RE2-based engines (DuckDB oracles)
     return F.when(
-        F.regexp_extract(x, r"([bdfgmnprt])\1$", 0) != "",
+        F.regexp_extract(x, r"(bb|dd|ff|gg|mm|nn|pp|rr|tt)$", 0) != "",
         x.substr(F.lit(1), F.length(x) - 1),
     ).otherwise(x)
 

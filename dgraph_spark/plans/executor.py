@@ -160,7 +160,11 @@ class Executor:
                     )
                     self._last_fused = (home, full)
         if frontier is None:
-            frontier = fc.root(block.func).select(F.col(SUBJECT).alias(DST))
+            rooted = fc.root(block.func)
+            keep = [F.col(SUBJECT).alias(DST)] + [
+                F.col(c) for c in rooted.columns if c == "_frank"
+            ]
+            frontier = rooted.select(*keep)
             if block.filter is not None:
                 frontier = self._apply_filter(block.filter, frontier)
         if block.ignorereflex:
@@ -309,6 +313,25 @@ class Executor:
             )
         if attr.val_var is not None and attr.name == "val":
             return self.env[attr.val_var]
+        if attr.name in _AGG_ATTRS and attr.val_var:
+            # `s as sum(val(t))` — per-parent aggregation of a child-level
+            # var, registered as a value variable on THIS level's nodes
+            # (query/query.go:1042 evalLevelAgg feeding populateUidValVar)
+            vdf = self.env.get(attr.val_var)
+            def_edges = self.var_edges.get(attr.val_var)
+            if vdf is None:
+                return None
+            fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[attr.name]
+            if def_edges is not None and SRC in def_edges.columns:
+                return (
+                    def_edges.select(SRC, DST)
+                    .join(vdf.select(F.col(SUBJECT).alias(DST), VALUE), DST, "inner")
+                    .groupBy(SRC)
+                    .agg(fn(VALUE).alias(VALUE))
+                    .select(F.col(SRC).alias(SUBJECT), VALUE)
+                )
+            total = vdf.agg(fn(VALUE).alias(VALUE))
+            return nodes.crossJoin(F.broadcast(total))
         if attr.math is not None:
             return self._math_value_df(attr, nodes)
         if self.g.has_pred(attr.name) and not self.g.schema.get(attr.name).is_uid:
@@ -398,10 +421,14 @@ class Executor:
         edges2, joined_cols = self._join_order_keys(block, edges)
         if w is not None:
             sort_cols = self._order_cols(block, edges2)
+            if not has_order and "_frank" in edges2.columns:
+                sort_cols = [F.col("_frank").asc()] + sort_cols
             w = Window.partitionBy(*part).orderBy(*sort_cols)
             edges2 = edges2.withColumn(RANK, F.row_number().over(w))
         else:
-            edges2 = edges2.withColumn(RANK, F.col(DST))
+            # root fn may carry an intrinsic order (similar_to distance)
+            rank_src = F.col("_frank") if "_frank" in edges2.columns else F.col(DST)
+            edges2 = edges2.withColumn(RANK, rank_src)
 
         first, offset = block.first, block.offset or 0
         if has_page and (first is not None or offset):
@@ -737,8 +764,17 @@ class Executor:
             child_name = child.block.alias if child.block.alias != child.block.attr else (
                 ("~" if child.block.reverse else "") + child.block.attr
             )
+            payload_col = F.col("_payload")
+            spec = child.block.facets
+            if spec and spec.keys and "facets" in c_edges.columns:
+                # inject edge facets as `pred|facet` keys into each child
+                # node dict (query/outputnode.go facet sibling encoding)
+                for key, alias in spec.keys:
+                    payload_col = payload_col.withField(
+                        alias or f"{child_name}|{key}", F.col(f"facets.{key}")
+                    )
             arr = (
-                joined.select(F.col(SRC), F.struct(F.col(RANK).alias("_r"), F.col("_payload").alias("_p")).alias("_rp"))
+                joined.select(F.col(SRC), F.struct(F.col(RANK).alias("_r"), payload_col.alias("_p")).alias("_rp"))
                 .groupBy(SRC)
                 .agg(F.sort_array(F.collect_list("_rp")).alias("_sorted"))
                 .select(
@@ -1060,7 +1096,17 @@ class Executor:
         for i, child in enumerate(level.children):
             c_edges = child.edges
             child_uid = f"_uid{depth + 1}_{i}"
-            ce = c_edges.select(F.col(SRC).alias(uid_col), F.col(DST).alias(child_uid))
+            ce_cols = [F.col(SRC).alias(uid_col), F.col(DST).alias(child_uid)]
+            spec = child.block.facets
+            if spec and spec.keys and "facets" in c_edges.columns:
+                # edge-facet projections (@facets(alias: key)) ride along
+                # with the edge join — they are edge properties, not node
+                # attributes (types/facets semantics)
+                for key, alias in spec.keys:
+                    ce_cols.append(
+                        F.col(f"facets.{key}").alias(alias or f"{child.block.attr}|{key}")
+                    )
+            ce = c_edges.select(*ce_cols)
             frame = frame.join(ce, uid_col, "inner")
             frame, _ = self._flat_level(child, frame, child_uid, depth + 1)
         return frame, uid_col

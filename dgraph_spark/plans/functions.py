@@ -171,13 +171,20 @@ class FuncCompiler:
             out = self._type(f)
         elif name in _STRSEARCH:
             out = self._string_search(f)
+        elif name == "similar_to":
+            out = self._similar_to(f)
+        elif name in ("near", "within", "contains", "intersects"):
+            out = self._geo(f)
+        elif name == "checkpwd":
+            out = self._checkpwd(f)
         else:
             raise NotImplementedError(f"function {f.name!r} not implemented")
         if candidates is not None:
             # restrict to candidates: semi join (frontier is usually the
             # smaller side; Catalyst/AQE picks broadcast when it fits)
             out = candidates.join(out, SUBJECT, "left_semi")
-        return out.select(SUBJECT)
+        keep = [SUBJECT] + [c for c in out.columns if c == "_frank"]
+        return out.select(*keep)
 
     # ------------------------------------------------------------ families
     def _compare(self, f: FuncCall) -> DataFrame:
@@ -295,6 +302,69 @@ class FuncCompiler:
         out = df.where(cond).select(SUBJECT)
         return out if unique else out.distinct()
 
+    def _similar_to(self, f: FuncCall) -> DataFrame:
+        """similar_to(pred, k, [vector]) — exact k-NN over a
+        float32vector predicate (worker/task.go:359-410; HNSW replaced by
+        exact top-k, which is strictly more accurate — SURVEY.md §7).
+        Metric comes from the schema's hnsw(metric:...) spec, default
+        euclidean. TakeOrderedAndProject: no full sort, no wide shuffle."""
+        from dgraph_spark.operators.similarity import distance_col
+
+        pred = f.pred
+        lits = f.literals()
+        k = int(lits[0])
+        vec = lits[1]
+        if not isinstance(vec, list):
+            raise ValueError("similar_to expects a vector literal [..]")
+        metric = "euclidean"
+        for idx in self.g.schema.get(pred).indexes:
+            if idx.startswith("hnsw") and "cosine" in idx:
+                metric = "cosine"
+            elif idx.startswith("hnsw") and ("dot" in idx):
+                metric = "dotproduct"
+        df, col, _unique = self._value_source(pred, None)
+        q = F.array(*[F.lit(float(x)) for x in vec])
+        scored = df.select(SUBJECT, distance_col(col, q, metric).alias("_d"))
+        topk = scored.orderBy(F.col("_d").asc(), F.col(SUBJECT).asc()).limit(k)
+        # preserve distance order into the result (dgraph returns k-NN in
+        # similarity order) via a frontier-rank column; the window runs on
+        # k rows only
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("_d").asc(), F.col(SUBJECT).asc())
+        return topk.withColumn("_frank", F.row_number().over(w)).select(SUBJECT, "_frank")
+
+    def _geo(self, f: FuncCall) -> DataFrame:
+        """near/within/contains/intersects over GeoJSON scalar predicates
+        (types/geofilter.go)."""
+        from dgraph_spark.functions import geo
+
+        name = f.name.lower()
+        pred = f.pred
+        lits = f.literals()
+        df, col, unique = self._value_source(pred, None)
+        if name == "near":
+            pt, dist = lits[0], float(lits[1])
+            cond = geo.near(col, float(pt[0]), float(pt[1]), dist)
+        elif name == "within":
+            cond = geo.within(col, _as_geojson_poly(lits[0]))
+        elif name == "contains":
+            pt = lits[0]
+            cond = geo.geo_contains(col, float(pt[0]), float(pt[1]))
+        else:
+            cond = geo.intersects(col, _as_geojson_poly(lits[0]))
+        out = df.where(cond).select(SUBJECT)
+        return out if unique else out.distinct()
+
+    def _checkpwd(self, f: FuncCall) -> DataFrame:
+        from dgraph_spark.functions.password import checkpwd
+
+        pred = f.pred
+        candidate = str(f.literals()[0])
+        df, col, unique = self._value_source(pred, None)
+        out = df.where(checkpwd(col, candidate)).select(SUBJECT)
+        return out if unique else out.distinct()
+
     def _search_cond(self, name: str, col: Column, lits: list) -> Column:
         if name == "anyofterms":
             return tok.any_of_terms(col, str(lits[0]))
@@ -312,6 +382,16 @@ class FuncCompiler:
         if name == "ngram":
             return tok.ngram_search(col, str(lits[0]))
         raise NotImplementedError(name)  # pragma: no cover
+
+
+def _as_geojson_poly(v) -> str:
+    """Accept a GeoJSON string or a nested coordinate array literal."""
+    if isinstance(v, str):
+        return v
+    import json
+
+    coords = v if (v and isinstance(v[0], list) and v[0] and isinstance(v[0][0], list)) else [v]
+    return json.dumps({"type": "Polygon", "coordinates": coords})
 
 
 def _cmp(col: Column, op: str, lits: list[Column]) -> Column:
