@@ -30,6 +30,12 @@ HEADLINE = [
     "similar_to",
     "stream_tumbling",
     "dedup_exact",
+    "chain_region_revenue",
+    "order_by_val",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "connected_components",
+    "stream_session",
 ]
 
 

@@ -44,13 +44,18 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def word_shingles(col: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles of the text."""
+    """Distinct word n-gram shingles of the text.
+
+    Built with zip_with over shifted slices — NOT transform+element_at,
+    which would inline (and re-evaluate) the split() expression once per
+    element, turning shingling O(words^2) per document."""
     words = F.filter(F.split(F.lower(col), TERM_SPLIT_RE), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
-    )
-    return F.array_distinct(grams)
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # zip_with pads the shorter side with null -> trailing null concats
+    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
 
 
 def ngram_jaccard_pairs(
@@ -60,28 +65,64 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """EXACT jaccard near-dup pairs (i < j) via shingle inverted index.
+    """EXACT jaccard near-dup pairs (i < j) via prefix-filtered inverted
+    index (AllPairs/PPJoin candidate filter).
 
-    Plan: explode shingles -> self-equi-join on shingle (computes
-    |A∩B| as a count) -> join per-doc sizes -> jaccard filter. All
-    shuffles key on shingle/doc id; no cartesian product anywhere.
+    Exactness-preserving pruning: with |A∩B|/|A∪B| >= t, the docs must
+    share a shingle within the first ``|sh| - ceil(t*|sh|) + 1`` entries
+    of a GLOBALLY consistently ordered shingle list. Ordering rarest-
+    first makes those prefix posting lists tiny, so the candidate join
+    touches ~near-dups only instead of squaring every frequent shingle's
+    posting list (the naive index is quadratic in document frequency —
+    unusable at scale). Candidates are then verified with exact jaccard.
     """
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     ).where(F.size("sh") > 0)
-    sizes = sh.select("id", F.size("sh").alias("sz"))
-    posting = sh.select("id", F.explode("sh").alias("g"))
-    inter = (
-        posting.alias("a")
-        .join(posting.alias("b"), "g")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
-        .agg(F.count("*").alias("inter"))
+
+    # global document frequency per shingle; (df, g) IS the rarest-first
+    # total order — no global row_number/sort needed
+    posting_all = sh.select("id", F.explode("sh").alias("g"))
+    df_rank = posting_all.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = (
+        posting_all.join(df_rank, "g")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("rg"))
+        .select("id", F.col("rg").alias("rg"), F.size("rg").alias("sz"))
     )
+    # prefix length = sz - ceil(t*sz) + 1
+    prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefix = ranked.select(
+        "id", F.explode(F.slice("rg", 1, prefix_len)).alias("e")
+    ).select("id", F.col("e.g").alias("g"))
+
+    # length filter (exactness-preserving): jac >= t forces
+    # t*|B| <= |A| <= |B|/t, pruning candidates before the verify join
+    pref_sz = ranked.select(
+        "id", F.explode(F.slice("rg", 1, prefix_len)).alias("e"), "sz"
+    ).select("id", F.col("e.g").alias("g"), "sz")
+    cand = (
+        pref_sz.alias("a")
+        .join(pref_sz.alias("b"), "g")
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz"))
+        )
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .distinct()
+    )
+    # verify is compute-bound, not byte-bound: spread it wide so AQE's
+    # byte-based coalescing doesn't serialize millions of array
+    # intersections onto a few cores
+    cand = cand.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
     out = (
-        inter.join(sizes.select(F.col("id").alias("i"), F.col("sz").alias("szi")), "i")
-        .join(sizes.select(F.col("id").alias("j"), F.col("sz").alias("szj")), "j")
-        .withColumn("jac", F.col("inter") / (F.col("szi") + F.col("szj") - F.col("inter")))
+        cand.join(F.broadcast(sh.select(F.col("id").alias("i"), F.col("sh").alias("sha"))), "i")
+        .join(F.broadcast(sh.select(F.col("id").alias("j"), F.col("sh").alias("shb"))), "j")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jac", F.col("inter") / (F.size("sha") + F.size("shb") - F.col("inter"))
+        )
         .where(F.col("jac") >= threshold)
         .select("i", "j", F.round("jac", 4).alias("jac"))
     )
@@ -100,13 +141,22 @@ def minhash_signatures(
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     ).where(F.size("sh") > 0)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), lambda g, k=k: F.xxhash64(g, F.lit(k))))
-            for k in range(num_hashes)
-        ]
+    # relational min-hash: explode shingles, fan out the hash family via
+    # posexplode, partial-min per (id, k). One pass over the shingles —
+    # num_hashes separate array expressions would re-inline (and
+    # re-evaluate) the shingling per hash function.
+    posting = sh.select("id", F.explode("sh").alias("g"))
+    ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    hk = posting.select(
+        "id",
+        F.posexplode(F.transform(ks, lambda k: F.xxhash64(F.col("g"), k))).alias("k", "h"),
     )
-    return sh.select("id", sig.alias("sig"))
+    per = hk.groupBy("id", "k").agg(F.min("h").alias("m"))
+    return per.groupBy("id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("k", "m"))), lambda s: s["m"]
+        ).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -164,24 +214,40 @@ def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, simhash long): 64-bit SimHash over word tokens — per-bit
-    majority vote of token hashes, as a pure column expression."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), TERM_SPLIT_RE), lambda t: t != "")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    # bit b of the simhash = 1 if sum over tokens of sign(bit b) > 0.
-    # NB: the vote lambda must be binary (acc, h) — pyspark introspects
-    # lambda arity — so bind the bit mask via a closure factory.
-    def vote_fn(b: int):
-        mask = (1 << b) if b < 63 else -(2**63)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
+    majority vote of token hashes.
 
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote_fn(b)) for b in range(64)]
-    sim = F.lit(0).cast("long")
-    for b, v in enumerate(bit_votes):
-        bitval = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(2**63)).cast("long")
-        sim = sim + F.when(v > 0, bitval).otherwise(F.lit(0).cast("long"))
-    return docs.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    Relational formulation: explode tokens -> posexplode the 64 sign
+    contributions -> groupBy(id, bit) partial-sum (map-side combine) ->
+    rebuild the bitmap. 64 single-expression aggregates would re-evaluate
+    the token-hash array once per bit; this shape is one pass + one
+    shuffle and scales linearly."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), TERM_SPLIT_RE), lambda t: t != "")
+    tok = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w")).select(
+        "id", F.xxhash64("w").alias("h")
+    )
+    signs = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.when(F.getbit(F.col("h"), b) == 1, 1).otherwise(-1),
+    )
+    votes = (
+        tok.select("id", F.posexplode(signs).alias("bit", "s"))
+        .groupBy("id", "bit")
+        .agg(F.sum("s").alias("v"))
+    )
+    # shiftleft() only takes a literal shift — use expr for a column shift
+    bitval = F.when(
+        F.col("bit") < 63, F.expr("shiftleft(1L, CAST(bit AS INT))")
+    ).otherwise(F.lit(-(2**63)).cast("long"))
+    return (
+        votes.where(F.col("v") > 0)
+        .groupBy("id")
+        .agg(F.sum(bitval).alias("simhash"))
+        .unionByName(  # docs whose every bit-vote <= 0 still need a row
+            votes.groupBy("id").agg(F.max("v").alias("mv"))
+            .where(F.col("mv") <= 0)
+            .select("id", F.lit(0).cast("long").alias("simhash"))
+        )
+    )
 
 
 def simhash_near_pairs(
