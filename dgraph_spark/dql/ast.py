@@ -156,6 +156,8 @@ class Block:
     facets: FacetsSpec | None = None
     is_var_block: bool = False             # `var(func: ...)`
     is_count_block: bool = False           # count(uid) only block
+    is_schema: bool = False                # `schema(pred: [...]) { ... }`
+    schema_preds: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -71,9 +71,19 @@ def tokenize(src: str) -> list[Token]:
 
 
 class Parser:
-    def __init__(self, src: str):
+    def __init__(self, src: str, vars: dict | None = None):
         self.toks = tokenize(src)
         self.i = 0
+        self.vars = vars or {}
+
+    def _subst(self, text: str):
+        """GraphQL-style query variables: `$a` -> bound value
+        (dql/parser.go Vars)."""
+        if text.startswith("$"):
+            if text not in self.vars:
+                raise ValueError(f"undefined query variable {text}")
+            return self.vars[text]
+        return text
 
     # ---- token helpers ----
     def peek(self, k: int = 0) -> Token:
@@ -106,21 +116,27 @@ class Parser:
     # ---- entry ----
     def parse(self) -> ParsedQuery:
         q = ParsedQuery()
-        # optional `query name($a: int = 1, ...)` header
+        # optional `query name($a: int = 1, ...)` header — declared
+        # defaults fill self.vars for any binding the caller didn't pass
         if self.peek().text == "query":
             self.next()
             if self.peek().kind == "name":
                 self.next()
             if self.peek().text == "(":
-                depth = 0
-                while True:
-                    t = self.next()
-                    if t.text == "(":
-                        depth += 1
-                    elif t.text == ")":
-                        depth -= 1
-                        if depth == 0:
-                            break
+                self.next()
+                while not self.accept(")"):
+                    self.accept(",")
+                    vname = self.expect_kind("name").text
+                    self.expect(":")
+                    self.expect_kind("name")  # type
+                    if self.accept("="):
+                        t = self.next()
+                        dval = _num(t.text) if t.kind == "number" else _unquote(t.text) if t.kind == "string" else t.text
+                        self.vars.setdefault(vname, dval)
+        if self.peek().text == "schema":
+            # standalone `schema(...) { ... }` query (no outer braces)
+            q.blocks.append(self.parse_block(root=True))
+            return q
         self.expect("{")
         while not self.accept("}"):
             q.blocks.append(self.parse_block(root=True))
@@ -140,6 +156,21 @@ class Parser:
         if name == "var":
             b.is_var_block = True
         if root:
+            if name == "schema":
+                # schema introspection block (dql/parser.go:662 getSchema)
+                b.is_schema = True
+                if self.accept("("):
+                    while not self.accept(")"):
+                        self.accept(",")
+                        key = self.expect_kind("name").text
+                        self.expect(":")
+                        if self.peek().text == "[":
+                            b.schema_preds = [str(x) for x in self._parse_array_string_list()]
+                        else:
+                            b.schema_preds = [self.next().text.strip('"')]
+                if self.peek().text == "{":
+                    self.parse_body(b)
+                return b
             if name in ("shortest",):
                 b.shortest = ShortestArgs()
                 b.alias = "_path_"  # dgraph's output key for shortest blocks
@@ -167,9 +198,9 @@ class Parser:
             elif key in ("orderasc", "orderdesc"):
                 b.order.append(self.parse_order_key(desc=(key == "orderdesc")))
             elif key == "first":
-                b.first = int(self.next().text)
+                b.first = int(self._subst(self.next().text))
             elif key == "offset":
-                b.offset = int(self.next().text)
+                b.offset = int(self._subst(self.next().text))
             elif key == "after":
                 t = self.next()
                 b.after = int(t.text, 0)
@@ -259,6 +290,8 @@ class Parser:
         if t.kind == "name":
             self.next()
             name = t.text
+            if name.startswith("$"):
+                return Arg(value=self._subst(name))
             if name in ("true", "false"):
                 return Arg(value=(name == "true"))
             if name == "val" and self.peek().text == "(":
@@ -285,6 +318,15 @@ class Parser:
             first_pred = argpos == 0 and f.name not in ("uid",)
             return Arg(value=name, is_pred=first_pred, lang=lang)
         raise SyntaxError(f"DQL parse error at {t.pos}: unexpected {t.text!r} in args")
+
+    def _parse_array_string_list(self):
+        self.expect("[")
+        out = []
+        while not self.accept("]"):
+            self.accept(",")
+            t = self.next()
+            out.append(_unquote(t.text) if t.kind == "string" else t.text)
+        return out
 
     def _parse_array_literal(self):
         self.expect("[")
@@ -674,7 +716,8 @@ def _num(s: str):
     return float(s) if ("." in s or "e" in s or "E" in s) else int(s)
 
 
-def parse_dql(src: str) -> ParsedQuery:
+def parse_dql(src: str, vars: dict | None = None) -> ParsedQuery:
     """Parse a DQL read query into the AST (reference: dql.Parse,
-    dql/parser.go:615)."""
-    return Parser(src).parse()
+    dql/parser.go:615). ``vars`` binds `$name` query variables;
+    header-declared defaults apply when a binding is missing."""
+    return Parser(src, vars).parse()

@@ -151,6 +151,47 @@ def all_of_text(col: Column, query: str) -> Column:
     return cond
 
 
+# ---- custom tokenizer plugins (tok/tok.go:134-151 LoadCustomTokenizer;
+# queried via anyof/allof — worker/task.go:269-270). A tokenizer is any
+# Column -> Column(array<string>) function registered by name.
+_CUSTOM_TOKENIZERS: dict = {}
+
+
+def register_tokenizer(name: str, fn) -> None:
+    """Register a custom tokenizer: ``fn(col) -> array<string> Column``.
+    The Spark analogue of dgraph's Go-plugin tokenizers — a column
+    expression (or pandas-UDF-backed column) instead of a shared object."""
+    _CUSTOM_TOKENIZERS[name] = fn
+
+
+def get_tokenizer(name: str):
+    if name not in _CUSTOM_TOKENIZERS:
+        raise KeyError(f"unknown custom tokenizer {name!r}")
+    return _CUSTOM_TOKENIZERS[name]
+
+
+def any_of_custom(col: Column, tokenizer: str, query: str) -> Column:
+    """anyof(pred, tokenizer, q) — any shared custom token."""
+    fn = get_tokenizer(tokenizer)
+    toks = fn(col)
+    qtoks = [t for t in query.split() if t]
+    if not qtoks:
+        return F.lit(False)
+    return F.arrays_overlap(toks, F.array(*[F.lit(t) for t in qtoks]))
+
+
+def all_of_custom(col: Column, tokenizer: str, query: str) -> Column:
+    fn = get_tokenizer(tokenizer)
+    toks = fn(col)
+    qtoks = list(dict.fromkeys(t for t in query.split() if t))
+    if not qtoks:
+        return F.lit(True)
+    cond = F.array_contains(toks, qtoks[0])
+    for t in qtoks[1:]:
+        cond = cond & F.array_contains(toks, t)
+    return cond
+
+
 def regexp_match(col: Column, pattern: str) -> Column:
     """regexp(p, /re/flags) — flags: i. Spark evaluates the regex exactly;
     no trigram prefilter + verify pass needed (worker/task.go:1161-1199)."""

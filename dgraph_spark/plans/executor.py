@@ -72,11 +72,14 @@ class Executor:
         self.var_edges: dict[str, DataFrame] = {}
 
     # ================================================================ public
-    def execute(self, query: str | ParsedQuery) -> dict:
+    def execute(self, query: str | ParsedQuery, vars: dict | None = None) -> dict:
         """Run a full DQL query; returns {block_alias: [node dicts...]}."""
-        pq = parse_dql(query) if isinstance(query, str) else query
+        pq = parse_dql(query, vars) if isinstance(query, str) else query
         out: dict[str, list] = {}
         for block in self._schedule(pq.blocks):
+            if block.is_schema:
+                out["schema"] = self._schema_json(block)
+                continue
             if block.is_var_block:
                 self._run_block(block)
                 continue
@@ -85,10 +88,41 @@ class Executor:
                 out[block.alias] = result
         return out
 
-    def execute_flat(self, query: str | ParsedQuery, block_alias: str | None = None) -> DataFrame:
+    def _schema_json(self, block: Block) -> list:
+        """schema(pred: [...]) {...} introspection
+        (edgraph/server.go:1630-1648)."""
+        names = block.schema_preds or sorted(self.g.preds)
+        fields = {a.name for a in block.children if isinstance(a, Attr)} or {
+            "type", "index", "tokenizer", "list", "lang", "reverse", "count",
+        }
+        out = []
+        for n in names:
+            if not self.g.schema.has(n) and not self.g.has_pred(n):
+                continue
+            p = self.g.schema.get(n)
+            row: dict = {"predicate": n}
+            if "type" in fields:
+                row["type"] = p.typ
+            if "index" in fields:
+                row["index"] = bool(p.indexes)
+            if "tokenizer" in fields and p.indexes:
+                row["tokenizer"] = list(p.indexes)
+            if "list" in fields and p.list:
+                row["list"] = True
+            if "lang" in fields and p.lang:
+                row["lang"] = True
+            if "reverse" in fields and p.reverse:
+                row["reverse"] = True
+            if "count" in fields and p.count:
+                row["count"] = True
+            out.append(row)
+        return out
+
+    def execute_flat(self, query: str | ParsedQuery, block_alias: str | None = None,
+                     vars: dict | None = None) -> DataFrame:
         """Run a query, return ONE block's result as a flat DataFrame
         (lineage joins; aliased scalar columns). Used by the oracle gate."""
-        pq = parse_dql(query) if isinstance(query, str) else query
+        pq = parse_dql(query, vars) if isinstance(query, str) else query
         target = None
         for block in self._schedule(pq.blocks):
             if block.is_var_block:

@@ -177,6 +177,8 @@ class FuncCompiler:
             out = self._geo(f)
         elif name == "checkpwd":
             out = self._checkpwd(f)
+        elif name in ("anyof", "allof"):
+            out = self._custom_search(f)
         else:
             raise NotImplementedError(f"function {f.name!r} not implemented")
         if candidates is not None:
@@ -353,6 +355,20 @@ class FuncCompiler:
             cond = geo.geo_contains(col, float(pt[0]), float(pt[1]))
         else:
             cond = geo.intersects(col, _as_geojson_poly(lits[0]))
+        out = df.where(cond).select(SUBJECT)
+        return out if unique else out.distinct()
+
+    def _custom_search(self, f: FuncCall) -> DataFrame:
+        """anyof/allof(pred, tokenizer, q) — custom-plugin tokenizer
+        search (worker/task.go:269-270 customIndexFn)."""
+        pred = f.pred
+        lits = f.literals()
+        tokenizer, query = str(lits[0]), str(lits[1])
+        df, col, unique = self._value_source(pred, f.pred_lang)
+        if f.name.lower() == "anyof":
+            cond = tok.any_of_custom(col, tokenizer, query)
+        else:
+            cond = tok.all_of_custom(col, tokenizer, query)
         out = df.where(cond).select(SUBJECT)
         return out if unique else out.distinct()
 
