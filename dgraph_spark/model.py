@@ -53,9 +53,19 @@ class Graph:
     wide: dict[str, DataFrame] = field(default_factory=dict)
     # pred name -> (home name, column name)
     pred_home: dict[str, tuple[str, str]] = field(default_factory=dict)
+    # edge pred -> (src_home | None, dst_home | None): which side's scalar
+    # predicates ride IN-ROW on the edge DataFrame (because the edge was
+    # derived from that side's node table). Lets the planner read child
+    # attributes straight off the traversal join instead of re-scanning +
+    # re-joining the node table.
+    edge_homes: dict[str, tuple[str | None, str | None]] = field(default_factory=dict)
 
     def home_of(self, pred: str) -> tuple[str, str] | None:
         return self.pred_home.get(pred)
+
+    def edge_side_homes(self, pred: str, reverse: bool) -> tuple[str | None, str | None]:
+        src_h, dst_h = self.edge_homes.get(pred, (None, None))
+        return (dst_h, src_h) if reverse else (src_h, dst_h)
 
     # ------------------------------------------------------------------ access
     def pred(self, name: str) -> DataFrame:
@@ -79,8 +89,8 @@ class Graph:
             raise TypeError(f"predicate {name!r} is not a uid predicate")
         if reverse:
             cols = [F.col(OBJECT).alias(SUBJECT), F.col(SUBJECT).alias(OBJECT)]
-            if FACETS in df.columns:
-                cols.append(F.col(FACETS))
+            # keep facets and any in-row attribute columns through the swap
+            cols += [F.col(c) for c in df.columns if c not in (SUBJECT, OBJECT)]
             df = df.select(*cols)
         return df
 

@@ -282,6 +282,23 @@ class Executor:
 
         edges = self.g.edge(pred, reverse=child.reverse)
         facet_cols = [F.col("facets")] if "facets" in edges.columns else []
+        # in-row attribute fusion: when this edge is derived from the
+        # destination side's node table, the child's scalar attrs and
+        # order keys ride along in the traversal join — no second scan,
+        # no self-join of the node table
+        inrow_cols: list[str] = []
+        _src_h, dst_h = self.g.edge_side_homes(pred, child.reverse)
+        if dst_h is not None and child.cascade is None:
+            wanted = {
+                a.name for a in child.children
+                if isinstance(a, Attr) and self._is_plain_scalar(a)
+            }
+            wanted |= {o.key for o in child.order if not o.is_var and not o.is_facet}
+            for nm in sorted(wanted):
+                home = self.g.home_of(nm)
+                if home is not None and home[0] == dst_h and nm in edges.columns:
+                    inrow_cols.append(nm)
+        facet_cols += [F.col(nm).alias(f"_a_{nm}") for nm in inrow_cols]
         if PATH in parent.edges.columns:
             # @ignorereflex (query/query.go:156, ParentIds stack): carry the
             # data path and drop edges returning to any ancestor.
@@ -490,6 +507,9 @@ class Executor:
             cname = f"_ok{i}"
             if o.is_facet:
                 out = out.withColumn(cname, F.col(f"facets.{o.key}"))
+            elif f"_a_{o.key}" in out.columns:
+                # order key rides in-row on the edge — no join
+                out = out.withColumn(cname, F.col(f"_a_{o.key}"))
             elif o.is_var or (o.key in self.env and not self.g.has_pred(o.key)):
                 vdf = self.env[o.key].select(
                     F.col(SUBJECT).alias(DST), F.col(VALUE).alias(cname)
@@ -641,11 +661,15 @@ class Executor:
                 F.col("_rn") <= numpaths
             ).drop("_rn")
             grown = grown.localCheckpoint(eager=True)
-            if grown.limit(1).count() == 0:
+            # one action for both loop conditions
+            stats = grown.agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("node") == dst, 1).otherwise(0)).alias("h"),
+            ).collect()[0]
+            if stats["n"] == 0:
                 break
-            hits = grown.where(F.col("node") == dst)
-            found = found.unionByName(hits)
-            if unit_weights and not found_any and hits.limit(1).count() > 0:
+            found = found.unionByName(grown.where(F.col("node") == dst))
+            if unit_weights and stats["h"] > 0 and not found_any:
                 found_any = True
                 if numpaths == 1:
                     # BFS with unit weights: first hit is provably minimal
@@ -723,10 +747,12 @@ class Executor:
                 out[attr.out_name] = val
         return [out] if out else []
 
-    def _ascend(self, level: Level) -> tuple[DataFrame, DataFrame] | None:
+    def _ascend(self, level: Level, skip: set[str] | None = None) -> tuple[DataFrame, DataFrame] | None:
         """Bottom-up: build (edges, payload) where payload is
         DataFrame(_pid, _payload struct) for each distinct node at this
-        level. Cascade pruning + deferred pagination happen here."""
+        level. Cascade pruning + deferred pagination happen here.
+        ``skip``: attr out_names the parent supplies in-row off the edge."""
+        skip = skip or set()
         block = level.block
         edges = level.edges
         nodes = self._nodes(level)
@@ -739,7 +765,9 @@ class Executor:
         # scalar attrs — batched: all plain scalars sharing a wide node
         # table join in ONE shot (scan fusion), the rest one by one
         local_cols: dict[str, str] = {}
-        batch, rest = self._split_batchable(level.attr_items)
+        attr_items = [a for a in level.attr_items
+                      if not (isinstance(a, Attr) and a.out_name in skip)]
+        batch, rest = self._split_batchable(attr_items)
         for home, items in batch.items():
             wdf = self.g.wide[home].select(
                 SUBJECT, *[F.col(c).alias(a.out_name) for a, c in items]
@@ -784,7 +812,8 @@ class Executor:
 
         # child blocks
         for child in level.children:
-            res = self._ascend(child)
+            child_inrow = self._inrow_attrs(child)
+            res = self._ascend(child, skip={a.out_name for a, _ in child_inrow})
             if res is None:
                 continue
             c_edges, c_payload = res
@@ -807,6 +836,9 @@ class Executor:
                     payload_col = payload_col.withField(
                         alias or f"{child_name}|{key}", F.col(f"facets.{key}")
                     )
+            for a, ecol in child_inrow:
+                # in-row scalar attrs read straight off the traversal join
+                payload_col = payload_col.withField(a.out_name, F.col(ecol))
             arr = (
                 joined.select(F.col(SRC), F.struct(F.col(RANK).alias("_r"), payload_col.alias("_p")).alias("_rp"))
                 .groupBy(SRC)
@@ -826,7 +858,12 @@ class Executor:
                 df = df.where(c)
 
         if not struct_fields:
-            struct_fields = [F.col(SUBJECT).alias("uid")]
+            if skip:
+                # all fields arrive in-row from the parent's edge join;
+                # placeholder null field is stripped by _clean()
+                struct_fields = [F.lit(None).cast("string").alias("_none")]
+            else:
+                struct_fields = [F.col(SUBJECT).alias("uid")]
         payload = df.select(
             F.col(SUBJECT).alias("_pid"), F.struct(*struct_fields).alias("_payload")
         )
@@ -1051,6 +1088,26 @@ class Executor:
         drop = [c for c in frame.columns if c.startswith("_uid")]
         return frame.drop(*drop)
 
+    def _is_plain_scalar(self, a: Attr) -> bool:
+        return (
+            not a.is_count
+            and a.val_var is None
+            and a.math is None
+            and a.expand is None
+            and not a.langs
+            and bool(a.name)
+            and self.g.home_of(a.name) is not None
+            and not self.g.schema.get(a.name).list
+        )
+
+    def _inrow_attrs(self, level: Level) -> list[tuple[Attr, str]]:
+        """Attrs of this level whose values ride in-row on its edges."""
+        out = []
+        for a in level.attr_items:
+            if self._is_plain_scalar(a) and f"_a_{a.name}" in level.edges.columns:
+                out.append((a, f"_a_{a.name}"))
+        return out
+
     def _split_batchable(self, attrs: list[Attr]):
         """Partition scalar attrs into wide-table batches vs singles."""
         batch: dict[str, list[tuple[Attr, str]]] = {}
@@ -1140,9 +1197,17 @@ class Executor:
                     ce_cols.append(
                         F.col(f"facets.{key}").alias(alias or f"{child.block.attr}|{key}")
                     )
+            # in-row attrs: child's scalar values come off the edge join
+            child_skip: set[str] = set()
+            for a, ecol in self._inrow_attrs(child):
+                out = a.out_name
+                if out in frame.columns:
+                    out = f"{out}_l{depth + 1}"
+                ce_cols.append(F.col(ecol).alias(out))
+                child_skip.add(a.out_name)
             ce = c_edges.select(*ce_cols)
             frame = frame.join(ce, uid_col, "inner")
-            frame, _ = self._flat_level(child, frame, child_uid, depth + 1)
+            frame, _ = self._flat_level(child, frame, child_uid, depth + 1, skip=child_skip)
         return frame, uid_col
 
 

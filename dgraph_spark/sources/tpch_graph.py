@@ -159,21 +159,36 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
         type_rows.append(df.select(subj, F.lit(type_name).alias(VALUE)))
 
     # ---- edges (uid predicates) ----
+    edge_homes: dict[str, tuple[str | None, str | None]] = {}
+
     def edge(name: str, df: DataFrame, subj: F.Column, obj: F.Column,
-             facets: F.Column | None = None, **meta) -> None:
+             facets: F.Column | None = None,
+             src_home: str | None = None, dst_home: str | None = None,
+             **meta) -> None:
         cols = [subj.alias(SUBJECT), obj.alias(OBJECT)]
         if facets is not None:
             cols.append(facets.alias(FACETS))
+        # in-row attribute columns: the scalar predicates of whichever
+        # side's node table this edge is derived from (column pruning
+        # drops them when unused; when used they save a self-join +
+        # re-scan of that table)
+        inrow_home = src_home or dst_home
+        if inrow_home is not None:
+            for c in wide[inrow_home].columns:
+                if c != SUBJECT and c in df.columns:
+                    cols.append(F.col(c))
         preds[name] = df.select(*cols)
+        edge_homes[name] = (src_home, dst_home)
         reg.add(Predicate(name=name, typ="uid", list=True, **meta))
 
     o, li, c, s, n = raw["orders"], raw["lineitem"], raw["customer"], raw["supplier"], raw["nation"]
     li_uid = F.col("_li_uid")
     edge("placed", o, uid_col("customer", F.col("o_custkey")),
-         uid_col("orders", F.col("o_orderkey")), reverse=True)
+         uid_col("orders", F.col("o_orderkey")), reverse=True, dst_home="Order")
     edge("line", li, uid_col("orders", F.col("l_orderkey")),
-         li_uid, count=True)
-    edge("of_part", li, li_uid, uid_col("part", F.col("l_partkey")))
+         li_uid, count=True, dst_home="Lineitem")
+    edge("of_part", li, li_uid, uid_col("part", F.col("l_partkey")),
+         src_home="Lineitem")
     edge(
         "by_supplier",
         li,
@@ -183,6 +198,7 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
             F.col("l_quantity").cast("double").alias("qty"),
             F.col("l_extendedprice").cast("double").alias("price"),
         ),
+        src_home="Lineitem",
     )
     cust_nation = c.select(uid_col("customer", F.col("c_custkey")).alias(SUBJECT),
                            uid_col("nation", F.col("c_nationkey")).alias(OBJECT))
@@ -191,7 +207,7 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     preds["in_nation"] = cust_nation.unionByName(supp_nation)
     reg.add(Predicate(name="in_nation", typ="uid", reverse=True))
     edge("in_region", n, uid_col("nation", F.col("n_nationkey")),
-         uid_col("region", F.col("n_regionkey")), reverse=True)
+         uid_col("region", F.col("n_regionkey")), reverse=True, src_home="Nation")
 
     # node types
     types_df = type_rows[0]
@@ -200,4 +216,5 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     preds[TYPE_PRED] = types_df
     reg.add(Predicate(name=TYPE_PRED, typ="string", list=True, indexes=("exact",)))
 
-    return Graph(spark=spark, preds=preds, schema=reg, wide=wide, pred_home=pred_home)
+    return Graph(spark=spark, preds=preds, schema=reg, wide=wide,
+                 pred_home=pred_home, edge_homes=edge_homes)
