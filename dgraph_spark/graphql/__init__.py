@@ -1,0 +1,8 @@
+"""GraphQL façade: auto-generated query API over the graph schema
+(reference: graphql/schema/gqlschema.go generated fields,
+graphql/resolve/query_rewriter.go rewrite to DQL).
+"""
+
+from dgraph_spark.graphql.rewriter import execute_graphql, graphql_to_dql
+
+__all__ = ["execute_graphql", "graphql_to_dql"]
