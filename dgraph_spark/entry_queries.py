@@ -28,6 +28,9 @@ def _g(spark: SparkSession, sf_dir: str) -> Graph:
     """Graph views are lazy projections; cache per (session, dir) so
     repeated queries reuse analyzed plans + parquet file indexes instead
     of re-listing/re-inferring every call."""
+    # timestamps must render UTC regardless of the caller's session
+    # defaults (oracle comparisons hash rendered datetimes)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir)
     if key not in _GRAPH_CACHE:
         _GRAPH_CACHE[key] = load_tpch_graph(spark, sf_dir)

@@ -60,6 +60,9 @@ class Level:
     # when the frontier is a fused single-table scan: (home, condition) —
     # lets attr/var reads reuse that scan instead of self-joining
     fused: tuple[str, Column] | None = None
+    # parent level (None at root) — used to propagate value variables
+    # upward along the path (query/query.go:1143 transformTo)
+    parent: "Level | None" = None
 
 
 class Executor:
@@ -70,6 +73,9 @@ class Executor:
         self.env: dict[str, DataFrame] = {}
         # var name -> (edges DF of defining level) for level-aggregation
         self.var_edges: dict[str, DataFrame] = {}
+        # var name -> Level where it was defined (for multi-level
+        # upward propagation, transformTo semantics)
+        self.var_level: dict[str, Level] = {}
 
     # ================================================================ public
     def execute(self, query: str | ParsedQuery, vars: dict | None = None) -> dict:
@@ -250,6 +256,7 @@ class Executor:
         if block.var:
             self.env[block.var] = level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
             self.var_edges[block.var] = level.edges
+            self.var_level[block.var] = level
 
         nodes = self._nodes(level)
 
@@ -327,6 +334,7 @@ class Executor:
             ch = self._apply_filter(child.filter, ch)
 
         lvl = self._descend(child, ch, root=False)
+        lvl.parent = parent
 
         # facet variables: @facets(w as weight) -> per-dst summed facet
         if child.facets is not None and child.facets.vars and "facets" in ch.columns:
@@ -337,6 +345,7 @@ class Executor:
                 )
                 self.env[var] = vdf
                 self.var_edges[var] = lvl.edges
+                self.var_level[var] = lvl
         return lvl
 
     def _register_attr_var(self, attr: Attr, nodes: DataFrame, level: Level) -> None:
@@ -348,6 +357,7 @@ class Executor:
         if vdf is not None:
             self.env[attr.var] = vdf
             self.var_edges[attr.var] = level.edges
+            self.var_level[attr.var] = level
 
     def _attr_value_df(self, attr: Attr, nodes: DataFrame, level: Level) -> DataFrame | None:
         """DataFrame (subject, value) for a scalar-ish attr over `nodes`."""
@@ -402,12 +412,50 @@ class Executor:
             return nodes.join(df, SUBJECT, "inner").select(SUBJECT, VALUE)
         return None
 
-    def _math_value_df(self, attr: Attr, nodes: DataFrame) -> DataFrame:
+    def _var_chain(self, varname: str, level: Level | None) -> list[Level] | None:
+        """Levels from the var's defining level up to (excluding) `level`,
+        or None if `level` is not a (strict) ancestor of the definition."""
+        dl = self.var_level.get(varname)
+        if dl is None or level is None or dl is level:
+            return None
+        chain: list[Level] = []
+        cur: Level | None = dl
+        while cur is not None and cur is not level:
+            chain.append(cur)
+            cur = cur.parent
+        return chain if cur is level else None
+
+    def _val_for_level(self, varname: str, level: Level | None) -> DataFrame | None:
+        """Value variable aligned to `level`'s uid space. When the var was
+        defined in a descendant level, values propagate UP by summing
+        along paths (query/query.go:1143-1237 transformTo)."""
+        vdf = self.env.get(varname)
+        if vdf is None:
+            return None
+        chain = self._var_chain(varname, level)
+        if not chain:
+            return vdf
+        out = vdf
+        for lvl in chain:
+            e = lvl.edges
+            if SRC not in e.columns:
+                return out
+            out = (
+                e.select(SRC, DST)
+                .join(out.select(F.col(SUBJECT).alias(DST), VALUE), DST, "inner")
+                .groupBy(SRC)
+                .agg(F.sum(VALUE).alias(VALUE))
+                .select(F.col(SRC).alias(SUBJECT), VALUE)
+            )
+        return out
+
+    def _math_value_df(self, attr: Attr, nodes: DataFrame, level: Level | None = None) -> DataFrame:
         """Evaluate math() per uid by joining referenced vars."""
         names = sorted(math_vars(attr.math))
         out = nodes.select(SUBJECT)
         for v in names:
-            vdf = self.env[v].select(SUBJECT, F.col(VALUE).alias(f"_v_{v}"))
+            resolved = self._val_for_level(v, level) if level is not None else self.env[v]
+            vdf = resolved.select(SUBJECT, F.col(VALUE).alias(f"_v_{v}"))
             out = out.join(vdf, SUBJECT, "left")
         col = compile_math(attr.math, lambda n: F.col(f"_v_{n}"))
         return out.select(SUBJECT, col.alias(VALUE))
@@ -895,13 +943,36 @@ class Executor:
             )
             return cdf, out, False
         if attr.name in _AGG_ATTRS and attr.val_var:
-            # level aggregation: aggregate child-defined var per this node
+            # level aggregation: aggregate descendant-defined var per this
+            # node; multi-level definitions propagate by summing along the
+            # intermediate levels first (transformTo), then the requested
+            # aggregate applies at the last hop (evalLevelAgg)
             vdf = self.env.get(attr.val_var)
             if vdf is None:
                 return None, "", False
-            def_edges = self.var_edges.get(attr.val_var)
             out = out_name if attr.alias else f"{attr.name}(val({attr.val_var}))"
             fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[attr.name]
+            chain = self._var_chain(attr.val_var, level)
+            if chain:
+                cur = vdf
+                for lvl in chain[:-1]:
+                    cur = (
+                        lvl.edges.select(SRC, DST)
+                        .join(cur.select(F.col(SUBJECT).alias(DST), VALUE), DST, "inner")
+                        .groupBy(SRC)
+                        .agg(F.sum(VALUE).alias(VALUE))
+                        .select(F.col(SRC).alias(SUBJECT), VALUE)
+                    )
+                last = chain[-1]
+                per_parent = (
+                    last.edges.select(SRC, DST)
+                    .join(cur.select(F.col(SUBJECT).alias(DST), VALUE), DST, "inner")
+                    .groupBy(SRC)
+                    .agg(fn(VALUE).alias(out))
+                    .select(F.col(SRC).alias(SUBJECT), out)
+                )
+                return per_parent, out, False
+            def_edges = self.var_edges.get(attr.val_var)
             if def_edges is not None and SRC in def_edges.columns:
                 per_parent = (
                     def_edges.select(SRC, DST)
@@ -915,7 +986,7 @@ class Executor:
             total = vdf.agg(fn(VALUE).alias(out))
             return nodes.crossJoin(F.broadcast(total)), out, False
         if attr.val_var and attr.name == "val":
-            vdf = self.env.get(attr.val_var)
+            vdf = self._val_for_level(attr.val_var, level)
             if vdf is None:
                 return None, "", False
             out = out_name if attr.alias else f"val({attr.val_var})"
@@ -925,7 +996,7 @@ class Executor:
                 False,
             )
         if attr.math is not None:
-            vdf = self._math_value_df(attr, nodes)
+            vdf = self._math_value_df(attr, nodes, level)
             out = out_name if attr.alias else "math"
             return vdf.select(SUBJECT, F.col(VALUE).alias(out)), out, False
         if attr.expand is not None:

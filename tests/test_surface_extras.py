@@ -97,6 +97,33 @@ def test_eq_val_filter(executor):
     assert len(r["q"]) > 0
 
 
+def test_multilevel_var_propagation(executor, spark):
+    """Value var defined two levels deep, aggregated at the top —
+    transformTo path-sum then level aggregation."""
+    r = executor.execute('''
+    { n(func: eq(n_name, "NATION_1")) {
+        n_name
+        cust: ~in_nation @filter(type(Customer)) {
+          placed { t as o_totalprice }
+        }
+        total: sum(val(t))
+    } }''')
+    got = r["n"][0]["total"]
+    g = executor.g
+    exp = (
+        g.edge("in_nation", reverse=True)
+        .join(g.uids_of_type("Nation").where(
+            F.col("subject").isin([r2["subject"] for r2 in
+                g.scalar("n_name").where(F.col("value") == "NATION_1").collect()])),
+            "subject", "left_semi")
+        .select(F.col("object").alias("cust"))
+        .join(g.edge("placed").withColumnRenamed("subject", "cust"), "cust")
+        .join(g.scalar("o_totalprice").withColumnRenamed("subject", "object"), "object")
+        .agg(F.sum("value")).collect()[0][0]
+    )
+    assert abs(got - exp) < 1e-6
+
+
 def test_subscription_fires_on_change(spark):
     from dgraph_spark.mutations import set_nquads
     from dgraph_spark.schema import SchemaRegistry
