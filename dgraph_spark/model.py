@@ -53,6 +53,10 @@ class Graph:
     wide: dict[str, DataFrame] = field(default_factory=dict)
     # pred name -> (home name, column name)
     pred_home: dict[str, tuple[str, str]] = field(default_factory=dict)
+    # node type -> (lo, hi) uid range when the loader assigns uids in
+    # type-tagged ranges: type(T) filters become free range predicates
+    # (no join, no scan — the uid IS the type tag)
+    type_uid_ranges: dict[str, tuple[int, int]] = field(default_factory=dict)
     # edge pred -> (src_home | None, dst_home | None): which side's scalar
     # predicates ride IN-ROW on the edge DataFrame (because the edge was
     # derived from that side's node table). Lets the planner read child

@@ -76,6 +76,14 @@ class FuncCompiler:
             matched = self.g.wide[home].where(cond).select(SUBJECT)
             return candidates.join(matched, SUBJECT, "left_semi")
         if tree.op == "func":
+            f = tree.func
+            if f.name.lower() == "type":
+                rng = self.g.type_uid_ranges.get(str(f.args[0].value))
+                if rng is not None:
+                    # tagged uid ranges make type() a free range predicate
+                    return candidates.where(
+                        (F.col(SUBJECT) >= rng[0]) & (F.col(SUBJECT) < rng[1])
+                    )
             return self._eval(tree.func, candidates)
         if tree.op == "and":
             out = candidates

@@ -216,5 +216,10 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     preds[TYPE_PRED] = types_df
     reg.add(Predicate(name=TYPE_PRED, typ="string", list=True, indexes=("exact",)))
 
+    type_uid_ranges = {
+        type_name: (TAGS[table] << UID_SHIFT, (TAGS[table] + 1) << UID_SHIFT)
+        for table, (type_name, _cols) in _SCALARS.items()
+    }
     return Graph(spark=spark, preds=preds, schema=reg, wide=wide,
-                 pred_home=pred_home, edge_homes=edge_homes)
+                 pred_home=pred_home, edge_homes=edge_homes,
+                 type_uid_ranges=type_uid_ranges)
