@@ -92,15 +92,18 @@ def ngram_jaccard_pairs(
     )
     # prefix length = sz - ceil(t*sz) + 1
     prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
-    prefix = ranked.select(
-        "id", F.explode(F.slice("rg", 1, prefix_len)).alias("e")
-    ).select("id", F.col("e.g").alias("g"))
 
-    # length filter (exactness-preserving): jac >= t forces
-    # t*|B| <= |A| <= |B|/t, pruning candidates before the verify join
+    # PPJoin-style candidate generation, all exactness-preserving:
+    #  - prefix filter: similar pairs must share a prefix shingle
+    #  - length filter: t*|B| <= |A| <= |B|/t
+    #  - positional filter: with first shared prefix positions (pa, pb),
+    #    the overlap can be at most 1 + min(|A|-pa, |B|-pb); it must reach
+    #    alpha = ceil(t/(1+t) * (|A|+|B|))
     pref_sz = ranked.select(
-        "id", F.explode(F.slice("rg", 1, prefix_len)).alias("e"), "sz"
-    ).select("id", F.col("e.g").alias("g"), "sz")
+        "id", F.posexplode(F.slice("rg", 1, prefix_len)).alias("p", "e"), "sz"
+    ).select("id", F.col("e.g").alias("g"), "p", "sz")
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("sza") + F.col("szb")))
+    ubound = 1 + F.least(F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb"))
     cand = (
         pref_sz.alias("a")
         .join(pref_sz.alias("b"), "g")
@@ -109,8 +112,13 @@ def ngram_jaccard_pairs(
             & (F.col("a.sz") >= threshold * F.col("b.sz"))
             & (F.col("b.sz") >= threshold * F.col("a.sz"))
         )
-        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .agg(
+            F.min(F.col("a.p")).alias("pa"), F.min(F.col("b.p")).alias("pb"),
+            F.first(F.col("a.sz")).alias("sza"), F.first(F.col("b.sz")).alias("szb"),
+        )
+        .where(ubound >= alpha)
+        .select("i", "j")
     )
     # verify is compute-bound, not byte-bound: spread it wide so AQE's
     # byte-based coalescing doesn't serialize millions of array

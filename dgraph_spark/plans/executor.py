@@ -224,6 +224,13 @@ class Executor:
             return vdf.select(F.col(SUBJECT).alias(DST)).distinct()
         return self.spark.createDataFrame([], f"{DST} long")
 
+    def _empty_edges(self) -> DataFrame:
+        """Empty child level for unknown predicates (dgraph returns empty
+        results, not errors, for absent predicates)."""
+        return self.spark.createDataFrame([], f"{SRC} long, {DST} long").withColumn(
+            RANK, F.col(DST)
+        )
+
     def _apply_filter(self, tree, frontier: DataFrame) -> DataFrame:
         fc = FuncCompiler(self.g, self.env)
         cands = frontier.select(F.col(DST).alias(SUBJECT)).distinct()

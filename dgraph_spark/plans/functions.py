@@ -38,7 +38,14 @@ class FuncCompiler:
             return F.to_timestamp(F.lit(v))
         return F.lit(v)
 
+    def _empty_uids(self) -> DataFrame:
+        return self.g.spark.createDataFrame([], f"{SUBJECT} long")
+
     def _scalar(self, pred: str, lang: str | None = None) -> DataFrame:
+        if not self.g.has_pred(pred):
+            # absent predicate: empty result, mirroring dgraph's behavior
+            # for data-less predicates (no error)
+            return self.g.spark.createDataFrame([], f"{SUBJECT} long, {VALUE} string")
         df = self.g.scalar(pred)
         if lang and "lang" in df.columns:
             df = df.where(F.col("lang") == lang)
@@ -222,6 +229,8 @@ class FuncCompiler:
 
     def _count_compare(self, pred: str, op: str, lits: list) -> DataFrame:
         reverse = pred.startswith("~")
+        if not self.g.has_pred(pred.lstrip("~")):
+            return self._empty_uids()
         edges = self.g.edge(pred.lstrip("~"), reverse=reverse)
         n = int(lits[0])
         counts = edges.groupBy(SUBJECT).agg(F.count("*").alias("_cnt"))
@@ -231,6 +240,8 @@ class FuncCompiler:
         """Pick the access path for a scalar predicate's values:
         (DataFrame, value Column, subjects_unique?). Prefers the wide
         node table (fused scan, unique subjects -> no distinct)."""
+        if not self.g.has_pred(pred):
+            return self._scalar(pred, lang), F.col(VALUE), True
         home = self.g.home_of(pred)
         meta = self.g.schema.get(pred)
         if home is not None and not (lang and meta.lang):
@@ -252,6 +263,8 @@ class FuncCompiler:
         pred = f.pred
         reverse = pred.startswith("~")
         name = pred.lstrip("~")
+        if not self.g.has_pred(name):
+            return self._empty_uids()
         if self.g.schema.get(name).is_uid:
             return self.g.edge(name, reverse=reverse).select(SUBJECT).distinct()
         return self.g.scalar(name).select(SUBJECT).distinct()
@@ -280,6 +293,8 @@ class FuncCompiler:
     def _uid_in(self, f: FuncCall) -> DataFrame:
         pred = f.pred
         reverse = pred.startswith("~")
+        if not self.g.has_pred(pred.lstrip("~")):
+            return self._empty_uids()
         edges = self.g.edge(pred.lstrip("~"), reverse=reverse)
         uids: list[int] = []
         var_frames: list[DataFrame] = []
