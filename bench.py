@@ -36,6 +36,9 @@ HEADLINE = [
     "text_stats",
     "connected_components",
     "stream_session",
+    "q5_local_supplier",
+    "dedup_minhash_lsh",
+    "anyoftext",
 ]
 
 

@@ -776,6 +776,83 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 semantics through the graph model: revenue per ASIA
+    nation from orders whose line items were shipped by a supplier in
+    the customer's own nation — the correlated same-nation condition is
+    a join of the two in_nation edge paths on the nation uid."""
+    g = _g(spark, sf_dir)
+    asia = (
+        g.wide["Region"].where(F.col("r_name") == "ASIA").select(SUBJECT)
+    )
+    nations = (
+        g.edge("in_region")
+        .join(asia.withColumnRenamed(SUBJECT, "object"), "object", "left_semi")
+        .select(F.col(SUBJECT).alias("nation"))
+    )
+    cust_nation = g.edge("in_nation").join(
+        g.wide["Customer"].select(SUBJECT), SUBJECT, "left_semi"
+    ).select(F.col(SUBJECT).alias("cust"), F.col("object").alias("nation"))
+    supp_nation = g.edge("in_nation").join(
+        g.wide["Supplier"].select(SUBJECT), SUBJECT, "left_semi"
+    ).select(F.col(SUBJECT).alias("supp"), F.col("object").alias("nation"))
+    orders = (
+        g.wide["Order"]
+        .where(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1994-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-01-01")))
+        )
+        .select(F.col(SUBJECT).alias("order"))
+    )
+    placed = g.edge("placed").select(F.col(SUBJECT).alias("cust"), F.col("object").alias("order"))
+    line = g.edge("line").select(
+        F.col(SUBJECT).alias("order"), F.col("object").alias("li"),
+        F.col("l_extendedprice"), F.col("l_discount"),
+    )
+    by_supp = g.edge("by_supplier").select(F.col(SUBJECT).alias("li"), F.col("object").alias("supp"))
+    n_name = g.scalar("n_name").select(F.col(SUBJECT).alias("nation"), F.col("value").alias("n_name"))
+    rev = (
+        cust_nation.join(F.broadcast(nations), "nation")
+        .join(placed, "cust")
+        .join(orders, "order", "left_semi")
+        .join(line, "order")
+        .join(by_supp, "li")
+        .join(supp_nation.withColumnRenamed("nation", "s_nation"), "supp")
+        .where(F.col("nation") == F.col("s_nation"))
+        .join(F.broadcast(n_name), "nation")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return rev
+
+
+SQL_q5_local_supplier = """
+SELECT n_name, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""
+
+
+def q_groupby_uid_pred(spark, sf_dir):
+    """@groupby on a uid predicate (group customers by nation edge)."""
+    return _flat(spark, sf_dir, '''
+    { g(func: type(Customer)) @groupby(in_nation) { cnt: count(uid) } }''')
+
+
+SQL_groupby_uid_pred = """
+SELECT (2::BIGINT << 40) + c_nationkey AS in_nation, COUNT(*) AS cnt
+FROM customer GROUP BY 1
+"""
+
+
 def entry_flagship(spark) -> DataFrame:
     """Driver smoke entry: flagship traversal on sf0.001."""
     return q_root_eq_reverse_traversal(spark, "/root/testdata/sf0.001")
@@ -822,4 +899,6 @@ QUERIES: dict[str, tuple] = {
     "ngram_search": (q_ngram_search, SQL_ngram_search),
     "stream_sliding": (q_stream_sliding, SQL_stream_sliding),
     "stream_session": (q_stream_session, SQL_stream_session),
+    "q5_local_supplier": (q_q5_local_supplier, SQL_q5_local_supplier),
+    "groupby_uid_pred": (q_groupby_uid_pred, SQL_groupby_uid_pred),
 }
