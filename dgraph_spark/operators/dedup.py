@@ -43,6 +43,18 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, sh) with the CPU-bound shingling spread across cores — a
+    single small parquet file otherwise runs the whole corpus in one
+    task."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par)
+        .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
+
+
 def word_shingles(col: Column, n: int = 2) -> Column:
     """Distinct word n-gram shingles of the text.
 
@@ -76,9 +88,7 @@ def ngram_jaccard_pairs(
     posting list (the naive index is quadratic in document frequency —
     unusable at scale). Candidates are then verified with exact jaccard.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-    ).where(F.size("sh") > 0)
+    sh = _shingled(docs, text_col, id_col, n)
 
     # global document frequency per shingle; (df, g) IS the rarest-first
     # total order — no global row_number/sort needed
@@ -146,9 +156,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures over word shingles.
     Hash family: xxhash64(shingle, seed_k) — JVM-side, vectorized."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-    ).where(F.size("sh") > 0)
+    sh = _shingled(docs, text_col, id_col, n)
     # relational min-hash: explode shingles, fan out the hash family via
     # posexplode, partial-min per (id, k). One pass over the shingles —
     # num_hashes separate array expressions would re-inline (and
@@ -201,9 +209,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify candidates with exact jaccard (precision = 1)
-    sh = docs.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-    )
+    sh = _shingled(docs, text_col, id_col, n)
     out = (
         cand.join(sh.select(F.col("id").alias("i"), F.col("sh").alias("sha")), "i")
         .join(sh.select(F.col("id").alias("j"), F.col("sh").alias("shb")), "j")

@@ -82,7 +82,7 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh = (
             sym.join(labels, sym[SUBJECT] == labels.node, "inner")
             .select(F.col(OBJECT).alias("node"), "component")
@@ -93,16 +93,20 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        prev = labels
         labels = new_labels
-        if changed == 0:
-            break
+        # convergence needs >= diameter rounds; checking every round
+        # doubles the driver actions for nothing — probe every 2nd round
+        if it >= 1 and it % 2 == 1:
+            changed = (
+                new_labels.alias("n")
+                .join(prev.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
     return labels
 
 

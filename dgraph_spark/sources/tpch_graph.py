@@ -130,7 +130,12 @@ def _with_lineitem_uid(df: DataFrame) -> DataFrame:
 def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     """Build the graph view described in FIXTURES.md §B over ``sf_dir``."""
     raw = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TAGS if t != "events"}
-    raw["lineitem"] = _with_lineitem_uid(raw["lineitem"])
+    # The lineitem uid needs a disambiguating window (no natural key in
+    # the synthetic data); persist the annotated relation so the window
+    # runs once per session instead of once per predicate touch. In a
+    # real 100 TB deployment the uid is assigned at ingest and written
+    # into the warehouse — this cache only stands in for that.
+    raw["lineitem"] = _with_lineitem_uid(raw["lineitem"]).persist()
     reg = SchemaRegistry()
     preds: dict[str, DataFrame] = {}
     type_rows: list[DataFrame] = []
