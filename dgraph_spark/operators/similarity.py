@@ -93,6 +93,58 @@ def similar_to_many(
     return scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
 
 
+def ivf_index(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """IVF (inverted-file) ANN index: k-means centroids + cluster
+    assignment. Returns (assigned DataFrame with `list_id`, centroids as
+    a Python list). The index build is one MLlib KMeans fit; search
+    probes only the closest lists — the classic 100 TB ANN layout
+    (train on a sample, assign in one pass, partition by list_id)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_features",
+                predictionCol="list_id")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "list_id")
+    centroids = [list(c) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ann_topk_ivf(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int,
+    n_probes: int = 2,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Search an IVF index: rank centroids by distance to the query,
+    scan only the ``n_probes`` nearest lists, exact re-rank inside.
+    With the assigned relation partitioned by list_id, the probe is a
+    partition-pruned scan."""
+    import math
+
+    def dist(c):
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query_vec)))
+
+    probe_ids = sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probes]
+    cand = assigned.where(F.col("list_id").isin(probe_ids))
+    return similar_to(cand, query_vec, k, metric, id_col, vec_col)
+
+
 def lsh_bucket(
     vectors: DataFrame,
     hyperplanes: list[list[float]],

@@ -41,6 +41,24 @@ def test_ann_lsh_contains_near(spark):
     assert any(r["vec_id"] == 1 for r in out)
 
 
+def test_ann_ivf(spark):
+    from dgraph_spark.operators.similarity import ann_topk_ivf, ivf_index, similar_to
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    assigned, centroids = ivf_index(emb, n_lists=8, id_col="vec_id", vec_col="embedding")
+    assert assigned.select("list_id").distinct().count() <= 8
+    q = emb.where(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    approx = ann_topk_ivf(assigned, centroids, list(q), k=5, n_probes=3,
+                          id_col="vec_id", vec_col="embedding").collect()
+    # the query vector itself must be found (its own list is probed first)
+    assert approx[0]["vec_id"] == 3
+    # recall vs exact top-5 should be decent with 3/8 lists probed
+    exact = {r["vec_id"] for r in similar_to(emb, list(q), 5, id_col="vec_id",
+                                             vec_col="embedding").collect()}
+    got = {r["vec_id"] for r in approx}
+    assert len(got & exact) >= 3
+
+
 def test_reachable(graph):
     starts = graph.uids_of_type("Customer").limit(5)
     out = reachable(graph, starts, ["in_nation", "in_region"], max_depth=3)
