@@ -110,6 +110,88 @@ def delete_nquads(graph: Graph, nquads: str) -> Graph:
     return delete_triples(graph, _triples_from_nquads(graph, nq))
 
 
+def mutate(graph: Graph, mutation_text: str) -> Graph:
+    """Apply a dgraph mutation document::
+
+        { set { <nquads> } delete { <nquads> } }
+
+    (dql/parser_mutation.go:15 ParseMutation surface; both sections
+    optional, either order)."""
+    set_nq, del_nq = _split_mutation_blocks(mutation_text)
+    g = graph
+    if set_nq.strip():
+        g = set_nquads(g, set_nq)
+    if del_nq.strip():
+        g = delete_nquads(g, del_nq)
+    return g
+
+
+def _split_mutation_blocks(text: str) -> tuple[str, str]:
+    import re
+
+    def grab(kw: str) -> str:
+        m = re.search(kw + r"\s*\{", text)
+        if not m:
+            return ""
+        depth = 1
+        i = m.end()
+        start = i
+        while i < len(text) and depth:
+            if text[i] == "{":
+                depth += 1
+            elif text[i] == "}":
+                depth -= 1
+            i += 1
+        return text[start : i - 1]
+
+    return grab(r"\bset"), grab(r"\bdelete")
+
+
+def upsert_text(graph: Graph, upsert_block: str) -> "UpsertResult":
+    """dgraph upsert block text form::
+
+        upsert {
+          query { v as var(func: eq(email, "x")) }
+          mutation @if(eq(len(v), 0)) { set { ... } }
+        }
+
+    Query vars feed the conditional; uid(v) placeholders in the mutation
+    N-Quads substitute each matched uid (edgraph/server.go:874
+    buildUpsertQuery + :999 var substitution)."""
+    import re
+
+    qm = re.search(r"query\s*(\{.*?\})\s*mutation", upsert_block, re.S)
+    if not qm:
+        raise ValueError("upsert block needs `query { ... } mutation ...`")
+    query_text = qm.group(1)
+    cond = None
+    cond_var = None
+    cm = re.search(r"@if\s*\(\s*(eq|gt|lt)\s*\(\s*len\s*\(\s*(\w+)\s*\)\s*,\s*(\d+)\s*\)\s*\)", upsert_block)
+    if cm:
+        op, cond_var, n = cm.group(1), cm.group(2), int(cm.group(3))
+        cond = "empty" if (op == "eq" and n == 0) else "nonempty"
+    mut_m = re.search(r"mutation[^{]*(\{.*\})", upsert_block, re.S)
+    set_nq, _del_nq = _split_mutation_blocks(mut_m.group(1))
+
+    def build(env):
+        nq = set_nq
+        # substitute uid(var) with each matched uid (cartesian over vars)
+        for var, df in env.items():
+            token = f"uid({var})"
+            if token in nq:
+                uids = [r[SUBJECT] for r in df.select(SUBJECT).distinct().collect()]
+                lines = []
+                for line in nq.splitlines():
+                    if token in line:
+                        lines.extend(line.replace(token, f"<{u}>") for u in uids)
+                    else:
+                        lines.append(line)
+                nq = "\n".join(lines)
+        return _triples_from_nquads(graph, nq)
+
+    return upsert(graph, query_text, build, cond=cond, cond_var=cond_var)
+
+
 @dataclass
 class UpsertResult:
     graph: Graph

@@ -45,6 +45,44 @@ def test_delete_triple_and_star(spark):
     assert g3.pred("name").count() == 1
 
 
+def test_mutation_text_document(spark):
+    from dgraph_spark.mutations import mutate
+
+    g = _graph(spark, '<0x1> <name> "Alice" .\n<0x1> <friend> <0x2> .')
+    g2 = mutate(g, '''
+    {
+      set { <0x1> <friend> <0x3> . }
+      delete { <0x1> <friend> <0x2> . }
+    }''')
+    assert [r["object"] for r in g2.pred("friend").collect()] == [3]
+
+
+def test_upsert_text_block(spark):
+    from dgraph_spark.mutations import upsert_text
+
+    g = _graph(spark, '<0x1> <email> "a@x.com" .')
+    r = upsert_text(g, '''
+    upsert {
+      query { v as var(func: eq(email, "b@x.com")) }
+      mutation @if(eq(len(v), 0)) {
+        set { <0x99> <email> "b@x.com" . }
+      }
+    }''')
+    assert r.applied
+    assert r.graph.pred("email").count() == 2
+    # uid(v) substitution path: add a name to every matched email node
+    r2 = upsert_text(r.graph, '''
+    upsert {
+      query { v as var(func: eq(email, "b@x.com")) }
+      mutation @if(gt(len(v), 0)) {
+        set { uid(v) <name> "Bee" . }
+      }
+    }''')
+    assert r2.applied and r2.matched == 1
+    names = {x["value"] for x in r2.graph.pred("name").collect()}
+    assert "Bee" in names
+
+
 def test_conditional_upsert(spark):
     g = _graph(spark, '<0x1> <email> "a@x.com" .\n<0x1> <name> "Alice" .')
 
