@@ -199,6 +199,8 @@ class Parser:
                 b.order.append(self.parse_order_key(desc=(key == "orderdesc")))
             elif key == "first":
                 b.first = int(self._subst(self.next().text))
+                if b.first == 0:
+                    b.first = None  # first: 0 == unset (x/x.go PageRange)
             elif key == "offset":
                 b.offset = int(self._subst(self.next().text))
             elif key == "after":

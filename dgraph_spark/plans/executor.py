@@ -153,8 +153,12 @@ class Executor:
         while remaining:
             ready = [b for b in remaining if _block_needs(b) <= defined]
             if not ready:
+                missing = sorted(
+                    set().union(*(_block_needs(b) for b in remaining)) - defined
+                )
                 raise ValueError(
-                    f"circular/undefined variable dependency; remaining={[b.alias for b in remaining]}"
+                    f"circular/undefined variable dependency: missing vars {missing}; "
+                    f"blocked blocks={[b.alias for b in remaining]}"
                 )
             for b in ready:
                 ordered.append(b)
@@ -776,6 +780,8 @@ class Executor:
         ordered = edges.join(payload, edges[DST] == payload["_pid"], "inner").orderBy(RANK)
         rows = [r["_payload"] for r in ordered.select(F.col("_payload")).collect()]
         out = [_row_to_dict(r) for r in rows if r is not None]
+        # nodes with no requested data are omitted (dgraph JSON behavior)
+        out = [d for d in out if d]
         if block.normalize:
             out = list(itertools.chain.from_iterable(_normalize(d) for d in out))
         return out
