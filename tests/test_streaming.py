@@ -70,6 +70,56 @@ def test_streaming_tumbling_matches_batch(spark):
     assert got == want
 
 
+def test_watermark_append_mode_drops_late_data(spark):
+    """Append-mode windowed agg: a window only emits once the watermark
+    passes it, and data later than the watermark is dropped — the core
+    late-data contract."""
+    tmp = tempfile.mkdtemp(prefix="dgs_wm_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for ts, et in rows:
+                f.write(json.dumps({"event_id": 1, "ts": ts, "user_id": 1,
+                                    "event_type": et, "value": 1.0}) + "\n")
+
+    # batch 0: events in hour 10 and hour 12 (watermark -> 12:30 - 1h = 11:30)
+    write_batch("b0.json", [
+        ("2024-01-01T10:05:00", "a"), ("2024-01-01T10:20:00", "a"),
+        ("2024-01-01T12:30:00", "b"),
+    ])
+    stream = stream_events(
+        spark, src,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    agg = tumbling_agg(stream, "1 hour", keys=["event_type"], watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("t_wm")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: a LATE event for hour 10 (older than watermark 11:30) plus
+        # an event advancing the watermark past hour 12
+        write_batch("b1.json", [
+            ("2024-01-01T10:40:00", "a"),          # late -> dropped
+            ("2024-01-01T14:10:00", "c"),          # advances watermark to 13:10
+        ])
+        q.processAllAvailable()
+        rows = {(str(r["ws"]), r["event_type"]): r["cnt"]
+                for r in spark.sql("SELECT * FROM t_wm").collect()}
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    # hour-10 'a' window emitted with the ON-TIME count only (2, not 3)
+    assert rows[("2024-01-01 10:00:00", "a")] == 2
+    # hour-12 'b' emitted once the watermark passed it
+    assert rows[("2024-01-01 12:00:00", "b")] == 1
+    # hour-14 'c' window NOT emitted (watermark hasn't passed it)
+    assert ("2024-01-01 14:00:00", "c") not in rows
+
+
 def test_session_windows(spark):
     ev = read_events(spark, SF_SMALL)
     out = session_agg(ev, gap="5 minutes", keys=["user_id"])
