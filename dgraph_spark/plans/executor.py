@@ -783,7 +783,14 @@ class Executor:
         # nodes with no requested data are omitted (dgraph JSON behavior)
         out = [d for d in out if d]
         if block.normalize:
-            out = list(itertools.chain.from_iterable(_normalize(d) for d in out))
+            aliased = _aliased_names(block)
+            out = [
+                d
+                for d in itertools.chain.from_iterable(
+                    _normalize(d, aliased) for d in out
+                )
+                if d  # fully-unaliased rows flatten to nothing
+            ]
         return out
 
     def _agg_only_json(self, block: Block) -> list:
@@ -1400,18 +1407,39 @@ def _clean(v):
     return v
 
 
-def _normalize(node: dict) -> list[dict]:
+def _aliased_names(b: Block) -> set[str]:
+    """Output names that carry an explicit alias anywhere in the block
+    tree — @normalize keeps ONLY these (query/outputnode.go:921)."""
+    out: set[str] = set()
+
+    def walk(blk: Block):
+        for c in blk.children:
+            if isinstance(c, Block):
+                walk(c)
+            elif c.alias:
+                out.add(c.alias)
+
+    walk(b)
+    return out
+
+
+def _normalize(node: dict, aliased: set[str] | None = None) -> list[dict]:
     """@normalize flatten (query/outputnode.go:921): cartesian-combine
-    child lists, keep only leaf scalars (which in dgraph are the aliased
-    ones — we keep all scalars since un-aliased preds were already
-    filtered during assembly for normalize blocks)."""
-    scalars = {k: v for k, v in node.items() if not isinstance(v, list) or not (v and isinstance(v[0], dict))}
+    child lists; only ALIASED scalars survive when an alias set is given
+    (dgraph keeps only aliased attrs in normalized output)."""
+    scalars = {
+        k: v for k, v in node.items()
+        if (not isinstance(v, list) or not (v and isinstance(v[0], dict)))
+        and (aliased is None or k in aliased)
+    }
     child_lists = {k: v for k, v in node.items() if isinstance(v, list) and v and isinstance(v[0], dict)}
     if not child_lists:
         return [scalars]
     results = [scalars]
     for k, lst in child_lists.items():
-        flattened_children = list(itertools.chain.from_iterable(_normalize(c) for c in lst))
+        flattened_children = list(
+            itertools.chain.from_iterable(_normalize(c, aliased) for c in lst)
+        )
         new_results = []
         for base in results:
             for child in flattened_children:

@@ -65,9 +65,10 @@ def test_normalize_flattens(executor):
     r = executor.execute('''
     { q(func: eq(n_name, "NATION_0")) @normalize {
         nation: n_name
-        ~in_nation @filter(type(Customer)) (first: 2) { cust: c_name }
+        ~in_nation @filter(type(Customer)) (first: 2) { cust: c_name c_acctbal }
     } }''')
     flat = r["q"]
+    # only ALIASED attrs survive @normalize (c_acctbal is dropped)
     assert all(set(d) <= {"nation", "cust"} for d in flat)
     assert any("cust" in d for d in flat)
 
