@@ -707,9 +707,23 @@ def _merge_facets(a: FacetsSpec | None, b: FacetsSpec) -> FacetsSpec:
     return a
 
 
+_ESCAPES = {'"': '"', "'": "'", "\\": "\\", "/": "/", "n": "\n",
+            "t": "\t", "r": "\r", "b": "\b", "f": "\f", "0": "\0"}
+
+
 def _unquote(s: str) -> str:
+    """Decode escape sequences UTF-8-safely (dql/state.go lexes strings
+    as UTF-8; unicode_escape would round-trip through latin-1 and
+    corrupt non-ASCII text like "José")."""
     body = s[1:-1]
-    return body.encode().decode("unicode_escape")
+
+    def sub(m: "re.Match[str]") -> str:
+        e = m.group(1)
+        if e[0] == "u":
+            return chr(int(e[1:], 16))
+        return _ESCAPES.get(e, e)
+
+    return re.sub(r"\\(u[0-9a-fA-F]{4}|.)", sub, body)
 
 
 def _num(s: str):

@@ -185,12 +185,16 @@ def q_math_per_uid(spark, sf_dir):
         d as l_discount
         revenue: math(p * (1 - d))
     } }''')
-    return _round(df, {"revenue": 2})
+    # No rounding on either side: both engines compute p*(1-d) as the
+    # same IEEE-754 double (bit-identical), and the driver canonicalizes
+    # floats with %.6g — rounding (F.round vs DuckDB round/::DECIMAL)
+    # is exactly where the engines' half-way conventions diverge.
+    return df
 
 
 SQL_math_per_uid = """
 SELECT l_extendedprice, l_discount,
-       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+       l_extendedprice * (1 - l_discount) AS revenue
 FROM lineitem WHERE l_extendedprice > 90000
 """
 

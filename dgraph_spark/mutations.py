@@ -18,6 +18,8 @@ SURVEY.md §1.5). Semantics preserved from the reference:
 
 from __future__ import annotations
 
+import re as _re
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -147,17 +149,113 @@ def _split_mutation_blocks(text: str) -> tuple[str, str]:
     return grab(r"\bset"), grab(r"\bdelete")
 
 
+# template N-Quad line: subject and object may each be a uid(var)
+# placeholder besides the normal iri/blank/literal forms
+_TMPL_RE = _re.compile(
+    r'^\s*'
+    r'(?:<([^>]*)>|(_:[A-Za-z0-9_.\-]+)|uid\((\w+)\))\s+'   # 1 iri | 2 blank | 3 var
+    r'<([^>]*)>\s+'                                          # 4 predicate
+    r'(?:<([^>]*)>|(_:[A-Za-z0-9_.\-]+)|uid\((\w+)\)|(\*)'   # 5 iri | 6 blank | 7 var | 8 wildcard
+    r'|"((?:[^"\\]|\\.)*)"'                                  # 9 literal
+    r'(?:@([a-zA-Z\-]+))?'                                   # 10 lang
+    r'(?:\^\^<([^>]*)>)?'                                    # 11 datatype
+    r')'
+    r'(?:\s+\(([^)]*)\))?'                                   # 12 facets
+    r'\s*\.\s*$'
+)
+
+
+def expand_template(graph: Graph, nquads: str, env: dict[str, DataFrame]) -> DataFrame:
+    """Expand `uid(var)` placeholders in mutation N-Quads RELATIONALLY:
+    each template line joins against the var's uid relation instead of
+    collecting matched uids to the driver and rewriting text (the
+    reference substitutes server-side per-uid, edgraph/server.go:999;
+    driver-side text expansion would materialize millions of uids on one
+    machine at scale). Same var in subject+object binds the same uid per
+    row; distinct vars expand cartesian — matching the reference.
+
+    Constant lines (no placeholders) batch through parse_nquads."""
+    spark = graph.spark
+    const_lines: list[str] = []
+    parts: list[DataFrame] = []
+    from dgraph_spark.sources.rdf import _uid_expr
+
+    def _id_expr(iri, blank, var):
+        if var is not None:
+            return F.col(f"__var_{var}")
+        return _uid_expr(
+            F.lit(iri) if iri is not None else F.lit(None).cast("string"),
+            F.lit(blank) if blank is not None else F.lit(None).cast("string"),
+        )
+
+    for line in nquads.splitlines():
+        if not line.strip() or line.strip().startswith("#"):
+            continue
+        if "uid(" not in line:
+            const_lines.append(line)
+            continue
+        m = _TMPL_RE.match(line)
+        if not m:
+            raise ValueError(f"bad upsert template N-Quad: {line!r}")
+        (s_iri, s_blank, s_var, pred, o_iri, o_blank, o_var, o_star,
+         o_lit, lang, dtype, facets) = m.groups()
+        line_vars = []
+        for v in (s_var, o_var):
+            if v is not None and v not in line_vars:
+                if v not in env:
+                    raise ValueError(f"upsert var {v!r} not bound by query")
+                line_vars.append(v)
+        base = spark.range(1).select()
+        for v in line_vars:
+            rel = env[v].select(F.col(SUBJECT).alias(f"__var_{v}")).distinct()
+            base = base.crossJoin(rel)
+        if facets:
+            fkv = [kv.split("=", 1) for kv in facets.split(",")]
+            fmap = F.map_from_arrays(
+                F.array(*[F.lit(k.strip()) for k, _ in fkv]),
+                F.array(*[F.lit(x.strip()) for _, x in fkv]),
+            )
+        else:
+            fmap = F.lit(None).cast("map<string,string>")
+        obj_uid = (
+            _id_expr(o_iri, o_blank, o_var)
+            if (o_iri is not None or o_blank is not None or o_var is not None)
+            else F.lit(None).cast("long")
+        )
+        value = F.lit("*") if o_star else (
+            F.lit(o_lit) if o_lit is not None else F.lit(None).cast("string"))
+        parts.append(base.select(
+            _id_expr(s_iri, s_blank, s_var).alias(SUBJECT),
+            F.lit(pred).alias("predicate"),
+            obj_uid.alias("object_uid"),
+            value.alias("value_str"),
+            (F.lit(lang) if lang else F.lit(None).cast("string")).alias("lang"),
+            (F.lit(dtype) if dtype else F.lit(None).cast("string")).alias("datatype"),
+            fmap.alias("facets"),
+        ))
+    if const_lines:
+        parts.append(_triples_from_nquads(graph, "\n".join(const_lines)))
+    if not parts:
+        return _triples_from_nquads(graph, "")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def upsert_text(graph: Graph, upsert_block: str) -> "UpsertResult":
     """dgraph upsert block text form::
 
         upsert {
           query { v as var(func: eq(email, "x")) }
-          mutation @if(eq(len(v), 0)) { set { ... } }
+          mutation @if(eq(len(v), 0)) { set { ... } delete { ... } }
         }
 
-    Query vars feed the conditional; uid(v) placeholders in the mutation
-    N-Quads substitute each matched uid (edgraph/server.go:874
-    buildUpsertQuery + :999 var substitution)."""
+    Query vars feed the conditional; uid(v) placeholders in BOTH the set
+    and delete N-Quads expand relationally per matched uid
+    (edgraph/server.go:874 buildUpsertQuery + :999 var substitution).
+    @if supports exact cardinality checks eq/ne/lt/le/gt/ge(len(v), n)
+    (dql/upsertparser.go conditions)."""
     import re
 
     qm = re.search(r"query\s*(\{.*?\})\s*mutation", upsert_block, re.S)
@@ -166,30 +264,20 @@ def upsert_text(graph: Graph, upsert_block: str) -> "UpsertResult":
     query_text = qm.group(1)
     cond = None
     cond_var = None
-    cm = re.search(r"@if\s*\(\s*(eq|gt|lt)\s*\(\s*len\s*\(\s*(\w+)\s*\)\s*,\s*(\d+)\s*\)\s*\)", upsert_block)
+    cm = re.search(
+        r"@if\s*\(\s*(eq|ne|lt|le|gt|ge)\s*\(\s*len\s*\(\s*(\w+)\s*\)\s*,\s*(\d+)\s*\)\s*\)",
+        upsert_block,
+    )
     if cm:
         op, cond_var, n = cm.group(1), cm.group(2), int(cm.group(3))
-        cond = "empty" if (op == "eq" and n == 0) else "nonempty"
+        cond = (op, n)
     mut_m = re.search(r"mutation[^{]*(\{.*\})", upsert_block, re.S)
-    set_nq, _del_nq = _split_mutation_blocks(mut_m.group(1))
+    set_nq, del_nq = _split_mutation_blocks(mut_m.group(1))
 
-    def build(env):
-        nq = set_nq
-        # substitute uid(var) with each matched uid (cartesian over vars)
-        for var, df in env.items():
-            token = f"uid({var})"
-            if token in nq:
-                uids = [r[SUBJECT] for r in df.select(SUBJECT).distinct().collect()]
-                lines = []
-                for line in nq.splitlines():
-                    if token in line:
-                        lines.extend(line.replace(token, f"<{u}>") for u in uids)
-                    else:
-                        lines.append(line)
-                nq = "\n".join(lines)
-        return _triples_from_nquads(graph, nq)
-
-    return upsert(graph, query_text, build, cond=cond, cond_var=cond_var)
+    build_set = (lambda env: expand_template(graph, set_nq, env)) if set_nq.strip() else None
+    build_del = (lambda env: expand_template(graph, del_nq, env)) if del_nq.strip() else None
+    return upsert(graph, query_text, build_set, cond=cond, cond_var=cond_var,
+                  build_delete=build_del)
 
 
 @dataclass
@@ -199,20 +287,32 @@ class UpsertResult:
     matched: int
 
 
+_IF_OPS = {
+    "eq": lambda m, n: m == n,
+    "ne": lambda m, n: m != n,
+    "lt": lambda m, n: m < n,
+    "le": lambda m, n: m <= n,
+    "gt": lambda m, n: m > n,
+    "ge": lambda m, n: m >= n,
+}
+
+
 def upsert(
     graph: Graph,
     query: str,
-    build_set,
-    cond: str | None = None,
+    build_set=None,
+    cond=None,
     cond_var: str | None = None,
+    build_delete=None,
 ) -> UpsertResult:
     """Upsert block (edgraph/server.go:874 buildUpsertQuery):
-    run `query`, pass its variable environment to ``build_set(env) ->
-    triples DataFrame``, apply conditionally.
+    run `query`, pass its variable environment to ``build_set(env) /
+    build_delete(env) -> triples DataFrame``, apply conditionally.
 
-    ``cond``: '@if(eq(len(v), 0))'-style check expressed as
-    (cond_var, cond) with cond in {'empty', 'nonempty'} — driver-side
-    cardinality check exactly like the reference's conditional upsert.
+    ``cond``: the '@if(OP(len(v), n))' check — either the exact tuple
+    ``(op, n)`` with op in eq/ne/lt/le/gt/ge (dql/upsertparser.go), or
+    the legacy shorthands 'empty' (== eq 0) / 'nonempty' (== gt 0).
+    The matched count of ``cond_var`` is evaluated against it.
     """
     from dgraph_spark.plans import Executor
 
@@ -226,9 +326,15 @@ def upsert(
     if cond_var is not None:
         vdf = ex.env.get(cond_var)
         matched = 0 if vdf is None else vdf.select(SUBJECT).distinct().count()
-        if cond == "empty" and matched != 0:
+        if cond == "empty":
+            cond = ("eq", 0)
+        elif cond == "nonempty":
+            cond = ("gt", 0)
+        if cond is not None and not _IF_OPS[cond[0]](matched, cond[1]):
             return UpsertResult(graph=graph, applied=False, matched=matched)
-        if cond == "nonempty" and matched == 0:
-            return UpsertResult(graph=graph, applied=False, matched=matched)
-    triples = build_set(ex.env)
-    return UpsertResult(graph=set_triples(graph, triples), applied=True, matched=matched)
+    g = graph
+    if build_set is not None:
+        g = set_triples(g, build_set(ex.env))
+    if build_delete is not None:
+        g = delete_triples(g, build_delete(ex.env))
+    return UpsertResult(graph=g, applied=True, matched=matched)

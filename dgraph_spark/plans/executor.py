@@ -543,14 +543,14 @@ class Executor:
         first, offset = block.first, block.offset or 0
         if has_page and (first is not None or offset):
             if first is not None and first < 0:
-                # negative first = last N (x/x.go:815 PageRange)
+                # negative first = last N; offset is IGNORED in this
+                # branch (x/x.go PageRange returns early when count < 0)
                 total = F.count("*").over(Window.partitionBy(*part))
-                edges2 = edges2.withColumn("_total", total).where(
-                    F.col(RANK) > F.col("_total") + first - offset
+                edges2 = (
+                    edges2.withColumn("_total", total)
+                    .where(F.col(RANK) > F.col("_total") + first)
+                    .drop("_total")
                 )
-                if offset:
-                    edges2 = edges2.where(F.col(RANK) <= F.col("_total") - offset)
-                edges2 = edges2.drop("_total")
             else:
                 if offset:
                     edges2 = edges2.where(F.col(RANK) > offset)

@@ -42,8 +42,9 @@ def _uid_expr(iri: F.Column, blank: F.Column) -> F.Column:
     return (
         F.when(hexed != "", F.conv(hexed, 16, 10).cast("long"))
         .when(dec != "", dec.cast("long"))
-        # hash-uid: top bit cleared to stay positive & out of numeric range
-        .otherwise(F.abs(F.xxhash64(tok)))
+        # hash-uid: mask the sign bit (a true clear, unlike abs() which
+        # folds the space and leaves abs(Long.MIN_VALUE) negative)
+        .otherwise(F.xxhash64(tok).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)))
     )
 
 

@@ -46,8 +46,7 @@ def tumbling_agg(
     return (
         df.groupBy(F.window(ts_col, duration).alias("w"), *(keys or []))
         .agg(*_agg_exprs(aggs))
-        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
-                *(keys or []), "*")
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "*")
         .drop("w")
     )
 
@@ -67,8 +66,7 @@ def sliding_agg(
     return (
         df.groupBy(F.window(ts_col, duration, slide).alias("w"), *(keys or []))
         .agg(*_agg_exprs(aggs))
-        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
-                *(keys or []), "*")
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "*")
         .drop("w")
     )
 
@@ -88,7 +86,6 @@ def session_agg(
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("w"), *(keys or []))
         .agg(*_agg_exprs(aggs))
-        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
-                *(keys or []), "*")
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "*")
         .drop("w")
     )

@@ -102,3 +102,62 @@ def test_conditional_upsert(spark):
     r2 = upsert(r.graph, '{ v as var(func: eq(email, "b@x.com")) }', build,
                 cond="empty", cond_var="v")
     assert not r2.applied and r2.matched == 1
+
+
+def test_upsert_delete_block(spark):
+    """delete{} section of an upsert applies with uid(v) substitution
+    (edgraph/server.go:999 applies both set and delete N-Quads)."""
+    from dgraph_spark.mutations import upsert_text
+
+    g = _graph(spark, '<0x1> <email> "a@x.com" .\n<0x1> <name> "Old" .')
+    r = upsert_text(g, '''
+    upsert {
+      query { v as var(func: eq(email, "a@x.com")) }
+      mutation @if(gt(len(v), 0)) {
+        set    { uid(v) <name> "New" . }
+        delete { uid(v) <email> * . }
+      }
+    }''')
+    assert r.applied and r.matched == 1
+    assert r.graph.pred("email").count() == 0
+    assert [x["value"] for x in r.graph.pred("name").collect()] == ["New"]
+
+
+def test_upsert_exact_cardinality(spark):
+    """@if(eq(len(v), 3)) must check EXACTLY 3, not merely nonempty
+    (dql upsert conditions are exact comparisons)."""
+    from dgraph_spark.mutations import upsert_text
+
+    g = _graph(spark, '\n'.join(f'<0x{i}> <email> "x@x.com" .' for i in (1, 2)))
+    block = '''
+    upsert {
+      query { v as var(func: eq(email, "x@x.com")) }
+      mutation @if(eq(len(v), 3)) {
+        set { uid(v) <name> "Three" . }
+      }
+    }'''
+    r = upsert_text(g, block)  # 2 matches != 3 -> must NOT apply
+    assert not r.applied and r.matched == 2
+    g3 = set_nquads(g, '<0x3> <email> "x@x.com" .')
+    r2 = upsert_text(g3, block)  # now exactly 3 -> applies
+    assert r2.applied and r2.matched == 3
+    assert r2.graph.pred("name").count() == 3
+
+
+def test_upsert_relational_expansion(spark):
+    """uid(v) expansion is a DataFrame join, never a driver collect:
+    expand_template over a 100k-uid var relation plans without
+    materializing uids on the driver (mutations.py expand_template)."""
+    from dgraph_spark.mutations import expand_template
+
+    g = _graph(spark, '<0x1> <name> "seed" .')
+    big = spark.range(1, 100_001).select(F.col("id").alias("subject"))
+    t = expand_template(g, 'uid(v) <flag> "y" .\nuid(v) <knows> uid(v) .', {"v": big})
+    assert t.count() == 200_000
+    # same-var subject+object bind the SAME uid per row
+    pair = t.where(F.col("predicate") == "knows")
+    assert pair.where(F.col("subject") != F.col("object_uid")).count() == 0
+    # distinct vars expand cartesian
+    small = spark.range(1, 4).select(F.col("id").alias("subject"))
+    t2 = expand_template(g, 'uid(a) <linked> uid(b) .', {"a": small, "b": big})
+    assert t2.count() == 3 * 100_000
