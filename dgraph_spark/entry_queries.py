@@ -199,6 +199,26 @@ FROM lineitem WHERE l_extendedprice > 90000
 """
 
 
+def q_agg_math_root(spark, sf_dir):
+    """Root math() over aggregate-defined vars — each var collapses with
+    ITS defining aggregate, not a blanket SUM (query/query.go empty-uid
+    scalar aggregates)."""
+    return _flat(spark, sf_dir, '''
+    {
+      var(func: type(Part)) { x as p_retailprice }
+      me() {
+        m1 as min(val(x))
+        m2 as max(val(x))
+        spread: math(m2 - m1)
+      }
+    }''', block="me").select("spread")
+
+
+SQL_agg_math_root = """
+SELECT max(p_retailprice) - min(p_retailprice) AS spread FROM part
+"""
+
+
 def q_level_agg_sum(spark, sf_dir):
     """value variable defined in one block, level-aggregated in another
     (query/query.go:1042 evalLevelAgg)."""
@@ -874,6 +894,7 @@ QUERIES: dict[str, tuple] = {
     "regexp": (q_regexp, SQL_regexp),
     "fuzzy_match": (q_fuzzy_match, SQL_fuzzy_match),
     "math_per_uid": (q_math_per_uid, SQL_math_per_uid),
+    "agg_math_root": (q_agg_math_root, SQL_agg_math_root),
     "level_agg_sum": (q_level_agg_sum, SQL_level_agg_sum),
     "groupby_q1": (q_groupby_q1, SQL_groupby_q1),
     "uid_in": (q_uid_in, SQL_uid_in),

@@ -76,6 +76,11 @@ class Executor:
         # var name -> Level where it was defined (for multi-level
         # upward propagation, transformTo semantics)
         self.var_level: dict[str, Level] = {}
+        # var name -> defining aggregate ("min"/"max"/"sum"/"avg") for
+        # vars defined as `m as min(val(x))`; lets a later scalar
+        # consumer re-collapse with the RIGHT aggregate, not a blanket
+        # SUM (query/query.go aggregateGroup semantics)
+        self.var_agg: dict[str, str] = {}
 
     # ================================================================ public
     def execute(self, query: str | ParsedQuery, vars: dict | None = None) -> dict:
@@ -369,6 +374,8 @@ class Executor:
             self.env[attr.var] = vdf
             self.var_edges[attr.var] = level.edges
             self.var_level[attr.var] = level
+            if attr.name in _AGG_ATTRS:
+                self.var_agg[attr.var] = attr.name
 
     def _attr_value_df(self, attr: Attr, nodes: DataFrame, level: Level) -> DataFrame | None:
         """DataFrame (subject, value) for a scalar-ish attr over `nodes`."""
@@ -794,25 +801,48 @@ class Executor:
         return out
 
     def _agg_only_json(self, block: Block) -> list:
+        """Empty (no-func) block of aggregates + math, e.g.
+        ``me() { m1 as min(val(x)) m2 as max(val(x)) math(m2 - m1) }``
+        (query/query.go empty-uid blocks carry scalar aggregates).
+        Aggregates evaluate first (any lexical order); math() then reads
+        the block-local scalars, falling back to collapsing an
+        environment var with ITS defining aggregate — never a blanket
+        SUM."""
+        _FNS = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}
         out: dict = {}
+        scalars: dict = {}
+        math_attrs = []
         for attr in block.children:
             if not isinstance(attr, Attr):
                 continue
-            name = attr.out_name
             if attr.name in _AGG_ATTRS and attr.val_var:
-                vdf = self.env[attr.val_var]
-                fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[attr.name]
-                val = vdf.agg(fn(VALUE).alias("v")).collect()[0]["v"]
+                vdf = self.env.get(attr.val_var)
+                if vdf is None:  # var over an absent predicate: empty
+                    if attr.var:
+                        scalars[attr.var] = None
+                    continue
+                val = vdf.agg(_FNS[attr.name](VALUE).alias("v")).collect()[0]["v"]
+                if attr.var:
+                    scalars[attr.var] = val
                 out[f"{attr.alias or attr.name}"] = val
             elif attr.math is not None:
-                # math over aggregated vars — evaluate driver-side scalar
-                names = sorted(math_vars(attr.math))
-                scalars = {}
-                for v in names:
-                    scalars[v] = self.env[v].agg(F.sum(VALUE).alias("v")).collect()[0]["v"]
-                col = compile_math(attr.math, lambda n: F.lit(scalars[n]))
-                val = self.spark.range(1).select(col.alias("v")).collect()[0]["v"]
-                out[attr.out_name] = val
+                math_attrs.append(attr)
+        for attr in math_attrs:
+            for v in sorted(math_vars(attr.math)):
+                if v in scalars:
+                    continue
+                # var defined in another block: collapse with its
+                # defining aggregate (min of per-parent mins == global
+                # min, etc.); plain value vars collapse additively
+                vdf = self.env.get(v)
+                if vdf is None:
+                    scalars[v] = None
+                    continue
+                fn = _FNS[self.var_agg.get(v, "sum")]
+                scalars[v] = vdf.agg(fn(VALUE).alias("v")).collect()[0]["v"]
+            col = compile_math(attr.math, lambda n: F.lit(scalars[n]))
+            val = self.spark.range(1).select(col.alias("v")).collect()[0]["v"]
+            out[attr.out_name] = val
         return [out] if out else []
 
     def _ascend(self, level: Level, skip: set[str] | None = None) -> tuple[DataFrame, DataFrame] | None:

@@ -120,3 +120,21 @@ def test_filter_or_not(executor):
     r2 = executor.execute('''
     { q(func: type(Region)) @filter(NOT eq(r_name, "AFRICA")) { r_name } }''')
     assert {n["r_name"] for n in r2["q"]} == {"AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}
+
+
+def test_agg_only_math_respects_defining_aggregate(executor):
+    """math() over m as min/max(val(x)) must not collapse with SUM
+    (query/query.go scalar aggregates; VERDICT r1 wrong-item 2)."""
+    r = executor.execute('''
+    {
+      var(func: type(Part)) { x as p_size }
+      me() {
+        m1 as min(val(x))
+        m2 as max(val(x))
+        spread: math(m2 - m1)
+      }
+    }''')
+    node = r["me"][0]
+    assert node["spread"] == node["max"] - node["min"] > 0
+    # sum-collapse of either side would blow the spread far past max
+    assert node["spread"] < node["max"] + 1
