@@ -101,6 +101,9 @@ class Attr:
     var: str | None = None        # `v as age` value-variable assignment
     facets: FacetsSpec | None = None
     expand: str | None = None     # expand(_all_) / expand(Type) / expand(val(v))
+    expand_body: "Block | None" = None  # expand(...) { body } — copied into
+                                        # every expanded predicate's child
+                                        # block (query/query.go:2139-2143)
     filter: FilterTree | None = None
 
     @property

@@ -544,9 +544,10 @@ class Parser:
             blk = Block(alias="expand", attr="expand")
             attr = Attr(name="expand", alias=alias, expand=arg, var=var)
             if self.peek().text == "{":
-                # expand(...) { ... } nested body applies to each expanded edge
+                # expand(...) { ... } nested body applies to each expanded
+                # uid predicate (query/query.go:2139-2143 recursiveCopy)
                 self.parse_body(blk)
-                attr.filter = None
+                attr.expand_body = blk
             return attr
 
         # lang tags: name@en:ru:.

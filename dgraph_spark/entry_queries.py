@@ -199,6 +199,18 @@ FROM lineitem WHERE l_extendedprice > 90000
 """
 
 
+def q_expand_all(spark, sf_dir):
+    """expand(_all_) with nested body: scalar preds flatten, uid preds
+    traverse as child blocks (query/query.go:2038 expandSubgraph)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: type(Nation)) { expand(_all_) { r_name } } }''')
+
+
+SQL_expand_all = """
+SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
 def q_agg_math_root(spark, sf_dir):
     """Root math() over aggregate-defined vars — each var collapses with
     ITS defining aggregate, not a blanket SUM (query/query.go empty-uid
@@ -895,6 +907,7 @@ QUERIES: dict[str, tuple] = {
     "fuzzy_match": (q_fuzzy_match, SQL_fuzzy_match),
     "math_per_uid": (q_math_per_uid, SQL_math_per_uid),
     "agg_math_root": (q_agg_math_root, SQL_agg_math_root),
+    "expand_all": (q_expand_all, SQL_expand_all),
     "level_agg_sum": (q_level_agg_sum, SQL_level_agg_sum),
     "groupby_q1": (q_groupby_q1, SQL_groupby_q1),
     "uid_in": (q_uid_in, SQL_uid_in),

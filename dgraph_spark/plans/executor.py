@@ -283,6 +283,9 @@ class Executor:
 
         for child in block.children:
             if isinstance(child, Attr):
+                if child.expand is not None:
+                    self._expand_into_level(child, level, nodes)
+                    continue
                 level.attr_items.append(child)
                 self._register_attr_var(child, nodes, level)
                 continue
@@ -290,6 +293,53 @@ class Executor:
             if child_level is not None:
                 level.children.append(child_level)
         return level
+
+    def _expand_into_level(self, attr: Attr, level: Level, nodes: DataFrame) -> None:
+        """expand(_all_/Type/val(v)) — runtime schema discovery, then
+        per-pred child synthesis exactly like the reference
+        (query/query.go:2038-2152 expandSubgraph): scalar predicates
+        become plain attrs of THIS level (flattened into the node JSON,
+        and batched into the same wide-table scan as explicit attrs);
+        uid predicates become child blocks carrying the expand's nested
+        body. A bare expand leaves uid-pred children empty, and empty
+        nodes are omitted from the JSON (dgraph behavior)."""
+        if attr.expand == "_all_":
+            types = [
+                r[VALUE]
+                for r in nodes.join(self.g.node_types(), SUBJECT, "inner")
+                .select(VALUE).distinct().collect()
+            ]
+            preds: list[str] = []
+            for t in types:
+                preds.extend(self.g.schema.type_preds(t))
+        elif attr.expand.startswith("val:"):
+            # expand(val(v)): the value var's VALUES are predicate names
+            # (query/query.go:1823-1830 ExpandPreds)
+            vdf = self.env.get(attr.expand[4:])
+            preds = ([] if vdf is None else
+                     [r[VALUE] for r in vdf.select(VALUE).distinct().collect()])
+        else:
+            preds = []
+            for t in attr.expand.split(","):
+                preds.extend(self.g.schema.type_preds(t.strip()))
+        requested = {a.name for a in level.block.children if isinstance(a, Attr)}
+        requested |= {b.attr for b in level.block.children if isinstance(b, Block)}
+        body = attr.expand_body
+        for p in dict.fromkeys(preds):
+            if p in requested or not self.g.has_pred(p):
+                continue
+            if not self.g.schema.get(p).is_uid:
+                level.attr_items.append(Attr(name=p))
+                continue
+            children = list(body.children) if body is not None else []
+            if not children:
+                # bare expand: uid-pred children would be empty nodes ->
+                # omitted entirely (reference prunes empty subgraphs)
+                continue
+            synth = Block(alias=p, attr=p, children=children)
+            child_level = self._expand_child(synth, level)
+            if child_level is not None:
+                level.children.append(child_level)
 
     def _expand_child(self, child: Block, parent: Level) -> Level | None:
         """One traversal level: parent dst uids -> child edges via join."""
@@ -1049,8 +1099,6 @@ class Executor:
             vdf = self._math_value_df(attr, nodes, level)
             out = out_name if attr.alias else "math"
             return vdf.select(SUBJECT, F.col(VALUE).alias(out)), out, False
-        if attr.expand is not None:
-            return self._expand_attr_output(attr, nodes)
         # plain scalar predicate
         name = attr.name
         if not self.g.has_pred(name) or self.g.schema.get(name).is_uid:
@@ -1070,30 +1118,6 @@ class Executor:
             return vdf, out, True
         vdf = nodes.join(sdf, SUBJECT, "inner").select(SUBJECT, F.col(VALUE).alias(out))
         return vdf, out, False
-
-    def _expand_attr_output(self, attr: Attr, nodes: DataFrame):
-        """expand(_all_)/expand(Type): runtime schema discovery
-        (query/query.go:2038-2152). Collects the (tiny) distinct type set
-        driver-side, then emits per-pred scalar joins."""
-        if attr.expand == "_all_":
-            types = [
-                r[VALUE]
-                for r in nodes.join(self.g.node_types(), SUBJECT, "inner")
-                .select(VALUE).distinct().collect()
-            ]
-        else:
-            types = [attr.expand]
-        preds: list[str] = []
-        for t in types:
-            preds.extend(self.g.schema.type_preds(t))
-        preds = [p for p in dict.fromkeys(preds) if self.g.has_pred(p) and not self.g.schema.get(p).is_uid]
-        out = nodes
-        for p in preds:
-            sdf = self.g.scalar(p).select(SUBJECT, F.col(VALUE).alias(p))
-            out = out.join(sdf, SUBJECT, "left")
-        # pack into one struct column; _ascend will place fields
-        packed = out.select(SUBJECT, F.struct(*[F.col(p) for p in preds]).alias("_expand"))
-        return packed, "_expand", False
 
     # ============================================================== groupby
     def _nodes(self, level: Level) -> DataFrame:

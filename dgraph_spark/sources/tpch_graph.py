@@ -214,6 +214,18 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     edge("in_region", n, uid_col("nation", F.col("n_nationkey")),
          uid_col("region", F.col("n_regionkey")), reverse=True, src_home="Nation")
 
+    # type definitions include uid predicates too (dgraph types list
+    # every predicate; expand(_all_) traverses the uid ones —
+    # query/query.go:2070 getPredicatesFromTypes)
+    for type_name, edge_names in {
+        "Customer": ["placed", "in_nation"],
+        "Order": ["line"],
+        "Lineitem": ["of_part", "by_supplier"],
+        "Supplier": ["in_nation"],
+        "Nation": ["in_region"],
+    }.items():
+        reg.define_type(type_name, reg.type_preds(type_name) + edge_names)
+
     # node types
     types_df = type_rows[0]
     for t in type_rows[1:]:

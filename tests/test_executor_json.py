@@ -99,10 +99,53 @@ def test_shortest_path_json(executor):
 
 
 def test_expand_all(executor):
+    """Scalar preds flatten directly into the node (reference JSON shape,
+    query/query.go:2038 expandSubgraph -> normal attr children)."""
     u = uid_of("region", 0)
     r = executor.execute(f"{{ q(func: uid({u})) {{ expand(_all_) }} }}")
     node = r["q"][0]
-    assert node["_expand"]["r_name"] == "AFRICA"
+    assert node["r_name"] == "AFRICA"
+
+
+def test_expand_all_nested_uid_preds(executor):
+    """expand(_all_) { body }: uid predicates expand as child blocks
+    carrying the body (query/query.go:2139-2143 recursiveCopy)."""
+    u = uid_of("nation", 3)
+    r = executor.execute(f"{{ q(func: uid({u})) {{ expand(_all_) {{ r_name }} }} }}")
+    node = r["q"][0]
+    assert node["n_name"] == "NATION_3"
+    assert node["in_region"][0]["r_name"] in {
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}
+    # bare expand omits uid-pred children (empty nodes are pruned)
+    r2 = executor.execute(f"{{ q(func: uid({u})) {{ expand(_all_) }} }}")
+    assert "in_region" not in r2["q"][0]
+
+
+def test_expand_val_var(spark):
+    """expand(val(v)) reads predicate names out of a value variable
+    (query/query.go:1823-1830 ExpandPreds)."""
+    from dgraph_spark.plans import Executor
+    from dgraph_spark.schema import SchemaRegistry
+    from dgraph_spark.sources.rdf import graph_from_triples, parse_nquads
+
+    nq = '\n'.join([
+        '<0x1> <name> "Alice" .',
+        '<0x1> <city> "Oslo" .',
+        '<0x1> <age> "30"^^<int> .',
+        '<0x9> <plist> "name" .',
+        '<0x9> <plist> "city" .',
+    ])
+    lines = spark.createDataFrame([(l,) for l in nq.splitlines()], "value string")
+    g = graph_from_triples(spark, parse_nquads(lines), SchemaRegistry.parse(
+        "name: string .\ncity: string .\nage: int .\nplist: [string] ."))
+    r = Executor(g).execute('''
+    {
+      var(func: uid(0x9)) { p as plist }
+      q(func: uid(0x1)) { expand(val(p)) }
+    }''')
+    node = r["q"][0]
+    assert node["name"] == "Alice" and node["city"] == "Oslo"
+    assert "age" not in node  # only preds named by the var expand
 
 
 def test_pagination_negative_first(executor):
