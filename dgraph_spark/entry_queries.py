@@ -689,14 +689,47 @@ SELECT (1::BIGINT << 40) + r_regionkey, (1::BIGINT << 40) + r_regionkey FROM reg
 
 
 def q_pagerank(spark, sf_dir):
-    """PageRank over order placement edges (GraphX-style analytics verb;
-    iterative float — rows-only check)."""
+    """PageRank over order placement edges (GraphX-style analytics verb).
+    Dangling mass is redistributed uniformly, so ranks sum to 1 and the
+    unrolled power-iteration SQL below is an exact DuckDB twin: the
+    contribution sum has one term per order (in-degree 1) and every
+    other operation mirrors bit-for-bit."""
     from dgraph_spark.operators.graph_algos import pagerank
 
     g = _g(spark, sf_dir)
-    return pagerank(g, ["placed"], max_iter=5).select(
-        "node", F.round("rank", 8).alias("rank")
-    )
+    return pagerank(g, ["placed"], max_iter=5)
+
+
+def _sql_pagerank(iters: int = 5, alpha: float = 0.15) -> str:
+    """Unrolled power iteration matching graph_algos.pagerank exactly
+    (same arithmetic shape -> same IEEE-754 doubles)."""
+    base = f"""
+WITH edges AS (
+  SELECT (3::BIGINT << 40) + o_custkey AS src,
+         (6::BIGINT << 40) + o_orderkey AS dst
+  FROM orders
+),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+c{k} AS (SELECT e.dst AS node, SUM(r.rank / dg.d) AS c
+         FROM edges e JOIN r{k-1} r ON e.src = r.node
+         JOIN deg dg ON dg.src = e.src GROUP BY e.dst),
+d{k} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dm FROM r{k-1} r
+         LEFT JOIN deg dg ON dg.src = r.node WHERE dg.src IS NULL),
+r{k} AS (SELECT n.node,
+                {alpha}::DOUBLE / (SELECT n FROM nn)
+                + (1 - {alpha}::DOUBLE)
+                  * (COALESCE(c.c, 0.0)
+                     + (SELECT dm FROM d{k}) / (SELECT n FROM nn)::DOUBLE)
+                  AS rank
+         FROM nodes n LEFT JOIN c{k} c ON c.node = n.node)""")
+    return base + "".join(steps) + f"\nSELECT node, rank FROM r{iters}"
 
 
 def _sql_dedouble(y: str) -> str:
@@ -932,7 +965,7 @@ QUERIES: dict[str, tuple] = {
     "order_by_val": (q_order_by_val, SQL_order_by_val),
     "facet_output": (q_facet_output, SQL_facet_output),
     "connected_components": (q_connected_components, SQL_connected_components),
-    "pagerank": (q_pagerank, None),
+    "pagerank": (q_pagerank, _sql_pagerank()),
     "anyoftext": (q_anyoftext, _sql_anyoftext()),
     "ngram_search": (q_ngram_search, SQL_ngram_search),
     "stream_sliding": (q_stream_sliding, SQL_stream_sliding),

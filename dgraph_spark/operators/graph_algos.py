@@ -135,11 +135,24 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
+        # dangling-node mass: rank held by nodes with no out-edges
+        # redistributes uniformly (standard formulation; without it the
+        # ranks don't sum to 1). One extra 1-row aggregate per
+        # iteration, broadcast — stays fully distributed.
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg[SUBJECT], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(alpha / n) + F.lit(1 - alpha) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
+                (
+                    F.lit(alpha / n)
+                    + F.lit(1 - alpha)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=False)
         )

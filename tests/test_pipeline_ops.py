@@ -105,3 +105,46 @@ def test_multimodal_image_features(docs):
     rows = frames.collect()
     assert len(rows) >= 3
     assert all(len(bytes(r["frame"])) <= 64 for r in rows)
+
+
+@pytest.fixture(scope="module")
+def docs_med(spark):
+    from tests.conftest import SF_MED
+
+    return spark.read.parquet(f"{SF_MED}/documents.parquet")
+
+
+def test_minhash_lsh_measured_recall_sf001(docs_med):
+    """Quantitative LSH check at sf0.01 (VERDICT r1 item 4): banded
+    16x4 MinHash at t=0.7 must keep recall >= 0.9 against the exact
+    jaccard pairs, with precision 1 from the verify step."""
+    from dgraph_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {(r["i"], r["j"]) for r in ngram_jaccard_pairs(docs_med, 0.7).collect()}
+    lsh = {(r["i"], r["j"]) for r in minhash_lsh_pairs(docs_med, 0.7).collect()}
+    assert lsh <= exact
+    assert len(exact) > 0
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_banded_join_is_exact_sf001(spark, docs_med):
+    """Brute-force Hamming oracle at sf0.01 (VERDICT r1 item 4): the
+    4-band pigeonhole join must return EXACTLY the all-pairs set within
+    Hamming distance 3 — banding is a pruning, never a loss."""
+    from dgraph_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    sims = simhash64(docs_med).cache()
+    brute = {
+        (r["i"], r["j"])
+        for r in sims.alias("a").crossJoin(sims.alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("d"),
+        )
+        .where(F.col("d") <= 3)
+        .collect()
+    }
+    banded = {(r["i"], r["j"]) for r in simhash_near_pairs(docs_med, 3).collect()}
+    assert banded == brute
