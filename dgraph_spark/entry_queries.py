@@ -199,6 +199,31 @@ FROM lineitem WHERE l_extendedprice > 90000
 """
 
 
+def q_recurse_depth5(spark, sf_dir):
+    """Deep @recurse: 5 levels, multiple uid preds tried per round
+    (region -> nation -> customer|supplier -> order -> lineitem).
+    Driver actions stay O(depth) — one flat pred-tagged frontier join
+    per round (executor._descend_recurse)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: eq(r_name, "AFRICA")) @recurse(depth: 5) {
+        ~in_region ~in_nation placed line r_name n_name c_name } }''')
+
+
+SQL_recurse_depth5 = """
+SELECT r.r_name AS r_name, NULL AS n_name, NULL AS c_name,
+       NULL AS r_name_l1, n.n_name AS n_name_l1, NULL AS c_name_l1,
+       NULL AS r_name_l2, NULL AS n_name_l2, c.c_name AS c_name_l2,
+       NULL AS r_name_l3, NULL AS n_name_l3, NULL AS c_name_l3,
+       NULL AS r_name_l4, NULL AS n_name_l4, NULL AS c_name_l4
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey  = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'AFRICA'
+"""
+
+
 def q_expand_all(spark, sf_dir):
     """expand(_all_) with nested body: scalar preds flatten, uid preds
     traverse as child blocks (query/query.go:2038 expandSubgraph)."""
@@ -941,6 +966,7 @@ QUERIES: dict[str, tuple] = {
     "math_per_uid": (q_math_per_uid, SQL_math_per_uid),
     "agg_math_root": (q_agg_math_root, SQL_agg_math_root),
     "expand_all": (q_expand_all, SQL_expand_all),
+    "recurse_depth5": (q_recurse_depth5, SQL_recurse_depth5),
     "level_agg_sum": (q_level_agg_sum, SQL_level_agg_sum),
     "groupby_q1": (q_groupby_q1, SQL_groupby_q1),
     "uid_in": (q_uid_in, SQL_uid_in),

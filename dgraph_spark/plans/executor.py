@@ -662,11 +662,23 @@ class Executor:
 
     # ============================================================== recurse
     def _descend_recurse(self, block: Block, frontier: DataFrame) -> Level:
-        """@recurse (query/recurse.go): unroll the traversal to depth D,
-        following every uid predicate listed in the body each round.
-        loop=false excludes uids already on the path (reachMap ≈ per-path
-        visited set via a _path array column). Driver checks emptiness per
-        iteration (the reference's edge-cap guard analogue)."""
+        """@recurse (query/recurse.go:19-215 expandRecurse): breadth-first
+        rounds following every uid predicate in the body. loop=false is
+        the reference's reachMap — an edge (pred|from|to) is traversed at
+        most ONCE across the whole recursion (edge-level dedup, not
+        per-path node visits).
+
+        Scale shape: ONE flat frontier DataFrame per depth — all branch
+        prefixes of a depth expand in a single pred-tagged union join, so
+        driver actions stay O(depth) (one checkpoint + one branch-list
+        collect each), never O(preds^depth). Branch prefixes are tracked
+        as a rolling hash column; the Level tree for JSON assembly is
+        reconstructed from the collected (parent, pred, branch) triples
+        and every branch level FILTERS the same materialized per-depth
+        step — the joins in _ascend prune each branch to its own rows.
+        (Within one round the reference consumes a shared edge under
+        whichever branch goroutine wins — nondeterministic there; the
+        flat form keeps it under every same-round branch.)"""
         depth = block.recurse.depth or self.max_recurse_depth
         depth = min(depth, self.max_recurse_depth)
         scalar_attrs = [c for c in block.children if isinstance(c, Attr)]
@@ -681,38 +693,66 @@ class Executor:
         top.attr_items = [a for a in scalar_attrs if not (self.g.has_pred(a.name.lstrip("~")) and self.g.schema.get(a.name.lstrip("~")).is_uid)]
         if block.var:
             self.env[block.var] = top.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+        if not uid_preds:
+            return top
 
-        def expand(parent_edges: DataFrame, remaining: int) -> list[Level]:
-            """Per-branch unroll: dgraph re-applies the same predicate set
-            under every expanded node (query/recurse.go:19-215); loop=false
-            drops uids already on the path (reachMap semantics)."""
-            if remaining <= 0:
-                return []
-            parent_sel = parent_edges.select(F.col(DST).alias(SUBJECT), PATH).distinct()
-            levels: list[Level] = []
-            for pred, rev in uid_preds:
-                e = self.g.edge(pred, reverse=rev)
-                step = parent_sel.join(e, SUBJECT, "inner").select(
+        # pred-tagged union edge relation (pred name, reverse flag -> tag)
+        tagged = None
+        tag_of: dict[str, tuple[str, bool]] = {}
+        for pred, rev in uid_preds:
+            tag = ("~" + pred) if rev else pred
+            tag_of[tag] = (pred, rev)
+            e = self.g.edge(pred, reverse=rev).select(
+                SUBJECT, OBJECT, F.lit(tag).alias("_pred"))
+            tagged = e if tagged is None else tagged.unionByName(e)
+
+        ROOT_BH = 0
+        # frontier: (branch hash, node) pairs of the current depth
+        front = top.edges.select(
+            F.lit(ROOT_BH).cast("long").alias("_bh"), F.col(DST).alias(SUBJECT)
+        ).distinct()
+        taken = None  # (pred, src, dst) edges already traversed (reachMap)
+        # levels_by (depth, branch hash) -> Level, for tree assembly
+        level_of: dict[tuple[int, int], Level] = {(0, ROOT_BH): top}
+        for d in range(1, depth):
+            step = (
+                front.join(tagged, SUBJECT, "inner")
+                .select(
+                    F.col("_bh").alias("_pbh"),
+                    F.xxhash64(F.col("_bh"), F.col("_pred")).alias("_bh"),
+                    F.col("_pred"),
                     F.col(SUBJECT).alias(SRC),
                     F.col(OBJECT).alias(DST),
-                    F.col(PATH),
                 )
-                if not block.recurse.loop:
-                    step = step.where(~F.array_contains(F.col(PATH), F.col(DST)))
-                step = step.withColumn(PATH, F.concat(F.col(PATH), F.array(F.col(DST))))
-                # checkpoint truncates lineage so unrolled plans stay small
-                step = step.localCheckpoint(eager=True)
-                if step.limit(1).count() == 0:
+                .distinct()
+            )
+            if not block.recurse.loop:
+                if taken is not None:
+                    step = step.join(taken, ["_pred", SRC, DST], "left_anti")
+                new_taken = step.select("_pred", SRC, DST).distinct()
+                taken = (new_taken if taken is None
+                         else taken.unionByName(new_taken)).localCheckpoint(eager=False)
+            step = step.localCheckpoint(eager=True)
+            # ONE driver action: which branch prefixes extended this round?
+            branches = step.select("_pbh", "_pred", "_bh").distinct().collect()
+            if not branches:
+                break
+            for row in sorted(branches, key=lambda r: (r["_pbh"], r["_pred"])):
+                parent = level_of.get((d - 1, row["_pbh"]))
+                if parent is None:
                     continue
-                sub = Block(alias=("~" + pred) if rev else pred, attr=pred, reverse=rev)
-                lvl = Level(block=sub, edges=step.drop(PATH).withColumn(RANK, F.col(DST)))
+                tag = row["_pred"]
+                pred, rev = tag_of[tag]
+                sub = Block(alias=tag, attr=pred, reverse=rev)
+                lvl = Level(
+                    block=sub,
+                    edges=step.where(F.col("_bh") == row["_bh"])
+                    .select(SRC, DST).withColumn(RANK, F.col(DST)),
+                )
                 lvl.attr_items = list(top.attr_items)
-                lvl.children = expand(step, remaining - 1)
-                levels.append(lvl)
-            return levels
-
-        seed = top.edges.withColumn(PATH, F.array(F.col(DST)))
-        top.children = expand(seed, depth - 1)
+                parent.children.append(lvl)
+                level_of[(d, row["_bh"])] = lvl
+            front = step.select("_bh", F.col(DST).alias(SUBJECT)).distinct()
         return top
 
     # ============================================================= shortest

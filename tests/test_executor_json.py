@@ -181,3 +181,28 @@ def test_agg_only_math_respects_defining_aggregate(executor):
     assert node["spread"] == node["max"] - node["min"] > 0
     # sum-collapse of either side would blow the spread far past max
     assert node["spread"] < node["max"] + 1
+
+
+def test_recurse_edge_dedup_semantics(spark):
+    """loop=false is reachMap edge-dedup (query/recurse.go:117-127): an
+    EDGE is traversed at most once, but a node may reappear via a
+    not-yet-taken edge — a<->b shows a again under b, then stops."""
+    from dgraph_spark.plans import Executor
+    from dgraph_spark.schema import SchemaRegistry
+    from dgraph_spark.sources.rdf import graph_from_triples, parse_nquads
+
+    nq = '\n'.join([
+        '<0x1> <name> "a" .', '<0x2> <name> "b" .',
+        '<0x1> <knows> <0x2> .', '<0x2> <knows> <0x1> .',
+    ])
+    lines = spark.createDataFrame([(l,) for l in nq.splitlines()], "value string")
+    g = graph_from_triples(spark, parse_nquads(lines), SchemaRegistry.parse(
+        "name: string .\nknows: [uid] ."))
+    r = Executor(g).execute('{ q(func: uid(0x1)) @recurse(depth: 5) { knows name } }')
+    a = r["q"][0]
+    assert a["name"] == "a"
+    b = a["knows"][0]
+    assert b["name"] == "b"
+    a2 = b["knows"][0]           # back-edge b->a IS taken (new edge)
+    assert a2["name"] == "a"
+    assert "knows" not in a2     # a->b already taken -> recursion stops
