@@ -199,6 +199,42 @@ FROM lineitem WHERE l_extendedprice > 90000
 """
 
 
+def q_geo_intersects(spark, sf_dir):
+    """Full polygon intersects() incl. segment-crossing (geo.py): a tall
+    thin rectangle per customer vs a fixed wide flat query rectangle —
+    for most matches every vertex of each is OUTSIDE the other, so only
+    the segment test fires. Oracle twin: interval-overlap algebra on the
+    same doubles (types/geofilter.go:194 Intersects)."""
+    from dgraph_spark.functions.geo import intersects
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    x = F.col("c_acctbal") / 1000.0
+    y = (F.col("c_custkey") % 100) / 10.0 - 4.95
+    s = lambda c: c.cast("string")  # noqa: E731
+    rect = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        s(x - 0.3), F.lit(","), s(y - 3), F.lit("],["),
+        s(x + 0.3), F.lit(","), s(y - 3), F.lit("],["),
+        s(x + 0.3), F.lit(","), s(y + 3), F.lit("],["),
+        s(x - 0.3), F.lit(","), s(y + 3), F.lit("],["),
+        s(x - 0.3), F.lit(","), s(y - 3), F.lit("]]]}"),
+    )
+    query_rect = '{"type":"Polygon","coordinates":[[[-3,-0.5],[3,-0.5],[3,0.5],[-3,0.5],[-3,-0.5]]]}'
+    return (
+        cust.withColumn("_g", rect)
+        .where(intersects(F.col("_g"), query_rect))
+        .select("c_name")
+    )
+
+
+SQL_geo_intersects = """
+SELECT c_name FROM customer
+WHERE (c_acctbal / 1000.0 + 0.3) > -3 AND (c_acctbal / 1000.0 - 0.3) < 3
+  AND ((c_custkey % 100) / 10.0 - 4.95 + 3) > -0.5
+  AND ((c_custkey % 100) / 10.0 - 4.95 - 3) < 0.5
+"""
+
+
 def q_recurse_depth5(spark, sf_dir):
     """Deep @recurse: 5 levels, multiple uid preds tried per round
     (region -> nation -> customer|supplier -> order -> lineitem).
@@ -967,6 +1003,7 @@ QUERIES: dict[str, tuple] = {
     "agg_math_root": (q_agg_math_root, SQL_agg_math_root),
     "expand_all": (q_expand_all, SQL_expand_all),
     "recurse_depth5": (q_recurse_depth5, SQL_recurse_depth5),
+    "geo_intersects": (q_geo_intersects, SQL_geo_intersects),
     "level_agg_sum": (q_level_agg_sum, SQL_level_agg_sum),
     "groupby_q1": (q_groupby_q1, SQL_groupby_q1),
     "uid_in": (q_uid_in, SQL_uid_in),

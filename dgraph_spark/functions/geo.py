@@ -116,10 +116,56 @@ def geo_contains(col: Column, point_lon: float, point_lat: float) -> Column:
     return _contains(col)
 
 
+def _orient(ax, ay, bx, by, cx, cy) -> int:
+    v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    return 0 if v == 0 else (1 if v > 0 else -1)
+
+
+def _on_seg(ax, ay, bx, by, px, py) -> bool:
+    return min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by)
+
+
+def _seg_cross(a1, a2, b1, b2) -> bool:
+    """Proper or degenerate segment-segment intersection (orientation
+    test, the standard CCW predicate)."""
+    o1 = _orient(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
+    o2 = _orient(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
+    o3 = _orient(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1])
+    o4 = _orient(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
+    if o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and _on_seg(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1]):
+        return True
+    if o2 == 0 and _on_seg(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1]):
+        return True
+    if o3 == 0 and _on_seg(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1]):
+        return True
+    return o4 == 0 and _on_seg(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
+
+
+def _rings_cross(ring_a: list, ring_b: list) -> bool:
+    na, nb = len(ring_a), len(ring_b)
+    for i in range(na):
+        a1, a2 = ring_a[i], ring_a[(i + 1) % na]
+        for j in range(nb):
+            if _seg_cross(a1, a2, ring_b[j], ring_b[(j + 1) % nb]):
+                return True
+    return False
+
+
+def _geom_rings(g: dict) -> list:
+    if g.get("type") == "Polygon":
+        return list(g["coordinates"])
+    if g.get("type") == "MultiPolygon":
+        return [r for p in g["coordinates"] for r in p]
+    return []
+
+
 def intersects(col: Column, polygon_geojson: str) -> Column:
-    """intersects(geo, poly) (types/geofilter.go:31,105,194): any vertex
-    of either geometry inside the other (sufficient for the test shapes;
-    full segment-intersection is a documented TODO)."""
+    """intersects(geo, poly) (types/geofilter.go:31,105,194): true when
+    any vertex of either geometry lies inside the other, OR any boundary
+    segments cross — the full polygon-intersection predicate (catches
+    crossing polygons whose vertices are all mutually outside)."""
     poly = json.loads(polygon_geojson)
     ring = poly["coordinates"][0]
 
@@ -133,9 +179,11 @@ def intersects(col: Column, polygon_geojson: str) -> Column:
             g = json.loads(v)
             pts = _geom_points(g)
             hit = any(_ray_cast(p[0], p[1], ring) for p in pts)
-            if not hit and g.get("type") in ("Polygon", "MultiPolygon"):
-                rings = g["coordinates"] if g["type"] == "Polygon" else [r for p in g["coordinates"] for r in p]
+            rings = _geom_rings(g)
+            if not hit and rings:
                 hit = any(_ray_cast(q[0], q[1], rings[0]) for q in ring)
+            if not hit:
+                hit = any(_rings_cross(r, ring) for r in rings)
             out.append(hit)
         return pd.Series(out)
 

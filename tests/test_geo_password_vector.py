@@ -87,3 +87,23 @@ def test_similar_to_dql(geo_graph):
     uids = [n["uid"] for n in r["q"]]
     assert uids[0] == "0x2"  # exact match first
     assert len(uids) == 2
+
+
+def test_intersects_crossing_polygons(spark):
+    """Cross-shaped overlap: every vertex of each polygon is OUTSIDE the
+    other, so vertex-containment alone says false — only the segment
+    intersection test finds it (types/geofilter.go:194 Intersects)."""
+    tall = json.dumps({"type": "Polygon", "coordinates": [[
+        [-1, -3], [1, -3], [1, 3], [-1, 3], [-1, -3]]]})
+    far = json.dumps({"type": "Polygon", "coordinates": [[
+        [10, 10], [12, 10], [12, 12], [10, 12], [10, 10]]]})
+    reg = SchemaRegistry.parse("loc: geo @index(geo) .\nname: string .")
+    preds = {
+        "loc": spark.createDataFrame([(1, tall), (2, far)], "subject long, value string"),
+        "name": spark.createDataFrame([(1, "tall"), (2, "far")], "subject long, value string"),
+    }
+    g = Graph(spark=spark, preds=preds, schema=reg)
+    # wide flat query rectangle crossing `tall` through the middle
+    r = Executor(g).execute(
+        "{ q(func: intersects(loc, [[-3, -1], [3, -1], [3, 1], [-3, 1], [-3, -1]])) { name } }")
+    assert {n["name"] for n in r["q"]} == {"tall"}
