@@ -838,6 +838,22 @@ WHERE list_has_any(
 """
 
 
+def _q_anyoftext_lang(lang: str, query: str):
+    def q(spark, sf_dir):
+        return _flat(spark, sf_dir, f'''
+        {{ q(func: anyoftext(text@{lang}, "{query}")) {{ src: source n_chars }} }}''')
+    q.__doc__ = (f"anyoftext with the {lang} analyzer — lang-tag routing to "
+                 "per-language stopwords+stemmer (tok/stemmers.go).")
+    return q
+
+
+def _sql_anyoftext_lang(lang: str, query: str) -> str:
+    from dgraph_spark.functions.tokenizers import sql_fulltext_match
+
+    return (f"SELECT source AS src, n_chars FROM documents\n"
+            f"WHERE lang = '{lang}' AND {sql_fulltext_match(lang, query)}")
+
+
 def q_ngram_search(spark, sf_dir):
     """ngram containment search (tok/tok.go:447-551)."""
     return _flat(spark, sf_dir, '''
@@ -1030,6 +1046,12 @@ QUERIES: dict[str, tuple] = {
     "connected_components": (q_connected_components, SQL_connected_components),
     "pagerank": (q_pagerank, _sql_pagerank()),
     "anyoftext": (q_anyoftext, _sql_anyoftext()),
+    "anyoftext_de": (_q_anyoftext_lang("de", "tables und joins"),
+                     _sql_anyoftext_lang("de", "tables und joins")),
+    "anyoftext_fr": (_q_anyoftext_lang("fr", "les tables scannees"),
+                     _sql_anyoftext_lang("fr", "les tables scannees")),
+    "anyoftext_es": (_q_anyoftext_lang("es", "las tables ordenamiento"),
+                     _sql_anyoftext_lang("es", "las tables ordenamiento")),
     "ngram_search": (q_ngram_search, SQL_ngram_search),
     "stream_sliding": (q_stream_sliding, SQL_stream_sliding),
     "stream_session": (q_stream_session, SQL_stream_session),

@@ -66,8 +66,136 @@ def stem_token(t: Column) -> Column:
     )
 
 
-def fulltext_tokens(col: Column) -> Column:
-    """term tokens minus stopwords, suffix-stemmed (expression-only)."""
+# ---- multi-language fulltext (tok/stemmers.go, tok/stopwords.go ship
+# bleve snowball stemmers + stopword sets per language; here: the same
+# shape as the EN analyzer — stopwords + a table-driven suffix-stripper
+# ("snowball-lite") — so every language stays a pure column expression
+# AND generates its own DuckDB oracle twin from the same tables).
+
+DE_STOPWORDS = [
+    "der", "die", "das", "und", "oder", "nicht", "ein", "eine", "einer",
+    "eines", "einem", "einen", "dem", "den", "des", "ist", "sind", "war",
+    "waren", "wird", "werden", "mit", "von", "zu", "im", "in", "auf",
+    "fur", "für", "als", "auch", "an", "bei", "nach", "aus", "es", "sie", "er",
+]
+FR_STOPWORDS = [
+    "le", "la", "les", "un", "une", "des", "du", "de", "et", "ou", "est",
+    "sont", "etait", "a", "au", "aux", "pour", "par", "avec", "sans",
+    "sur", "dans", "ce", "cette", "ces", "que", "qui", "ne", "pas", "plus",
+    "en", "se", "il", "elle", "nous", "vous",
+]
+ES_STOPWORDS = [
+    "el", "la", "los", "las", "un", "una", "unos", "unas", "y", "o", "de",
+    "del", "que", "en", "es", "son", "fue", "para", "por", "con", "sin",
+    "sobre", "este", "esta", "estos", "estas", "no", "mas", "se", "su",
+    "al", "lo", "como", "pero",
+]
+
+# (suffixes longest-first, minimum remaining stem length)
+DE_SUFFIXES = (["ungen", "ung", "ern", "em", "en", "er", "es", "e", "s"], 4)
+FR_SUFFIXES = (["ations", "ation", "ements", "ement", "euses", "euse",
+                "ees", "ee", "es", "er", "e", "s"], 4)
+ES_SUFFIXES = (["aciones", "acion", "amientos", "amiento", "mente",
+                "idades", "idad", "os", "as", "es", "o", "a", "e"], 4)
+
+# accent folding per language (1:1 translate table + ß handled apart)
+_FOLD = {
+    "de": ("äöü", "aou"),
+    "fr": ("àâäèéêëîïôöûüùç", "aaaeeeeiioouuuc"),
+    "es": ("áéíóúüñ", "aeiouun"),
+}
+
+_LANG_TABLES = {
+    "de": (DE_STOPWORDS, DE_SUFFIXES),
+    "fr": (FR_STOPWORDS, FR_SUFFIXES),
+    "es": (ES_STOPWORDS, ES_SUFFIXES),
+}
+
+
+def _fold_expr(col: Column, lang: str) -> Column:
+    src, dst = _FOLD[lang]
+    out = F.translate(col, src, dst)
+    if lang == "de":
+        out = F.regexp_replace(out, "ß", "ss")
+    return out
+
+
+def _fold_py(s: str, lang: str) -> str:
+    src, dst = _FOLD[lang]
+    s = s.translate(str.maketrans(src, dst))
+    return s.replace("ß", "ss") if lang == "de" else s
+
+
+def _suffix_stem_expr(t: Column, suffixes: list[str], min_stem: int) -> Column:
+    expr = None
+    for suf in suffixes:
+        c = (F.length(t) - len(suf) >= min_stem) & t.endswith(suf)
+        stripped = t.substr(F.lit(1), F.length(t) - len(suf))
+        expr = F.when(c, stripped) if expr is None else expr.when(c, stripped)
+    return expr.otherwise(t)
+
+
+def _suffix_stem_py(t: str, suffixes: list[str], min_stem: int) -> str:
+    for suf in suffixes:
+        if t.endswith(suf) and len(t) - len(suf) >= min_stem:
+            return t[: -len(suf)]
+    return t
+
+
+def stem_lang_py(tok: str, lang: str) -> str:
+    """Python twin of the per-language analyzer for query-side literals."""
+    if lang in _LANG_TABLES:
+        sufs, mn = _LANG_TABLES[lang][1]
+        return _suffix_stem_py(_fold_py(tok, lang), sufs, mn)
+    return _stem_py(tok)
+
+
+def lang_stopwords(lang: str) -> list[str]:
+    return _LANG_TABLES[lang][0] if lang in _LANG_TABLES else EN_STOPWORDS
+
+
+def sql_fulltext_match(lang: str, query: str, text_expr: str = "text") -> str:
+    """DuckDB boolean SQL replicating the per-language analyzer match —
+    generated from the SAME stopword/suffix tables as the Spark side."""
+    stop_raw, (sufs, mn) = _LANG_TABLES.get(lang, (EN_STOPWORDS, (None, None)))
+    if lang not in _LANG_TABLES:
+        raise KeyError(f"sql twin only for {sorted(_LANG_TABLES)}, not {lang!r}")
+    src, dst = _FOLD[lang]
+    folded = f"translate(lower({text_expr}), '{src}', '{dst}')"
+    if lang == "de":
+        folded = f"replace({folded}, 'ß', 'ss')"
+    cases = " ".join(
+        f"WHEN length(x) >= {mn + len(suf)} AND x LIKE '%{suf}' "
+        f"THEN substr(x, 1, length(x) - {len(suf)})"
+        for suf in sufs
+    )
+    stem_sql = f"(CASE {cases} ELSE x END)"
+    stops = set(stop_raw) | {_fold_py(w, lang) for w in stop_raw}
+    stop = ", ".join(f"'{w}'" for w in sorted(stops))
+    qtoks = [stem_lang_py(t.lower(), lang) for t in query.split()
+             if t and _fold_py(t.lower(), lang) not in stops]
+    qlist = ", ".join(f"'{t}'" for t in qtoks)
+    return f"""list_has_any(
+  list_transform(
+    list_filter(
+      list_filter(string_split_regex({folded}, '[^a-z0-9]+'), x -> x != ''),
+      x -> NOT list_contains([{stop}], x)),
+    x -> {stem_sql}),
+  [{qlist}])"""
+
+
+def fulltext_tokens(col: Column, lang: str = "en") -> Column:
+    """term tokens minus stopwords, suffix-stemmed (expression-only).
+    ``lang`` routes to that language's stopword + stemmer tables
+    (tok/stemmers.go per-language analyzers); unknown langs fall back
+    to the EN analyzer."""
+    if lang in _LANG_TABLES:
+        stops, (sufs, mn) = _LANG_TABLES[lang]
+        folded = _fold_expr(F.lower(col), lang)
+        toks = F.filter(F.split(folded, TERM_SPLIT_RE), lambda t: t != "")
+        allstops = sorted(set(stops) | {_fold_py(w, lang) for w in stops})
+        toks = F.filter(toks, lambda t: ~t.isin(*allstops))
+        return F.transform(toks, lambda t: _suffix_stem_expr(t, sufs, mn))
     toks = term_tokens(col)
     toks = F.filter(toks, lambda t: ~t.isin(*EN_STOPWORDS))
     return F.transform(toks, stem_token)
@@ -130,21 +258,30 @@ def all_of_terms(col: Column, query: str) -> Column:
     return cond
 
 
-def any_of_text(col: Column, query: str) -> Column:
-    """anyoftext — fulltext analyzer applied to both sides."""
-    qtoks = [_stem_py(t.lower()) for t in query.split()
-             if t and t.lower() not in EN_STOPWORDS]
+def _query_text_tokens(query: str, lang: str) -> list[str]:
+    if lang in _LANG_TABLES:
+        stops = set(lang_stopwords(lang)) | {
+            _fold_py(w, lang) for w in lang_stopwords(lang)}
+        return [stem_lang_py(t.lower(), lang) for t in query.split()
+                if t and _fold_py(t.lower(), lang) not in stops]
+    return [_stem_py(t.lower()) for t in query.split()
+            if t and t.lower() not in EN_STOPWORDS]
+
+
+def any_of_text(col: Column, query: str, lang: str = "en") -> Column:
+    """anyoftext — fulltext analyzer applied to both sides; `pred@de`
+    routes both sides through the German analyzer (tok/stemmers.go)."""
+    qtoks = _query_text_tokens(query, lang)
     if not qtoks:
         return F.lit(False)
-    return F.arrays_overlap(fulltext_tokens(col), F.array(*[F.lit(t) for t in qtoks]))
+    return F.arrays_overlap(fulltext_tokens(col, lang), F.array(*[F.lit(t) for t in qtoks]))
 
 
-def all_of_text(col: Column, query: str) -> Column:
-    qtoks = [_stem_py(t.lower()) for t in query.split()
-             if t and t.lower() not in EN_STOPWORDS]
+def all_of_text(col: Column, query: str, lang: str = "en") -> Column:
+    qtoks = _query_text_tokens(query, lang)
     if not qtoks:
         return F.lit(True)
-    toks = fulltext_tokens(col)
+    toks = fulltext_tokens(col, lang)
     cond = F.array_contains(toks, qtoks[0])
     for t in qtoks[1:]:
         cond = cond & F.array_contains(toks, t)

@@ -116,6 +116,10 @@ class FuncCompiler:
         name = f.name.lower()
         if any(a.is_count or a.is_val_var or a.is_len for a in f.args):
             return None
+        if f.pred_lang:
+            # lang-tagged reads need the long-form value rows (per-lang
+            # row filter); wide tables hold the untagged value only
+            return None
         if name == "type":
             tname = str(f.args[0].value)
             if tname in self.g.wide:
@@ -139,7 +143,7 @@ class FuncCompiler:
         if name == "has":
             return home_name, col.isNotNull()
         if name in _STRSEARCH:
-            return home_name, self._search_cond(name, col, lits)
+            return home_name, self._search_cond(name, col, lits, f.pred_lang)
         return None
 
     def fuse_tree(self, tree: FilterTree) -> tuple[str, Column] | None:
@@ -323,7 +327,7 @@ class FuncCompiler:
         name = f.name.lower()
         pred = f.pred
         df, col, unique = self._value_source(pred, f.pred_lang)
-        cond = self._search_cond(name, col, f.literals())
+        cond = self._search_cond(name, col, f.literals(), f.pred_lang)
         out = df.where(cond).select(SUBJECT)
         return out if unique else out.distinct()
 
@@ -404,15 +408,16 @@ class FuncCompiler:
         out = df.where(checkpwd(col, candidate)).select(SUBJECT)
         return out if unique else out.distinct()
 
-    def _search_cond(self, name: str, col: Column, lits: list) -> Column:
+    def _search_cond(self, name: str, col: Column, lits: list,
+                     lang: str | None = None) -> Column:
         if name == "anyofterms":
             return tok.any_of_terms(col, str(lits[0]))
         if name == "allofterms":
             return tok.all_of_terms(col, str(lits[0]))
         if name == "anyoftext":
-            return tok.any_of_text(col, str(lits[0]))
+            return tok.any_of_text(col, str(lits[0]), lang or "en")
         if name == "alloftext":
-            return tok.all_of_text(col, str(lits[0]))
+            return tok.all_of_text(col, str(lits[0]), lang or "en")
         if name == "regexp":
             return tok.regexp_match(col, str(lits[0]))
         if name == "match":

@@ -51,3 +51,26 @@ def test_ngrams(one):
     assert got == ["abc", "bcd"]
     assert _eval(one, tok.ngram_search(F.lit("hello world"), "lo wo"))
     assert not _eval(one, tok.ngram_search(F.lit("hello world"), "xyz"))
+
+
+def test_multilang_fulltext_analyzers(spark):
+    """Per-language analyzers (tok/stemmers.go, tok/stopwords.go):
+    stopwords drop, accents fold, suffixes strip per language."""
+    import pyspark.sql.functions as F
+
+    from dgraph_spark.functions.tokenizers import fulltext_tokens, stem_lang_py
+
+    def toks(text, lang):
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(fulltext_tokens(F.col("t"), lang).alias("x")).collect()[0]["x"]
+
+    de = toks("die sch\u00f6nen Tabellen und Ordnungen", "de")
+    fr = toks("les donn\u00e9es \u00e9tait tri\u00e9es", "fr")
+    es = toks("las tablas ordenadas y el \u00edndice", "es")
+    assert "schon" in de and "und" not in de and "tabell" in de
+    assert "donn" in fr and "les" not in fr
+    assert "tabl" in es and "el" not in es and "indic" in es
+    # python twins agree with the expression-side stemmers
+    assert stem_lang_py("tabellen", "de") == "tabell"
+    assert stem_lang_py("donn\u00e9es", "fr") == "donn"
+    assert stem_lang_py("ordenadas", "es") == "ordenad"
