@@ -113,6 +113,8 @@ class _P:
             return float(t.text) if "." in t.text else int(t.text)
         if t.text in ("true", "false"):
             return t.text == "true"
+        if t.text == "null":
+            return None
         return t.text
 
     def parse_selection(self) -> list[dict]:

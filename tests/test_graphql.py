@@ -64,3 +64,76 @@ def test_rewrite_text_shape():
     dql = graphql_to_dql('{ queryPart(filter: {p_name: {anyofterms: "green"}}) { p_name } }')
     assert "func: type(Part)" in dql
     assert 'anyofterms(p_name, "green")' in dql
+
+
+def _mini_graph(spark):
+    from dgraph_spark.schema import SchemaRegistry
+    from dgraph_spark.sources.rdf import graph_from_triples, parse_nquads
+
+    nq = '\n'.join([
+        '<0x1> <dgraph.type> "Person" .',
+        '<0x1> <name> "Alice" .',
+        '<0x1> <age> "30"^^<int> .',
+        '<0x2> <dgraph.type> "Person" .',
+        '<0x2> <name> "Bob" .',
+        '<0x2> <age> "22"^^<int> .',
+    ])
+    lines = spark.createDataFrame([(l,) for l in nq.splitlines()], "value string")
+    reg = SchemaRegistry.parse(
+        "name: string @index(exact) .\nage: int .\nknows: [uid] .\n"
+        "dgraph.type: [string] @index(exact) .")
+    reg.define_type("Person", ["name", "age", "knows"])
+    return graph_from_triples(spark, parse_nquads(lines), reg)
+
+
+def test_graphql_add_mutation(spark):
+    """addT -> blank-node set mutation + payload selection
+    (graphql/resolve/mutation_rewriter.go Rewrite add path)."""
+    from dgraph_spark.graphql import execute_graphql_mutation
+
+    g = _mini_graph(spark)
+    r, g2 = execute_graphql_mutation(g, '''
+    mutation {
+      addPerson(input: [{name: "Carol", age: 41}, {name: "Dan", age: 19}]) {
+        numUids
+        person { name age }
+      }
+    }''')
+    p = r["data"]["addPerson"]
+    assert p["numUids"] == 2
+    assert {x["name"] for x in p["person"]} == {"Carol", "Dan"}
+    assert g2.pred("name").count() == 4
+    assert g.pred("name").count() == 2  # original graph untouched
+
+
+def test_graphql_update_mutation(spark):
+    """updateT: filter -> uid relation -> relational set/remove
+    (mutation_rewriter.go RewriteQueries + Rewrite update path)."""
+    from dgraph_spark.graphql import execute_graphql_mutation
+
+    g = _mini_graph(spark)
+    r, g2 = execute_graphql_mutation(g, '''
+    mutation {
+      updatePerson(input: {
+        filter: {age: {ge: 30}},
+        set: {name: "Elder"},
+        remove: {age: null}
+      }) { numUids }
+    }''')
+    assert r["data"]["updatePerson"]["numUids"] == 1
+    names = {x["value"] for x in g2.pred("name").collect()}
+    assert "Elder" in names and "Alice" not in names
+    assert g2.pred("age").count() == 1  # Alice's age removed
+
+
+def test_graphql_delete_mutation(spark):
+    """deleteT: wildcard-delete every type predicate of matched nodes
+    (mutation_rewriter.go delete path)."""
+    from dgraph_spark.graphql import execute_graphql_mutation
+
+    g = _mini_graph(spark)
+    r, g2 = execute_graphql_mutation(g, '''
+    mutation { deletePerson(filter: {name: {eq: "Bob"}}) { msg numUids } }''')
+    assert r["data"]["deletePerson"] == {"msg": "Deleted", "numUids": 1}
+    assert g2.pred("name").count() == 1
+    assert g2.pred("age").count() == 1
