@@ -314,7 +314,10 @@ class Parser:
             lang = None
             if self.peek().text == "@":
                 self.next()
-                lang = self.expect_kind("name").text
+                if self.peek().text in (".", "*"):
+                    lang = self.next().text
+                else:
+                    lang = self.expect_kind("name").text
             # In uid(...)/similar_to position, bare names may be variables —
             # the executor resolves pred-vs-var by context.
             first_pred = argpos == 0 and f.name not in ("uid",)
@@ -552,13 +555,19 @@ class Parser:
 
         # lang tags: name@en:ru:.
         langs: list[str] = []
-        if self.peek().text == "@" and self.peek(1).kind == "name" and self.peek(1).text != "filter":
+        if self.peek().text == "@" and (
+            self.peek(1).kind == "name" or self.peek(1).text in (".", "*")
+        ) and self.peek(1).text != "filter":
             save = self.i
             self.next()
-            nxt = self.expect_kind("name").text
+            if self.peek().text in (".", "*"):
+                langs.append(self.next().text)
+                nxt = None
+            else:
+                nxt = self.expect_kind("name").text
             if nxt in ("filter", "facets", "cascade", "normalize", "recurse", "groupby", "ignorereflex"):
                 self.i = save
-            else:
+            elif nxt is not None:
                 langs.append(nxt)
                 while self.accept(":"):
                     if self.peek().text == ".":

@@ -818,7 +818,7 @@ def q_anyoftext(spark, sf_dir):
     """anyoftext — fulltext analyzer (stopwords + stemming) on both
     sides (tok/tok.go:558-575)."""
     return _flat(spark, sf_dir, '''
-    { q(func: anyoftext(text, "tables joins")) { src: source n_chars } }''')
+    { q(func: anyoftext(text@., "tables joins")) { src: source n_chars } }''')
 
 
 def _sql_anyoftext() -> str:

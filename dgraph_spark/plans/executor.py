@@ -23,6 +23,7 @@ Two result modes:
 from __future__ import annotations
 
 import itertools
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window
@@ -36,7 +37,7 @@ from dgraph_spark.dql.ast import (
     ParsedQuery,
 )
 from dgraph_spark.dql.parser import parse_dql
-from dgraph_spark.model import OBJECT, SUBJECT, VALUE, Graph
+from dgraph_spark.model import FACETS, OBJECT, SUBJECT, VALUE, Graph
 from dgraph_spark.plans.functions import FuncCompiler
 from dgraph_spark.plans.mathexpr import compile_math, math_vars
 
@@ -528,22 +529,32 @@ class Executor:
         col = compile_math(attr.math, lambda n: F.col(f"_v_{n}"))
         return out.select(SUBJECT, col.alias(VALUE))
 
-    def _lang_select(self, df: DataFrame, langs: list[str]) -> DataFrame:
+    def _lang_select(self, df: DataFrame, langs: list[str],
+                     keep: list[str] | None = None) -> DataFrame:
         """Language preference chain `name@en:ru:.`
-        (worker/task.go:1194-1219). '.' = any language."""
-        if not langs or "lang" not in df.columns:
-            return df.select(SUBJECT, VALUE) if VALUE in df.columns else df
+        (worker/task.go:1194-1219). '.' = untagged first, else any
+        language. NO tag selects only the untagged value (dgraph: a bare
+        read of a @lang predicate never returns tagged values)."""
+        cols = [SUBJECT, VALUE] + [c for c in (keep or []) if c in df.columns]
+        if "lang" not in df.columns:
+            return df.select(*[c for c in cols if c in df.columns])
+        if not langs:
+            return df.where(F.col("lang").isNull()).select(*cols)
         pref = [l for l in langs if l != "."]
         rank = F.when(F.lit(False), 0)
         for i, l in enumerate(pref):
             rank = rank.when(F.col("lang") == l, i)
-        rank = rank.otherwise(len(pref) if "." in langs else None)
+        if "." in langs:
+            # '.': untagged preferred, then any tagged (alphabetical tiebreak)
+            rank = rank.when(F.col("lang").isNull(), len(pref)).otherwise(len(pref) + 1)
+        else:
+            rank = rank.otherwise(None)
         ranked = df.withColumn("_lr", rank).where(F.col("_lr").isNotNull())
-        w = Window.partitionBy(SUBJECT).orderBy("_lr")
+        w = Window.partitionBy(SUBJECT).orderBy("_lr", F.coalesce(F.col("lang"), F.lit("")))
         return (
             ranked.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
-            .select(SUBJECT, VALUE)
+            .select(*cols)
         )
 
     def _facet_cond(self, tree) -> Column:
@@ -974,6 +985,10 @@ class Executor:
                 continue
             df = df.join(col_df, SUBJECT, "left")
             struct_fields.append(F.col(out_col).alias(out_col))
+            # facet sibling columns (`pred|key` / `pred|` map) ride along
+            for extra in col_df.columns:
+                if extra not in (SUBJECT, out_col):
+                    struct_fields.append(F.col(extra))
             if attr.var:
                 local_cols[attr.var] = out_col
             if casc is not None and (not casc or attr.name in casc or attr.out_name in casc):
@@ -1017,10 +1032,16 @@ class Executor:
             )
             payload_col = F.col("_payload")
             spec = child.block.facets
-            if spec and spec.keys and "facets" in c_edges.columns:
+            if spec and "facets" in c_edges.columns:
                 # inject edge facets as `pred|facet` keys into each child
-                # node dict (query/outputnode.go facet sibling encoding)
-                for key, alias in spec.keys:
+                # node dict (query/outputnode.go facet sibling encoding);
+                # bare @facets injects the whole facet map, expanded to
+                # per-key siblings at JSON encode time
+                if spec.all:
+                    payload_col = payload_col.withField(
+                        f"{child_name}|", F.col(FACETS)
+                    )
+                for key, alias in (spec.keys or []):
                     payload_col = payload_col.withField(
                         alias or f"{child_name}|{key}", F.col(f"facets.{key}")
                     )
@@ -1144,10 +1165,30 @@ class Executor:
         if not self.g.has_pred(name) or self.g.schema.get(name).is_uid:
             return None, "", False
         sdf = self.g.scalar(name)
-        sdf = self._lang_select(sdf, attr.langs)
         out = out_name
         if attr.langs and not attr.alias:
             out = f"{name}@{':'.join(attr.langs)}"
+        if attr.langs == ["*"]:
+            # name@* — every language variant as `name@xx` keys, the
+            # untagged value under `name` (query/outputnode.go langs);
+            # encoded as a map field expanded at JSON time
+            vdf = (
+                nodes.join(sdf, SUBJECT, "inner")
+                .groupBy(SUBJECT)
+                .agg(F.map_from_entries(F.sort_array(F.collect_list(F.struct(
+                    F.coalesce(F.col("lang"), F.lit("")).alias("k"),
+                    F.col(VALUE).alias("v"))))).alias(out))
+            )
+            return vdf, out, False
+        facet_sel = []
+        spec = attr.facets
+        if spec is not None and "facets" in sdf.columns:
+            if spec.all:
+                facet_sel.append(F.col("facets").alias(f"{out}|"))
+            for key, alias in (spec.keys or []):
+                facet_sel.append(F.col(f"facets.{key}").alias(alias or f"{out}|{key}"))
+        sdf = self._lang_select(sdf, attr.langs, keep=[c for c in ("facets",)
+                                                      if c in sdf.columns])
         meta = self.g.schema.get(name)
         if meta.list:
             vdf = (
@@ -1156,7 +1197,8 @@ class Executor:
                 .agg(F.sort_array(F.collect_list(VALUE)).alias(out))
             )
             return vdf, out, True
-        vdf = nodes.join(sdf, SUBJECT, "inner").select(SUBJECT, F.col(VALUE).alias(out))
+        vdf = nodes.join(sdf, SUBJECT, "inner").select(
+            SUBJECT, F.col(VALUE).alias(out), *facet_sel)
         return vdf, out, False
 
     # ============================================================== groupby
@@ -1493,11 +1535,71 @@ def _row_to_dict(row) -> dict:
     return _clean(d)
 
 
+_FACET_DT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2})?$")
+_FACET_INT_RE = re.compile(r"^-?\d+$")
+_FACET_FLOAT_RE = re.compile(r"^-?\d+\.\d+([eE][-+]?\d+)?$")
+
+
+def _facet_value(s):
+    """dgraph types facets at mutation time (types/facets/utils.go:75
+    parseFacet: bool/int/float/datetime inference, else string); our
+    storage is untyped strings, so the same inference applies at JSON
+    encode time — identical output."""
+    if not isinstance(s, str):
+        return s
+    if s in ("true", "false"):
+        return s == "true"
+    if _FACET_INT_RE.match(s):
+        return int(s)
+    if _FACET_FLOAT_RE.match(s):
+        return float(s)
+    if _FACET_DT_RE.match(s):
+        return s + "Z" if "T" in s else s + "T00:00:00Z"
+    return s
+
+
+def _render_datetime(v: "datetime.datetime") -> str:
+    """RFC3339 with Z (query/outputnode.go renders time.Time in UTC)."""
+    s = v.isoformat()
+    if s.endswith("+00:00"):
+        s = s[:-6]
+    return s + "Z" if "+" not in s else s
+
+
 def _clean(v):
+    import datetime as _dt
+
     if isinstance(v, dict):
-        return {k: _clean(x) for k, x in v.items() if x is not None}
+        out = {}
+        for k, x in v.items():
+            if x is None:
+                continue
+            if k.endswith("|") and isinstance(x, dict):
+                # @facets (all keys): expand the facet map into
+                # `pred|key` siblings (query/outputnode.go facet keys)
+                for fk, fv in x.items():
+                    if fv is not None:
+                        out[f"{k}{fk}"] = _facet_value(_clean(fv))
+                continue
+            if k.endswith("@*") and isinstance(x, dict):
+                # name@*: one key per language, untagged under the bare
+                # name (query/outputnode.go language expansion)
+                base = k[:-2]
+                for lk, lv in x.items():
+                    if lv is not None:
+                        out[f"{base}{lk}" if lk else base[:-1]] = _clean(lv)
+                continue
+            if "|" in k:
+                out[k] = _facet_value(_clean(x))
+                continue
+            out[k] = _clean(x)
+        return out
     if isinstance(v, list):
         return [_clean(x) for x in v if x is not None]
+    if isinstance(v, _dt.datetime):
+        return _render_datetime(v)
+    if isinstance(v, _dt.date):
+        return v.isoformat() + "T00:00:00Z"
     return v
 
 

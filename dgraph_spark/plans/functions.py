@@ -47,8 +47,14 @@ class FuncCompiler:
             # for data-less predicates (no error)
             return self.g.spark.createDataFrame([], f"{SUBJECT} long, {VALUE} string")
         df = self.g.scalar(pred)
-        if lang and "lang" in df.columns:
-            df = df.where(F.col("lang") == lang)
+        if "lang" in df.columns:
+            if lang == ".":
+                pass  # '@.': any language (worker/task.go langForFunc)
+            elif lang:
+                df = df.where(F.col("lang") == lang)
+            else:
+                # bare read of a @lang predicate: untagged values only
+                df = df.where(F.col("lang").isNull())
         return df
 
     def _uid_var(self, name: str) -> DataFrame:

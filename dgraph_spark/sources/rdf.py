@@ -63,17 +63,25 @@ def parse_nquads(lines: DataFrame, text_col: str = "value") -> DataFrame:
                 (parts[4] != "") | (parts[5] != ""),
                 _uid_expr(F.nullif(parts[4], F.lit("")), F.nullif(parts[5], F.lit(""))),
             ).alias("object_uid"),
-            F.when(parts[6] != "", parts[6]).alias("value_str"),
+            # a literal may legitimately be "" (dgraph stores empty
+            # strings); anything that isn't a uid/blank object is the
+            # literal branch of the regex
+            F.when((parts[4] == "") & (parts[5] == ""), parts[6]).alias("value_str"),
             F.nullif(parts[7], F.lit("")).alias("lang"),
             F.nullif(parts[8], F.lit("")).alias("datatype"),
             F.when(
                 parts[9] != "",
                 F.map_from_entries(
                     F.transform(
-                        F.split(parts[9], r",\s*"),
+                        F.split(parts[9], r",\s*(?=[A-Za-z_][A-Za-z0-9_.]*\s*=)"),
                         lambda kv: F.struct(
-                            F.split(kv, "=")[0].alias("key"),
-                            F.split(kv, "=")[1].alias("value"),
+                            F.trim(F.split(kv, "=", 2)[0]).alias("key"),
+                            # strip whitespace and optional quotes from
+                            # the facet value (types/facets parseFacet)
+                            F.regexp_replace(
+                                F.trim(F.split(kv, "=", 2)[1]),
+                                r'^"(.*)"$', "$1",
+                            ).alias("value"),
                         ),
                     )
                 ),
@@ -126,6 +134,9 @@ def graph_from_triples(
             cols = [F.col(SUBJECT), value]
             if meta.lang:
                 cols.append(F.col("lang"))
+            if FACETS in triples.columns:
+                # facets attach to VALUE edges too (types/facets/utils.go:75)
+                cols.append(F.col(FACETS))
             preds[name] = rows.select(*cols)
     return Graph(spark=spark, preds=preds, schema=schema)
 
