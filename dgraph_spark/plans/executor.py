@@ -87,6 +87,8 @@ class Executor:
     def execute(self, query: str | ParsedQuery, vars: dict | None = None) -> dict:
         """Run a full DQL query; returns {block_alias: [node dicts...]}."""
         pq = parse_dql(query, vars) if isinstance(query, str) else query
+        for b in pq.blocks:
+            _propagate_cascade(b)
         out: dict[str, list] = {}
         for block in self._schedule(pq.blocks):
             if block.is_schema:
@@ -135,6 +137,8 @@ class Executor:
         """Run a query, return ONE block's result as a flat DataFrame
         (lineage joins; aliased scalar columns). Used by the oracle gate."""
         pq = parse_dql(query, vars) if isinstance(query, str) else query
+        for b in pq.blocks:
+            _propagate_cascade(b)
         target = None
         for block in self._schedule(pq.blocks):
             if block.is_var_block:
@@ -154,8 +158,6 @@ class Executor:
         remaining = list(blocks)
         ordered: list[Block] = []
         defined: set[str] = set()
-        for b in blocks:
-            pass
         while remaining:
             ready = [b for b in remaining if _block_needs(b) <= defined]
             if not ready:
@@ -248,7 +250,8 @@ class Executor:
         return frontier.join(kept, DST, "left_semi")
 
     # ============================================================== descent
-    def _descend(self, block: Block, frontier: DataFrame, root: bool) -> Level:
+    def _descend(self, block: Block, frontier: DataFrame, root: bool,
+                 parent: "Level | None" = None) -> Level:
         """frontier: DataFrame with column _dst (+ _src when child level).
 
         Applies sort/pagination (unless deferred for cascade), registers
@@ -259,6 +262,22 @@ class Executor:
 
         subtree_cascade = _has_cascade(block)
         level = Level(block=block, edges=frontier, defer_pagination=subtree_cascade)
+        level.parent = parent
+
+        # facet variables @facets(w as weight): registered BEFORE any
+        # child descends so math() at this or deeper levels can resolve
+        # them (query/query.go:1550); computed on the pre-pagination edge
+        # set (pagination does not affect variables).
+        if block.facets is not None and block.facets.vars and "facets" in frontier.columns:
+            for var, key in block.facets.vars.items():
+                vdf = (
+                    frontier.select(F.col(DST).alias(SUBJECT),
+                                    F.col(f"facets.{key}").alias(VALUE))
+                    .groupBy(SUBJECT).agg(F.sum(VALUE).alias(VALUE))
+                )
+                self.env[var] = vdf
+                self.var_edges[var] = frontier
+                self.var_level[var] = level
         if root and getattr(self, "_last_fused", None) is not None:
             # scan reuse is only sound while the node set is exactly the
             # fused scan's row set — pagination/order re-shapes it
@@ -400,19 +419,7 @@ class Executor:
         if child.filter is not None:
             ch = self._apply_filter(child.filter, ch)
 
-        lvl = self._descend(child, ch, root=False)
-        lvl.parent = parent
-
-        # facet variables: @facets(w as weight) -> per-dst summed facet
-        if child.facets is not None and child.facets.vars and "facets" in ch.columns:
-            for var, key in child.facets.vars.items():
-                vdf = (
-                    lvl.edges.select(F.col(DST).alias(SUBJECT), F.col(f"facets.{key}").alias(VALUE))
-                    .groupBy(SUBJECT).agg(F.sum(VALUE).alias(VALUE))
-                )
-                self.env[var] = vdf
-                self.var_edges[var] = lvl.edges
-                self.var_level[var] = lvl
+        lvl = self._descend(child, ch, root=False, parent=parent)
         return lvl
 
     def _register_attr_var(self, attr: Attr, nodes: DataFrame, level: Level) -> None:
@@ -463,7 +470,7 @@ class Executor:
             total = vdf.agg(fn(VALUE).alias(VALUE))
             return nodes.crossJoin(F.broadcast(total))
         if attr.math is not None:
-            return self._math_value_df(attr, nodes)
+            return self._math_value_df(attr, nodes, level)
         if self.g.has_pred(attr.name) and not self.g.schema.get(attr.name).is_uid:
             home = self.g.home_of(attr.name)
             if home is not None and not attr.langs:
@@ -497,24 +504,50 @@ class Executor:
     def _val_for_level(self, varname: str, level: Level | None) -> DataFrame | None:
         """Value variable aligned to `level`'s uid space. When the var was
         defined in a descendant level, values propagate UP by summing
-        along paths (query/query.go:1143-1237 transformTo)."""
+        along paths; when defined at an ANCESTOR level, they propagate
+        DOWN the same way (query/query.go:1143-1237 transformTo — the
+        variable transforms along edges in either direction)."""
         vdf = self.env.get(varname)
         if vdf is None:
             return None
         chain = self._var_chain(varname, level)
-        if not chain:
+        if chain:
+            out = vdf
+            for lvl in chain:
+                e = lvl.edges
+                if SRC not in e.columns:
+                    return out
+                out = (
+                    e.select(SRC, DST)
+                    .join(out.select(F.col(SUBJECT).alias(DST), VALUE), DST, "inner")
+                    .groupBy(SRC)
+                    .agg(F.sum(VALUE).alias(VALUE))
+                    .select(F.col(SRC).alias(SUBJECT), VALUE)
+                )
+            return out
+        # downward: walk from `level` up to the defining level, then
+        # push values down through each traversal's edges
+        dl = self.var_level.get(varname)
+        if dl is None or level is None or dl is level:
+            return vdf
+        down: list[Level] = []
+        cur: Level | None = level
+        while cur is not None and cur is not dl:
+            down.append(cur)
+            cur = cur.parent
+        if cur is not dl:
             return vdf
         out = vdf
-        for lvl in chain:
+        for lvl in reversed(down):
             e = lvl.edges
             if SRC not in e.columns:
                 return out
             out = (
                 e.select(SRC, DST)
-                .join(out.select(F.col(SUBJECT).alias(DST), VALUE), DST, "inner")
-                .groupBy(SRC)
+                .join(out.select(F.col(SUBJECT).alias(SRC), VALUE), SRC, "inner")
+                .groupBy(DST)
                 .agg(F.sum(VALUE).alias(VALUE))
-                .select(F.col(SRC).alias(SUBJECT), VALUE)
+                .select(F.col(DST).alias(SUBJECT), VALUE)
             )
         return out
 
@@ -524,6 +557,9 @@ class Executor:
         out = nodes.select(SUBJECT)
         for v in names:
             resolved = self._val_for_level(v, level) if level is not None else self.env[v]
+            if resolved is None:
+                out = out.withColumn(f"_v_{v}", F.lit(None).cast("double"))
+                continue
             vdf = resolved.select(SUBJECT, F.col(VALUE).alias(f"_v_{v}"))
             out = out.join(vdf, SUBJECT, "left")
         col = compile_math(attr.math, lambda n: F.col(f"_v_{n}"))
@@ -638,10 +674,12 @@ class Executor:
                 # order key rides in-row on the edge — no join
                 out = out.withColumn(cname, F.col(f"_a_{o.key}"))
             elif o.is_var or (o.key in self.env and not self.g.has_pred(o.key)):
+                # sorting by a value variable EXCLUDES nodes the var is
+                # not defined for (worker/sort.go sortWithVar semantics)
                 vdf = self.env[o.key].select(
                     F.col(SUBJECT).alias(DST), F.col(VALUE).alias(cname)
                 )
-                out = out.join(vdf, DST, "left")
+                out = out.join(vdf, DST, "inner")
             else:
                 sdf = self.g.scalar(o.key)
                 sdf = self._lang_select(sdf, [o.lang] if o.lang else [])
@@ -973,41 +1011,42 @@ class Executor:
             )
             df = df.join(wdf, SUBJECT, "left")
             for a, _c in items:
-                struct_fields.append(F.col(a.out_name))
+                struct_fields.append(_qc(a.out_name))
                 if a.var:
                     local_cols[a.var] = a.out_name
                 if casc is not None and (not casc or a.name in casc or a.out_name in casc):
-                    cascade_checks.append(F.col(a.out_name).isNotNull())
+                    cascade_checks.append(_qc(a.out_name).isNotNull())
         math_attrs = [a for a in rest if a.math is not None]
         for attr in (a for a in rest if a.math is None):
             col_df, out_col, multi = self._attr_output(attr, nodes, level)
             if col_df is None:
                 continue
             df = df.join(col_df, SUBJECT, "left")
-            struct_fields.append(F.col(out_col).alias(out_col))
+            struct_fields.append(_qc(out_col).alias(out_col))
             # facet sibling columns (`pred|key` / `pred|` map) ride along
             for extra in col_df.columns:
                 if extra not in (SUBJECT, out_col):
-                    struct_fields.append(F.col(extra))
+                    struct_fields.append(_qc(extra))
             if attr.var:
                 local_cols[attr.var] = out_col
             if casc is not None and (not casc or attr.name in casc or attr.out_name in casc):
-                cascade_checks.append(F.col(out_col).isNotNull())
+                cascade_checks.append(_qc(out_col).isNotNull())
         for attr in math_attrs:
             needed = math_vars(attr.math)
-            out_col = attr.out_name if attr.alias else "math"
+            out_col = attr.out_name if attr.alias else (
+                f"val({attr.var})" if attr.var else "math")
             if needed <= set(local_cols):
                 df = df.withColumn(
-                    out_col, compile_math(attr.math, lambda n: F.col(local_cols[n]))
+                    out_col, compile_math(attr.math, lambda n: _qc(local_cols[n]))
                 )
             else:
                 col_df, out_col, _m = self._attr_output(attr, nodes, level)
                 if col_df is None:
                     continue
                 df = df.join(col_df, SUBJECT, "left")
-            struct_fields.append(F.col(out_col))
+            struct_fields.append(_qc(out_col))
             if casc is not None and (not casc or attr.name in casc or attr.out_name in casc):
-                cascade_checks.append(F.col(out_col).isNotNull())
+                cascade_checks.append(_qc(out_col).isNotNull())
 
         # uid output
         if any(isinstance(a, Attr) and a.name == "uid" and not a.is_count for a in level.attr_items):
@@ -1048,19 +1087,30 @@ class Executor:
             for a, ecol in child_inrow:
                 # in-row scalar attrs read straight off the traversal join
                 payload_col = payload_col.withField(a.out_name, F.col(ecol))
+            pmeta = self.g.schema.get(child.block.attr) if self.g.schema.has(child.block.attr) else None
+            single = (pmeta is not None and pmeta.is_uid and not pmeta.list
+                      and not child.block.reverse)
+            child_arr = F.transform(F.col("_sorted"), lambda x: x["_p"])
+            if single:
+                # non-list uid predicate renders as an object, not a
+                # one-element array (query/outputnode.go list=false)
+                child_arr = child_arr[0]
             arr = (
                 joined.select(F.col(SRC), F.struct(F.col(RANK).alias("_r"), payload_col.alias("_p")).alias("_rp"))
                 .groupBy(SRC)
                 .agg(F.sort_array(F.collect_list("_rp")).alias("_sorted"))
                 .select(
                     F.col(SRC).alias(SUBJECT),
-                    F.transform(F.col("_sorted"), lambda x: x["_p"]).alias(child_name),
+                    child_arr.alias(child_name),
                 )
             )
             df = df.join(arr, SUBJECT, "left")
-            struct_fields.append(F.col(child_name))
+            struct_fields.append(_qc(child_name))
             if casc is not None and (not casc or child.block.attr in casc or child.block.alias in casc):
-                cascade_checks.append(F.size(F.coalesce(F.col(child_name), F.array())) > 0)
+                if single:
+                    cascade_checks.append(_qc(child_name).isNotNull())
+                else:
+                    cascade_checks.append(F.size(F.coalesce(_qc(child_name), F.array())) > 0)
 
         if casc is not None:
             for c in cascade_checks:
@@ -1158,7 +1208,10 @@ class Executor:
             )
         if attr.math is not None:
             vdf = self._math_value_df(attr, nodes, level)
-            out = out_name if attr.alias else "math"
+            # `v as math(...)` with no alias renders as val(v)
+            # (query/outputnode.go value-var key naming)
+            out = out_name if attr.alias else (
+                f"val({attr.var})" if attr.var else "math")
             return vdf.select(SUBJECT, F.col(VALUE).alias(out)), out, False
         # plain scalar predicate
         name = attr.name
@@ -1402,7 +1455,7 @@ class Executor:
             if needed <= set(local_cols):
                 # all inputs already in the frame: pure projection, no join
                 frame = frame.withColumn(
-                    out, compile_math(attr.math, lambda n: F.col(local_cols[n]))
+                    out, compile_math(attr.math, lambda n: _qc(local_cols[n]))
                 )
             else:
                 col_df, out2, _m = self._attr_output(attr, nodes, level)
@@ -1520,6 +1573,24 @@ def _len_func(f: FuncCall | None):
     return next((a for a in f.args if a.is_len), None)
 
 
+def _qc(name: str) -> Column:
+    """Column reference by exact name — backtick-quoted so predicate
+    names with '@', '.', '|', '-' (lang tags, dotted preds, facet keys)
+    aren't parsed as struct access or arithmetic."""
+    return F.col("`" + name + "`")
+
+
+def _propagate_cascade(b: Block) -> None:
+    """@cascade applies to the whole subtree: children inherit the
+    parent's cascade (incl. the parameterized pred list) unless they
+    declare their own (query/query.go applyCascade recursion)."""
+    for c in b.children:
+        if isinstance(c, Block):
+            if b.cascade is not None and c.cascade is None:
+                c.cascade = b.cascade
+            _propagate_cascade(c)
+
+
 def _has_cascade(b: Block) -> bool:
     if b.cascade is not None:
         return True
@@ -1582,12 +1653,12 @@ def _clean(v):
                         out[f"{k}{fk}"] = _facet_value(_clean(fv))
                 continue
             if k.endswith("@*") and isinstance(x, dict):
-                # name@*: one key per language, untagged under the bare
-                # name (query/outputnode.go language expansion)
+                # name@*: one `name@xx` key per language, the untagged
+                # value under the bare name (query/outputnode.go langs)
                 base = k[:-2]
                 for lk, lv in x.items():
                     if lv is not None:
-                        out[f"{base}{lk}" if lk else base[:-1]] = _clean(lv)
+                        out[f"{base}@{lk}" if lk else base] = _clean(lv)
                 continue
             if "|" in k:
                 out[k] = _facet_value(_clean(x))
@@ -1595,7 +1666,15 @@ def _clean(v):
             out[k] = _clean(x)
         return out
     if isinstance(v, list):
-        return [_clean(x) for x in v if x is not None]
+        # child nodes with no surviving attribute are omitted entirely
+        # (query/outputnode.go: empty fastJsonNode not emitted)
+        out = []
+        for x in v:
+            cx = _clean(x)
+            if cx is None or cx == {}:
+                continue
+            out.append(cx)
+        return out
     if isinstance(v, _dt.datetime):
         return _render_datetime(v)
     if isinstance(v, _dt.date):

@@ -277,7 +277,10 @@ class FuncCompiler:
             return self._empty_uids()
         if self.g.schema.get(name).is_uid:
             return self.g.edge(name, reverse=reverse).select(SUBJECT).distinct()
-        return self.g.scalar(name).select(SUBJECT).distinct()
+        # lang routing matches value reads: bare has(p) sees only
+        # untagged values of a @lang predicate, has(p@.) any language,
+        # has(p@xx) that language (worker/task.go langForFunc)
+        return self._scalar(name, f.pred_lang).select(SUBJECT).distinct()
 
     def _uid(self, f: FuncCall) -> DataFrame:
         lits: list[int] = []

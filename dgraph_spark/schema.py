@@ -159,7 +159,7 @@ class SchemaRegistry:
                     i += 1
                 name = block[len("type "):block.index("{")].strip()
                 body = block[block.index("{") + 1 : block.index("}")]
-                preds = [p.strip().rstrip(";") for p in body.replace("\n", " ").split()]
+                preds = [p.strip().rstrip(";").strip("<>") for p in body.replace("\n", " ").split()]
                 reg.define_type(name, [p for p in preds if p])
                 continue
             reg.add(_parse_pred_line(line))
@@ -179,6 +179,7 @@ def _parse_pred_line(line: str) -> Predicate:
         parts = rest.split(None, 1)
         typ = parts[0] if parts else "default"
         rest = parts[1] if len(parts) > 1 else ""
+    typ = typ.lower()  # schema accepts `dateTime` etc. (schema/parse.go lowercases)
     if typ not in SCALAR_TYPES:
         raise ValueError(f"unknown scalar type {typ!r} in schema line {line!r}")
     pred = Predicate(name=name.strip(), typ=typ, list=is_list)

@@ -184,7 +184,7 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
                     cols.append(F.col(c))
         preds[name] = df.select(*cols)
         edge_homes[name] = (src_home, dst_home)
-        reg.add(Predicate(name=name, typ="uid", list=True, **meta))
+        reg.add(Predicate(name=name, typ="uid", **{"list": True, **meta}))
 
     o, li, c, s, n = raw["orders"], raw["lineitem"], raw["customer"], raw["supplier"], raw["nation"]
     li_uid = F.col("_li_uid")
@@ -193,7 +193,7 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     edge("line", li, uid_col("orders", F.col("l_orderkey")),
          li_uid, count=True, dst_home="Lineitem")
     edge("of_part", li, li_uid, uid_col("part", F.col("l_partkey")),
-         src_home="Lineitem")
+         src_home="Lineitem", list=False)
     edge(
         "by_supplier",
         li,
@@ -204,6 +204,7 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
             F.col("l_extendedprice").cast("double").alias("price"),
         ),
         src_home="Lineitem",
+        list=False,
     )
     cust_nation = c.select(uid_col("customer", F.col("c_custkey")).alias(SUBJECT),
                            uid_col("nation", F.col("c_nationkey")).alias(OBJECT))
@@ -212,7 +213,8 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     preds["in_nation"] = cust_nation.unionByName(supp_nation)
     reg.add(Predicate(name="in_nation", typ="uid", reverse=True))
     edge("in_region", n, uid_col("nation", F.col("n_nationkey")),
-         uid_col("region", F.col("n_regionkey")), reverse=True, src_home="Nation")
+         uid_col("region", F.col("n_regionkey")), reverse=True, src_home="Nation",
+         list=False)
 
     # type definitions include uid predicates too (dgraph types list
     # every predicate; expand(_all_) traverses the uid ones —

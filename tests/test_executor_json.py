@@ -78,10 +78,12 @@ def test_recurse_shape(executor):
     r = executor.execute(f'''
     {{ q(func: uid({u})) @recurse(depth: 3) {{ in_nation in_region n_name r_name }} }}''')
     node = r["q"][0]
-    nation = node["in_nation"][0]
+    # in_nation / in_region are non-list uid preds -> JSON objects
+    # (query/outputnode.go: list=false renders single object)
+    nation = node["in_nation"]
     assert "n_name" in nation
     assert "in_region" in nation
-    assert "r_name" in nation["in_region"][0]
+    assert "r_name" in nation["in_region"]
 
 
 def test_shortest_path_json(executor):
@@ -114,7 +116,7 @@ def test_expand_all_nested_uid_preds(executor):
     r = executor.execute(f"{{ q(func: uid({u})) {{ expand(_all_) {{ r_name }} }} }}")
     node = r["q"][0]
     assert node["n_name"] == "NATION_3"
-    assert node["in_region"][0]["r_name"] in {
+    assert node["in_region"]["r_name"] in {
         "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}
     # bare expand omits uid-pred children (empty nodes are pruned)
     r2 = executor.execute(f"{{ q(func: uid({u})) {{ expand(_all_) }} }}")

@@ -53,12 +53,12 @@ def test_ignorereflex(executor):
     {{ q(func: uid({u})) @ignorereflex {{
         in_region {{ back: ~in_region {{ n_name uid }} }}
     }} }}''')
-    back = r["q"][0]["in_region"][0]["back"]
+    back = r["q"][0]["in_region"]["back"]
     uids = {n["uid"] for n in back}
     assert f"0x{u:x}" not in uids
     r2 = executor.execute(f'''
     {{ q(func: uid({u})) {{ in_region {{ back: ~in_region {{ uid }} }} }} }}''')
-    uids2 = {n["uid"] for n in r2["q"][0]["in_region"][0]["back"]}
+    uids2 = {n["uid"] for n in r2["q"][0]["in_region"]["back"]}
     assert f"0x{u:x}" in uids2
 
 
