@@ -105,6 +105,11 @@ class Attr:
                                         # every expanded predicate's child
                                         # block (query/query.go:2139-2143)
     filter: FilterTree | None = None
+    # count(pred (first/offset/orderasc) @filter(...)): pagination applies
+    # to the counted edge set (dql/parser.go parses count as a full child)
+    count_first: int | None = None
+    count_offset: int | None = None
+    count_order: list = field(default_factory=list)
 
     @property
     def out_name(self) -> str:

@@ -217,17 +217,20 @@ class Parser:
                 b.recurse.loop = self.next().text == "true"
             elif key in ("from", "to", "numpaths", "minweight", "maxweight"):
                 b.shortest = b.shortest or ShortestArgs()
-                val = self.parse_shortest_endpoint()
-                if key == "from":
-                    b.shortest.from_ = val
-                elif key == "to":
-                    b.shortest.to = val
-                elif key == "numpaths":
-                    b.shortest.numpaths = int(val)
-                elif key == "minweight":
-                    b.shortest.minweight = float(val)
+                if key in ("minweight", "maxweight"):
+                    w = float(self._subst(self.next().text))
+                    if key == "minweight":
+                        b.shortest.minweight = w
+                    else:
+                        b.shortest.maxweight = w
                 else:
-                    b.shortest.maxweight = float(val)
+                    val = self.parse_shortest_endpoint()
+                    if key == "from":
+                        b.shortest.from_ = val
+                    elif key == "to":
+                        b.shortest.to = val
+                    else:
+                        b.shortest.numpaths = int(val)
             else:
                 # unknown param: consume one value token
                 self.next()
@@ -235,12 +238,19 @@ class Parser:
     def parse_shortest_endpoint(self):
         t = self.next()
         if t.kind == "number":
-            return int(t.text)
+            return int(t.text, 0)  # decimal or 0x-hex uid literal
         if t.kind == "name" and t.text == "uid":
             self.expect("(")
             v = self.next().text
             self.expect(")")
-            return int(v, 0)
+            try:
+                return int(v, 0)
+            except ValueError:
+                # uid(q) referencing a uid variable defined by another
+                # block (query/shortest.go expandVars) — resolved at exec
+                return v
+        if t.kind == "name" and t.text.startswith("0x"):
+            return int(t.text, 16)
         return t.text
 
     def parse_order_key(self, desc: bool) -> Order:
@@ -303,9 +313,10 @@ class Parser:
                 return Arg(value=var, is_val_var=True)
             if name == "count" and self.peek().text == "(":
                 self.next()
+                rev = self.accept("~")
                 pred = self.expect_kind("name").text
                 self.expect(")")
-                return Arg(value=pred, is_count=True)
+                return Arg(value=("~" + pred if rev else pred), is_count=True)
             if name == "len" and self.peek().text == "(":
                 self.next()
                 var = self.expect_kind("name").text
@@ -384,7 +395,9 @@ class Parser:
     def parse_directives(self, b: Block) -> None:
         while self.peek().text == "@":
             self.next()
-            name = self.expect_kind("name").text
+            # directive names are case-insensitive (@IGNOREREFLEX,
+            # @ignoreReflex — dql/parser.go validateDirectives lowercases)
+            name = self.expect_kind("name").text.lower()
             if name == "filter":
                 self.expect("(")
                 b.filter = self.parse_filter_tree()
@@ -514,8 +527,37 @@ class Parser:
                 return Attr(name="uid", alias=alias, is_count=True, var=var)
             inner_rev = self.accept("~")
             pred = self.expect_kind("name").text
-            self.expect(")")
             a = Attr(name=("~" + pred if inner_rev else pred), alias=alias, is_count=True, var=var)
+            # count(pred (params) @filter(...)) — the counted edge is a full
+            # child subgraph: pagination + filter apply BEFORE counting
+            # (dql/parser.go godeep on count child)
+            while self.peek().text in ("(", "@"):
+                if self.peek().text == "(":
+                    blk = Block(alias=pred, attr=pred)
+                    self.parse_block_params(blk)
+                    a.count_first, a.count_offset = blk.first, blk.offset
+                    a.count_order = blk.order
+                else:
+                    self.next()
+                    dname = self.expect_kind("name").text
+                    if dname != "filter":
+                        raise SyntaxError(f"unexpected @{dname} inside count()")
+                    self.expect("(")
+                    a.filter = self.parse_filter_tree()
+                    self.expect(")")
+            self.expect(")")
+            # trailing filter form: count(pred) @filter(...) — same meaning
+            while self.peek().text == "@":
+                save = self.i
+                self.next()
+                dname = self.expect_kind("name").text
+                if dname == "filter":
+                    self.expect("(")
+                    a.filter = self.parse_filter_tree()
+                    self.expect(")")
+                else:
+                    self.i = save
+                    break
             return a
         if name == "val" and self.peek().text == "(":
             self.next()

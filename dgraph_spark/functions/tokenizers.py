@@ -340,8 +340,19 @@ def regexp_match(col: Column, pattern: str) -> Column:
 
 
 def fuzzy_match(col: Column, target: str, max_dist: int) -> Column:
-    """match(p, s, dist) — Levenshtein <= dist (worker/match.go:24)."""
-    return F.levenshtein(F.lower(col), F.lit(target.lower())) <= max_dist
+    """match(p, s, dist) — trigram-index candidacy THEN Levenshtein <= dist
+    (worker/match.go:70 uidsForMatch merges trigram postings; matchFuzzy
+    checks the distance). A value with no trigram in common with the
+    query is never a candidate, however small its edit distance."""
+    q = target.lower()
+    grams = [q[i: i + 3] for i in range(len(q) - 2)]
+    if not grams:
+        # query shorter than one trigram -> no index candidates
+        return F.lit(False)
+    overlap = F.arrays_overlap(
+        ngrams(col, 3), F.array(*[F.lit(g) for g in grams])
+    )
+    return overlap & (F.levenshtein(F.lower(col), F.lit(q)) <= max_dist)
 
 
 def ngram_search(col: Column, query: str, n: int = 3) -> Column:

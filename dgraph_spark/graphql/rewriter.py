@@ -17,6 +17,8 @@ second engine).
 
 from __future__ import annotations
 
+import re
+
 from dgraph_spark.dql.parser import Token, tokenize
 from dgraph_spark.model import Graph
 from dgraph_spark.plans import Executor
@@ -264,6 +266,16 @@ def execute_graphql(graph: Graph, query: str) -> dict:
     GraphQL endpoint (shape, not the full spec)."""
     dql = graphql_to_dql(query)
     result = Executor(graph).execute(dql)
+    # DQL agg-only blocks emit one single-key node per aggregate; the
+    # GraphQL response shape is ONE object with all aggregate fields
+    agg_aliases = set()
+    for m in re.finditer(r"(?:(\w+)\s*:\s*)?(aggregate\w+)\s*[({]", query):
+        agg_aliases.add(m.group(1) or m.group(2))
+    for k in agg_aliases & set(result):
+        if isinstance(result[k], list) and all(
+            isinstance(d, dict) and len(d) == 1 for d in result[k]
+        ):
+            result[k] = [{kk: vv for d in result[k] for kk, vv in d.items()}]
     # fold aggregate count helper blocks back into their aggregate result
     for key in [k for k in result if k.endswith("__count")]:
         target = key[: -len("__count")]

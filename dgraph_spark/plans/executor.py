@@ -695,18 +695,33 @@ class Executor:
 
     def _order_cols(self, block: Block, edges: DataFrame) -> list[Column]:
         cols: list[Column] = []
+        keys: list[tuple[str, bool]] = []  # (col name, desc?)
         i = 0
         for o in block.order:
             cname = f"_ok{i}"
             if cname in edges.columns:
                 cols.append(F.col(cname).desc_nulls_last() if o.desc else F.col(cname).asc_nulls_last())
+                keys.append((cname, o.desc))
             i += 1
         if block.facets and block.facets.order:
             for j, o in enumerate(block.facets.order):
                 cname = f"_okf{j}"
                 if cname in edges.columns:
                     cols.append(F.col(cname).desc_nulls_last() if o.desc else F.col(cname).asc_nulls_last())
-        cols.append(F.col(DST).asc())  # uid tiebreak (dgraph sorts by uid)
+                    keys.append((cname, o.desc))
+        # uid tiebreak. Quirk faithfully copied from types/sort.go Less:
+        # when two nodes tie with BOTH null at a sort key, the comparator
+        # returns desc[vidx] — for a desc key that flips the tie to uid-
+        # DESCENDING; otherwise ties keep uid ascending.
+        tie = F.col(DST).asc()
+        if any(d for _c, d in keys):
+            flip = None
+            for cname, d in keys:
+                cond = F.col(cname).isNull()
+                flip = F.when(cond, F.lit(d)) if flip is None else flip.when(cond, F.lit(d))
+            flip = flip.otherwise(F.lit(False))
+            tie = F.when(flip, -F.col(DST)).otherwise(F.col(DST)).asc()
+        cols.append(tie)
         return cols
 
     # ============================================================== recurse
@@ -810,43 +825,126 @@ class Executor:
         (query/shortest.go:457). Weights: @facets(weight) on the edge
         blocks, else hop count. Registers the path uid var if `as` given."""
         sp = block.shortest
-        src, dst = int(sp.from_), int(sp.to)
-        numpaths = sp.numpaths or 1
-        max_depth = sp.depth or self.max_recurse_depth
 
-        preds: list[tuple[str, bool, str | None]] = []
+        def _ep(v):
+            # endpoint is a uid literal or a uid variable holding ONE uid
+            # (query/shortest.go expandVars); an EMPTY variable means no
+            # source/target -> no path, not an error
+            if isinstance(v, int):
+                return v
+            vdf = self.env.get(str(v))
+            if vdf is None:
+                raise KeyError(f"undefined uid variable {v!r} in shortest from/to")
+            rows = vdf.select(SUBJECT).limit(2).collect()
+            if len(rows) == 0:
+                return None
+            if len(rows) > 1:
+                raise ValueError("shortest: from/to variable must hold exactly one uid")
+            return rows[0][SUBJECT]
+
+        src, dst = _ep(sp.from_), _ep(sp.to)
+        if src is None or dst is None or sp.depth == 0:
+            self._last_shortest = None
+            self._last_shortest_wkeys = {}
+            if block.var:
+                self.env[block.var] = self.spark.createDataFrame([], f"{SUBJECT} long")
+            return None
+        numpaths = sp.numpaths or 1
+
+        preds: list[tuple[str, bool, str | None, object]] = []
         for c in block.children:
             if isinstance(c, Block):
                 wkey = None
                 if c.facets and (c.facets.keys or c.facets.vars):
                     wkey = c.facets.keys[0][0] if c.facets.keys else list(c.facets.vars.values())[0]
-                preds.append((c.attr, c.reverse, wkey))
+                if self.g.has_pred(c.attr):
+                    preds.append((c.attr, c.reverse, wkey, c.filter))
             elif isinstance(c, Attr) and self.g.has_pred(c.name) and self.g.schema.get(c.name).is_uid:
                 wkey = None
                 if c.facets and c.facets.keys:
                     wkey = c.facets.keys[0][0]
-                preds.append((c.name, False, wkey))
+                preds.append((c.name, False, wkey, c.filter))
         if not preds:
             raise ValueError("shortest block needs at least one edge predicate")
 
-        # unified weighted edge relation
+        # unified weighted edge relation, tagged with the pred taken and
+        # the raw facet value (for `pred|facet` output siblings). Missing
+        # facet => cost 1.0 (query/shortest.go:108 getCost default)
         edge_frames = []
-        for pred, rev, wkey in preds:
+        for pi, (pred, rev, wkey, filt) in enumerate(preds):
             e = self.g.edge(pred, reverse=rev)
-            w = F.col(f"facets.{wkey}").cast("double") if (wkey and "facets" in e.columns) else F.lit(1.0)
-            edge_frames.append(e.select(SUBJECT, OBJECT, w.alias("_w")))
+            tag = ("~" + pred) if rev else pred
+            if filt is not None:
+                # @filter on a shortest edge block restricts the nodes the
+                # path may pass through (query/shortest.go copyFiltersRecurse)
+                fc = FuncCompiler(self.g, self.env)
+                keep = fc.filter(filt, e.select(F.col(OBJECT).alias(SUBJECT)).distinct())
+                e = e.join(keep.select(F.col(SUBJECT).alias(OBJECT)), OBJECT, "left_semi")
+            if wkey:
+                # @facets(weight) requested: an edge WITHOUT the facet is
+                # skipped entirely (query/shortest.go:52 errFacet ->
+                # expandOut drops the edge), not costed 1.0
+                if "facets" not in e.columns:
+                    continue
+                wf = F.col(f"facets.{wkey}").cast("double")
+                e = e.where(wf.isNotNull())
+                edge_frames.append(e.select(
+                    SUBJECT, OBJECT, wf.alias("_w"), wf.alias("_wf"),
+                    F.lit(tag).alias("_pred"), F.lit(pi).alias("_pi"),
+                ))
+            else:
+                edge_frames.append(e.select(
+                    SUBJECT, OBJECT, F.lit(1.0).alias("_w"),
+                    F.lit(None).cast("double").alias("_wf"),
+                    F.lit(tag).alias("_pred"), F.lit(pi).alias("_pi"),
+                ))
+        if not edge_frames:
+            self._last_shortest = None
+            self._last_shortest_wkeys = {}
+            if block.var:
+                self.env[block.var] = self.spark.createDataFrame([], f"{SUBJECT} long")
+            return None
         edges = edge_frames[0]
         for e in edge_frames[1:]:
             edges = edges.unionByName(e)
+        if len(edge_frames) > 1:
+            # when two preds carry the same (from, to) edge, the LAST one
+            # in query order wins (query/shortest.go:219 expandOut
+            # overrides the adjacency entry per subgraph in child order)
+            wp = Window.partitionBy(SUBJECT, OBJECT).orderBy(F.col("_pi").desc())
+            edges = (edges.withColumn("_rn", F.row_number().over(wp))
+                     .where(F.col("_rn") == 1).drop("_rn"))
+        edges = edges.drop("_pi")
 
-        unit_weights = all(wkey is None for _p, _r, wkey in preds)
+        unit_weights = all(wkey is None for _p, _r, wkey, _f in preds)
         spark = self.spark
-        paths = spark.createDataFrame(
-            [(src, 0.0, [src])], "node long, dist double, path array<long>"
-        )
-        found = spark.createDataFrame([], "node long, dist double, path array<long>")
+        if sp.depth is not None:
+            # `depth: k` bounds the BFS EXPANSION (k rounds of edge
+            # loading from the source), not the path length: paths may
+            # use any edge whose source lies within distance k-1 of
+            # `from` (query/shortest.go:306 ExploreDepth / numHops)
+            ball = spark.createDataFrame([(src,)], f"{SUBJECT} long")
+            frontier_b = ball
+            for _ in range(sp.depth - 1):
+                nxt = (
+                    F.broadcast(frontier_b).join(edges, SUBJECT, "inner")
+                    .select(F.col(OBJECT).alias(SUBJECT)).distinct()
+                    .join(ball, SUBJECT, "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.limit(1).count() == 0:
+                    break
+                ball = ball.unionByName(nxt)
+                frontier_b = nxt
+            edges = edges.join(F.broadcast(ball), SUBJECT, "left_semi")
+        _schema = ("node long, dist double, path array<long>, "
+                   "preds array<string>, wfs array<double>")
+        paths = spark.createDataFrame([(src, 0.0, [src], [], [])], _schema)
+        found = spark.createDataFrame([], _schema)
         found_any = False
-        for _ in range(max_depth):
+        # rounds extend simple paths one edge at a time; path-level cycle
+        # avoidance bounds length by the node count, the cap is a backstop
+        for _ in range(64):
             grown = (
                 # frontier is small relative to the edge relation: ship it
                 # to the edges (dgraph ships uid lists to tablets — same idea)
@@ -856,6 +954,8 @@ class Executor:
                     F.col(OBJECT).alias("node"),
                     (F.col("dist") + F.col("_w")).alias("dist"),
                     F.concat(F.col("path"), F.array(F.col(OBJECT))).alias("path"),
+                    F.concat(F.col("preds"), F.array(F.col("_pred"))).alias("preds"),
+                    F.concat(F.col("wfs"), F.array(F.col("_wf"))).alias("wfs"),
                 )
             )
             if sp.maxweight is not None:
@@ -884,21 +984,50 @@ class Executor:
         result = found.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= numpaths)
         if sp.minweight is not None:
             result = result.where(F.col("dist") >= sp.minweight)
-        result = result.select("node", "dist", "path")
+        result = result.select("node", "dist", "path", "preds", "wfs")
         if block.var:
-            self.env[block.var] = result.select(F.explode("path").alias(SUBJECT)).distinct()
+            # the path var holds the FIRST (best) route's nodes, in path
+            # order (query/shortest.go:424 DestUIDs = kroutes[0]); _frank
+            # preserves that order through uid(var) roots
+            self.env[block.var] = (
+                result.limit(1)
+                .select(F.posexplode("path").alias("_frank", SUBJECT))
+                .select(SUBJECT, "_frank")
+            )
         self._last_shortest = result
+        # pred tag -> requested facet key (for `pred|key` output siblings)
+        self._last_shortest_wkeys = {
+            (("~" + p) if r else p): wk for p, r, wk, _f in preds
+        }
         return None
 
     # ========================================================= JSON assembly
     def _block_json(self, block: Block) -> list | None:
         if block.shortest is not None:
             self._run_shortest(block)
+            if self._last_shortest is None:
+                return None  # `_path_` key omitted entirely when no path
             rows = self._last_shortest.collect()
-            return [
-                {"path": [f"0x{u:x}" for u in r["path"]], "weight": r["dist"]}
-                for r in rows
-            ]
+            wkeys = self._last_shortest_wkeys
+            out = []
+            for r in rows:
+                uids, preds, wfs = r["path"], r["preds"], r["wfs"]
+                # nested per-hop shape (query/outputnode.go shortest):
+                # root {uid, _weight_, <pred>: {uid, <pred|facet>, <pred>: ...}}
+                child = None
+                for j in range(len(uids) - 1, 0, -1):
+                    d = {"uid": f"0x{uids[j]:x}"}
+                    wk = wkeys.get(preds[j - 1])
+                    if wk is not None and wfs[j - 1] is not None:
+                        d[f"{preds[j - 1]}|{wk}"] = wfs[j - 1]
+                    if child is not None:
+                        d[preds[j]] = child
+                    child = d
+                root = {"uid": f"0x{uids[0]:x}", "_weight_": r["dist"]}
+                if child is not None:
+                    root[preds[0]] = child
+                out.append(root)
+            return out or None  # no path: omit the `_path_` key
         if block.func is None and not block.is_var_block:
             # aggregation-only block over variables
             return self._agg_only_json(block)
@@ -937,6 +1066,16 @@ class Executor:
                 )
                 if d  # fully-unaliased rows flatten to nothing
             ]
+        cnt_a = next(
+            (a for a in block.children
+             if isinstance(a, Attr) and a.is_count and a.name == "uid"),
+            None,
+        )
+        if cnt_a is not None:
+            # count(uid) beside other attrs: a `{count: n}` node leads the
+            # result list (query/outputnode.go root count child)
+            n = edges.select(DST).distinct().count()
+            out = [{cnt_a.alias or "count": n}] + out
         return out
 
     def _agg_only_json(self, block: Block) -> list:
@@ -948,25 +1087,28 @@ class Executor:
         environment var with ITS defining aggregate — never a blanket
         SUM."""
         _FNS = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}
-        out: dict = {}
+        # each aggregate / math renders as its OWN single-key node, in
+        # query order: me() {min(val(a)) max(val(a))} ->
+        # [{"min(val(a))": x}, {"max(val(a))": y}] (query/outputnode.go
+        # one fastJsonNode per aggregate child)
+        out: list[dict] = []
         scalars: dict = {}
-        math_attrs = []
-        for attr in block.children:
-            if not isinstance(attr, Attr):
-                continue
+        ordered_attrs = [a for a in block.children if isinstance(a, Attr)]
+        for attr in ordered_attrs:
             if attr.name in _AGG_ATTRS and attr.val_var:
                 vdf = self.env.get(attr.val_var)
-                if vdf is None:  # var over an absent predicate: empty
-                    if attr.var:
-                        scalars[attr.var] = None
-                    continue
-                val = vdf.agg(_FNS[attr.name](VALUE).alias("v")).collect()[0]["v"]
+                if vdf is None:
+                    val = None  # var over an absent predicate: null result
+                else:
+                    val = vdf.agg(_FNS[attr.name](VALUE).alias("v")).collect()[0]["v"]
                 if attr.var:
                     scalars[attr.var] = val
-                out[f"{attr.alias or attr.name}"] = val
-            elif attr.math is not None:
-                math_attrs.append(attr)
-        for attr in math_attrs:
+                # unaliased key is the full form `sum(val(a))`
+                # (query/outputnode.go aggregate key naming)
+                out.append({attr.alias or f"{attr.name}(val({attr.val_var}))": val})
+        for attr in ordered_attrs:
+            if attr.math is None:
+                continue
             for v in sorted(math_vars(attr.math)):
                 if v in scalars:
                     continue
@@ -979,10 +1121,16 @@ class Executor:
                     continue
                 fn = _FNS[self.var_agg.get(v, "sum")]
                 scalars[v] = vdf.agg(fn(VALUE).alias("v")).collect()[0]["v"]
-            col = compile_math(attr.math, lambda n: F.lit(scalars[n]))
-            val = self.spark.range(1).select(col.alias("v")).collect()[0]["v"]
-            out[attr.out_name] = val
-        return [out] if out else []
+            if any(scalars.get(n) is None for n in math_vars(attr.math)):
+                val = None
+            else:
+                col = compile_math(attr.math, lambda n: F.lit(scalars[n]))
+                val = self.spark.range(1).select(col.alias("v")).collect()[0]["v"]
+            key = attr.out_name if attr.alias else (
+                f"val({attr.var})" if attr.var else "math")
+            out.append({key: val})
+        # null-valued nodes stay ({"sum(val(m))": null} is emitted)
+        return out
 
     def _ascend(self, level: Level, skip: set[str] | None = None) -> tuple[DataFrame, DataFrame] | None:
         """Bottom-up: build (edges, payload) where payload is
@@ -1070,6 +1218,22 @@ class Executor:
                 ("~" if child.block.reverse else "") + child.block.attr
             )
             payload_col = F.col("_payload")
+            cnt_uid = next(
+                (a for a in child.block.children
+                 if isinstance(a, Attr) and a.is_count and a.name == "uid"),
+                None,
+            )
+            if cnt_uid is not None:
+                # count(uid) inside a child block: emitted as an extra
+                # `{count: n}` element of the child array (query/
+                # outputnode.go attachFacets count child). Ride the count
+                # on every element via a window; _clean() strips the
+                # sentinels and appends the count element.
+                cw = F.count("*").over(Window.partitionBy(F.col(SRC)))
+                joined = joined.withColumn("__cnt__", cw)
+                payload_col = payload_col.withField(
+                    "__cnt__", F.col("__cnt__").cast("long")
+                ).withField("__cntkey__", F.lit(cnt_uid.alias or "count"))
             spec = child.block.facets
             if spec and "facets" in c_edges.columns:
                 # inject edge facets as `pred|facet` keys into each child
@@ -1117,12 +1281,11 @@ class Executor:
                 df = df.where(c)
 
         if not struct_fields:
-            if skip:
-                # all fields arrive in-row from the parent's edge join;
-                # placeholder null field is stripped by _clean()
-                struct_fields = [F.lit(None).cast("string").alias("_none")]
-            else:
-                struct_fields = [F.col(SUBJECT).alias("uid")]
+            # nothing resolvable at this level (fields in-row from the
+            # parent, count(uid)-only, or unknown predicates): emit an
+            # empty node — _clean() drops it (query/outputnode.go: a node
+            # with no attrs is not emitted, never a bare uid)
+            struct_fields = [F.lit(None).cast("string").alias("_none")]
         payload = df.select(
             F.col(SUBJECT).alias("_pid"), F.struct(*struct_fields).alias("_payload")
         )
@@ -1145,8 +1308,48 @@ class Executor:
             name = pred.lstrip("~")
             out = out_name if attr.alias else f"count({pred})"
             if not self.g.has_pred(name):
-                return nodes.select(SUBJECT, F.lit(0).alias(out)), out, False
-            edges = self.g.edge(name, reverse=reverse)
+                # count of an unknown predicate: attribute omitted entirely
+                # (nodes with no other data drop; query1_test
+                # TestCountEmptyData3 expects [])
+                return None, "", False
+            edges = self.g.edge(name, reverse=reverse).select(SUBJECT, OBJECT)
+            if attr.filter is not None or attr.count_first is not None or attr.count_offset:
+                # count of a filtered/paginated edge set: restrict the edge
+                # frame first, then count per parent (the count child is a
+                # full subgraph in the reference — filter+pagination apply
+                # before counting)
+                e = (
+                    nodes.select(F.col(SUBJECT).alias(SRC))
+                    .join(edges.select(F.col(SUBJECT).alias(SRC),
+                                       F.col(OBJECT).alias(DST)), SRC, "inner")
+                )
+                if attr.filter is not None:
+                    e = self._apply_filter(attr.filter, e)
+                if attr.count_first is not None or attr.count_offset:
+                    from pyspark.sql.window import Window
+                    order_cols = [F.col(DST)]
+                    for o in attr.count_order or []:
+                        sdf = self.g.scalar(o.key).select(
+                            F.col(SUBJECT).alias(DST),
+                            F.col(VALUE).alias(f"_o_{o.key}"))
+                        e = e.join(sdf, DST, "left")
+                        c = F.col(f"_o_{o.key}")
+                        order_cols.insert(-1, c.desc() if o.desc else c.asc())
+                    rn = F.row_number().over(
+                        Window.partitionBy(SRC).orderBy(*order_cols))
+                    e = e.withColumn("_rn", rn)
+                    lo = attr.count_offset or 0
+                    cond = F.col("_rn") > lo
+                    if attr.count_first is not None:
+                        cond = cond & (F.col("_rn") <= lo + attr.count_first)
+                    e = e.where(cond)
+                per = e.groupBy(SRC).agg(F.count(DST).alias(out))
+                cdf = (
+                    nodes.select(SUBJECT)
+                    .join(per.select(F.col(SRC).alias(SUBJECT), _qc(out)), SUBJECT, "left")
+                    .select(SUBJECT, F.coalesce(_qc(out), F.lit(0)).alias(out))
+                )
+                return cdf, out, False
             cdf = (
                 nodes.join(edges, SUBJECT, "left")
                 .groupBy(SUBJECT)
@@ -1334,11 +1537,13 @@ class Executor:
             return self._last_shortest
         level = self._run_block(block)
         if level is None:
-            # agg-only block
+            # agg-only block: one single-key node per aggregate in JSON
+            # mode; flat mode folds them into ONE row for the oracle
             data = self._agg_only_json(block)
             if not data:
                 return self.spark.createDataFrame([], "dummy string")
-            return self.spark.createDataFrame(data)
+            merged = {k: v for d in data for k, v in d.items()}
+            return self.spark.createDataFrame([merged])
         if block.groupby is not None:
             return self._groupby_level(level)
         if _count_uid_only(block):
@@ -1645,6 +1850,9 @@ def _clean(v):
         for k, x in v.items():
             if x is None:
                 continue
+            if k in ("__cnt__", "__cntkey__"):
+                # count(uid) sentinels are consumed at the list level
+                continue
             if k.endswith("|") and isinstance(x, dict):
                 # @facets (all keys): expand the facet map into
                 # `pred|key` siblings (query/outputnode.go facet keys)
@@ -1667,13 +1875,23 @@ def _clean(v):
         return out
     if isinstance(v, list):
         # child nodes with no surviving attribute are omitted entirely
-        # (query/outputnode.go: empty fastJsonNode not emitted)
+        # (query/outputnode.go: empty fastJsonNode not emitted).
+        # count(uid) sentinels ride on each element; the count renders as
+        # one extra `{count: n}` element appended to the array.
         out = []
+        cnt = None
+        cnt_key = "count"
         for x in v:
+            if isinstance(x, dict) and "__cnt__" in x:
+                if x["__cnt__"] is not None:
+                    cnt = int(x["__cnt__"])
+                    cnt_key = x.get("__cntkey__") or "count"
             cx = _clean(x)
             if cx is None or cx == {}:
                 continue
             out.append(cx)
+        if cnt is not None:
+            out.append({cnt_key: cnt})
         return out
     if isinstance(v, _dt.datetime):
         return _render_datetime(v)

@@ -61,6 +61,10 @@ class FuncCompiler:
         v = self.env.get(name)
         if v is None:
             raise KeyError(f"undefined uid variable {name!r}")
+        if "_frank" in v.columns:
+            # intrinsic order (e.g. shortest-path node sequence) rides
+            # along and becomes the default sort at the consuming root
+            return v.select(SUBJECT, "_frank").distinct()
         return v.select(SUBJECT).distinct()
 
     def _val_var(self, name: str) -> DataFrame:
@@ -183,7 +187,7 @@ class FuncCompiler:
     def _eval(self, f: FuncCall, candidates: DataFrame | None) -> DataFrame:
         name = f.name.lower()
         if name in _COMPARE:
-            out = self._compare(f)
+            out = self._compare(f, candidates)
         elif name == "between":
             out = self._between(f)
         elif name == "has":
@@ -214,12 +218,13 @@ class FuncCompiler:
         return out.select(*keep)
 
     # ------------------------------------------------------------ families
-    def _compare(self, f: FuncCall) -> DataFrame:
+    def _compare(self, f: FuncCall, candidates: DataFrame | None = None) -> DataFrame:
         name = f.name.lower()
         # eq(count(pred), n) — handleCompareScalarFunction worker/task.go:1222
         count_arg = next((a for a in f.args if a.is_count), None)
         if count_arg is not None:
-            return self._count_compare(str(count_arg.value), name, f.literals())
+            return self._count_compare(str(count_arg.value), name, f.literals(),
+                                       candidates)
         # eq(len(var), n) — query/query.go:2235
         len_arg = next((a for a in f.args if a.is_len), None)
         if len_arg is not None:
@@ -237,13 +242,27 @@ class FuncCompiler:
         out = df.where(_cmp(col, name, cols)).select(SUBJECT)
         return out if unique else out.distinct()
 
-    def _count_compare(self, pred: str, op: str, lits: list) -> DataFrame:
+    def _count_compare(self, pred: str, op: str, lits: list,
+                       candidates: DataFrame | None = None) -> DataFrame:
         reverse = pred.startswith("~")
+        n = int(lits[0])
+        # would a zero count satisfy the comparison? then candidates with
+        # NO edges of this pred qualify too (worker/task.go evaluates the
+        # count for every srcUID, absent posting list counts as 0)
+        zero_ok = {"eq": n == 0, "le": n >= 0, "lt": n > 0,
+                   "ge": n <= 0, "gt": n < 0, "ne": n != 0}.get(op, False)
         if not self.g.has_pred(pred.lstrip("~")):
+            if zero_ok and candidates is not None:
+                return candidates.select(SUBJECT)
             return self._empty_uids()
         edges = self.g.edge(pred.lstrip("~"), reverse=reverse)
-        n = int(lits[0])
         counts = edges.groupBy(SUBJECT).agg(F.count("*").alias("_cnt"))
+        if zero_ok and candidates is not None:
+            counts = (
+                candidates.select(SUBJECT)
+                .join(counts, SUBJECT, "left")
+                .select(SUBJECT, F.coalesce(F.col("_cnt"), F.lit(0)).alias("_cnt"))
+            )
         return counts.where(_cmp(F.col("_cnt"), op, [F.lit(n)])).select(SUBJECT)
 
     def _value_source(self, pred: str, lang: str | None):
@@ -298,9 +317,11 @@ class FuncCompiler:
             frames.append(
                 self.g.spark.createDataFrame([(u,) for u in lits], f"{SUBJECT} long")
             )
-        out = frames[0]
+        if len(frames) == 1:
+            return frames[0].distinct()  # keeps _frank order if present
+        out = frames[0].select(SUBJECT)
         for fr in frames[1:]:
-            out = out.unionByName(fr)
+            out = out.unionByName(fr.select(SUBJECT))
         return out.distinct()
 
     def _uid_in(self, f: FuncCall) -> DataFrame:

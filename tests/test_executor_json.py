@@ -40,7 +40,8 @@ def test_agg_block(executor):
       var(func: type(Order)) { t as o_totalprice }
       s() { total: sum(val(t)) mn: min(val(t)) }
     }''')
-    out = r["s"][0]
+    # one single-key node per aggregate (query/outputnode.go shape)
+    out = {k: v for d in r["s"] for k, v in d.items()}
     assert out["total"] > 0 and out["mn"] > 0
 
 
@@ -96,8 +97,13 @@ def test_shortest_path_json(executor):
     rgn = g.edge("in_region").where(F.col("subject") == n).collect()[0]["object"]
     r = executor.execute(f'''
     {{ path as shortest(from: {src}, to: {rgn}) {{ in_nation in_region }} }}''')
-    assert r["_path_"][0]["weight"] == 2.0
-    assert len(r["_path_"][0]["path"]) == 3
+    # nested per-hop shape (query/outputnode.go shortest `_path_`)
+    root = r["_path_"][0]
+    assert root["_weight_"] == 2.0
+    assert root["uid"] == f"0x{src:x}"
+    hop1 = root["in_nation"]
+    assert hop1["uid"] == f"0x{n:x}"
+    assert hop1["in_region"]["uid"] == f"0x{rgn:x}"
 
 
 def test_expand_all(executor):
@@ -179,10 +185,11 @@ def test_agg_only_math_respects_defining_aggregate(executor):
         spread: math(m2 - m1)
       }
     }''')
-    node = r["me"][0]
-    assert node["spread"] == node["max"] - node["min"] > 0
+    node = {k: v for d in r["me"] for k, v in d.items()}
+    mn, mx = node["min(val(x))"], node["max(val(x))"]
+    assert node["spread"] == mx - mn > 0
     # sum-collapse of either side would blow the spread far past max
-    assert node["spread"] < node["max"] + 1
+    assert node["spread"] < mx + 1
 
 
 def test_recurse_edge_dedup_semantics(spark):
