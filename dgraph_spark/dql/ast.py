@@ -97,6 +97,10 @@ class Attr:
     langs: list[str] = field(default_factory=list)   # ['en','ru','.']
     is_count: bool = False        # count(pred)
     val_var: str | None = None    # val(v) read
+    agg_pred: str | None = None   # min(pred) — aggregate over a predicate
+                                  # (only legal inside @groupby,
+                                  # query/groupby.go aggregateChild)
+    pwd: str | None = None        # checkpwd(pred, "secret") candidate
     math: MathNode | None = None  # alias: math(expr)
     var: str | None = None        # `v as age` value-variable assignment
     facets: FacetsSpec | None = None

@@ -148,7 +148,7 @@ class Parser:
         t = self.expect_kind("name")
         name = t.text
         # `x as q(func: ...)` or `x as friend { }` — uid var assignment
-        if self.peek().text == "as":
+        if self.peek().text.lower() == "as" and self.peek().kind == "name":
             self.next()
             b.var = name
             name = self.expect_kind("name").text
@@ -349,7 +349,11 @@ class Parser:
         out = []
         while not self.accept("]"):
             self.accept(",")
-            if self.peek().text == "[":
+            if self.peek().kind == "string":
+                # eq(name, ["a", "b"]) multi-value form (dql/parser.go
+                # parseFuncArgs IsValueVar list)
+                out.append(_unquote(self.next().text))
+            elif self.peek().text == "[":
                 out.append(self._parse_array_literal())
             else:
                 out.append(_num(self.next().text))
@@ -467,7 +471,7 @@ class Parser:
                 self.expect(":")
                 key = self.expect_kind("name").text
                 spec.order.append(Order(key=key, desc=(t.text == "orderdesc"), is_facet=True))
-            elif t.kind == "name" and self.peek(1).text == "as":
+            elif t.kind == "name" and self.peek(1).text.lower() == "as" and self.peek(1).kind == "name":
                 var = self.next().text
                 self.next()  # as
                 key = self.expect_kind("name").text
@@ -497,7 +501,7 @@ class Parser:
         reverse = False
         alias = None
         t = self.peek()
-        if t.kind == "name" and self.peek(1).text == "as":
+        if t.kind == "name" and self.peek(1).text.lower() == "as" and self.peek(1).kind == "name":
             var = self.next().text
             self.next()
             t = self.peek()
@@ -512,6 +516,13 @@ class Parser:
                 alias = self.next().text
                 self.next()
                 t = self.peek()
+        # `alias: v as math(...)` — var assignment AFTER the alias
+        # (dql/parser.go allows both orders)
+        if (var is None and t.kind == "name"
+                and self.peek(1).text.lower() == "as" and self.peek(1).kind == "name"):
+            var = self.next().text
+            self.next()
+            t = self.peek()
         if self.accept("~"):
             reverse = True
             t = self.peek()
@@ -519,6 +530,15 @@ class Parser:
         name = self.expect_kind("name").text
 
         # count(pred) / val(v) / math(...) / min|max|sum|avg(val(v)) / expand(...)
+        if name == "checkpwd" and self.peek().text == "(":
+            # checkpwd(pred, "secret") as an output attribute
+            # (query/query.go isCheckPwd; renders `checkpwd(pred): bool`)
+            self.next()
+            pred = self.expect_kind("name").text
+            self.accept(",")
+            pw = _unquote(self.expect_kind("string").text)
+            self.expect(")")
+            return Attr(name="checkpwd", alias=alias, agg_pred=pred, pwd=pw, var=var)
         if name == "count" and self.peek().text == "(":
             self.next()
             if self.peek().text == "uid":
@@ -571,12 +591,18 @@ class Parser:
             return Attr(name="math", alias=alias, math=node, var=var)
         if name in ("min", "max", "sum", "avg") and self.peek().text == "(":
             self.next()
-            self.expect("val")
-            self.expect("(")
-            v = self.expect_kind("name").text
+            if self.peek().text == "val":
+                self.next()
+                self.expect("(")
+                v = self.expect_kind("name").text
+                self.expect(")")
+                self.expect(")")
+                return Attr(name=name, alias=alias, val_var=v, var=var)
+            # min(pred) — aggregate straight over a predicate; only legal
+            # inside @groupby (query/groupby.go aggregateChild)
+            p = self.expect_kind("name").text
             self.expect(")")
-            self.expect(")")
-            return Attr(name=name, alias=alias, val_var=v, var=var)
+            return Attr(name=name, alias=alias, agg_pred=p, var=var)
         if name == "expand" and self.peek().text == "(":
             self.next()
             arg_t = self.next()
@@ -585,9 +611,23 @@ class Parser:
                 self.expect("(")
                 arg = "val:" + self.expect_kind("name").text
                 self.expect(")")
+            # expand(Type1, Type2): union of several types' predicates
+            while self.peek().text == ",":
+                self.next()
+                arg += "," + self.expect_kind("name").text
             self.expect(")")
             blk = Block(alias="expand", attr="expand")
             attr = Attr(name="expand", alias=alias, expand=arg, var=var)
+            if self.peek().text == "@":
+                # expand(_all_) @filter(...): filters the expanded nodes
+                save = self.i
+                self.next()
+                if self.expect_kind("name").text.lower() == "filter":
+                    self.expect("(")
+                    attr.filter = self.parse_filter_tree()
+                    self.expect(")")
+                else:
+                    self.i = save
             if self.peek().text == "{":
                 # expand(...) { ... } nested body applies to each expanded
                 # uid predicate (query/query.go:2139-2143 recursiveCopy)

@@ -42,11 +42,60 @@ def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colum
     return F.lit(2 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
+def _hav_m(lon1, lat1, lon2, lat2) -> float:
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat, dlon = rl2 - rl1, math.radians(lon2) - math.radians(lon1)
+    a = math.sin(dlat / 2) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon / 2) ** 2
+    return 2 * EARTH_RADIUS_M * math.asin(min(1.0, math.sqrt(a)))
+
+
+def _pt_seg_m(lon, lat, a, b) -> float:
+    """Point-to-segment distance in meters (local equirectangular
+    projection — exact enough at the scales the filter compares)."""
+    kx = 111_320.0 * math.cos(math.radians(lat))
+    ky = 110_540.0
+    px, py = lon * kx, lat * ky
+    ax, ay = a[0] * kx, a[1] * ky
+    bx, by = b[0] * kx, b[1] * ky
+    dx, dy = bx - ax, by - ay
+    if dx == dy == 0:
+        return math.hypot(px - ax, py - ay)
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)))
+    return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
 def near(col: Column, lon: float, lat: float, max_meters: float) -> Column:
-    """near(geo, [lon,lat], dist) — stored points within distance
-    (types/geofilter.go:33,75,187)."""
-    p = point_coords(col)
-    return haversine_m(p["lon"], p["lat"], F.lit(lon), F.lit(lat)) <= max_meters
+    """near(geo, [lon,lat], dist) (types/geofilter.go:33,75,187): stored
+    points within distance; stored polygons match when the point is
+    inside OR within distance of the boundary (the reference builds a
+    circle ("cap") and tests intersection)."""
+
+    @pandas_udf("boolean")
+    def _near(vals: pd.Series) -> pd.Series:
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(False)
+                continue
+            g = json.loads(v)
+            t = g.get("type")
+            if t == "Point":
+                c = g["coordinates"]
+                out.append(_hav_m(lon, lat, c[0], c[1]) <= max_meters)
+                continue
+            rings = _geom_rings(g)
+            hit = any(_ray_cast(lon, lat, r) for r in _outer_rings(g))
+            if not hit:
+                for r in rings:
+                    n = len(r)
+                    if any(_pt_seg_m(lon, lat, r[i], r[(i + 1) % n]) <= max_meters
+                           for i in range(n)):
+                        hit = True
+                        break
+            out.append(hit)
+        return pd.Series(out)
+
+    return _near(col)
 
 
 def _ray_cast(lon: float, lat: float, ring: list) -> bool:
@@ -73,11 +122,37 @@ def _geom_points(geom: dict) -> list:
     return []
 
 
-def within(col: Column, polygon_geojson: str) -> Column:
-    """within(geo, poly): stored geometry fully inside the query polygon
-    (types/geofilter.go:27,85,173). Pandas UDF ray-cast on every vertex."""
-    poly = json.loads(polygon_geojson)
-    ring = poly["coordinates"][0]
+def _outer_rings(g: dict) -> list:
+    """Outer ring(s) of a polygon/multipolygon geometry."""
+    t = g.get("type")
+    if t == "Polygon":
+        return [g["coordinates"][0]]
+    if t == "MultiPolygon":
+        return [p[0] for p in g["coordinates"]]
+    return []
+
+
+def _on_ring(lon: float, lat: float, ring: list) -> bool:
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        if (_orient(a[0], a[1], b[0], b[1], lon, lat) == 0
+                and _on_seg(a[0], a[1], b[0], b[1], lon, lat)):
+            return True
+    return False
+
+
+def _in_any(lon: float, lat: float, rings: list) -> bool:
+    # boundary counts as inside (s2 loops include their boundary)
+    return any(_ray_cast(lon, lat, r) or _on_ring(lon, lat, r) for r in rings)
+
+
+def within(col: Column, query_geojson: str) -> Column:
+    """within(geo, poly): stored geometry fully inside the query
+    polygon/multipolygon (types/geofilter.go:27,85,173). Points: inside
+    test; polygons: every vertex inside (the reference's loop-contains
+    check on s2 loops)."""
+    qrings = _outer_rings(json.loads(query_geojson))
 
     @pandas_udf("boolean")
     def _within(vals: pd.Series) -> pd.Series:
@@ -87,15 +162,20 @@ def within(col: Column, polygon_geojson: str) -> Column:
                 out.append(False)
                 continue
             pts = _geom_points(json.loads(v))
-            out.append(bool(pts) and all(_ray_cast(p[0], p[1], ring) for p in pts))
+            out.append(bool(pts) and all(_in_any(p[0], p[1], qrings) for p in pts))
         return pd.Series(out)
 
     return _within(col)
 
 
-def geo_contains(col: Column, point_lon: float, point_lat: float) -> Column:
-    """contains(geo, pt): stored polygon contains the query point
-    (types/geofilter.go:29,95,182)."""
+def geo_contains(col: Column, query_geojson: str) -> Column:
+    """contains(geo, arg): stored polygon contains the query point or
+    every vertex of the query polygon (types/geofilter.go:29,95,182)."""
+    q = json.loads(query_geojson)
+    if q.get("type") == "Point":
+        qpts = [q["coordinates"]]
+    else:
+        qpts = [p for r in _outer_rings(q) for p in r]
 
     @pandas_udf("boolean")
     def _contains(vals: pd.Series) -> pd.Series:
@@ -104,13 +184,9 @@ def geo_contains(col: Column, point_lon: float, point_lat: float) -> Column:
             if v is None:
                 out.append(False)
                 continue
-            g = json.loads(v)
-            if g.get("type") == "Polygon":
-                out.append(_ray_cast(point_lon, point_lat, g["coordinates"][0]))
-            elif g.get("type") == "MultiPolygon":
-                out.append(any(_ray_cast(point_lon, point_lat, p[0]) for p in g["coordinates"]))
-            else:
-                out.append(False)
+            rings = _outer_rings(json.loads(v))
+            out.append(bool(rings) and bool(qpts)
+                       and all(_in_any(p[0], p[1], rings) for p in qpts))
         return pd.Series(out)
 
     return _contains(col)
@@ -166,8 +242,7 @@ def intersects(col: Column, polygon_geojson: str) -> Column:
     any vertex of either geometry lies inside the other, OR any boundary
     segments cross — the full polygon-intersection predicate (catches
     crossing polygons whose vertices are all mutually outside)."""
-    poly = json.loads(polygon_geojson)
-    ring = poly["coordinates"][0]
+    qrings = _outer_rings(json.loads(polygon_geojson))
 
     @pandas_udf("boolean")
     def _intersects(vals: pd.Series) -> pd.Series:
@@ -178,12 +253,13 @@ def intersects(col: Column, polygon_geojson: str) -> Column:
                 continue
             g = json.loads(v)
             pts = _geom_points(g)
-            hit = any(_ray_cast(p[0], p[1], ring) for p in pts)
+            hit = any(_in_any(p[0], p[1], qrings) for p in pts)
             rings = _geom_rings(g)
             if not hit and rings:
-                hit = any(_ray_cast(q[0], q[1], rings[0]) for q in ring)
+                hit = any(_in_any(q[0], q[1], rings)
+                          for qr in qrings for q in qr)
             if not hit:
-                hit = any(_rings_cross(r, ring) for r in rings)
+                hit = any(_rings_cross(r, qr) for r in rings for qr in qrings)
             out.append(hit)
         return pd.Series(out)
 

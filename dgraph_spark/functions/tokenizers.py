@@ -335,7 +335,9 @@ def regexp_match(col: Column, pattern: str) -> Column:
     body, _, flags = pattern.rpartition("/")
     body = body.lstrip("/") if body.startswith("/") else body
     if "i" in flags:
-        body = "(?i)" + body
+        # (?u) too: Java regex needs UNICODE_CASE for non-ASCII case
+        # folding (Go's regexp/syntax folds Unicode by default)
+        body = "(?iu)" + body
     return col.rlike(body)
 
 

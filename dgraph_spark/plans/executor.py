@@ -82,6 +82,10 @@ class Executor:
         # consumer re-collapse with the RIGHT aggregate, not a blanket
         # SUM (query/query.go aggregateGroup semantics)
         self.var_agg: dict[str, str] = {}
+        # vars holding ONE aggregate value (count(uid) / root aggs):
+        # math() applies them to every node (query/math.go:77
+        # checkAggrResult "applied to all")
+        self.scalar_vars: set[str] = set()
 
     # ================================================================ public
     def execute(self, query: str | ParsedQuery, vars: dict | None = None) -> dict:
@@ -181,6 +185,10 @@ class Executor:
             return self._run_shortest(block)
         frontier = self._root_frontier(block)
         if frontier is None:
+            if block.func is None:
+                # empty-uid var block of aggregates: evaluate for the var
+                # side effects (env registration), discard the JSON
+                self._agg_only_json(block)
             return None
         return self._descend(block, frontier, root=True)
 
@@ -273,6 +281,10 @@ class Executor:
                 vdf = (
                     frontier.select(F.col(DST).alias(SUBJECT),
                                     F.col(f"facets.{key}").alias(VALUE))
+                    # an edge without the facet contributes NOTHING — it
+                    # must not enter the var's uid domain
+                    # (query/query.go:1697 only edges carrying the facet)
+                    .where(F.col(VALUE).isNotNull())
                     .groupBy(SUBJECT).agg(F.sum(VALUE).alias(VALUE))
                 )
                 self.env[var] = vdf
@@ -299,6 +311,10 @@ class Executor:
         # groupby blocks: no recursion below (aggregates only)
         if block.groupby is not None:
             level.attr_items = [c for c in block.children if isinstance(c, Attr)]
+            if any(a.var for a in level.attr_items):
+                # groupby vars (a as count(uid)) must exist even when the
+                # block is a var block that never renders
+                self._groupby_build(level, per_parent=not root)
             return level
 
         for child in block.children:
@@ -346,17 +362,27 @@ class Executor:
         requested |= {b.attr for b in level.block.children if isinstance(b, Block)}
         body = attr.expand_body
         for p in dict.fromkeys(preds):
-            if p in requested or not self.g.has_pred(p):
+            rev = p.startswith("~")
+            base = p.lstrip("~")
+            if p in requested or not self.g.has_pred(base):
                 continue
-            if not self.g.schema.get(p).is_uid:
-                level.attr_items.append(Attr(name=p))
+            if not rev and not self.g.schema.get(base).is_uid:
+                if attr.filter is None:
+                    # with @filter on the expand, scalar values have no
+                    # node to test — they drop out entirely
+                    # (query/query.go filtered expand keeps uid preds only)
+                    # @lang preds expand to every language variant
+                    # (`model@jp` siblings, query/query.go expandAll langs)
+                    langs = ["*"] if self.g.schema.get(base).lang else []
+                    level.attr_items.append(Attr(name=p, langs=langs))
                 continue
             children = list(body.children) if body is not None else []
             if not children:
                 # bare expand: uid-pred children would be empty nodes ->
                 # omitted entirely (reference prunes empty subgraphs)
                 continue
-            synth = Block(alias=p, attr=p, children=children)
+            synth = Block(alias=p, attr=base, reverse=rev, children=children,
+                          filter=attr.filter)
             child_level = self._expand_child(synth, level)
             if child_level is not None:
                 level.children.append(child_level)
@@ -425,6 +451,21 @@ class Executor:
     def _register_attr_var(self, attr: Attr, nodes: DataFrame, level: Level) -> None:
         """`v as age` / `x as count(p)` / math var — value-variable defs
         (query/query.go:1550 populateUidValVar)."""
+        if (attr.facets is not None and attr.facets.vars
+                and self.g.has_pred(attr.name)
+                and self.g.schema.get(attr.name).is_uid):
+            # leaf uid-pred attr with a facet var: `path @facets(f as w)`
+            # binds f by target uid even though nothing renders
+            e = self.g.edge(attr.name)
+            if FACETS in e.columns:
+                for var, key in attr.facets.vars.items():
+                    self.env[var] = (
+                        nodes.join(e, SUBJECT, "inner")
+                        .select(F.col(OBJECT).alias(SUBJECT),
+                                F.col(f"facets.{key}").alias(VALUE))
+                        .where(F.col(VALUE).isNotNull())
+                        .groupBy(SUBJECT).agg(F.sum(VALUE).alias(VALUE))
+                    )
         if not attr.var:
             return
         vdf = self._attr_value_df(attr, nodes, level)
@@ -437,11 +478,28 @@ class Executor:
 
     def _attr_value_df(self, attr: Attr, nodes: DataFrame, level: Level) -> DataFrame | None:
         """DataFrame (subject, value) for a scalar-ish attr over `nodes`."""
+        if attr.name == "uid" and attr.is_count:
+            # `s as count(uid)`: ONE value keyed by the sentinel uid
+            # MaxUint64 (= -1 in our signed-long uid space) — math()
+            # applies it to every node, val(s) output finds no node
+            # (query/query.go:1576 case DoCount && Attr == "uid")
+            if attr.var:
+                self.scalar_vars.add(attr.var)
+            return nodes.agg(F.count("*").alias(VALUE)).select(
+                F.lit(-1).cast("long").alias(SUBJECT), VALUE)
         if attr.name == "uid":
             return nodes.select(SUBJECT, F.col(SUBJECT).alias(VALUE))
         if attr.is_count:
             pred = attr.name
             reverse = pred.startswith("~")
+            if not self.g.has_pred(pred.lstrip("~")):
+                # count of an unknown predicate as a var: 0 everywhere
+                return nodes.select(SUBJECT, F.lit(0).cast("long").alias(VALUE))
+            if not reverse and not self.g.schema.get(pred).is_uid:
+                per = self.g.scalar(pred).groupBy(SUBJECT).agg(
+                    F.count("*").alias(VALUE))
+                return nodes.join(per, SUBJECT, "left").select(
+                    SUBJECT, F.coalesce(F.col(VALUE), F.lit(0)).alias(VALUE))
             edges = self.g.edge(pred.lstrip("~"), reverse=reverse)
             return (
                 nodes.join(edges, SUBJECT, "left")
@@ -486,6 +544,10 @@ class Executor:
             df = self.g.scalar(attr.name)
             df = self._lang_select(df, attr.langs)
             return nodes.join(df, SUBJECT, "inner").select(SUBJECT, VALUE)
+        if attr.var and not self.g.has_pred(attr.name):
+            # `v as unknown_pred`: the var exists but is EMPTY — consumers
+            # see no values, not an unbound-variable error
+            return self.spark.createDataFrame([], f"{SUBJECT} long, {VALUE} double")
         return None
 
     def _var_chain(self, varname: str, level: Level | None) -> list[Level] | None:
@@ -554,8 +616,27 @@ class Executor:
     def _math_value_df(self, attr: Attr, nodes: DataFrame, level: Level | None = None) -> DataFrame:
         """Evaluate math() per uid by joining referenced vars."""
         names = sorted(math_vars(attr.math))
-        out = nodes.select(SUBJECT)
+        regular = [v for v in names if v not in self.scalar_vars and v in self.env]
+        if regular:
+            # the math map's domain is the union of the REGULAR operand
+            # maps' domains (query/math.go MergeIterate) — aggregate
+            # "applied to all" vars do not widen it; nodes outside every
+            # operand map get no math value
+            dom = None
+            for v in regular:
+                resolved = (self._val_for_level(v, level)
+                            if level is not None else self.env[v])
+                d = resolved.select(SUBJECT)
+                dom = d if dom is None else dom.unionByName(d)
+            out = nodes.join(dom.distinct(), SUBJECT, "left_semi")
+        else:
+            out = nodes.select(SUBJECT)
         for v in names:
+            if v in self.scalar_vars and v in self.env:
+                # aggregate-output var: its one value applies to all
+                sv = self.env[v].select(F.col(VALUE).alias(f"_v_{v}")).limit(1)
+                out = out.crossJoin(F.broadcast(sv))
+                continue
             resolved = self._val_for_level(v, level) if level is not None else self.env[v]
             if resolved is None:
                 out = out.withColumn(f"_v_{v}", F.lit(None).cast("double"))
@@ -676,7 +757,7 @@ class Executor:
             elif o.is_var or (o.key in self.env and not self.g.has_pred(o.key)):
                 # sorting by a value variable EXCLUDES nodes the var is
                 # not defined for (worker/sort.go sortWithVar semantics)
-                vdf = self.env[o.key].select(
+                vdf = self.env[o.key].where(F.col(VALUE).isNotNull()).select(
                     F.col(SUBJECT).alias(DST), F.col(VALUE).alias(cname)
                 )
                 out = out.join(vdf, DST, "inner")
@@ -747,34 +828,76 @@ class Executor:
         depth = min(depth, self.max_recurse_depth)
         scalar_attrs = [c for c in block.children if isinstance(c, Attr)]
         uid_preds: list[tuple[str, bool]] = []
+        var_of_tag: dict[str, str] = {}  # pred tag -> value-var collecting
         for c in block.children:
             if isinstance(c, Block):
                 uid_preds.append((c.attr, c.reverse))
+                if c.var:
+                    var_of_tag[("~" + c.attr) if c.reverse else c.attr] = c.var
             elif isinstance(c, Attr) and self.g.has_pred(c.name.lstrip("~")) and self.g.schema.get(c.name.lstrip("~")).is_uid:
                 uid_preds.append((c.name.lstrip("~"), c.name.startswith("~")))
+                if c.var:
+                    var_of_tag[c.name] = c.var
+
+        expand_mode = any(isinstance(c, Attr) and c.expand for c in block.children)
+
+        def _typed_preds(nodes_df: DataFrame) -> tuple[list[Attr], list[tuple[str, bool]]]:
+            """expand(_all_) under @recurse: predicates come from the
+            frontier nodes' types, re-discovered each round
+            (query/recurse.go expandSubgraph per expandRecurse round)."""
+            types = [r[VALUE] for r in nodes_df
+                     .join(self.g.node_types(), SUBJECT, "inner")
+                     .select(VALUE).distinct().collect()]
+            sc: list[Attr] = []
+            up: list[tuple[str, bool]] = []
+            seen: set[str] = set()
+            for t in types:
+                for p in self.g.schema.type_preds(t):
+                    base = p.lstrip("~")
+                    if p in seen or not self.g.has_pred(base):
+                        continue
+                    seen.add(p)
+                    if p.startswith("~") or self.g.schema.get(base).is_uid:
+                        up.append((base, p.startswith("~")))
+                    else:
+                        sc.append(Attr(name=p, langs=(
+                            ["*"] if self.g.schema.get(base).lang else [])))
+            return sc, up
 
         top = Level(block=block, edges=self._sort_paginate(block, frontier, root=True))
         top.attr_items = [a for a in scalar_attrs if not (self.g.has_pred(a.name.lstrip("~")) and self.g.schema.get(a.name.lstrip("~")).is_uid)]
         if block.var:
             self.env[block.var] = top.edges.select(F.col(DST).alias(SUBJECT)).distinct()
-        if not uid_preds:
+        if expand_mode:
+            sc, up = _typed_preds(top.edges.select(F.col(DST).alias(SUBJECT)).distinct())
+            top.attr_items = [a for a in top.attr_items if a.expand is None] + sc
+            uid_preds = list(dict.fromkeys(uid_preds + up))
+        if not uid_preds and not expand_mode:
             return top
 
         # pred-tagged union edge relation (pred name, reverse flag -> tag)
-        tagged = None
         tag_of: dict[str, tuple[str, bool]] = {}
-        for pred, rev in uid_preds:
-            tag = ("~" + pred) if rev else pred
-            tag_of[tag] = (pred, rev)
-            e = self.g.edge(pred, reverse=rev).select(
-                SUBJECT, OBJECT, F.lit(tag).alias("_pred"))
-            tagged = e if tagged is None else tagged.unionByName(e)
+
+        def _build_tagged(preds: list[tuple[str, bool]]) -> DataFrame | None:
+            out = None
+            for pred, rev in preds:
+                tag = ("~" + pred) if rev else pred
+                tag_of[tag] = (pred, rev)
+                e = self.g.edge(pred, reverse=rev).select(
+                    SUBJECT, OBJECT, F.lit(tag).alias("_pred"))
+                out = e if out is None else out.unionByName(e)
+            return out
+
+        tagged = _build_tagged(uid_preds)
+        if tagged is None:
+            return top
 
         ROOT_BH = 0
         # frontier: (branch hash, node) pairs of the current depth
         front = top.edges.select(
             F.lit(ROOT_BH).cast("long").alias("_bh"), F.col(DST).alias(SUBJECT)
         ).distinct()
+        visited = front.select(SUBJECT)  # every node seen at any depth
         taken = None  # (pred, src, dst) edges already traversed (reachMap)
         # levels_by (depth, branch hash) -> Level, for tree assembly
         level_of: dict[tuple[int, int], Level] = {(0, ROOT_BH): top}
@@ -797,10 +920,27 @@ class Executor:
                 taken = (new_taken if taken is None
                          else taken.unionByName(new_taken)).localCheckpoint(eager=False)
             step = step.localCheckpoint(eager=True)
+            for tag, var in var_of_tag.items():
+                # `a as friend` under @recurse accumulates every target
+                # reached via that pred across ALL rounds
+                # (query/recurse.go assigns DestUIDs per round to the var)
+                part = step.where(F.col("_pred") == tag).select(
+                    F.col(DST).alias(SUBJECT))
+                prev = self.env.get(f"__rec_{var}")
+                self.env[f"__rec_{var}"] = (
+                    part if prev is None else prev.unionByName(part))
             # ONE driver action: which branch prefixes extended this round?
             branches = step.select("_pbh", "_pred", "_bh").distinct().collect()
             if not branches:
                 break
+            round_attrs = top.attr_items
+            if expand_mode:
+                sc, up = _typed_preds(step.select(F.col(DST).alias(SUBJECT)).distinct())
+                round_attrs = sc
+                new_preds = list(dict.fromkeys(uid_preds + up))
+                nt = _build_tagged(new_preds)
+                if nt is not None:
+                    tagged = nt
             for row in sorted(branches, key=lambda r: (r["_pbh"], r["_pred"])):
                 parent = level_of.get((d - 1, row["_pbh"]))
                 if parent is None:
@@ -813,10 +953,22 @@ class Executor:
                     edges=step.where(F.col("_bh") == row["_bh"])
                     .select(SRC, DST).withColumn(RANK, F.col(DST)),
                 )
-                lvl.attr_items = list(top.attr_items)
+                lvl.attr_items = list(round_attrs)
                 parent.children.append(lvl)
                 level_of[(d, row["_bh"])] = lvl
             front = step.select("_bh", F.col(DST).alias(SUBJECT)).distinct()
+            visited = visited.unionByName(front.select(SUBJECT))
+        for a in top.attr_items:
+            if a.var:
+                # `a as name` under @recurse: the value var spans every
+                # node reached at ANY depth (query/recurse.go assigns
+                # vars from the full expansion)
+                self._register_attr_var(a, visited.distinct(), top)
+        for tag, var in var_of_tag.items():
+            acc = self.env.pop(f"__rec_{var}", None)
+            if acc is None:
+                acc = self.spark.createDataFrame([], f"{SUBJECT} long")
+            self.env[var] = acc.distinct()
         return top
 
     # ============================================================= shortest
@@ -1066,16 +1218,13 @@ class Executor:
                 )
                 if d  # fully-unaliased rows flatten to nothing
             ]
-        cnt_a = next(
-            (a for a in block.children
-             if isinstance(a, Attr) and a.is_count and a.name == "uid"),
-            None,
-        )
-        if cnt_a is not None:
-            # count(uid) beside other attrs: a `{count: n}` node leads the
-            # result list (query/outputnode.go root count child)
+        cnt_attrs = [a for a in block.children
+                     if isinstance(a, Attr) and a.is_count and a.name == "uid"]
+        if cnt_attrs:
+            # count(uid) beside other attrs: one `{count: n}` node per
+            # count child leads the result list (query/outputnode.go)
             n = edges.select(DST).distinct().count()
-            out = [{cnt_a.alias or "count": n}] + out
+            out = [{a.alias or "count": n} for a in cnt_attrs] + out
         return out
 
     def _agg_only_json(self, block: Block) -> list:
@@ -1103,6 +1252,7 @@ class Executor:
                     val = vdf.agg(_FNS[attr.name](VALUE).alias("v")).collect()[0]["v"]
                 if attr.var:
                     scalars[attr.var] = val
+                    self._register_scalar_var(attr.var, val)
                 # unaliased key is the full form `sum(val(a))`
                 # (query/outputnode.go aggregate key naming)
                 out.append({attr.alias or f"{attr.name}(val({attr.val_var}))": val})
@@ -1128,9 +1278,23 @@ class Executor:
                 val = self.spark.range(1).select(col.alias("v")).collect()[0]["v"]
             key = attr.out_name if attr.alias else (
                 f"val({attr.var})" if attr.var else "math")
+            if attr.var:
+                self._register_scalar_var(attr.var, val)
             out.append({key: val})
         # null-valued nodes stay ({"sum(val(m))": null} is emitted)
         return out
+
+    def _register_scalar_var(self, var: str, val) -> None:
+        """Aggregate-output var: a one-entry map on the sentinel uid
+        (query/query.go:1053 'uid 0'); empty when the aggregate had no
+        input."""
+        self.scalar_vars.add(var)
+        if val is None:
+            self.env[var] = self.spark.createDataFrame(
+                [], f"{SUBJECT} long, {VALUE} double")
+        else:
+            self.env[var] = self.spark.createDataFrame(
+                [(-1, val)], [SUBJECT, VALUE])
 
     def _ascend(self, level: Level, skip: set[str] | None = None) -> tuple[DataFrame, DataFrame] | None:
         """Bottom-up: build (edges, payload) where payload is
@@ -1201,7 +1365,29 @@ class Executor:
             pass  # handled via _attr_output
 
         # child blocks
+        used_names: dict[str, int] = {}
         for child in level.children:
+            if child.block.groupby is not None:
+                # per-parent @groupby rendered as a one-element child
+                # array [{"@groupby": [...]}] (query/groupby.go:358
+                # processGroupBy per uidMatrix list)
+                grouped, gcols2, gmeta2, acols2 = self._groupby_build(child, per_parent=True)
+                if "_gsrc" not in grouped.columns:
+                    continue
+                pp = self._groupby_payload(grouped, gcols2, gmeta2, acols2, True)
+                child_name = child.block.alias if child.block.alias != child.block.attr else (
+                    ("~" if child.block.reverse else "") + child.block.attr
+                )
+                n = used_names.get(child_name, 0)
+                used_names[child_name] = n + 1
+                fname = child_name if n == 0 else f"{child_name}#dgdup{n}"
+                arr = pp.select(
+                    F.col("_gsrc").alias(SUBJECT),
+                    F.array(F.struct(F.col("_g").alias("@groupby"))).alias(fname),
+                )
+                df = df.join(arr, SUBJECT, "left")
+                struct_fields.append(_qc(fname))
+                continue
             child_inrow = self._inrow_attrs(child)
             res = self._ascend(child, skip={a.out_name for a, _ in child_inrow})
             if res is None:
@@ -1217,6 +1403,13 @@ class Executor:
             child_name = child.block.alias if child.block.alias != child.block.attr else (
                 ("~" if child.block.reverse else "") + child.block.attr
             )
+            n = used_names.get(child_name, 0)
+            used_names[child_name] = n + 1
+            if n:
+                # repeated child name: rendered under a marker field and
+                # merged into one array at JSON encode time
+                # (outputnode.go appends same-name children to one list)
+                child_name = f"{child_name}#dgdup{n}"
             payload_col = F.col("_payload")
             cnt_uid = next(
                 (a for a in child.block.children
@@ -1234,6 +1427,15 @@ class Executor:
                 payload_col = payload_col.withField(
                     "__cnt__", F.col("__cnt__").cast("long")
                 ).withField("__cntkey__", F.lit(cnt_uid.alias or "count"))
+            if child.block.normalize:
+                # child-level @normalize: each child node flattens to its
+                # aliased leaf paths at JSON encode time (_clean splices
+                # the expansion into the surrounding array;
+                # query/outputnode.go:921 normalize)
+                payload_col = payload_col.withField(
+                    "__norm__",
+                    F.lit(",".join(sorted(_aliased_names(child.block)))),
+                )
             spec = child.block.facets
             if spec and "facets" in c_edges.columns:
                 # inject edge facets as `pred|facet` keys into each child
@@ -1242,18 +1444,30 @@ class Executor:
                 # per-key siblings at JSON encode time
                 if spec.all:
                     payload_col = payload_col.withField(
-                        f"{child_name}|", F.col(FACETS)
+                        f"`{child_name}|`", F.col(FACETS)
                     )
                 for key, alias in (spec.keys or []):
                     payload_col = payload_col.withField(
-                        alias or f"{child_name}|{key}", F.col(f"facets.{key}")
+                        f"`{alias or f'{child_name}|{key}'}`", F.col(f"facets.{key}")
                     )
+                for _var, key in (spec.vars or {}).items():
+                    # @facets(L as weight) both binds the var AND renders
+                    # the facet sibling (query/outputnode.go facet output
+                    # is independent of the var binding)
+                    if not any((a or f"{child_name}|{k}") == f"{child_name}|{key}"
+                               for k, a in (spec.keys or [])):
+                        payload_col = payload_col.withField(
+                            f"`{child_name}|{key}`", F.col(f"facets.{key}")
+                        )
             for a, ecol in child_inrow:
                 # in-row scalar attrs read straight off the traversal join
                 payload_col = payload_col.withField(a.out_name, F.col(ecol))
             pmeta = self.g.schema.get(child.block.attr) if self.g.schema.has(child.block.attr) else None
             single = (pmeta is not None and pmeta.is_uid and not pmeta.list
-                      and not child.block.reverse)
+                      and not child.block.reverse
+                      # a normalized child always renders as a list of
+                      # flattened rows, even for non-list uid preds
+                      and not child.block.normalize)
             child_arr = F.transform(F.col("_sorted"), lambda x: x["_p"])
             if single:
                 # non-list uid predicate renders as an object, not a
@@ -1295,11 +1509,31 @@ class Executor:
         """-> (DataFrame(subject, out_col), out_col name, multivalued?)"""
         out_name = attr.out_name
         if attr.name == "uid" and not attr.is_count:
+            out = attr.alias or "uid"
             return (
-                nodes.select(SUBJECT, F.lower(F.format_string("0x%x", F.col(SUBJECT))).alias("uid")),
-                "uid",
+                nodes.select(SUBJECT, F.lower(F.format_string("0x%x", F.col(SUBJECT))).alias(out)),
+                out,
                 False,
             )
+        if attr.name == "checkpwd" and attr.pwd is not None:
+            # checkpwd(pred, "secret") output attr: always present, false
+            # when the node has no password (worker/task.go:581)
+            from dgraph_spark.functions.password import checkpwd as _ckp
+            pred = attr.agg_pred or "password"
+            out = attr.alias or f"checkpwd({pred})"
+            if not self.g.has_pred(pred):
+                return nodes.select(SUBJECT, F.lit(False).alias(out)), out, False
+            sdf = self.g.scalar(pred).select(SUBJECT, F.col(VALUE).alias("_pw"))
+            cdf = nodes.join(sdf, SUBJECT, "left").select(
+                SUBJECT,
+                F.coalesce(_ckp(F.col("_pw"), attr.pwd), F.lit(False)).alias(out),
+            )
+            return cdf, out, False
+        if (not attr.is_count and attr.val_var is None and attr.math is None
+                and self.g.schema.has(attr.name)
+                and self.g.schema.get(attr.name).typ == "password"):
+            # password-typed values are never rendered (types/password.go)
+            return None, "", False
         if attr.is_count:
             if attr.name == "uid":
                 return None, "", False  # count(uid) handled at block level
@@ -1312,6 +1546,14 @@ class Executor:
                 # (nodes with no other data drop; query1_test
                 # TestCountEmptyData3 expects [])
                 return None, "", False
+            if not reverse and not self.g.schema.get(name).is_uid:
+                # count(scalar-pred): posting-list length of a value
+                # predicate, 0 when absent (worker/task.go count postings)
+                per = self.g.scalar(name).groupBy(SUBJECT).agg(
+                    F.count("*").alias("_c"))
+                cdf = nodes.join(per, SUBJECT, "left").select(
+                    SUBJECT, F.coalesce(F.col("_c"), F.lit(0)).alias(out))
+                return cdf, out, False
             edges = self.g.edge(name, reverse=reverse).select(SUBJECT, OBJECT)
             if attr.filter is not None or attr.count_first is not None or attr.count_offset:
                 # count of a filtered/paginated edge set: restrict the edge
@@ -1400,7 +1642,11 @@ class Executor:
             total = vdf.agg(fn(VALUE).alias(out))
             return nodes.crossJoin(F.broadcast(total)), out, False
         if attr.val_var and attr.name == "val":
-            vdf = self._val_for_level(attr.val_var, level)
+            # val(v) output is a DIRECT map lookup by uid — path
+            # propagation (transformTo) applies only to math()/level-agg
+            # consumption at another level (query/query.go preTraverse
+            # reads Params.uidToVal[uid] verbatim)
+            vdf = self.env.get(attr.val_var)
             if vdf is None:
                 return None, "", False
             out = out_name if attr.alias else f"val({attr.val_var})"
@@ -1466,32 +1712,50 @@ class Executor:
             return level.edges.select(F.col(DST).alias(SUBJECT))
         return level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
 
-    def _groupby_level(self, level: Level) -> DataFrame:
-        """@groupby(attrs){aggs} -> flat grouped DataFrame
-        (query/groupby.go:195 formResult / formGroups)."""
+    def _groupby_build(self, level: Level, per_parent: bool
+                       ) -> tuple[DataFrame, list[str], list[tuple[str, bool]], list[str]]:
+        """@groupby(attrs){aggs} -> (grouped DF, group cols,
+        (group col, is_uid) meta, agg cols). Grouped DF carries `_gsrc`
+        (parent uid) when per_parent, and always `_gcnt` (group size, the
+        primary sort key of query/groupby.go:385 groupLess). Also
+        registers groupby vars: `a as count(uid)` grouped by a uid attr
+        maps group-key-uid -> that child's aggregate, merged across all
+        parents (query/groupby.go:263 fillGroupedVars)."""
         block = level.block
-        nodes = self._nodes(level)
+        if per_parent and SRC in level.edges.columns:
+            df = level.edges.select(F.col(SRC).alias("_gsrc"), F.col(DST).alias(SUBJECT))
+        else:
+            df = self._nodes(level)
         gcols: list[str] = []
-        df = nodes
+        gmeta: list[tuple[str, bool]] = []
         # batch grouping keys living on one wide table into a single join
         by_home: dict[str, list[tuple[str, str]]] = {}
         singles: list = []
         for ga in block.groupby.attrs:
             name = ga.name
             out = ga.alias or name
+            if name == "uid":
+                # @groupby(uid): the node itself is the key
+                df = df.withColumn(out, F.col(SUBJECT))
+                gcols.append(out)
+                gmeta.append((out, True))
+                continue
+            is_uid = self.g.schema.has(name) and self.g.schema.get(name).is_uid
             home = self.g.home_of(name)
-            if home is not None and not self.g.schema.get(name).is_uid:
+            if home is not None and not is_uid:
                 by_home.setdefault(home[0], []).append((home[1], out))
             else:
                 singles.append(ga)
             gcols.append(out)
+            gmeta.append((out, is_uid))
         # process the fused-frontier home first so it can BE the base scan
         ordered_homes = sorted(
             by_home.items(),
             key=lambda kv: 0 if (level.fused is not None and level.fused[0] == kv[0]) else 1,
         )
         for idx, (hname, cols) in enumerate(ordered_homes):
-            if idx == 0 and level.fused is not None and level.fused[0] == hname:
+            if (idx == 0 and level.fused is not None and level.fused[0] == hname
+                    and not per_parent and len(df.columns) == 1):
                 # grouping keys come straight from the fused frontier scan
                 df = self.g.wide[hname].where(level.fused[1]).select(
                     SUBJECT, *[F.col(c).alias(o) for c, o in cols]
@@ -1502,31 +1766,103 @@ class Executor:
         for ga in singles:
             name = ga.name
             out = ga.alias or name
-            if self.g.schema.get(name).is_uid:
+            if not self.g.has_pred(name):
+                # unknown grouping predicate -> no groups (reference
+                # returns an empty result, not an error)
+                df = df.where(F.lit(False)).withColumn(out, F.lit(None).cast("string"))
+            elif self.g.schema.get(name).is_uid:
                 edf = self.g.edge(name).select(SUBJECT, F.col(OBJECT).alias(out))
                 df = df.join(edf, SUBJECT, "inner")
             else:
                 sdf = self.g.scalar(name).select(SUBJECT, F.col(VALUE).alias(out))
                 df = df.join(sdf, SUBJECT, "inner")
         aggs: list[Column] = []
+        acols: list[str] = []
+        avars: list[tuple[str, str]] = []  # (var name, agg col)
         joined_vars: set[str] = set()
         for attr in level.attr_items:
             if attr.is_count and attr.name == "uid":
-                aggs.append(F.count("*").alias(attr.alias or "count"))
-            elif attr.name in _AGG_ATTRS and attr.val_var:
-                if attr.val_var not in joined_vars:
-                    vdf = self.env[attr.val_var].select(SUBJECT, F.col(VALUE).alias(f"_v_{attr.val_var}"))
-                    df = df.join(vdf, SUBJECT, "left")
-                    joined_vars.add(attr.val_var)
+                out = attr.alias or "count"
+                aggs.append(F.count("*").alias(out))
+            elif attr.name in _AGG_ATTRS and (attr.val_var or attr.agg_pred):
+                if attr.val_var:
+                    src_col = f"_v_{attr.val_var}"
+                    if attr.val_var not in joined_vars:
+                        vdf = self.env[attr.val_var].select(SUBJECT, F.col(VALUE).alias(src_col))
+                        df = df.join(vdf, SUBJECT, "left")
+                        joined_vars.add(attr.val_var)
+                    dflt = f"{attr.name}(val({attr.val_var}))"
+                else:
+                    # min(pred): aggregate the predicate's value over the
+                    # group (query/groupby.go:30 aggregateChild)
+                    src_col = f"_p_{attr.agg_pred}"
+                    if src_col not in df.columns:
+                        sdf = self.g.scalar(attr.agg_pred).select(
+                            SUBJECT, F.col(VALUE).alias(src_col))
+                        df = df.join(sdf, SUBJECT, "left")
+                    dflt = f"{attr.name}({attr.agg_pred})"
                 fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[attr.name]
-                aggs.append(fn(f"_v_{attr.val_var}").alias(attr.alias or f"{attr.name}"))
+                out = attr.alias or dflt
+                aggs.append(fn(src_col).alias(out))
+            else:
+                continue
+            acols.append(out)
+            if attr.var:
+                avars.append((attr.var, out))
         if not aggs:
             aggs = [F.count("*").alias("count")]
-        return df.groupBy(*gcols).agg(*aggs).orderBy(*gcols)
+            acols.append("count")
+        part = ["_gsrc"] if per_parent and "_gsrc" in df.columns else []
+        grouped = df.groupBy(*part, *gcols).agg(F.count("*").alias("_gcnt"), *aggs)
+        if avars:
+            # vars require a single uid grouping key; mapped over the
+            # merged (all-parents) grouping (query/groupby.go:345)
+            if len(gcols) != 1 or not gmeta[0][1]:
+                raise ValueError("Vars can be assigned only when grouped by UID attribute")
+            if per_parent:
+                # merged across parents, entities deduped (fillGroupedVars
+                # runs on the merged distinct SrcUIDs)
+                ddf = df.dropDuplicates([SUBJECT, *gcols])
+                merged = ddf.groupBy(gcols[0]).agg(F.count("*").alias("_gcnt"), *aggs)
+            else:
+                merged = grouped
+            for var, out in avars:
+                self.env[var] = merged.select(
+                    F.col(gcols[0]).alias(SUBJECT), F.col(out).alias(VALUE)
+                ).where(F.col(VALUE).isNotNull())
+        return grouped, gcols, gmeta, acols
 
-    def _groupby_json(self, level: Level) -> list:
-        rows = self._groupby_level(level).collect()
-        return [{"@groupby": [r.asDict(recursive=True) for r in rows]}]
+    def _groupby_level(self, level: Level) -> DataFrame:
+        """Flat grouped DataFrame (oracle/flat mode)."""
+        grouped, gcols, _gmeta, _acols = self._groupby_build(level, per_parent=False)
+        return grouped.drop("_gcnt").orderBy(*gcols)
+
+    def _groupby_payload(self, grouped: DataFrame, gcols, gmeta, acols,
+                         per_parent: bool) -> DataFrame:
+        """-> DataFrame([_gsrc,] `_g` = ordered array<struct> of groups).
+        Group order: size asc, then keys asc, then aggregates asc
+        (query/groupby.go:385 groupLess); uid keys render as 0x-hex."""
+        fields = []
+        for out, is_uid in gmeta:
+            c = F.lower(F.format_string("0x%x", F.col(out))) if is_uid else F.col(out)
+            fields.append(c.alias(out))
+        fields += [F.col(a) for a in acols]
+        sort_st = F.struct(
+            F.col("_gcnt"), *[F.col(o) for o, _ in gmeta],
+            *[F.col(a) for a in acols], F.struct(*fields).alias("_p"))
+        part = ["_gsrc"] if per_parent else []
+        return (grouped.select(*part, sort_st.alias("_s"))
+                .groupBy(*part)
+                .agg(F.sort_array(F.collect_list("_s")).alias("_sg"))
+                .select(*part, F.transform("_sg", lambda x: x["_p"]).alias("_g")))
+
+    def _groupby_json(self, level: Level) -> list | None:
+        grouped, gcols, gmeta, acols = self._groupby_build(level, per_parent=False)
+        rows = self._groupby_payload(grouped, gcols, gmeta, acols, False).collect()
+        if not rows or not rows[0]["_g"]:
+            return None  # no groups: the block key is omitted entirely
+        groups = [_row_to_dict(g) for g in rows[0]["_g"]]
+        return [{"@groupby": [ {k: v for k, v in d.items() if v is not None} for d in groups]}]
 
     # ============================================================ flat mode
     def _block_flat(self, block: Block) -> DataFrame:
@@ -1607,6 +1943,7 @@ class Executor:
                 and a.expand is None
                 and not a.langs
                 and not self.g.schema.get(a.name).list
+                and self.g.schema.get(a.name).typ != "password"
             ):
                 batch.setdefault(home[0], []).append((a, home[1]))
             else:
@@ -1830,7 +2167,11 @@ def _facet_value(s):
     if _FACET_FLOAT_RE.match(s):
         return float(s)
     if _FACET_DT_RE.match(s):
-        return s + "Z" if "T" in s else s + "T00:00:00Z"
+        if "T" not in s:
+            return s + "T00:00:00Z"
+        # offset-bearing facet datetimes keep their zone (Go time.Time
+        # round-trips the original offset through JSON marshal)
+        return s if re.search(r"(Z|[+-]\d{2}:\d{2})$", s) else s + "Z"
     return s
 
 
@@ -1868,6 +2209,16 @@ def _clean(v):
                     if lv is not None:
                         out[f"{base}@{lk}" if lk else base] = _clean(lv)
                 continue
+            if "#dgdup" in k:
+                # repeated child name: merge into the first occurrence's
+                # array (outputnode.go same-name children share one list)
+                base = k.split("#dgdup")[0]
+                merged = _clean(x)
+                if isinstance(merged, list):
+                    prev = out.get(base)
+                    out[base] = (prev if isinstance(prev, list) else
+                                 ([] if prev is None else [prev])) + merged
+                continue
             if "|" in k:
                 out[k] = _facet_value(_clean(x))
                 continue
@@ -1886,8 +2237,15 @@ def _clean(v):
                 if x["__cnt__"] is not None:
                     cnt = int(x["__cnt__"])
                     cnt_key = x.get("__cntkey__") or "count"
+            norm = x.pop("__norm__", None) if isinstance(x, dict) else None
             cx = _clean(x)
             if cx is None or cx == {}:
+                continue
+            if norm is not None:
+                # child-level @normalize: splice the flattened aliased
+                # leaf rows in place of this node
+                aliased = set(norm.split(",")) if norm else set()
+                out.extend(d for d in _normalize(cx, aliased) if d)
                 continue
             out.append(cx)
         if cnt is not None:

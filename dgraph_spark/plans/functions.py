@@ -17,6 +17,35 @@ from dgraph_spark.dql.ast import FilterTree, FuncCall
 from dgraph_spark.functions import tokenizers as tok
 from dgraph_spark.model import OBJECT, SUBJECT, VALUE, Graph
 
+_RFC3339_RE = __import__("re").compile(
+    r"^(\d{4})-(\d{2})-(\d{2})"
+    r"(?:[T ](\d{2}):(\d{2})(?::(\d{2}))?(?:\.(\d+))?)?"
+    r"(Z|[+-]\d{2}:\d{2})?$"
+)
+
+
+def parse_rfc3339(s: str):
+    """RFC3339 -> naive-UTC datetime, tolerating offsets beyond
+    java.time's ±18:00 (Go time.Parse accepts any ±HH:MM). None when the
+    string isn't a full date (partial granularity handled elsewhere)."""
+    import datetime as _dt
+
+    m = _RFC3339_RE.match(s)
+    if not m:
+        return None
+    y, mo, d, hh, mi, ss, frac, off = m.groups()
+    us = int((frac or "0").ljust(6, "0")[:6]) if frac else 0
+    try:
+        dt = _dt.datetime(int(y), int(mo), int(d), int(hh or 0), int(mi or 0),
+                          int(ss or 0), us)
+    except ValueError:
+        return None
+    if off and off != "Z":
+        sign = -1 if off[0] == "-" else 1
+        dt -= sign * _dt.timedelta(hours=int(off[1:3]), minutes=int(off[4:6]))
+    return dt
+
+
 _COMPARE = {"eq", "le", "lt", "ge", "gt"}
 _STRSEARCH = {"anyofterms", "allofterms", "anyoftext", "alloftext",
               "regexp", "match", "ngram"}
@@ -35,6 +64,9 @@ class FuncCompiler:
     def _typed_lit(self, pred: str, v: object) -> Column:
         typ = self.g.schema.get(pred).typ
         if typ == "datetime":
+            dt = parse_rfc3339(str(v))
+            if dt is not None:
+                return F.lit(dt)
             return F.to_timestamp(F.lit(v))
         return F.lit(v)
 
@@ -225,18 +257,45 @@ class FuncCompiler:
         if count_arg is not None:
             return self._count_compare(str(count_arg.value), name, f.literals(),
                                        candidates)
-        # eq(len(var), n) — query/query.go:2235
+        # eq(len(var), n) — query/query.go:2235: a scalar cardinality
+        # check; true keeps every candidate, false keeps none. (The root
+        # form takes a fused fast path in the executor; this covers
+        # @filter(lt(len(v), n)).)
         len_arg = next((a for a in f.args if a.is_len), None)
         if len_arg is not None:
-            raise NotImplementedError("len() handled by executor")  # pragma: no cover
+            vdf = self.env.get(str(len_arg.value))
+            n = 0 if vdf is None else vdf.count()
+            m = int(f.literals()[0])
+            ok = {"eq": n == m, "le": n <= m, "lt": n < m,
+                  "ge": n >= m, "gt": n > m}.get(name, False)
+            if not ok:
+                return self._empty_uids()
+            if candidates is not None:
+                return candidates.select(SUBJECT)
+            # root-level len() without candidates is compiled by the
+            # executor's _len_frontier fast path; a true condition there
+            # means "the var's own uids"
+            return (vdf.select(SUBJECT).distinct() if vdf is not None
+                    else self._empty_uids())
         # eq(val(v), x) — compare value variable
         val_arg = next((a for a in f.args if a.is_val_var), None)
-        if val_arg is not None:
+        if val_arg is not None and (f.pred is None or f.args[0].is_val_var):
             vdf = self._val_var(str(val_arg.value))
-            lits = f.literals()
+            lits = _flat_lits(f.literals())
             return vdf.where(_cmp(F.col(VALUE), name, [F.lit(x) for x in lits])).select(SUBJECT).distinct()
         pred = f.pred
-        lits = f.literals()
+        if val_arg is not None:
+            # eq(pred, val(v)): the var's VALUES become the comparison
+            # literals (query/query.go:1878 replaceVarInFunc); an empty
+            # var matches nothing
+            vdf = self.env.get(str(val_arg.value))
+            vals = ([] if vdf is None else
+                    [r[VALUE] for r in vdf.select(VALUE).distinct().collect()])
+            if not vals:
+                return self._empty_uids()
+            lits = vals
+        else:
+            lits = _flat_lits(f.literals())
         df, col, unique = self._value_source(pred, f.pred_lang)
         cols = [self._typed_lit(pred, x) for x in lits]
         out = df.where(_cmp(col, name, cols)).select(SUBJECT)
@@ -408,8 +467,7 @@ class FuncCompiler:
         elif name == "within":
             cond = geo.within(col, _as_geojson_poly(lits[0]))
         elif name == "contains":
-            pt = lits[0]
-            cond = geo.geo_contains(col, float(pt[0]), float(pt[1]))
+            cond = geo.geo_contains(col, _as_geojson_poly(lits[0]))
         else:
             cond = geo.intersects(col, _as_geojson_poly(lits[0]))
         out = df.where(cond).select(SUBJECT)
@@ -459,13 +517,35 @@ class FuncCompiler:
 
 
 def _as_geojson_poly(v) -> str:
-    """Accept a GeoJSON string or a nested coordinate array literal."""
+    """Accept a GeoJSON string or a nested coordinate array literal:
+    [x,y] point, [[...]] ring, [[[...]]] polygon, [[[[...]]]] multi."""
     if isinstance(v, str):
         return v
     import json
 
-    coords = v if (v and isinstance(v[0], list) and v[0] and isinstance(v[0][0], list)) else [v]
-    return json.dumps({"type": "Polygon", "coordinates": coords})
+    def depth(x):
+        d = 0
+        while isinstance(x, list):
+            d += 1
+            x = x[0] if x else None
+        return d
+
+    d = depth(v)
+    if d == 1:
+        return json.dumps({"type": "Point", "coordinates": v})
+    if d == 2:
+        return json.dumps({"type": "Polygon", "coordinates": [v]})
+    if d == 3:
+        return json.dumps({"type": "Polygon", "coordinates": v})
+    return json.dumps({"type": "MultiPolygon", "coordinates": v})
+
+
+def _flat_lits(lits: list) -> list:
+    """eq(name, ["a","b"]) passes one list literal — same meaning as the
+    vararg form eq(name, "a", "b") (dql/parser.go parseFuncArgs)."""
+    if len(lits) == 1 and isinstance(lits[0], list):
+        return lits[0]
+    return lits
 
 
 def _cmp(col: Column, op: str, lits: list[Column]) -> Column:

@@ -27,16 +27,15 @@ def compile_math(node: MathNode, resolve: Callable[[str], Column]) -> Column:
             return F.lit(n.const)
         ch = [go(c) for c in n.children]
         op = n.op
-        if op == "+":
-            return ch[0] + ch[1]
-        if op == "-":
-            return ch[0] - ch[1]
-        if op == "*":
-            return ch[0] * ch[1]
-        if op == "/":
-            return ch[0] / ch[1]
-        if op == "%":
-            return ch[0] % ch[1]
+        if op in ("+", "-", "*", "/", "%"):
+            # a missing (null) operand is SKIPPED, not nulling the whole
+            # expression: the aggregator applies present values only, so
+            # the result is the other side verbatim
+            # (query/math.go:48-75 processBinary + aggregator.ApplyVal)
+            a, b = ch
+            raw = {"+": a + b, "-": a - b, "*": a * b,
+                   "/": a / b, "%": a % b}[op]
+            return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(raw)
         if op == "u-":
             return -ch[0]
         if op == "pow":

@@ -65,8 +65,19 @@ def parse_nquads(lines: DataFrame, text_col: str = "value") -> DataFrame:
             ).alias("object_uid"),
             # a literal may legitimately be "" (dgraph stores empty
             # strings); anything that isn't a uid/blank object is the
-            # literal branch of the regex
-            F.when((parts[4] == "") & (parts[5] == ""), parts[6]).alias("value_str"),
+            # literal branch of the regex. N-Quad escape sequences
+            # (\" \\ \n \uXXXX — chunker/rdf unescaping) decode JVM-side:
+            # the escaping grammar matches JSON's, so from_json on the
+            # re-quoted body is an exact, vectorized unescape.
+            F.when(
+                (parts[4] == "") & (parts[5] == ""),
+                F.coalesce(
+                    F.from_json(
+                        F.concat(F.lit('["'), parts[6], F.lit('"]')), "array<string>"
+                    )[0],
+                    parts[6],
+                ),
+            ).alias("value_str"),
             F.nullif(parts[7], F.lit("")).alias("lang"),
             F.nullif(parts[8], F.lit("")).alias("datatype"),
             F.when(
@@ -112,6 +123,19 @@ _CAST = {
 }
 
 
+def _datetime_expr(col: F.Column) -> F.Column:
+    """RFC3339 → timestamp tolerating offsets beyond java.time's ±18:00
+    (Go time.Parse accepts any ±HH:MM, and the reference test data uses
+    +23:00). Wide offsets are stripped, parsed as UTC, then shifted."""
+    wide = col.rlike(r"[+-](1[89]|2[0-3]):\d{2}$")
+    sign = F.when(col.rlike(r"-\d{2}:\d{2}$"), F.lit(-1)).otherwise(F.lit(1))
+    hh = F.regexp_extract(col, r"[+-](\d{2}):\d{2}$", 1).cast("int") * sign
+    mm = F.regexp_extract(col, r"[+-]\d{2}:(\d{2})$", 1).cast("int") * sign
+    naive = F.concat(F.regexp_replace(col, r"[+-]\d{2}:\d{2}$", ""), F.lit("Z"))
+    shifted = naive.cast("timestamp") - F.make_dt_interval(F.lit(0), hh, mm, F.lit(0))
+    return F.when(wide, shifted).otherwise(col.cast("timestamp"))
+
+
 def graph_from_triples(
     spark: SparkSession, triples: DataFrame, schema: SchemaRegistry
 ) -> Graph:
@@ -130,7 +154,10 @@ def graph_from_triples(
                 cols.append(F.col(FACETS))
             preds[name] = rows.select(*cols)
         else:
-            value = F.col("value_str").cast(_CAST.get(meta.typ, "string")).alias(VALUE)
+            if meta.typ == "datetime":
+                value = _datetime_expr(F.col("value_str")).alias(VALUE)
+            else:
+                value = F.col("value_str").cast(_CAST.get(meta.typ, "string")).alias(VALUE)
             cols = [F.col(SUBJECT), value]
             if meta.lang:
                 cols.append(F.col("lang"))
