@@ -68,11 +68,24 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # two timed executions, report the min: the first run on a fresh
+        # JVM pays one-time JIT/codegen compilation of the generated
+        # stages (tens of seconds on slow vCPUs), which is a JVM warmup
+        # artifact, not query cost — steady-state is what a long-lived
+        # cluster session sees. Both runs execute the full plan (no
+        # .cache() of results between them).
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(min(runs), 3)
+        print(
+            f"# {name}: {times[name]:.3f}s ({n} rows; runs "
+            + "/".join(f"{r:.3f}" for r in runs) + ")",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
     print(

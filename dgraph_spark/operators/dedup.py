@@ -21,10 +21,28 @@ no Python UDFs.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dgraph_spark.functions.tokenizers import TERM_SPLIT_RE
+
+# Relations at or under this row count may be broadcast; larger ones
+# degrade to shuffle joins (a broadcast of an unbounded corpus OOMs the
+# executors at 100x the data).
+BROADCAST_ROW_CAP = 2_000_000
+
+
+def _materialized_shingles(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> tuple[DataFrame, int]:
+    """Persist + materialize the shingle relation once. Shingling is the
+    CPU-heavy step (regex split + n-gram zip); every dedup pipeline reads
+    it 2-3 times, so recomputing it per stage both triples the work and
+    forces the JVM to re-JIT the large generated expression in every
+    consumer stage. Returns (persisted df, row count)."""
+    sh = _shingled(docs, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    return sh, sh.count()
 
 
 def normalized(col: Column) -> Column:
@@ -88,7 +106,7 @@ def ngram_jaccard_pairs(
     posting list (the naive index is quadratic in document frequency —
     unusable at scale). Candidates are then verified with exact jaccard.
     """
-    sh = _shingled(docs, text_col, id_col, n)
+    sh, n_docs = _materialized_shingles(docs, text_col, id_col, n)
 
     # global document frequency per shingle; (df, g) IS the rarest-first
     # total order — no global row_number/sort needed
@@ -134,9 +152,12 @@ def ngram_jaccard_pairs(
     # byte-based coalescing doesn't serialize millions of array
     # intersections onto a few cores
     cand = cand.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
+    # broadcast the (persisted) shingle arrays only while they fit; at
+    # scale the verify degrades to a shuffle join instead of OOMing
+    bc = F.broadcast if n_docs <= BROADCAST_ROW_CAP else (lambda d: d)
     out = (
-        cand.join(F.broadcast(sh.select(F.col("id").alias("i"), F.col("sh").alias("sha"))), "i")
-        .join(F.broadcast(sh.select(F.col("id").alias("j"), F.col("sh").alias("shb"))), "j")
+        cand.join(bc(sh.select(F.col("id").alias("i"), F.col("sh").alias("sha"))), "i")
+        .join(bc(sh.select(F.col("id").alias("j"), F.col("sh").alias("shb"))), "j")
         .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
             "jac", F.col("inter") / (F.size("sha") + F.size("shb") - F.col("inter"))
@@ -153,10 +174,11 @@ def minhash_signatures(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures over word shingles.
     Hash family: xxhash64(shingle, seed_k) — JVM-side, vectorized."""
-    sh = _shingled(docs, text_col, id_col, n)
+    sh = _shingled(docs, text_col, id_col, n) if shingles is None else shingles
     # relational min-hash: explode shingles, fan out the hash family via
     # posexplode, partial-min per (id, k). One pass over the shingles —
     # num_hashes separate array expressions would re-inline (and
@@ -189,7 +211,10 @@ def minhash_lsh_pairs(
     all-pairs comparison: candidates ~ true-positive pairs + collisions.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    # one persisted shingle relation feeds BOTH the signatures and the
+    # exact-jaccard verification (shingling is the CPU-heavy step)
+    sh, _n_docs = _materialized_shingles(docs, text_col, id_col, n)
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col, shingles=sh)
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -209,7 +234,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify candidates with exact jaccard (precision = 1)
-    sh = _shingled(docs, text_col, id_col, n)
     out = (
         cand.join(sh.select(F.col("id").alias("i"), F.col("sh").alias("sha")), "i")
         .join(sh.select(F.col("id").alias("j"), F.col("sh").alias("shb")), "j")

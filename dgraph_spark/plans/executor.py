@@ -714,34 +714,82 @@ class Executor:
         w = Window.partitionBy(*part).orderBy(*sort_cols) if (part or has_order or has_page) else None
 
         edges2, joined_cols = self._join_order_keys(block, edges)
+        first, offset = block.first, block.offset or 0
         if w is not None:
             sort_cols = self._order_cols(block, edges2)
             if not has_order and "_frank" in edges2.columns:
                 sort_cols = [F.col("_frank").asc()] + sort_cols
-            w = Window.partitionBy(*part).orderBy(*sort_cols)
-            edges2 = edges2.withColumn(RANK, F.row_number().over(w))
+            if not part:
+                # ROOT sort: a Window.partitionBy() would funnel the whole
+                # result set through ONE task. With positive-first
+                # pagination, compile to orderBy().limit() instead
+                # (TakeOrderedAndProject: per-partition top-k then merge);
+                # otherwise two-phase distributed rank.
+                if has_page and first is not None and first >= 0:
+                    edges2 = edges2.orderBy(*sort_cols).limit(offset + first)
+                    # post-limit set is <= first+offset rows: a plain
+                    # window here is over already-tiny data
+                    edges2 = edges2.withColumn(
+                        RANK, F.row_number().over(Window.orderBy(*sort_cols))
+                    )
+                else:
+                    edges2 = self._global_rank(edges2, sort_cols)
+            else:
+                w = Window.partitionBy(*part).orderBy(*sort_cols)
+                edges2 = edges2.withColumn(RANK, F.row_number().over(w))
         else:
             # root fn may carry an intrinsic order (similar_to distance)
             rank_src = F.col("_frank") if "_frank" in edges2.columns else F.col(DST)
             edges2 = edges2.withColumn(RANK, rank_src)
 
-        first, offset = block.first, block.offset or 0
         if has_page and (first is not None or offset):
             if first is not None and first < 0:
                 # negative first = last N; offset is IGNORED in this
                 # branch (x/x.go PageRange returns early when count < 0)
-                total = F.count("*").over(Window.partitionBy(*part))
-                edges2 = (
-                    edges2.withColumn("_total", total)
-                    .where(F.col(RANK) > F.col("_total") + first)
-                    .drop("_total")
-                )
+                if not part:
+                    # root: broadcast a 1-row count instead of a global
+                    # single-partition window
+                    tot = edges2.agg(F.count("*").alias("_total"))
+                    edges2 = (
+                        edges2.crossJoin(F.broadcast(tot))
+                        .where(F.col(RANK) > F.col("_total") + first)
+                        .drop("_total")
+                    )
+                else:
+                    total = F.count("*").over(Window.partitionBy(*part))
+                    edges2 = (
+                        edges2.withColumn("_total", total)
+                        .where(F.col(RANK) > F.col("_total") + first)
+                        .drop("_total")
+                    )
             else:
                 if offset:
                     edges2 = edges2.where(F.col(RANK) > offset)
                 if first is not None:
                     edges2 = edges2.where(F.col(RANK) <= offset + first)
         return edges2.drop(*joined_cols)
+
+    def _global_rank(self, df: DataFrame, sort_cols: list) -> DataFrame:
+        """Global RANK without a single-partition window: range-partition
+        on the sort keys, rank within each partition, then add broadcast
+        cumulative partition offsets (two-phase distributed rank). The
+        offsets relation is one row per partition — tiny at any scale."""
+        npart = df.sparkSession.sparkContext.defaultParallelism
+        d = df.repartitionByRange(npart, *sort_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        wp = Window.partitionBy("_pid").orderBy(*sort_cols)
+        d = d.withColumn("_lr", F.row_number().over(wp))
+        cnt = d.groupBy("_pid").agg(F.count("*").alias("_n"))
+        woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        offs = cnt.withColumn(
+            "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+        ).select("_pid", "_off")
+        return (
+            d.join(F.broadcast(offs), "_pid")
+            .withColumn(RANK, (F.col("_lr") + F.col("_off")).cast("int"))
+            .drop("_pid", "_lr", "_off")
+        )
 
     def _join_order_keys(self, block: Block, edges: DataFrame) -> tuple[DataFrame, list[str]]:
         """Join scalar/var/facet order keys as temp columns _ok{i}."""

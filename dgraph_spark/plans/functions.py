@@ -286,14 +286,25 @@ class FuncCompiler:
         pred = f.pred
         if val_arg is not None:
             # eq(pred, val(v)): the var's VALUES become the comparison
-            # literals (query/query.go:1878 replaceVarInFunc); an empty
-            # var matches nothing
+            # set (query/query.go:1878 replaceVarInFunc). Stay
+            # relational: a semi-join against the var's value relation —
+            # never collect the values to the driver (a var with 10^7
+            # values must not become an isin literal list).
             vdf = self.env.get(str(val_arg.value))
-            vals = ([] if vdf is None else
-                    [r[VALUE] for r in vdf.select(VALUE).distinct().collect()])
-            if not vals:
+            if vdf is None:
                 return self._empty_uids()
-            lits = vals
+            df, col, unique = self._value_source(pred, f.pred_lang)
+            vals = (vdf.where(F.col(VALUE).isNotNull())
+                    .select(F.col(VALUE).alias("_vv")).distinct())
+            if name == "eq":
+                out = df.join(vals, col == F.col("_vv"), "leftsemi").select(SUBJECT)
+                return out if unique else out.distinct()
+            # ineq funcs take a single value (the reference errors on
+            # multi-value vars for ineq); one row to the driver is fine
+            rows = vals.limit(1).collect()
+            if not rows:
+                return self._empty_uids()
+            lits = [rows[0]["_vv"]]
         else:
             lits = _flat_lits(f.literals())
         df, col, unique = self._value_source(pred, f.pred_lang)
