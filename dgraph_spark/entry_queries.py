@@ -838,6 +838,30 @@ WHERE list_has_any(
 """
 
 
+def q_alloftext(spark, sf_dir):
+    """alloftext — fulltext analyzer, ALL query terms must match
+    (tok/tok.go:558-575)."""
+    return _flat(spark, sf_dir, '''
+    { q(func: alloftext(text@., "tables joins")) { src: source n_chars } }''')
+
+
+def _sql_alloftext() -> str:
+    from dgraph_spark.functions.tokenizers import EN_STOPWORDS, _stem_py
+
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    qtoks = ", ".join(f"'{_stem_py(t)}'" for t in ["tables", "joins"])
+    return f"""
+SELECT source AS src, n_chars FROM documents
+WHERE list_has_all(
+  list_transform(
+    list_filter(
+      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''),
+      x -> NOT list_contains([{stop}], x)),
+    x -> {_sql_stem('x')}),
+  [{qtoks}])
+"""
+
+
 def _q_anyoftext_lang(lang: str, query: str):
     def q(spark, sf_dir):
         return _flat(spark, sf_dir, f'''
@@ -999,6 +1023,26 @@ FROM customer GROUP BY 1
 """
 
 
+def q_eq_val_var(spark, sf_dir):
+    """eq(pred, val(v)) with a LARGE value variable (~2.4k distinct at
+    sf0.01, ~24k at sf0.1): prices of max-quantity lineitems matched
+    against min-quantity lineitems. Executes as a semi-join against the
+    var's value relation — no driver-side literal list
+    (query/query.go:1878 replaceVarInFunc)."""
+    return _flat(spark, sf_dir, '''
+    { var(func: type(Lineitem)) @filter(ge(l_quantity, 49)) { px as l_extendedprice }
+      q(func: eq(l_extendedprice, val(px))) @filter(le(l_quantity, 2)) {
+        l_extendedprice l_quantity
+    } }''')
+
+
+SQL_eq_val_var = """
+SELECT l_extendedprice, l_quantity FROM lineitem
+WHERE l_quantity <= 2
+  AND l_extendedprice IN (SELECT l_extendedprice FROM lineitem WHERE l_quantity >= 49)
+"""
+
+
 def entry_flagship(spark) -> DataFrame:
     """Driver smoke entry: flagship traversal on sf0.001."""
     return q_root_eq_reverse_traversal(spark, "/root/testdata/sf0.001")
@@ -1007,6 +1051,7 @@ def entry_flagship(spark) -> DataFrame:
 # -------------------------------------------------------------- registry
 QUERIES: dict[str, tuple] = {
     "root_eq_reverse_traversal": (q_root_eq_reverse_traversal, SQL_root_eq_reverse_traversal),
+    "eq_val_var": (q_eq_val_var, SQL_eq_val_var),
     "between_dates": (q_between_dates, SQL_between_dates),
     "count_having": (q_count_having, SQL_count_having),
     "topk_root_order": (q_topk_root_order, SQL_topk_root_order),
@@ -1046,6 +1091,7 @@ QUERIES: dict[str, tuple] = {
     "connected_components": (q_connected_components, SQL_connected_components),
     "pagerank": (q_pagerank, _sql_pagerank()),
     "anyoftext": (q_anyoftext, _sql_anyoftext()),
+    "alloftext": (q_alloftext, _sql_alloftext()),
     "anyoftext_de": (_q_anyoftext_lang("de", "tables und joins"),
                      _sql_anyoftext_lang("de", "tables und joins")),
     "anyoftext_fr": (_q_anyoftext_lang("fr", "les tables scannees"),
