@@ -139,6 +139,9 @@ class ShortestArgs:
     depth: int | None = None
     minweight: float | None = None
     maxweight: float | None = None
+    # cap on candidate paths kept per search round
+    # (query/query.go:170-173 MaxFrontierSize)
+    maxfrontiersize: int | None = None
 
 
 @dataclass

@@ -39,7 +39,8 @@ _TOKEN_RE = re.compile(
 )
 
 _KEY_PARAMS = {"first", "offset", "after", "orderasc", "orderdesc", "func",
-               "depth", "loop", "from", "to", "numpaths", "minweight", "maxweight"}
+               "depth", "loop", "from", "to", "numpaths", "minweight", "maxweight",
+               "maxfrontiersize"}
 
 
 class Token:
@@ -215,6 +216,11 @@ class Parser:
             elif key == "loop":
                 b.recurse = b.recurse or RecurseArgs()
                 b.recurse.loop = self.next().text == "true"
+            elif key == "maxfrontiersize":
+                # caps the candidate-path frontier during shortest-path
+                # search (query/query.go:727-734)
+                b.shortest = b.shortest or ShortestArgs()
+                b.shortest.maxfrontiersize = int(self._subst(self.next().text))
             elif key in ("from", "to", "numpaths", "minweight", "maxweight"):
                 b.shortest = b.shortest or ShortestArgs()
                 if key in ("minweight", "maxweight"):

@@ -227,6 +227,43 @@ def q_geo_intersects(spark, sf_dir):
     )
 
 
+def q_geo_near_poly(spark, sf_dir):
+    """near() against POLYGON rows (geo.py numpy kernels): query point
+    (0,0) matches rectangles it lies inside OR whose boundary is within
+    30 km (types/geofilter.go:187 — the reference's cap-intersection).
+    Oracle twin: per-axis clamp distance to an axis-aligned rectangle in
+    the same equirectangular projection (kx=111320 at lat 0, ky=110540)."""
+    from dgraph_spark.functions.geo import near
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    x = F.col("c_acctbal") / 1000.0
+    y = (F.col("c_custkey") % 100) / 10.0 - 4.95
+    s = lambda c: c.cast("string")  # noqa: E731
+    rect = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        s(x - 0.3), F.lit(","), s(y - 3), F.lit("],["),
+        s(x + 0.3), F.lit(","), s(y - 3), F.lit("],["),
+        s(x + 0.3), F.lit(","), s(y + 3), F.lit("],["),
+        s(x - 0.3), F.lit(","), s(y + 3), F.lit("],["),
+        s(x - 0.3), F.lit(","), s(y - 3), F.lit("]]]}"),
+    )
+    return (
+        cust.withColumn("_g", rect)
+        .where(near(F.col("_g"), 0.0, 0.0, 30000.0))
+        .select("c_name")
+    )
+
+
+SQL_geo_near_poly = """
+SELECT c_name FROM customer
+WHERE sqrt(
+    pow(greatest(c_acctbal/1000.0 - 0.3, -(c_acctbal/1000.0 + 0.3), 0) * 111320.0, 2)
+  + pow(greatest((c_custkey % 100)/10.0 - 4.95 - 3,
+                 -((c_custkey % 100)/10.0 - 4.95 + 3), 0) * 110540.0, 2)
+) <= 30000.0
+"""
+
+
 SQL_geo_intersects = """
 SELECT c_name FROM customer
 WHERE (c_acctbal / 1000.0 + 0.3) > -3 AND (c_acctbal / 1000.0 - 0.3) < 3
@@ -1065,6 +1102,7 @@ QUERIES: dict[str, tuple] = {
     "expand_all": (q_expand_all, SQL_expand_all),
     "recurse_depth5": (q_recurse_depth5, SQL_recurse_depth5),
     "geo_intersects": (q_geo_intersects, SQL_geo_intersects),
+    "geo_near_poly": (q_geo_near_poly, SQL_geo_near_poly),
     "level_agg_sum": (q_level_agg_sum, SQL_level_agg_sum),
     "groupby_q1": (q_groupby_q1, SQL_groupby_q1),
     "uid_in": (q_uid_in, SQL_uid_in),

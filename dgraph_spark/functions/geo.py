@@ -3,11 +3,13 @@ contains/intersects backed by S2 cell indexes, types/s2index.go).
 
 Spark-first: geometries are GeoJSON strings; points are parsed with
 from_json (JVM-side); haversine distance is a pure column expression, so
-`near` runs fully inside codegen. Polygon point-in-poly (within/
-contains) is an Arrow-batched pandas UDF (ray casting over numpy) — the
-one genuinely non-relational kernel. No S2 prefilter is needed for
-correctness (Spark evaluates exactly; SURVEY.md §4 lossy-index row);
-at 100 TB one would add a geohash bucketing column as a pre-join key.
+`near` on points runs fully inside codegen. Polygon predicates are
+Arrow-batched pandas UDFs whose kernels are numpy array ops — the whole
+batch's vertices/segments are flattened into arrays and tested against
+the (constant) query geometry in a handful of vectorized expressions, no
+per-row Python loops over edges. No S2 prefilter is needed for
+correctness (Spark evaluates exactly; SURVEY.md §4 lossy-index row); at
+100 TB one would add a geohash bucketing column as a pre-join key.
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ from __future__ import annotations
 import json
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -49,68 +52,7 @@ def _hav_m(lon1, lat1, lon2, lat2) -> float:
     return 2 * EARTH_RADIUS_M * math.asin(min(1.0, math.sqrt(a)))
 
 
-def _pt_seg_m(lon, lat, a, b) -> float:
-    """Point-to-segment distance in meters (local equirectangular
-    projection — exact enough at the scales the filter compares)."""
-    kx = 111_320.0 * math.cos(math.radians(lat))
-    ky = 110_540.0
-    px, py = lon * kx, lat * ky
-    ax, ay = a[0] * kx, a[1] * ky
-    bx, by = b[0] * kx, b[1] * ky
-    dx, dy = bx - ax, by - ay
-    if dx == dy == 0:
-        return math.hypot(px - ax, py - ay)
-    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)))
-    return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
-
-
-def near(col: Column, lon: float, lat: float, max_meters: float) -> Column:
-    """near(geo, [lon,lat], dist) (types/geofilter.go:33,75,187): stored
-    points within distance; stored polygons match when the point is
-    inside OR within distance of the boundary (the reference builds a
-    circle ("cap") and tests intersection)."""
-
-    @pandas_udf("boolean")
-    def _near(vals: pd.Series) -> pd.Series:
-        out = []
-        for v in vals:
-            if v is None:
-                out.append(False)
-                continue
-            g = json.loads(v)
-            t = g.get("type")
-            if t == "Point":
-                c = g["coordinates"]
-                out.append(_hav_m(lon, lat, c[0], c[1]) <= max_meters)
-                continue
-            rings = _geom_rings(g)
-            hit = any(_ray_cast(lon, lat, r) for r in _outer_rings(g))
-            if not hit:
-                for r in rings:
-                    n = len(r)
-                    if any(_pt_seg_m(lon, lat, r[i], r[(i + 1) % n]) <= max_meters
-                           for i in range(n)):
-                        hit = True
-                        break
-            out.append(hit)
-        return pd.Series(out)
-
-    return _near(col)
-
-
-def _ray_cast(lon: float, lat: float, ring: list) -> bool:
-    inside = False
-    n = len(ring)
-    for i in range(n):
-        x1, y1 = ring[i][0], ring[i][1]
-        x2, y2 = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
-        if (y1 > lat) != (y2 > lat):
-            xin = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
-            if lon < xin:
-                inside = not inside
-    return inside
-
-
+# --------------------------------------------------------- geometry access
 def _geom_points(geom: dict) -> list:
     t = geom.get("type")
     if t == "Point":
@@ -132,38 +74,188 @@ def _outer_rings(g: dict) -> list:
     return []
 
 
-def _on_ring(lon: float, lat: float, ring: list) -> bool:
-    n = len(ring)
-    for i in range(n):
-        a, b = ring[i], ring[(i + 1) % n]
-        if (_orient(a[0], a[1], b[0], b[1], lon, lat) == 0
-                and _on_seg(a[0], a[1], b[0], b[1], lon, lat)):
-            return True
-    return False
+def _geom_rings(g: dict) -> list:
+    if g.get("type") == "Polygon":
+        return list(g["coordinates"])
+    if g.get("type") == "MultiPolygon":
+        return [r for p in g["coordinates"] for r in p]
+    return []
 
 
-def _in_any(lon: float, lat: float, rings: list) -> bool:
-    # boundary counts as inside (s2 loops include their boundary)
-    return any(_ray_cast(lon, lat, r) or _on_ring(lon, lat, r) for r in rings)
+# -------------------------------------------------------- numpy kernels
+def _ring_edges(ring: list) -> tuple:
+    """Closed ring -> per-edge endpoint arrays (x1, y1, x2, y2)."""
+    r = np.asarray(ring, dtype=np.float64)
+    x1, y1 = r[:, 0], r[:, 1]
+    return x1, y1, np.roll(x1, -1), np.roll(y1, -1)
+
+
+def _np_in_rings(px: np.ndarray, py: np.ndarray, rings: list) -> np.ndarray:
+    """Boundary-inclusive point-in-any-ring for N points at once:
+    ray cast (odd crossing parity) OR collinear-on-edge, each an
+    (N, edges) broadcast — no per-point Python loop."""
+    inside = np.zeros(px.shape[0], dtype=bool)
+    PX, PY = px[:, None], py[:, None]
+    for ring in rings:
+        if len(ring) < 3:
+            continue
+        x1, y1, x2, y2 = _ring_edges(ring)
+        cross = (y1 > PY) != (y2 > PY)
+        dy = y2 - y1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = (x2 - x1) * (PY - y1) / np.where(dy == 0, 1.0, dy) + x1
+        odd = (cross & (PX < xin)).sum(axis=1) % 2 == 1
+        # boundary counts as inside (s2 loops include their boundary)
+        v = (x2 - x1) * (PY - y1) - (y2 - y1) * (PX - x1)
+        onb = (
+            (v == 0)
+            & (PX >= np.minimum(x1, x2)) & (PX <= np.maximum(x1, x2))
+            & (PY >= np.minimum(y1, y2)) & (PY <= np.maximum(y1, y2))
+        ).any(axis=1)
+        inside |= odd | onb
+    return inside
+
+
+def _np_min_seg_dist_m(lon: float, lat: float, rings: list) -> float:
+    """Min point-to-segment distance in meters over every edge of every
+    ring (local equirectangular projection, one vectorized pass)."""
+    kx = 111_320.0 * math.cos(math.radians(lat))
+    ky = 110_540.0
+    best = math.inf
+    px, py = lon * kx, lat * ky
+    for ring in rings:
+        if len(ring) < 2:
+            continue
+        x1, y1, x2, y2 = _ring_edges(ring)
+        ax, ay, bx, by = x1 * kx, y1 * ky, x2 * kx, y2 * ky
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        t = np.clip(
+            ((px - ax) * dx + (py - ay) * dy) / np.where(l2 == 0, 1.0, l2), 0.0, 1.0
+        )
+        t = np.where(l2 == 0, 0.0, t)
+        d = np.hypot(px - (ax + t * dx), py - (ay + t * dy))
+        if d.size:
+            best = min(best, float(d.min()))
+    return best
+
+
+def _segments_of(rings: list) -> tuple:
+    """All rings -> flat per-edge arrays (x1, y1, x2, y2)."""
+    xs1, ys1, xs2, ys2 = [], [], [], []
+    for ring in rings:
+        if len(ring) < 2:
+            continue
+        x1, y1, x2, y2 = _ring_edges(ring)
+        xs1.append(x1); ys1.append(y1); xs2.append(x2); ys2.append(y2)
+    if not xs1:
+        z = np.empty(0, dtype=np.float64)
+        return z, z, z, z
+    return (np.concatenate(xs1), np.concatenate(ys1),
+            np.concatenate(xs2), np.concatenate(ys2))
+
+
+def _np_any_seg_cross(a_rings: list, qx1, qy1, qx2, qy2) -> bool:
+    """Any proper/degenerate segment intersection between the edges of
+    ``a_rings`` (S edges) and the query edges (Q) — one (S, Q) broadcast
+    of the standard CCW orientation predicate."""
+    ax1, ay1, ax2, ay2 = _segments_of(a_rings)
+    if ax1.size == 0 or qx1.size == 0:
+        return False
+    A1x, A1y = ax1[:, None], ay1[:, None]
+    A2x, A2y = ax2[:, None], ay2[:, None]
+    B1x, B1y = qx1[None, :], qy1[None, :]
+    B2x, B2y = qx2[None, :], qy2[None, :]
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return np.sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+    def on_seg(ax, ay, bx, by, px, py):
+        return (
+            (px >= np.minimum(ax, bx)) & (px <= np.maximum(ax, bx))
+            & (py >= np.minimum(ay, by)) & (py <= np.maximum(ay, by))
+        )
+
+    o1 = orient(A1x, A1y, A2x, A2y, B1x, B1y)
+    o2 = orient(A1x, A1y, A2x, A2y, B2x, B2y)
+    o3 = orient(B1x, B1y, B2x, B2y, A1x, A1y)
+    o4 = orient(B1x, B1y, B2x, B2y, A2x, A2y)
+    hit = ((o1 != o2) & (o3 != o4))
+    hit |= (o1 == 0) & on_seg(A1x, A1y, A2x, A2y, B1x, B1y)
+    hit |= (o2 == 0) & on_seg(A1x, A1y, A2x, A2y, B2x, B2y)
+    hit |= (o3 == 0) & on_seg(B1x, B1y, B2x, B2y, A1x, A1y)
+    hit |= (o4 == 0) & on_seg(B1x, B1y, B2x, B2y, A2x, A2y)
+    return bool(hit.any())
+
+
+def _flatten_points(geoms: list) -> tuple:
+    """Parsed geometries -> (row_idx, px, py) arrays over every vertex."""
+    idx, px, py = [], [], []
+    for i, g in enumerate(geoms):
+        if g is None:
+            continue
+        for p in _geom_points(g):
+            idx.append(i); px.append(p[0]); py.append(p[1])
+    return (np.asarray(idx, dtype=np.int64),
+            np.asarray(px, dtype=np.float64),
+            np.asarray(py, dtype=np.float64))
+
+
+# ---------------------------------------------------------- filter columns
+def near(col: Column, lon: float, lat: float, max_meters: float) -> Column:
+    """near(geo, [lon,lat], dist) (types/geofilter.go:33,75,187): stored
+    points within distance; stored polygons match when the point is
+    inside OR within distance of the boundary (the reference builds a
+    circle ("cap") and tests intersection)."""
+
+    @pandas_udf("boolean")
+    def _near(vals: pd.Series) -> pd.Series:
+        geoms = [None if v is None else json.loads(v) for v in vals]
+        out = np.zeros(len(geoms), dtype=bool)
+        # vectorize the (common) point rows in one haversine pass
+        pt_idx = [i for i, g in enumerate(geoms) if g and g.get("type") == "Point"]
+        if pt_idx:
+            c = np.asarray([geoms[i]["coordinates"][:2] for i in pt_idx], dtype=np.float64)
+            rl1 = math.radians(lat)
+            rl2 = np.radians(c[:, 1])
+            dlat, dlon = rl2 - rl1, np.radians(c[:, 0]) - math.radians(lon)
+            a = np.sin(dlat / 2) ** 2 + math.cos(rl1) * np.cos(rl2) * np.sin(dlon / 2) ** 2
+            d = 2 * EARTH_RADIUS_M * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+            out[pt_idx] = d <= max_meters
+        p = np.asarray([lon], dtype=np.float64)
+        q = np.asarray([lat], dtype=np.float64)
+        for i, g in enumerate(geoms):
+            if g is None or g.get("type") == "Point":
+                continue
+            if bool(_np_in_rings(p, q, _outer_rings(g))[0]):
+                out[i] = True
+            else:
+                out[i] = _np_min_seg_dist_m(lon, lat, _geom_rings(g)) <= max_meters
+        return pd.Series(out)
+
+    return _near(col)
 
 
 def within(col: Column, query_geojson: str) -> Column:
     """within(geo, poly): stored geometry fully inside the query
     polygon/multipolygon (types/geofilter.go:27,85,173). Points: inside
     test; polygons: every vertex inside (the reference's loop-contains
-    check on s2 loops)."""
+    check on s2 loops). One vectorized pass over ALL vertices of the
+    batch against the constant query rings."""
     qrings = _outer_rings(json.loads(query_geojson))
 
     @pandas_udf("boolean")
     def _within(vals: pd.Series) -> pd.Series:
-        out = []
-        for v in vals:
-            if v is None:
-                out.append(False)
-                continue
-            pts = _geom_points(json.loads(v))
-            out.append(bool(pts) and all(_in_any(p[0], p[1], qrings) for p in pts))
-        return pd.Series(out)
+        geoms = [None if v is None else json.loads(v) for v in vals]
+        idx, px, py = _flatten_points(geoms)
+        has_pts = np.zeros(len(geoms), dtype=bool)
+        if idx.size:
+            has_pts[idx] = True
+            ins = _np_in_rings(px, py, qrings)
+            bad = np.zeros(len(geoms), dtype=bool)
+            bad[idx[~ins]] = True
+            return pd.Series(has_pts & ~bad)
+        return pd.Series(has_pts)
 
     return _within(col)
 
@@ -176,91 +268,57 @@ def geo_contains(col: Column, query_geojson: str) -> Column:
         qpts = [q["coordinates"]]
     else:
         qpts = [p for r in _outer_rings(q) for p in r]
+    qx = np.asarray([p[0] for p in qpts], dtype=np.float64)
+    qy = np.asarray([p[1] for p in qpts], dtype=np.float64)
 
     @pandas_udf("boolean")
     def _contains(vals: pd.Series) -> pd.Series:
-        out = []
-        for v in vals:
-            if v is None:
-                out.append(False)
-                continue
-            rings = _outer_rings(json.loads(v))
-            out.append(bool(rings) and bool(qpts)
-                       and all(_in_any(p[0], p[1], rings) for p in qpts))
+        out = np.zeros(len(vals), dtype=bool)
+        if qx.size:
+            for i, v in enumerate(vals):
+                if v is None:
+                    continue
+                rings = _outer_rings(json.loads(v))
+                if rings:
+                    out[i] = bool(_np_in_rings(qx, qy, rings).all())
         return pd.Series(out)
 
     return _contains(col)
-
-
-def _orient(ax, ay, bx, by, cx, cy) -> int:
-    v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    return 0 if v == 0 else (1 if v > 0 else -1)
-
-
-def _on_seg(ax, ay, bx, by, px, py) -> bool:
-    return min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by)
-
-
-def _seg_cross(a1, a2, b1, b2) -> bool:
-    """Proper or degenerate segment-segment intersection (orientation
-    test, the standard CCW predicate)."""
-    o1 = _orient(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
-    o2 = _orient(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
-    o3 = _orient(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1])
-    o4 = _orient(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
-    if o1 != o2 and o3 != o4:
-        return True
-    if o1 == 0 and _on_seg(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1]):
-        return True
-    if o2 == 0 and _on_seg(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1]):
-        return True
-    if o3 == 0 and _on_seg(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1]):
-        return True
-    return o4 == 0 and _on_seg(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
-
-
-def _rings_cross(ring_a: list, ring_b: list) -> bool:
-    na, nb = len(ring_a), len(ring_b)
-    for i in range(na):
-        a1, a2 = ring_a[i], ring_a[(i + 1) % na]
-        for j in range(nb):
-            if _seg_cross(a1, a2, ring_b[j], ring_b[(j + 1) % nb]):
-                return True
-    return False
-
-
-def _geom_rings(g: dict) -> list:
-    if g.get("type") == "Polygon":
-        return list(g["coordinates"])
-    if g.get("type") == "MultiPolygon":
-        return [r for p in g["coordinates"] for r in p]
-    return []
 
 
 def intersects(col: Column, polygon_geojson: str) -> Column:
     """intersects(geo, poly) (types/geofilter.go:31,105,194): true when
     any vertex of either geometry lies inside the other, OR any boundary
     segments cross — the full polygon-intersection predicate (catches
-    crossing polygons whose vertices are all mutually outside)."""
-    qrings = _outer_rings(json.loads(polygon_geojson))
+    crossing polygons whose vertices are all mutually outside). Vertex-in-
+    query is one batch-wide broadcast; the segment test is an (S, Q)
+    orientation broadcast per remaining row."""
+    qg = json.loads(polygon_geojson)
+    qrings = _outer_rings(qg)
+    qvx = np.asarray([p[0] for r in qrings for p in r], dtype=np.float64)
+    qvy = np.asarray([p[1] for r in qrings for p in r], dtype=np.float64)
+    qx1, qy1, qx2, qy2 = _segments_of(qrings)
 
     @pandas_udf("boolean")
     def _intersects(vals: pd.Series) -> pd.Series:
-        out = []
-        for v in vals:
-            if v is None:
-                out.append(False)
+        geoms = [None if v is None else json.loads(v) for v in vals]
+        out = np.zeros(len(geoms), dtype=bool)
+        # (1) any stored vertex inside the query rings — whole batch at once
+        idx, px, py = _flatten_points(geoms)
+        if idx.size:
+            ins = _np_in_rings(px, py, qrings)
+            out[idx[ins]] = True
+        # (2) any query vertex inside stored rings / (3) segment crossings
+        for i, g in enumerate(geoms):
+            if g is None or out[i]:
                 continue
-            g = json.loads(v)
-            pts = _geom_points(g)
-            hit = any(_in_any(p[0], p[1], qrings) for p in pts)
             rings = _geom_rings(g)
-            if not hit and rings:
-                hit = any(_in_any(q[0], q[1], rings)
-                          for qr in qrings for q in qr)
-            if not hit:
-                hit = any(_rings_cross(r, qr) for r in rings for qr in qrings)
-            out.append(hit)
+            if not rings:
+                continue
+            if qvx.size and bool(_np_in_rings(qvx, qvy, rings).any()):
+                out[i] = True
+            elif _np_any_seg_cross(rings, qx1, qy1, qx2, qy2):
+                out[i] = True
         return pd.Series(out)
 
     return _intersects(col)

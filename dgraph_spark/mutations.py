@@ -165,7 +165,8 @@ _TMPL_RE = _re.compile(
 )
 
 
-def expand_template(graph: Graph, nquads: str, env: dict[str, DataFrame]) -> DataFrame:
+def expand_template(graph: Graph, nquads: str, env: dict[str, DataFrame],
+                    max_var_size: int = 1_000_000) -> DataFrame:
     """Expand `uid(var)` placeholders in mutation N-Quads RELATIONALLY:
     each template line joins against the var's uid relation instead of
     collecting matched uids to the driver and rewriting text (the
@@ -178,6 +179,7 @@ def expand_template(graph: Graph, nquads: str, env: dict[str, DataFrame]) -> Dat
     spark = graph.spark
     const_lines: list[str] = []
     parts: list[DataFrame] = []
+    _checked_vars: set[str] = set()
     from dgraph_spark.sources.rdf import _uid_expr
 
     def _id_expr(iri, blank, var):
@@ -204,6 +206,13 @@ def expand_template(graph: Graph, nquads: str, env: dict[str, DataFrame]) -> Dat
             if v is not None and v not in line_vars:
                 if v not in env:
                     raise ValueError(f"upsert var {v!r} not bound by query")
+                if v not in _checked_vars:
+                    # per-variable uid cap before the mutation fan-out
+                    # (edgraph/server.go:1685: "We support maximum 1
+                    # million UIDs per variable")
+                    if env[v].select(SUBJECT).limit(max_var_size + 1).count() > max_var_size:
+                        raise ValueError(f"var [{v}] has over million UIDs")
+                    _checked_vars.add(v)
                 line_vars.append(v)
         base = spark.range(1).select()
         for v in line_vars:

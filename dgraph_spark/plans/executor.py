@@ -46,6 +46,12 @@ DST = "_dst"
 RANK = "_rank"
 PATH = "_path"
 
+
+class ResourceLimitError(RuntimeError):
+    """A query exceeded a configured resource guard (edge / var-size cap);
+    mirrors the reference's hard errors (query/recurse.go:154,
+    edgraph/server.go:1685) instead of running away at scale."""
+
 _AGG_ATTRS = {"min", "max", "sum", "avg"}
 
 
@@ -67,10 +73,19 @@ class Level:
 
 
 class Executor:
-    def __init__(self, graph: Graph, max_recurse_depth: int = 10):
+    def __init__(self, graph: Graph, max_recurse_depth: int = 10,
+                 limit_query_edge: int = 1_000_000,
+                 max_var_size: int = 1_000_000):
         self.g = graph
         self.spark = graph.spark
         self.max_recurse_depth = max_recurse_depth
+        # resource guards: cumulative traversed-edge cap for iterative
+        # queries (x.Config.LimitQueryEdge; query/recurse.go:154,
+        # query/shortest.go:231) and per-variable uid cap
+        # (edgraph/server.go:1685 "over million UIDs"). Without these a
+        # runaway @recurse or k-shortest silently OOMs the driver at 100x.
+        self.limit_query_edge = limit_query_edge
+        self.max_var_size = max_var_size
         self.env: dict[str, DataFrame] = {}
         # var name -> (edges DF of defining level) for level-aggregation
         self.var_edges: dict[str, DataFrame] = {}
@@ -947,6 +962,7 @@ class Executor:
         ).distinct()
         visited = front.select(SUBJECT)  # every node seen at any depth
         taken = None  # (pred, src, dst) edges already traversed (reachMap)
+        num_edges = 0  # cumulative traversed edges (query/recurse.go:150)
         # levels_by (depth, branch hash) -> Level, for tree assembly
         level_of: dict[tuple[int, int], Level] = {(0, ROOT_BH): top}
         for d in range(1, depth):
@@ -977,10 +993,16 @@ class Executor:
                 prev = self.env.get(f"__rec_{var}")
                 self.env[f"__rec_{var}"] = (
                     part if prev is None else prev.unionByName(part))
-            # ONE driver action: which branch prefixes extended this round?
-            branches = step.select("_pbh", "_pred", "_bh").distinct().collect()
+            # ONE driver action: which branch prefixes extended this
+            # round? (piggybacks the edge count for the query-edge guard)
+            branches = step.groupBy("_pbh", "_pred", "_bh").count().collect()
             if not branches:
                 break
+            num_edges += sum(r["count"] for r in branches)
+            if num_edges > self.limit_query_edge:
+                raise ResourceLimitError(
+                    f"Exceeded query edge limit = {self.limit_query_edge}. "
+                    f"Found {num_edges} edges.")
             round_attrs = top.attr_items
             if expand_mode:
                 sc, up = _typed_preds(step.select(F.col(DST).alias(SUBJECT)).distinct())
@@ -1142,6 +1164,7 @@ class Executor:
         paths = spark.createDataFrame([(src, 0.0, [src], [], [])], _schema)
         found = spark.createDataFrame([], _schema)
         found_any = False
+        num_edges = 0  # cumulative expansions (query/shortest.go:231)
         # rounds extend simple paths one edge at a time; path-level cycle
         # avoidance bounds length by the node count, the cap is a backstop
         for _ in range(64):
@@ -1165,6 +1188,13 @@ class Executor:
             grown = grown.withColumn("_rn", F.row_number().over(w)).where(
                 F.col("_rn") <= numpaths
             ).drop("_rn")
+            if sp.maxfrontiersize is not None:
+                # maxfrontiersize: keep only the cheapest N candidate
+                # paths globally (query/shortest.go:408 pops the queue
+                # past the cap — bounded memory, possibly suboptimal
+                # answers, by design). orderBy().limit() compiles to
+                # TakeOrdered — per-partition top-N then merge.
+                grown = grown.orderBy(F.col("dist").asc()).limit(sp.maxfrontiersize)
             grown = grown.localCheckpoint(eager=True)
             # one action for both loop conditions
             stats = grown.agg(
@@ -1173,6 +1203,11 @@ class Executor:
             ).collect()[0]
             if stats["n"] == 0:
                 break
+            num_edges += stats["n"]
+            if num_edges > self.limit_query_edge:
+                raise ResourceLimitError(
+                    f"Exceeded query edge limit = {self.limit_query_edge}. "
+                    f"Found {num_edges} edges.")
             found = found.unionByName(grown.where(F.col("node") == dst))
             if unit_weights and stats["h"] > 0 and not found_any:
                 found_any = True
