@@ -173,6 +173,7 @@ class Block:
     is_count_block: bool = False           # count(uid) only block
     is_schema: bool = False                # `schema(pred: [...]) { ... }`
     schema_preds: list[str] = field(default_factory=list)
+    schema_types: list[str] = field(default_factory=list)  # `schema(type: [...])`
 
 
 @dataclass

@@ -166,9 +166,15 @@ class Parser:
                         key = self.expect_kind("name").text
                         self.expect(":")
                         if self.peek().text == "[":
-                            b.schema_preds = [str(x) for x in self._parse_array_string_list()]
+                            vals = [str(x) for x in self._parse_array_string_list()]
                         else:
-                            b.schema_preds = [self.next().text.strip('"')]
+                            vals = [self.next().text.strip('"')]
+                        # `schema(type: ...)` introspects TYPE definitions
+                        # (dql/parser.go getSchema "type" arg)
+                        if key == "type":
+                            b.schema_types = vals
+                        else:
+                            b.schema_preds = vals
                 if self.peek().text == "{":
                     self.parse_body(b)
                 return b

@@ -101,6 +101,9 @@ class Executor:
         # math() applies them to every node (query/math.go:77
         # checkAggrResult "applied to all")
         self.scalar_vars: set[str] = set()
+        # var name -> "block" | "edge_attr" | "value" (how it was bound;
+        # drives post-@cascade re-binding)
+        self.var_kind: dict[str, str] = {}
 
     # ================================================================ public
     def execute(self, query: str | ParsedQuery, vars: dict | None = None) -> dict:
@@ -108,10 +111,16 @@ class Executor:
         pq = parse_dql(query, vars) if isinstance(query, str) else query
         for b in pq.blocks:
             _propagate_cascade(b)
+        self._consumed_vars = set().union(set(), *(_block_needs(b) for b in pq.blocks))
         out: dict[str, list] = {}
         for block in self._schedule(pq.blocks):
             if block.is_schema:
-                out["schema"] = self._schema_json(block)
+                if block.schema_types:
+                    t = self._schema_types_json(block)
+                    if t:  # unknown types: key omitted entirely
+                        out["types"] = t
+                else:
+                    out["schema"] = self._schema_json(block)
                 continue
             if block.is_var_block:
                 self._run_block(block)
@@ -136,8 +145,9 @@ class Executor:
             row: dict = {"predicate": n}
             if "type" in fields:
                 row["type"] = p.typ
-            if "index" in fields:
-                row["index"] = bool(p.indexes)
+            if "index" in fields and p.indexes:
+                # false is OMITTED, not rendered (pb.SchemaNode zero value)
+                row["index"] = True
             if "tokenizer" in fields and p.indexes:
                 row["tokenizer"] = list(p.indexes)
             if "list" in fields and p.list:
@@ -151,6 +161,17 @@ class Executor:
             out.append(row)
         return out
 
+    def _schema_types_json(self, block: Block) -> list:
+        """schema(type: [...]) {} — type definitions, alphabetical
+        (edgraph/server.go getSchema type branch)."""
+        out = []
+        for t in sorted(set(block.schema_types)):
+            preds = self.g.schema.type_preds(t)
+            if not preds:
+                continue
+            out.append({"fields": [{"name": p} for p in preds], "name": t})
+        return out
+
     def execute_flat(self, query: str | ParsedQuery, block_alias: str | None = None,
                      vars: dict | None = None) -> DataFrame:
         """Run a query, return ONE block's result as a flat DataFrame
@@ -158,6 +179,7 @@ class Executor:
         pq = parse_dql(query, vars) if isinstance(query, str) else query
         for b in pq.blocks:
             _propagate_cascade(b)
+        self._consumed_vars = set().union(set(), *(_block_needs(b) for b in pq.blocks))
         target = None
         for block in self._schedule(pq.blocks):
             if block.is_var_block:
@@ -205,7 +227,16 @@ class Executor:
                 # side effects (env registration), discard the JSON
                 self._agg_only_json(block)
             return None
-        return self._descend(block, frontier, root=True)
+        level = self._descend(block, frontier, root=True)
+        if level is not None and _has_cascade(block):
+            # the reference prunes the subgraph BEFORE variable assignment
+            # (query.go Process: applyCascade then valueVarAggregation) —
+            # vars defined under @cascade hold only surviving nodes. Only
+            # pay the pruning pass when another block consumes such a var.
+            defs = _block_defines(block) & getattr(self, "_consumed_vars", set())
+            if defs:
+                self._cascade_rebind(level, defs)
+        return level
 
     def _root_frontier(self, block: Block) -> DataFrame | None:
         fc = FuncCompiler(self.g, self.env)
@@ -245,6 +276,94 @@ class Executor:
         if block.ignorereflex:
             frontier = frontier.withColumn(PATH, F.array(F.col(DST)))
         return frontier
+
+    def _cascade_rebind(self, top: Level, var_names: set[str]) -> None:
+        """Prune a @cascade subtree's Level edges relationally (bottom-up
+        survivor sets, then top-down edge restriction) and re-bind the
+        given vars from the pruned sets — mirroring the reference's order
+        of applyCascade before valueVarAggregation (query/query.go
+        ProcessGraph pipeline)."""
+        surv: dict[int, DataFrame] = {}
+
+        def required(casc, name: str, out: str) -> bool:
+            return casc is not None and (not casc or name in casc or out in casc)
+
+        def survivors(level: Level) -> DataFrame:
+            if id(level) in surv:
+                return surv[id(level)]
+            nodes = level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+            casc = level.block.cascade
+            if casc is not None:
+                for a in level.attr_items:
+                    if (not isinstance(a, Attr) or a.name == "uid" or a.is_count
+                            or a.math is not None or a.expand is not None):
+                        continue
+                    if not required(casc, a.name, a.out_name):
+                        continue
+                    base = a.name.lstrip("~")
+                    if self.g.has_pred(base) and self.g.schema.get(base).is_uid:
+                        req = self.g.edge(
+                            base, reverse=a.name.startswith("~")).select(SUBJECT)
+                    elif a.val_var is not None:
+                        v = self.env.get(a.val_var)
+                        req = None if v is None else v.where(
+                            F.col(VALUE).isNotNull()).select(SUBJECT)
+                    else:
+                        vdf = self._attr_value_df(a, nodes, level)
+                        req = None if vdf is None else vdf.where(
+                            F.col(VALUE).isNotNull()).select(SUBJECT)
+                    if req is not None:
+                        nodes = nodes.join(req.distinct(), SUBJECT, "left_semi")
+                for ch in level.children:
+                    cb = ch.block
+                    if not required(casc, cb.attr, cb.alias):
+                        continue
+                    alive_ch = survivors(ch)
+                    ok = (ch.edges
+                          .join(alive_ch.select(F.col(SUBJECT).alias(DST)),
+                                DST, "left_semi")
+                          .select(F.col(SRC).alias(SUBJECT)).distinct())
+                    nodes = nodes.join(ok, SUBJECT, "left_semi")
+            surv[id(level)] = nodes
+            return nodes
+
+        def prune(level: Level, parent_alive: DataFrame | None) -> None:
+            e = level.edges
+            if parent_alive is not None and SRC in e.columns:
+                e = e.join(parent_alive.select(F.col(SUBJECT).alias(SRC)),
+                           SRC, "left_semi")
+            alive = survivors(level)
+            level.edges = e.join(alive.select(F.col(SUBJECT).alias(DST)),
+                                 DST, "left_semi")
+            for ch in level.children:
+                prune(ch, alive)
+
+        prune(top, None)
+        in_subtree: dict[int, Level] = {}
+        stack = [top]
+        while stack:
+            l = stack.pop()
+            in_subtree[id(l)] = l
+            stack.extend(l.children)
+        for name in var_names:
+            lvl = self.var_level.get(name)
+            if lvl is None or id(lvl) not in in_subtree:
+                continue
+            alive = lvl.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+            kind = self.var_kind.get(name)
+            if kind == "block":
+                self.env[name] = alive
+                self.var_edges[name] = lvl.edges
+            elif kind == "edge_attr":
+                ve = self.var_edges.get(name)
+                if ve is not None:
+                    nve = ve.join(alive.select(F.col(SUBJECT).alias(SRC)),
+                                  SRC, "left_semi")
+                    self.var_edges[name] = nve
+                    self.env[name] = nve.select(
+                        F.col(DST).alias(SUBJECT)).distinct()
+            elif kind == "value" and name in self.env:
+                self.env[name] = self.env[name].join(alive, SUBJECT, "left_semi")
 
     def _len_frontier(self, f: FuncCall) -> DataFrame:
         var = next(a for a in f.args if a.is_len)
@@ -320,6 +439,7 @@ class Executor:
             self.env[block.var] = level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
             self.var_edges[block.var] = level.edges
             self.var_level[block.var] = level
+            self.var_kind[block.var] = "block"
 
         nodes = self._nodes(level)
 
@@ -483,11 +603,26 @@ class Executor:
                     )
         if not attr.var:
             return
+        base = attr.name.lstrip("~")
+        if (not attr.is_count and attr.math is None and attr.val_var is None
+                and self.g.has_pred(base) and self.g.schema.get(base).is_uid):
+            # `B as friend` with NO body: a UID variable holding the edge
+            # targets (query/query.go:1550 populateUidValVar uid case);
+            # nothing renders, but uid(B) roots/filters read it
+            e = self.g.edge(base, reverse=attr.name.startswith("~"))
+            tgt = nodes.join(e, SUBJECT, "inner")
+            self.env[attr.var] = tgt.select(F.col(OBJECT).alias(SUBJECT)).distinct()
+            self.var_edges[attr.var] = tgt.select(
+                F.col(SUBJECT).alias(SRC), F.col(OBJECT).alias(DST))
+            self.var_level[attr.var] = level
+            self.var_kind[attr.var] = "edge_attr"
+            return
         vdf = self._attr_value_df(attr, nodes, level)
         if vdf is not None:
             self.env[attr.var] = vdf
             self.var_edges[attr.var] = level.edges
             self.var_level[attr.var] = level
+            self.var_kind[attr.var] = "value"
             if attr.name in _AGG_ATTRS:
                 self.var_agg[attr.var] = attr.name
 
@@ -1413,6 +1548,20 @@ class Executor:
                     cascade_checks.append(_qc(a.out_name).isNotNull())
         math_attrs = [a for a in rest if a.math is not None]
         for attr in (a for a in rest if a.math is None):
+            base = attr.name.lstrip("~")
+            if (not attr.is_count and attr.math is None and attr.val_var is None
+                    and self.g.has_pred(base) and self.g.schema.get(base).is_uid):
+                # bodyless uid-pred attr (`B as friend`): renders nothing,
+                # but under @cascade the EDGE must exist
+                # (query/query.go applyCascade counts uid children too)
+                if casc is not None and (not casc or attr.name in casc
+                                         or attr.out_name in casc):
+                    e = (self.g.edge(base, reverse=attr.name.startswith("~"))
+                         .select(SUBJECT).distinct()
+                         .withColumn(f"_has_{attr.out_name}", F.lit(True)))
+                    df = df.join(e, SUBJECT, "left")
+                    cascade_checks.append(_qc(f"_has_{attr.out_name}").isNotNull())
+                continue
             col_df, out_col, multi = self._attr_output(attr, nodes, level)
             if col_df is None:
                 continue
@@ -1431,9 +1580,19 @@ class Executor:
             out_col = attr.out_name if attr.alias else (
                 f"val({attr.var})" if attr.var else "math")
             if needed <= set(local_cols):
-                df = df.withColumn(
-                    out_col, compile_math(attr.math, lambda n: _qc(local_cols[n]))
-                )
+                expr = compile_math(attr.math, lambda n: _qc(local_cols[n]))
+                dom = [c for n, c in local_cols.items()
+                       if n in needed and n not in self.scalar_vars]
+                if dom:
+                    # math domain = union of the regular operand maps
+                    # (query/math.go MergeIterate): a node outside every
+                    # operand map gets NO value, even though binary ops
+                    # skip null operands
+                    present = dom[0] is not None and _qc(dom[0]).isNotNull()
+                    for c in dom[1:]:
+                        present = present | _qc(c).isNotNull()
+                    expr = F.when(present, expr)
+                df = df.withColumn(out_col, expr)
             else:
                 col_df, out_col, _m = self._attr_output(attr, nodes, level)
                 if col_df is None:
@@ -1559,7 +1718,14 @@ class Executor:
             arr = (
                 joined.select(F.col(SRC), F.struct(F.col(RANK).alias("_r"), payload_col.alias("_p")).alias("_rp"))
                 .groupBy(SRC)
-                .agg(F.sort_array(F.collect_list("_rp")).alias("_sorted"))
+                # array_sort with a comparator on _r only: the payload may
+                # contain MAP fields (name@* language maps), which are not
+                # orderable — sort_array on the whole struct would fail
+                .agg(F.array_sort(
+                    F.collect_list("_rp"),
+                    lambda a, b: F.when(a["_r"] < b["_r"], -1)
+                                  .when(a["_r"] > b["_r"], 1).otherwise(0),
+                ).alias("_sorted"))
                 .select(
                     F.col(SRC).alias(SUBJECT),
                     child_arr.alias(child_name),
@@ -1750,6 +1916,17 @@ class Executor:
         if not self.g.has_pred(name) or self.g.schema.get(name).is_uid:
             return None, "", False
         sdf = self.g.scalar(name)
+        if "vraw" in sdf.columns:
+            # datetime output: values parsed from offset-bearing literals
+            # render with their ORIGINAL offset (vraw), the rest as
+            # RFC3339 UTC — matching Go time.Time marshalling
+            frac = F.regexp_replace(F.date_format(F.col(VALUE), "SSSSSS"), "0+$", "")
+            utc = F.concat(
+                F.date_format(F.col(VALUE), "yyyy-MM-dd'T'HH:mm:ss"),
+                F.when(frac == "", F.lit("")).otherwise(F.concat(F.lit("."), frac)),
+                F.lit("Z"),
+            )
+            sdf = sdf.withColumn(VALUE, F.coalesce(F.col("vraw"), utc)).drop("vraw")
         out = out_name
         if attr.langs and not attr.alias:
             out = f"{name}@{':'.join(attr.langs)}"

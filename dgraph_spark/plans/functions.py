@@ -442,7 +442,20 @@ class FuncCompiler:
         pred = f.pred
         lits = f.literals()
         k = int(lits[0])
-        vec = lits[1]
+        val_arg = next((a for a in f.args if a.is_val_var), None)
+        if val_arg is not None:
+            # similar_to(pred, k, val(v)): the query vector comes from a
+            # value variable; an EMPTY var yields no matches, not an error
+            # (worker/task.go similar_to vector arg resolution)
+            vdf = self.env.get(str(val_arg.value))
+            row = None if vdf is None else vdf.select(VALUE).limit(1).collect()
+            if not row:
+                return self._empty_uids()
+            vec = row[0][VALUE]
+        else:
+            if len(lits) < 2:
+                raise ValueError("similar_to expects a vector literal [..]")
+            vec = lits[1]
         if not isinstance(vec, list):
             raise ValueError("similar_to expects a vector literal [..]")
         metric = "euclidean"

@@ -38,5 +38,8 @@ def get_spark(app_name: str = "dgraph-spark", master: str | None = None) -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # dgraph predicate names and query aliases are case-SENSITIVE
+        # (`Friend: name` and a `friend` edge may coexist in one block)
+        .config("spark.sql.caseSensitive", "true")
     )
     return builder.getOrCreate()

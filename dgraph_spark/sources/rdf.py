@@ -156,9 +156,18 @@ def graph_from_triples(
         else:
             if meta.typ == "datetime":
                 value = _datetime_expr(F.col("value_str")).alias(VALUE)
+                # keep the lexical form when it carries a non-zero UTC
+                # offset: Go's time.Time preserves the parsed zone and
+                # marshals it back (types/time.go), so "…+23:00" must
+                # render as written, not normalized to Z
+                off = F.regexp_extract(F.col("value_str"), r"([+-]\d{2}:\d{2})$", 1)
+                vraw = F.when(
+                    (off != "") & ~off.isin("+00:00", "-00:00"), F.col("value_str")
+                ).alias("vraw")
+                cols = [F.col(SUBJECT), value, vraw]
             else:
                 value = F.col("value_str").cast(_CAST.get(meta.typ, "string")).alias(VALUE)
-            cols = [F.col(SUBJECT), value]
+                cols = [F.col(SUBJECT), value]
             if meta.lang:
                 cols.append(F.col("lang"))
             if FACETS in triples.columns:
