@@ -1136,6 +1136,8 @@ QUERIES: dict[str, tuple] = {
                      _sql_anyoftext_lang("fr", "les tables scannees")),
     "anyoftext_es": (_q_anyoftext_lang("es", "las tables ordenamiento"),
                      _sql_anyoftext_lang("es", "las tables ordenamiento")),
+    "anyoftext_zh": (_q_anyoftext_lang("zh", "spark merge"),
+                     _sql_anyoftext_lang("zh", "spark merge")),
     "ngram_search": (q_ngram_search, SQL_ngram_search),
     "stream_sliding": (q_stream_sliding, SQL_stream_sliding),
     "stream_session": (q_stream_session, SQL_stream_session),

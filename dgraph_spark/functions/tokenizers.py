@@ -91,25 +91,70 @@ ES_STOPWORDS = [
     "al", "lo", "como", "pero",
 ]
 
+RU_STOPWORDS = [
+    "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как", "а",
+    "то", "все", "она", "так", "его", "но", "да", "ты", "к", "у", "же",
+    "вы", "за", "бы", "по", "ее", "мне", "было", "вот", "от", "о", "из",
+    "ему", "еще", "нет", "или", "это", "для", "при", "об",
+]
+IT_STOPWORDS = [
+    "il", "lo", "la", "i", "gli", "le", "un", "uno", "una", "di", "del",
+    "della", "dei", "delle", "che", "e", "ed", "o", "in", "su", "per",
+    "con", "non", "si", "da", "al", "alla", "ai", "come", "ma", "anche",
+    "piu", "più", "questo", "questa", "sono", "essere", "ha", "hanno",
+]
+PT_STOPWORDS = [
+    "o", "a", "os", "as", "um", "uma", "uns", "umas", "de", "do", "da",
+    "dos", "das", "que", "e", "ou", "em", "no", "na", "nos", "nas", "por",
+    "para", "com", "sem", "nao", "não", "se", "mais", "como", "mas", "ao",
+    "aos", "ser", "foi", "sao", "são", "tem", "seu", "sua",
+]
+
 # (suffixes longest-first, minimum remaining stem length)
 DE_SUFFIXES = (["ungen", "ung", "ern", "em", "en", "er", "es", "e", "s"], 4)
 FR_SUFFIXES = (["ations", "ation", "ements", "ement", "euses", "euse",
                 "ees", "ee", "es", "er", "e", "s"], 4)
 ES_SUFFIXES = (["aciones", "acion", "amientos", "amiento", "mente",
                 "idades", "idad", "os", "as", "es", "o", "a", "e"], 4)
+RU_SUFFIXES = (["иями", "ями", "ами", "ости", "ость", "иях", "иям", "ием",
+                "ого", "его", "ому", "ему", "ыми", "ими", "ешь", "ишь",
+                "ует", "уют", "ать", "ять", "ить", "еть", "ал", "ял", "ил",
+                "ел", "ии", "ие", "ия", "ий", "ый", "ой", "ая", "яя", "ую",
+                "юю", "ых", "их", "ым", "им", "ом", "ем", "ам", "ям", "ах",
+                "ях", "ов", "ев", "ей", "ью", "ет", "ют", "ит", "ат", "ят",
+                "а", "я", "ы", "и", "о", "у", "ю", "е", "ь"], 3)
+IT_SUFFIXES = (["azioni", "azione", "amenti", "amento", "mente", "ita",
+                "ari", "are", "ere", "ire", "ato", "ata", "ati", "ate",
+                "uto", "uta", "uti", "ute", "i", "o", "a", "e"], 3)
+PT_SUFFIXES = (["acoes", "acao", "amentos", "amento", "mente", "idades",
+                "idade", "eiro", "eira", "oso", "osa", "ar", "er", "ir",
+                "os", "as", "es", "o", "a", "e"], 3)
 
 # accent folding per language (1:1 translate table + ß handled apart)
 _FOLD = {
     "de": ("äöü", "aou"),
     "fr": ("àâäèéêëîïôöûüùç", "aaaeeeeiioouuuc"),
     "es": ("áéíóúüñ", "aeiouun"),
+    "ru": ("ё", "е"),
+    "it": ("àèéìòóù", "aeeioou"),
+    "pt": ("áâãàçéêíóôõú", "aaaaceeiooou"),
 }
 
 _LANG_TABLES = {
     "de": (DE_STOPWORDS, DE_SUFFIXES),
     "fr": (FR_STOPWORDS, FR_SUFFIXES),
     "es": (ES_STOPWORDS, ES_SUFFIXES),
+    "ru": (RU_STOPWORDS, RU_SUFFIXES),
+    "it": (IT_STOPWORDS, IT_SUFFIXES),
+    "pt": (PT_STOPWORDS, PT_SUFFIXES),
 }
+
+# CJK: no stemmer/stopwords — unicode segmentation yields one token per
+# Han character plus latin/digit runs (bleve's unicode tokenizer shape,
+# tok/stemmers.go has no zh snowball entry)
+_CJK_TOKEN_RE = r"[\p{IsHan}]|[a-z0-9]+"
+_CJK_TOKEN_RE_RE2 = r"\p{Han}|[a-z0-9]+"  # DuckDB / RE2 spelling
+_CJK_LANGS = {"zh"}
 
 
 def _fold_expr(col: Column, lang: str) -> Column:
@@ -157,6 +202,11 @@ def lang_stopwords(lang: str) -> list[str]:
 def sql_fulltext_match(lang: str, query: str, text_expr: str = "text") -> str:
     """DuckDB boolean SQL replicating the per-language analyzer match —
     generated from the SAME stopword/suffix tables as the Spark side."""
+    if lang in _CJK_LANGS:
+        qtoks = _query_text_tokens(query, lang)
+        qlist = ", ".join(f"'{t}'" for t in qtoks)
+        return (f"list_has_any(regexp_extract_all(lower({text_expr}), "
+                f"'{_CJK_TOKEN_RE_RE2}'), [{qlist}])")
     stop_raw, (sufs, mn) = _LANG_TABLES.get(lang, (EN_STOPWORDS, (None, None)))
     if lang not in _LANG_TABLES:
         raise KeyError(f"sql twin only for {sorted(_LANG_TABLES)}, not {lang!r}")
@@ -189,6 +239,8 @@ def fulltext_tokens(col: Column, lang: str = "en") -> Column:
     ``lang`` routes to that language's stopword + stemmer tables
     (tok/stemmers.go per-language analyzers); unknown langs fall back
     to the EN analyzer."""
+    if lang in _CJK_LANGS:
+        return F.regexp_extract_all(F.lower(col), F.lit(_CJK_TOKEN_RE), 0)
     if lang in _LANG_TABLES:
         stops, (sufs, mn) = _LANG_TABLES[lang]
         folded = _fold_expr(F.lower(col), lang)
@@ -259,6 +311,9 @@ def all_of_terms(col: Column, query: str) -> Column:
 
 
 def _query_text_tokens(query: str, lang: str) -> list[str]:
+    if lang in _CJK_LANGS:
+        import re as _re
+        return _re.findall(r"[㐀-鿿豈-﫿]|[a-z0-9]+", query.lower())
     if lang in _LANG_TABLES:
         stops = set(lang_stopwords(lang)) | {
             _fold_py(w, lang) for w in lang_stopwords(lang)}

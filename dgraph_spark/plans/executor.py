@@ -47,6 +47,12 @@ RANK = "_rank"
 PATH = "_path"
 
 
+# Relations at or under this row count may be broadcast in iterative
+# joins; larger frontiers degrade to shuffle joins instead of OOMing the
+# executors (same cap as operators/dedup.py).
+BROADCAST_ROW_CAP = 2_000_000
+
+
 class ResourceLimitError(RuntimeError):
     """A query exceeded a configured resource guard (edge / var-size cap);
     mirrors the reference's hard errors (query/recurse.go:154,
@@ -1282,18 +1288,23 @@ class Executor:
             # `from` (query/shortest.go:306 ExploreDepth / numHops)
             ball = spark.createDataFrame([(src,)], f"{SUBJECT} long")
             frontier_b = ball
+            ball_n, front_n = 1, 1
             for _ in range(sp.depth - 1):
+                bcf = F.broadcast if front_n <= BROADCAST_ROW_CAP else (lambda d: d)
                 nxt = (
-                    F.broadcast(frontier_b).join(edges, SUBJECT, "inner")
+                    bcf(frontier_b).join(edges, SUBJECT, "inner")
                     .select(F.col(OBJECT).alias(SUBJECT)).distinct()
                     .join(ball, SUBJECT, "left_anti")
                     .localCheckpoint(eager=True)
                 )
-                if nxt.limit(1).count() == 0:
+                front_n = nxt.count()
+                if front_n == 0:
                     break
+                ball_n += front_n
                 ball = ball.unionByName(nxt)
                 frontier_b = nxt
-            edges = edges.join(F.broadcast(ball), SUBJECT, "left_semi")
+            bcb = F.broadcast if ball_n <= BROADCAST_ROW_CAP else (lambda d: d)
+            edges = edges.join(bcb(ball), SUBJECT, "left_semi")
         _schema = ("node long, dist double, path array<long>, "
                    "preds array<string>, wfs array<double>")
         paths = spark.createDataFrame([(src, 0.0, [src], [], [])], _schema)
@@ -1302,11 +1313,15 @@ class Executor:
         num_edges = 0  # cumulative expansions (query/shortest.go:231)
         # rounds extend simple paths one edge at a time; path-level cycle
         # avoidance bounds length by the node count, the cap is a backstop
+        paths_n = 1
         for _ in range(64):
+            # frontier is small relative to the edge relation: ship it to
+            # the edges (dgraph ships uid lists to tablets — same idea);
+            # size-gated so a blown-up path frontier falls back to a
+            # shuffle join instead of OOMing the executors
+            bcp = F.broadcast if paths_n <= BROADCAST_ROW_CAP else (lambda d: d)
             grown = (
-                # frontier is small relative to the edge relation: ship it
-                # to the edges (dgraph ships uid lists to tablets — same idea)
-                F.broadcast(paths).join(edges, paths.node == edges[SUBJECT], "inner")
+                bcp(paths).join(edges, paths.node == edges[SUBJECT], "inner")
                 .where(~F.array_contains(F.col("path"), F.col(OBJECT)))
                 .select(
                     F.col(OBJECT).alias("node"),
@@ -1338,6 +1353,7 @@ class Executor:
             ).collect()[0]
             if stats["n"] == 0:
                 break
+            paths_n = stats["n"]
             num_edges += stats["n"]
             if num_edges > self.limit_query_edge:
                 raise ResourceLimitError(

@@ -74,3 +74,41 @@ def test_multilang_fulltext_analyzers(spark):
     assert stem_lang_py("tabellen", "de") == "tabell"
     assert stem_lang_py("donn\u00e9es", "fr") == "donn"
     assert stem_lang_py("ordenadas", "es") == "ordenad"
+
+
+def test_ru_it_pt_fulltext_analyzers(spark):
+    """ru/it/pt analyzers (tok/stemmers.go:33-50 lists these snowball
+    languages): Cyrillic suffix stripping, accent folding, stopwords."""
+    import pyspark.sql.functions as F
+
+    from dgraph_spark.functions.tokenizers import fulltext_tokens, stem_lang_py
+
+    def toks(text, lang):
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(fulltext_tokens(F.col("t"), lang).alias("x")).collect()[0]["x"]
+
+    ru = toks("\u0431\u044b\u0441\u0442\u0440\u044b\u0435 \u0442\u0430\u0431\u043b\u0438\u0446\u044b \u0438 \u0438\u043d\u0434\u0435\u043a\u0441\u044b", "ru")
+    it = toks("le tabelle ordinate e gli indici", "it")
+    pt = toks("as tabelas ordenadas e os \u00edndices", "pt")
+    assert "\u0438" not in ru and any(t.startswith("\u0442\u0430\u0431\u043b\u0438\u0446") for t in ru)
+    assert "le" not in it and any(t.startswith("tabell") for t in it)
+    assert "as" not in pt and any(t.startswith("tabel") for t in pt)
+    # expression-side and python-twin stemmers agree
+    for w, lang in (("\u0442\u0430\u0431\u043b\u0438\u0446\u044b", "ru"),
+                    ("tabelle", "it"), ("tabelas", "pt")):
+        got = toks(w, lang)
+        assert got == [stem_lang_py(w, lang)]
+
+
+def test_zh_fulltext_analyzer(spark):
+    """zh: unicode segmentation \u2014 one token per Han character plus
+    latin/digit runs, no stemming (bleve unicode tokenizer shape)."""
+    import pyspark.sql.functions as F
+
+    from dgraph_spark.functions.tokenizers import (
+        _query_text_tokens, fulltext_tokens)
+
+    df = spark.createDataFrame([("\u67e5\u8be2spark\u8868",)], "t string")
+    got = df.select(fulltext_tokens(F.col("t"), "zh").alias("x")).collect()[0]["x"]
+    assert got == ["\u67e5", "\u8be2", "spark", "\u8868"]
+    assert _query_text_tokens("\u67e5\u8868 spark", "zh") == ["\u67e5", "\u8868", "spark"]
