@@ -534,7 +534,11 @@ class Executor:
         if pred == "expand":
             return None
         if not self.g.has_pred(pred):
-            return Level(block=child, edges=self._empty_edges())
+            # unknown predicate: empty result, but still DESCEND so vars
+            # defined in the subtree (`f as uid`) bind to empty relations
+            # instead of staying undefined (dgraph assigns empty DestUIDs)
+            return self._descend(child, self._empty_edges(), root=False,
+                                 parent=parent)
         if not self.g.schema.get(pred).is_uid:
             # scalar predicate written in block position — treat as attr
             parent.attr_items.append(Attr(name=pred, alias=child.alias if child.alias != pred else None))
@@ -799,7 +803,9 @@ class Executor:
                 continue
             vdf = resolved.select(SUBJECT, F.col(VALUE).alias(f"_v_{v}"))
             out = out.join(vdf, SUBJECT, "left")
-        col = compile_math(attr.math, lambda n: F.col(f"_v_{n}"))
+        dt = dict(out.dtypes)
+        col = compile_math(attr.math, lambda n: F.col(f"_v_{n}"),
+                           int_var=lambda n: dt.get(f"_v_{n}") == "bigint")
         return out.select(SUBJECT, col.alias(VALUE))
 
     def _lang_select(self, df: DataFrame, langs: list[str],
@@ -968,7 +974,20 @@ class Executor:
             else:
                 sdf = self.g.scalar(o.key)
                 sdf = self._lang_select(sdf, [o.lang] if o.lang else [])
-                vdf = sdf.select(F.col(SUBJECT).alias(DST), F.col(VALUE).alias(cname))
+                val = F.col(VALUE)
+                if o.lang and o.lang not in (".", "*"):
+                    # lang-tagged sort keys use the tag's locale collation
+                    # (worker/sort.go sorts via x/text collate for the
+                    # language); fall back to byte order for tags ICU
+                    # doesn't know
+                    try:
+                        probe = sdf.select(
+                            F.expr(f"collate({VALUE}, '{o.lang}')").alias(cname))
+                        probe.schema  # force analysis: invalid collation -> throw
+                        val = F.expr(f"collate({VALUE}, '{o.lang}')")
+                    except Exception:
+                        pass
+                vdf = sdf.select(F.col(SUBJECT).alias(DST), val.alias(cname))
                 out = out.join(vdf, DST, "left")
             joined.append(cname)
         if block.facets and block.facets.order:
@@ -1596,7 +1615,10 @@ class Executor:
             out_col = attr.out_name if attr.alias else (
                 f"val({attr.var})" if attr.var else "math")
             if needed <= set(local_cols):
-                expr = compile_math(attr.math, lambda n: _qc(local_cols[n]))
+                ddt = dict(df.dtypes)
+                expr = compile_math(
+                    attr.math, lambda n: _qc(local_cols[n]),
+                    int_var=lambda n: ddt.get(local_cols[n]) == "bigint")
                 dom = [c for n, c in local_cols.items()
                        if n in needed and n not in self.scalar_vars]
                 if dom:
@@ -2498,7 +2520,13 @@ def _clean(v):
             if "|" in k:
                 out[k] = _facet_value(_clean(x))
                 continue
-            out[k] = _clean(x)
+            cx = _clean(x)
+            if isinstance(cx, list) and not cx and not k.startswith("@"):
+                # a child array whose every node was dropped is omitted,
+                # not rendered as [] (query/outputnode.go: empty
+                # fastJsonNode lists are never emitted)
+                continue
+            out[k] = cx
         return out
     if isinstance(v, list):
         # child nodes with no surviving attribute are omitted entirely
@@ -2571,7 +2599,16 @@ def _normalize(node: dict, aliased: set[str] | None = None) -> list[dict]:
         for base in results:
             for child in flattened_children:
                 merged = dict(base)
-                merged.update(child)
+                for ck, cv in child.items():
+                    if ck in merged:
+                        # same alias at several path levels (@recurse
+                        # @normalize): values accumulate into ONE array in
+                        # path order (query/outputnode.go normalize merges
+                        # same-attr fastJson children into a list)
+                        prev = merged[ck] if isinstance(merged[ck], list) else [merged[ck]]
+                        merged[ck] = prev + (cv if isinstance(cv, list) else [cv])
+                    else:
+                        merged[ck] = cv
                 new_results.append(merged)
         results = new_results
     return results

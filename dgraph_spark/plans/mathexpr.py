@@ -17,8 +17,22 @@ from pyspark.sql import functions as F
 from dgraph_spark.dql.ast import MathNode
 
 
-def compile_math(node: MathNode, resolve: Callable[[str], Column]) -> Column:
-    """``resolve(varname)`` maps a value-variable name to its Column."""
+def compile_math(node: MathNode, resolve: Callable[[str], Column],
+                 int_var: Callable[[str], bool] | None = None) -> Column:
+    """``resolve(varname)`` maps a value-variable name to its Column.
+    ``int_var(varname)`` reports whether a variable holds INT values:
+    Go's typed aggregator divides int/int as integer division
+    (query/aggregator.go applyDiv on types.IntID), so `sum(int)/count`
+    truncates — Spark's `/` would promote to double."""
+
+    def is_int(n: MathNode) -> bool:
+        if n.var is not None:
+            return int_var is not None and int_var(n.var)
+        if n.op is None:
+            return isinstance(n.const, int) and not isinstance(n.const, bool)
+        if n.op in ("+", "-", "*", "/", "%", "u-"):
+            return all(is_int(c) for c in n.children)
+        return False
 
     def go(n: MathNode) -> Column:
         if n.var is not None:
@@ -33,8 +47,12 @@ def compile_math(node: MathNode, resolve: Callable[[str], Column]) -> Column:
             # the result is the other side verbatim
             # (query/math.go:48-75 processBinary + aggregator.ApplyVal)
             a, b = ch
+            div = a / b
+            if op == "/" and is_int(n):
+                # int/int truncates toward zero (Go integer division)
+                div = (a / b).cast("long")
             raw = {"+": a + b, "-": a - b, "*": a * b,
-                   "/": a / b, "%": a % b}[op]
+                   "/": div, "%": a % b}[op]
             return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(raw)
         if op == "u-":
             return -ch[0]
@@ -46,7 +64,13 @@ def compile_math(node: MathNode, resolve: Callable[[str], Column]) -> Column:
         if op == "exp":
             return F.exp(ch[0])
         if op == "ln":
-            return F.log(ch[0])
+            # Go math.Log(0) = -Inf; the reference's JSON encoder emits it
+            # as -MaxFloat64 (query/outputnode.go float marshalling) —
+            # Spark's SQL log(0) would yield null and silently drop the
+            # term through the binary-op null-skip
+            return F.when(
+                ch[0] == 0, F.lit(-1.7976931348623157e308)
+            ).otherwise(F.log(ch[0]))
         if op == "sqrt":
             return F.sqrt(ch[0])
         if op == "floor":
