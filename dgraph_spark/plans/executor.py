@@ -52,6 +52,19 @@ PATH = "_path"
 # executors (same cap as operators/dedup.py).
 BROADCAST_ROW_CAP = 2_000_000
 
+_POSTING_KEY_UDFS: dict = {}
+
+
+def _posting_key_udf(typ: str):
+    """Pandas UDF string-value -> signed posting sort key (see
+    functions/farmhash.posting_order_key). One cached UDF per value type;
+    Arrow-batched, only runs on rendered list-valued rows."""
+    if typ not in _POSTING_KEY_UDFS:
+        from dgraph_spark.functions.farmhash import make_posting_key_udf
+
+        _POSTING_KEY_UDFS[typ] = make_posting_key_udf(typ)
+    return _POSTING_KEY_UDFS[typ]
+
 
 class ResourceLimitError(RuntimeError):
     """A query exceeded a configured resource guard (edge / var-size cap);
@@ -111,9 +124,23 @@ class Executor:
         # drives post-@cascade re-binding)
         self.var_kind: dict[str, str] = {}
 
+    def _reset_query_state(self) -> None:
+        """Clear per-QUERY variable bindings so one Executor can serve many
+        queries (a long-lived session, the golden sweep, the bench). Vars
+        are scoped to a single request in the reference too
+        (query/query.go Request.vars is per-Process); leaking them across
+        executes silently rebinds same-named vars to stale domains."""
+        self.env = {}
+        self.var_edges = {}
+        self.var_level = {}
+        self.var_agg = {}
+        self.scalar_vars = set()
+        self.var_kind = {}
+
     # ================================================================ public
     def execute(self, query: str | ParsedQuery, vars: dict | None = None) -> dict:
         """Run a full DQL query; returns {block_alias: [node dicts...]}."""
+        self._reset_query_state()
         pq = parse_dql(query, vars) if isinstance(query, str) else query
         for b in pq.blocks:
             _propagate_cascade(b)
@@ -182,6 +209,7 @@ class Executor:
                      vars: dict | None = None) -> DataFrame:
         """Run a query, return ONE block's result as a flat DataFrame
         (lineage joins; aliased scalar columns). Used by the oracle gate."""
+        self._reset_query_state()
         pq = parse_dql(query, vars) if isinstance(query, str) else query
         for b in pq.blocks:
             _propagate_cascade(b)
@@ -1991,10 +2019,20 @@ class Executor:
                                                       if c in sdf.columns])
         meta = self.g.schema.get(name)
         if meta.list:
+            # list values render in POSTING order: uid =
+            # farm.Fingerprint64(binary value) ascending
+            # (posting/list.go:845-850, live/batch.go:235 fingerprintEdge)
+            # — not value order. Key computed per distinct value.
+            key = _posting_key_udf(meta.typ)
             vdf = (
                 nodes.join(sdf, SUBJECT, "inner")
+                .withColumn("_pk", key(F.col(VALUE).cast("string")))
                 .groupBy(SUBJECT)
-                .agg(F.sort_array(F.collect_list(VALUE)).alias(out))
+                .agg(F.transform(
+                    F.sort_array(F.collect_list(F.struct(
+                        F.col("_pk").alias("k"), F.col(VALUE).alias("v")))),
+                    lambda s: s["v"],
+                ).alias(out))
             )
             return vdf, out, True
         vdf = nodes.join(sdf, SUBJECT, "inner").select(

@@ -4,7 +4,7 @@ this engine.
 tests/golden/cases.json holds 476 (query, expected-JSON) pairs extracted
 from the reference's query/query{0..4}_test.go by tools/golden_extract.py
 (text only — assertions re-run here, no reference code). The full-corpus
-sweep result (461/476 exact, 9 order-only, 6 diff, 0 errors) is committed
+sweep result (476/476 exact, 0 order-only, 0 diff, 0 errors) is committed
 in tests/golden/status.json and triaged in tests/golden/RESULTS.md.
 
 This gate re-executes 130 of the passing cases live (the corpus minus
@@ -73,5 +73,6 @@ def test_golden_sweep_tallies():
         tally[s] = tally.get(s, 0) + 1
     assert len(status) >= 476
     assert tally.get("error", 0) == 0
-    assert tally.get("pass", 0) >= 461
-    assert tally.get("diff", 0) <= 6
+    assert tally.get("pass", 0) >= 476
+    assert tally.get("diff", 0) == 0
+    assert tally.get("order", 0) == 0
