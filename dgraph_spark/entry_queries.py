@@ -1086,6 +1086,138 @@ def entry_flagship(spark) -> DataFrame:
 
 
 # -------------------------------------------------------------- registry
+def q_geo_within(spark, sf_dir):
+    """within(point, polygon) — stored POINT inside a constant query
+    rectangle (types/geofilter.go:27,173). Oracle twin: plain coordinate
+    bounds (bounds chosen off the data grid so ray-cast boundary ties
+    cannot occur)."""
+    from dgraph_spark.functions.geo import within
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    x = F.col("c_acctbal") / 1000.0
+    y = (F.col("c_custkey") % 100) / 10.0 - 4.95
+    s = lambda c: c.cast("string")  # noqa: E731
+    pt = F.concat(F.lit('{"type":"Point","coordinates":['),
+                  s(x), F.lit(","), s(y), F.lit("]}"))
+    rect = ('{"type":"Polygon","coordinates":[[[-2.0005,-3.003],'
+            '[2.0005,-3.003],[2.0005,3.003],[-2.0005,3.003],'
+            '[-2.0005,-3.003]]]}')
+    return (cust.withColumn("_g", pt)
+            .where(within(F.col("_g"), rect))
+            .select("c_name"))
+
+
+SQL_geo_within = """
+SELECT c_name FROM customer
+WHERE c_acctbal/1000.0 BETWEEN -2.0005 AND 2.0005
+  AND (c_custkey % 100)/10.0 - 4.95 BETWEEN -3.003 AND 3.003
+"""
+
+
+def q_geo_contains(spark, sf_dir):
+    """contains(polygon, point) — stored POLYGON containing a constant
+    query point (types/geofilter.go:29,182). Query point is off the
+    1e-5 coordinate grid, so no boundary ties."""
+    from dgraph_spark.functions.geo import geo_contains
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    x = F.col("c_acctbal") / 1000.0
+    y = (F.col("c_custkey") % 100) / 10.0 - 4.95
+    s = lambda c: c.cast("string")  # noqa: E731
+    rect = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        s(x - 0.3), F.lit(","), s(y - 3), F.lit("],["),
+        s(x + 0.3), F.lit(","), s(y - 3), F.lit("],["),
+        s(x + 0.3), F.lit(","), s(y + 3), F.lit("],["),
+        s(x - 0.3), F.lit(","), s(y + 3), F.lit("],["),
+        s(x - 0.3), F.lit(","), s(y - 3), F.lit("]]]}"),
+    )
+    return (cust.withColumn("_g", rect)
+            .where(geo_contains(F.col("_g"),
+                                '{"type":"Point","coordinates":[0.0400007,0.0300003]}'))
+            .select("c_name"))
+
+
+SQL_geo_contains = """
+SELECT c_name FROM customer
+WHERE 0.0400007 BETWEEN c_acctbal/1000.0 - 0.3 AND c_acctbal/1000.0 + 0.3
+  AND 0.0300003 BETWEEN (c_custkey % 100)/10.0 - 4.95 - 3
+                    AND (c_custkey % 100)/10.0 - 4.95 + 3
+"""
+
+
+def q_after_uid(spark, sf_dir):
+    """`after: uid` cursor pagination at root (query/query.go applyWindow
+    — uids ascend, resume strictly after the cursor)."""
+    u = uid_of("customer", 100)
+    return _flat(spark, sf_dir, f'''
+    {{ q(func: type(Customer), first: 5, after: {u}) {{ c_name }} }}''')
+
+
+SQL_after_uid = """
+SELECT c_name FROM customer WHERE c_custkey > 100
+ORDER BY c_custkey LIMIT 5
+"""
+
+
+def q_facet_order(spark, sf_dir):
+    """@facets(orderasc: f) — children sorted by an edge facet
+    (query/query.go facet sort; SURVEY §2.7). price facets are unique
+    within the supplier, so the order (and row set under first:) is
+    deterministic."""
+    return _flat(spark, sf_dir, '''
+    { q(func: eq(s_name, "Supplier#000000001")) {
+        lines: ~by_supplier @facets(orderasc: price) (first: 5) {
+          l_linenumber
+        }
+    } }''')
+
+
+SQL_facet_order = """
+SELECT l_linenumber FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_name = 'Supplier#000000001'
+ORDER BY l_extendedprice LIMIT 5
+"""
+
+
+def q_len_filter(spark, sf_dir):
+    """eq/ineq(len(v), n) — variable-cardinality condition
+    (query/query.go:2235): true keeps every candidate."""
+    return _flat(spark, sf_dir, '''
+    { var(func: eq(n_name, "NATION_1")) { v as ~in_nation @filter(type(Customer)) }
+      q(func: type(Region)) @filter(lt(len(v), 1000000)) { r_name } }''', block="q")
+
+
+SQL_len_filter = """
+SELECT r_name FROM region
+WHERE (SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey
+       WHERE n_name = 'NATION_1') < 1000000
+"""
+
+
+def q_facet_var_order(spark, sf_dir):
+    """@facets(w as f) facet VARIABLE bound by edge target, consumed for
+    ordering + output in a later block (query/query.go:1550
+    populateUidValVar facet case)."""
+    df = _flat(spark, sf_dir, '''
+    { var(func: eq(s_name, "Supplier#000000001")) {
+        ~by_supplier @facets(w as price)
+      }
+      q(func: uid(w), orderdesc: val(w), first: 10) {
+        l_linenumber wprice: val(w)
+      } }''', block="q")
+    return _round(df, {"wprice": 2})
+
+
+SQL_facet_var_order = """
+SELECT l_linenumber, round(l_extendedprice, 2) AS wprice
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_name = 'Supplier#000000001'
+ORDER BY l_extendedprice DESC LIMIT 10
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "root_eq_reverse_traversal": (q_root_eq_reverse_traversal, SQL_root_eq_reverse_traversal),
     "eq_val_var": (q_eq_val_var, SQL_eq_val_var),
@@ -1143,4 +1275,10 @@ QUERIES: dict[str, tuple] = {
     "stream_session": (q_stream_session, SQL_stream_session),
     "q5_local_supplier": (q_q5_local_supplier, SQL_q5_local_supplier),
     "groupby_uid_pred": (q_groupby_uid_pred, SQL_groupby_uid_pred),
+    "geo_within": (q_geo_within, SQL_geo_within),
+    "geo_contains": (q_geo_contains, SQL_geo_contains),
+    "after_uid": (q_after_uid, SQL_after_uid),
+    "facet_order": (q_facet_order, SQL_facet_order),
+    "len_filter": (q_len_filter, SQL_len_filter),
+    "facet_var_order": (q_facet_var_order, SQL_facet_var_order),
 }

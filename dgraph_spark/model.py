@@ -63,6 +63,10 @@ class Graph:
     # attributes straight off the traversal join instead of re-scanning +
     # re-joining the node table.
     edge_homes: dict[str, tuple[str | None, str | None]] = field(default_factory=dict)
+    # home -> (raw key column name, uid base) when the home's uids are
+    # affine in a physical column (uid = base + key): uid filters rewrite
+    # onto that column so parquet row-group stats prune the scan
+    wide_uid_key: dict[str, tuple[str, int]] = field(default_factory=dict)
 
     def home_of(self, pred: str) -> tuple[str, str] | None:
         return self.pred_home.get(pred)

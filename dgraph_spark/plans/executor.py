@@ -73,6 +73,24 @@ class ResourceLimitError(RuntimeError):
 
 _AGG_ATTRS = {"min", "max", "sum", "avg"}
 
+_INROW_FILTER_FUNCS = {"eq", "le", "lt", "ge", "gt", "between", "has",
+                       "anyofterms", "allofterms", "regexp", "match",
+                       "anyoftext", "alloftext", "ngram"}
+
+
+def _filter_value_preds(tree) -> set[str]:
+    """Scalar predicate names compared by a FilterTree's value leaves —
+    candidates to carry in-row on the traversal edge."""
+    if tree.op == "func":
+        f = tree.func
+        if (f.pred and not f.pred.startswith("~") and not f.pred_lang
+                and f.name.lower() in _INROW_FILTER_FUNCS
+                and not any(a.is_count or a.is_val_var or a.is_len
+                            for a in f.args)):
+            return {f.pred}
+        return set()
+    return set().union(set(), *(_filter_value_preds(c) for c in tree.children))
+
 
 @dataclass
 class Level:
@@ -286,6 +304,14 @@ class Executor:
         frontier = None
         self._last_fused = None
         root_cond = fc.value_condition(block.func)
+        if (root_cond is not None and block.func.name.lower() == "uid"
+                and any(isinstance(a, Attr) and a.name == "uid" and not a.is_count
+                        for a in block.children)):
+            # uid(literals) + a bare `uid` attr: the reference renders the
+            # uid for NONEXISTENT uids too (no storage check on the root
+            # list, query/outputnode.go) — the existence-filtering fused
+            # scan would drop them; take the literal-frame outer path.
+            root_cond = None
         if root_cond is not None:
             home, cond = root_cond
             if block.filter is None:
@@ -586,6 +612,10 @@ class Executor:
                 if isinstance(a, Attr) and self._is_plain_scalar(a)
             }
             wanted |= {o.key for o in child.order if not o.is_var and not o.is_facet}
+            if child.filter is not None:
+                # scalars the child @filter compares also ride in-row, so
+                # the whole filter can evaluate during the edge join
+                wanted |= _filter_value_preds(child.filter)
             for nm in sorted(wanted):
                 home = self.g.home_of(nm)
                 if home is not None and home[0] == dst_h and nm in edges.columns:
@@ -616,7 +646,16 @@ class Executor:
             ch = ch.where(self._facet_cond(child.facets.filter))
 
         if child.filter is not None:
-            ch = self._apply_filter(child.filter, ch)
+            # type(T) leaves compile to free uid-range predicates even
+            # with no in-row columns, so always try the in-row compile
+            cond = FuncCompiler(self.g, self.env).inrow_condition(
+                child.filter, dst_h or "", set(inrow_cols), DST)
+            if cond is not None:
+                # filter evaluated in-row during the edge join — no node
+                # table re-scan, no semi-join stage
+                ch = ch.where(cond)
+            else:
+                ch = self._apply_filter(child.filter, ch)
 
         lvl = self._descend(child, ch, root=False, parent=parent)
         return lvl
@@ -624,12 +663,14 @@ class Executor:
     def _register_attr_var(self, attr: Attr, nodes: DataFrame, level: Level) -> None:
         """`v as age` / `x as count(p)` / math var — value-variable defs
         (query/query.go:1550 populateUidValVar)."""
+        _fv_base = attr.name.lstrip("~")
         if (attr.facets is not None and attr.facets.vars
-                and self.g.has_pred(attr.name)
-                and self.g.schema.get(attr.name).is_uid):
+                and self.g.has_pred(_fv_base)
+                and self.g.schema.get(_fv_base).is_uid):
             # leaf uid-pred attr with a facet var: `path @facets(f as w)`
             # binds f by target uid even though nothing renders
-            e = self.g.edge(attr.name)
+            # (reverse edges carry the same facet struct through the swap)
+            e = self.g.edge(_fv_base, reverse=attr.name.startswith("~"))
             if FACETS in e.columns:
                 for var, key in attr.facets.vars.items():
                     self.env[var] = (

@@ -47,6 +47,28 @@ def parse_rfc3339(s: str):
 
 
 _COMPARE = {"eq", "le", "lt", "ge", "gt"}
+
+
+def _uid_literal(v) -> int | None:
+    """Parse one uid(...) argument as a literal uid, else None (a var)."""
+    if isinstance(v, int):
+        return v
+    if isinstance(v, str) and v.startswith("0x"):
+        return int(v, 16)
+    if isinstance(v, str) and v.isdigit():
+        return int(v)
+    return None
+
+
+def _uid_literals(f: FuncCall) -> list[int] | None:
+    """All uid(...) args as literals, or None if any arg is a variable."""
+    out = []
+    for a in f.args:
+        u = _uid_literal(a.value)
+        if u is None:
+            return None
+        out.append(u)
+    return out
 _STRSEARCH = {"anyofterms", "allofterms", "anyoftext", "alloftext",
               "regexp", "match", "ngram"}
 
@@ -167,6 +189,31 @@ class FuncCompiler:
             if tname in self.g.wide:
                 return tname, F.lit(True)
             return None
+        if name == "uid":
+            # uid(literals...) whose uids all fall in ONE type-tagged uid
+            # range -> a plain subject IN (...) filter on that type's wide
+            # scan: one stage, no Python-RDD literal frame, no broadcast
+            # of the node table. (Var args / mixed types: not fusible.)
+            lits = _uid_literals(f)
+            if not lits:
+                return None
+            homes = set()
+            for u in lits:
+                t = next((t for t, (lo, hi) in self.g.type_uid_ranges.items()
+                          if lo <= u < hi), None)
+                if t is None:
+                    return None
+                homes.add(t)
+            if len(homes) != 1 or (home := homes.pop()) not in self.g.wide:
+                return None
+            key = self.g.wide_uid_key.get(home)
+            if key is not None:
+                # affine uids: filter the PHYSICAL key column — pushes to
+                # the parquet scan (row-group pruning), unlike a filter on
+                # the computed subject expression
+                kcol, base = key
+                return home, F.col(kcol).isin([u - base for u in lits])
+            return home, F.col(SUBJECT).isin(lits)
         pred = f.pred
         if pred is None or pred.startswith("~"):
             return None
@@ -174,18 +221,73 @@ class FuncCompiler:
         if home is None:
             return None
         home_name, colname = home
-        col = F.col(colname)
+        cond = self._value_leaf_cond(f, F.col(colname))
+        if cond is None:
+            return None
+        return home_name, cond
+
+    def _value_leaf_cond(self, f: FuncCall, col: Column) -> Column | None:
+        """Boolean condition of one value-function leaf over the given
+        value Column (shared by wide-scan fusion and in-row edge eval)."""
+        name = f.name.lower()
+        pred = f.pred
         lits = f.literals()
         if name in _COMPARE:
-            return home_name, _cmp(col, name, [self._typed_lit(pred, x) for x in lits])
+            return _cmp(col, name, [self._typed_lit(pred, x) for x in lits])
         if name == "between":
-            return home_name, col.between(
+            return col.between(
                 self._typed_lit(pred, lits[0]), self._typed_lit(pred, lits[1])
             )
         if name == "has":
-            return home_name, col.isNotNull()
+            return col.isNotNull()
         if name in _STRSEARCH:
-            return home_name, self._search_cond(name, col, lits, f.pred_lang)
+            return self._search_cond(name, col, lits, f.pred_lang)
+        return None
+
+    def inrow_condition(self, tree: FilterTree, home: str, avail: set[str],
+                        dst_col: str) -> Column | None:
+        """Compile a FilterTree to ONE boolean Column over a traversal
+        edge frame that carries ``home``'s scalar predicates in-row
+        (columns ``_a_{pred}``) and the target uid in ``dst_col`` — the
+        child @filter then evaluates DURING the edge join, with no node-
+        table re-scan and no semi-join. None when any leaf needs more
+        than the in-row columns (falls back to the set-algebra path)."""
+        if tree.op == "func":
+            f = tree.func
+            if any(a.is_count or a.is_val_var or a.is_len for a in f.args):
+                return None
+            if f.pred_lang:
+                return None
+            if f.name.lower() == "type":
+                rng = self.g.type_uid_ranges.get(str(f.args[0].value))
+                if rng is None:
+                    return None
+                # tagged uid ranges: type() is a free range predicate on
+                # the target uid — no membership scan needed
+                return (F.col(dst_col) >= rng[0]) & (F.col(dst_col) < rng[1])
+            pred = f.pred
+            if (pred is None or pred.startswith("~") or pred not in avail
+                    or (self.g.home_of(pred) or ("", ""))[0] != home
+                    or self.g.schema.get(pred).list):
+                return None
+            return self._value_leaf_cond(f, F.col(f"_a_{pred}"))
+        parts = [self.inrow_condition(c, home, avail, dst_col)
+                 for c in tree.children]
+        if any(p is None for p in parts):
+            return None
+        if tree.op == "and":
+            out = parts[0]
+            for c in parts[1:]:
+                out = out & c
+            return out
+        if tree.op == "or":
+            out = parts[0]
+            for c in parts[1:]:
+                out = out | c
+            return out
+        if tree.op == "not":
+            # set complement: nodes with NO value are IN the complement
+            return ~F.coalesce(parts[0], F.lit(False))
         return None
 
     def fuse_tree(self, tree: FilterTree) -> tuple[str, Column] | None:
@@ -210,7 +312,10 @@ class FuncCompiler:
             for c in conds[1:]:
                 out = out | c
         elif tree.op == "not":
-            out = ~conds[0]
+            # NOT is a SET COMPLEMENT (algo/uidlist.go Difference): a node
+            # with NO value for the pred is in the complement. A bare
+            # ~cond would propagate SQL null and drop such rows.
+            out = ~F.coalesce(conds[0], F.lit(False))
         else:  # pragma: no cover
             return None
         return home, out
@@ -372,21 +477,24 @@ class FuncCompiler:
         return self._scalar(name, f.pred_lang).select(SUBJECT).distinct()
 
     def _uid(self, f: FuncCall) -> DataFrame:
-        lits: list[int] = []
         frames: list[DataFrame] = []
+        lits: list[int] = []
         for a in f.args:
-            if isinstance(a.value, int):
-                lits.append(a.value)
-            elif isinstance(a.value, str) and a.value.startswith("0x"):
-                lits.append(int(a.value, 16))
-            elif isinstance(a.value, str) and a.value.isdigit():
-                lits.append(int(a.value))
+            u = _uid_literal(a.value)
+            if u is not None:
+                lits.append(u)
             else:
                 frames.append(self._uid_var(str(a.value)))
         if lits:
-            frames.append(
-                self.g.spark.createDataFrame([(u,) for u in lits], f"{SUBJECT} long")
+            # inline literal relation (pure SQL, no Python-RDD round-trip);
+            # deduped driver-side so no distinct shuffle is needed below
+            uniq = list(dict.fromkeys(lits))
+            lit_df = self.g.spark.range(1).select(
+                F.explode(F.array(*[F.lit(u).cast("long") for u in uniq])).alias(SUBJECT)
             )
+            if not frames:
+                return lit_df
+            frames.append(lit_df)
         if len(frames) == 1:
             return frames[0].distinct()  # keeps _frank order if present
         out = frames[0].select(SUBJECT)

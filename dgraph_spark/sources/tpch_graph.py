@@ -142,13 +142,25 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
 
     wide: dict[str, DataFrame] = {}
     pred_home: dict[str, tuple[str, str]] = {}
+    # home -> (raw key column, uid base) for affine uid schemes
+    # (uid = base + key): uid point/range predicates rewrite onto the
+    # PHYSICAL key column, so parquet row-group stats can prune the scan
+    # (a filter on the computed subject expression cannot be pushed)
+    wide_uid_key: dict[str, tuple[str, int]] = {}
     for table, (type_name, cols) in _SCALARS.items():
         df = raw[table]
-        subj = F.col("_li_uid").alias(SUBJECT) if table == "lineitem" else uid_col(table, F.col(_KEYS[table]))
+        if table == "lineitem":
+            subj = F.col("_li_uid").alias(SUBJECT)  # non-affine: window uid
+            key_cols: list[str] = []
+        else:
+            subj = uid_col(table, F.col(_KEYS[table]))
+            wide_uid_key[type_name] = (_KEYS[table], TAGS[table] << UID_SHIFT)
+            key_cols = [_KEYS[table]]
         available = [c for c in cols if c in df.columns]
         # wide node table: ONE scan serves every scalar predicate of the
         # type (filter/projection fusion — dgraph tablet locality analogue)
-        wide[type_name] = df.select(subj, *[F.col(c) for c in available])
+        wide[type_name] = df.select(
+            subj, *[F.col(c) for c in key_cols + available])
         for c in available:
             typ = _PRED_TYPES.get(c, "string")
             if table == "documents" and c == "text":
@@ -206,11 +218,19 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
         src_home="Lineitem",
         list=False,
     )
+    # the customer half carries the Customer scalars in-row (the edge IS a
+    # projection of the customer table), so `~in_nation { c_name ... }`
+    # reads them off the traversal join — no Customer re-scan/self-join.
+    # Supplier rows take nulls for those columns (same render as "no
+    # posting" on the join path).
     cust_nation = c.select(uid_col("customer", F.col("c_custkey")).alias(SUBJECT),
-                           uid_col("nation", F.col("c_nationkey")).alias(OBJECT))
+                           uid_col("nation", F.col("c_nationkey")).alias(OBJECT),
+                           F.col("c_name"), F.col("c_acctbal"), F.col("c_mktsegment"))
     supp_nation = s.select(uid_col("supplier", F.col("s_suppkey")).alias(SUBJECT),
                            uid_col("nation", F.col("s_nationkey")).alias(OBJECT))
-    preds["in_nation"] = cust_nation.unionByName(supp_nation)
+    preds["in_nation"] = cust_nation.unionByName(supp_nation,
+                                                 allowMissingColumns=True)
+    edge_homes["in_nation"] = ("Customer", None)
     reg.add(Predicate(name="in_nation", typ="uid", reverse=True))
     edge("in_region", n, uid_col("nation", F.col("n_nationkey")),
          uid_col("region", F.col("n_regionkey")), reverse=True, src_home="Nation",
@@ -241,4 +261,4 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     }
     return Graph(spark=spark, preds=preds, schema=reg, wide=wide,
                  pred_home=pred_home, edge_homes=edge_homes,
-                 type_uid_ranges=type_uid_ranges)
+                 type_uid_ranges=type_uid_ranges, wide_uid_key=wide_uid_key)
