@@ -37,37 +37,66 @@ def _triples_from_nquads(graph: Graph, nquads: str) -> DataFrame:
 
 def set_triples(graph: Graph, triples: DataFrame) -> Graph:
     """Apply set-mutations (long-format triples DF as from parse_nquads).
-    Returns a new Graph."""
+    Returns a new Graph.
+
+    Posting semantics (posting/list.go:56-58 Ovr): a set on a
+    single-valued scalar overwrites per (subject[, lang]); on a list
+    predicate it unions, with a re-set of an existing (subject, value) /
+    (subject, object) edge REPLACING that edge (so its facets update,
+    types/facets/utils.go:75). Lang tags, facet maps, and wide-offset
+    datetime lexical forms are preserved exactly as the bulk-load path
+    stores them — the new rows are materialized through the same
+    graph_from_triples pivot the loader uses.
+    """
+    from dgraph_spark.sources.rdf import graph_from_triples
+
     g = graph
     pred_names = [r["predicate"] for r in triples.select("predicate").distinct().collect()]
     for name in pred_names:
-        rows = triples.where(F.col("predicate") == name)
-        meta = g.schema.get(name)
-        if not g.has_pred(name):
+        if not g.has_pred(name) and not g.schema.has(name):
             # new predicate: infer uid-ness from the rows (first write
             # fixes the type — worker/task.go:1104-1110 default typing)
+            rows = triples.where(F.col("predicate") == name)
             is_uid = rows.where(F.col("object_uid").isNotNull()).limit(1).count() > 0
-            meta = Predicate(name=name, typ="uid" if is_uid else meta.typ)
-        if meta.is_uid:
-            new = rows.select(SUBJECT, F.col("object_uid").alias(OBJECT))
-            old = g.preds.get(name)
-            merged = new if old is None else old.select(SUBJECT, OBJECT).unionByName(new).distinct()
-        else:
-            new = rows.select(SUBJECT, F.col("value_str").cast(
-                {"int": "long", "float": "double", "bool": "boolean",
-                 "datetime": "timestamp"}.get(meta.typ, "string")).alias(VALUE))
-            old = g.preds.get(name)
-            if old is None:
-                merged = new
-            elif meta.list:
-                merged = old.select(SUBJECT, VALUE).unionByName(new).distinct()
-            else:
-                # single-valued: new value overwrites (Ovr)
-                merged = (
-                    old.select(SUBJECT, VALUE)
-                    .join(new.select(SUBJECT), SUBJECT, "left_anti")
-                    .unionByName(new.dropDuplicates([SUBJECT]))
-                )
+            if is_uid:
+                g.schema.add(Predicate(name=name, typ="uid"))
+    newg = graph_from_triples(
+        g.spark, triples.where(F.col("predicate").isin(pred_names)), g.schema
+    )
+    for name, new in newg.preds.items():
+        meta = g.schema.get(name)
+        old = g.preds.get(name)
+        if old is None:
+            g = g.with_pred(name, new, meta)
+            continue
+        # replacement keys: single-valued -> per subject (+lang variant,
+        # each lang is its own posting); list -> per exact edge/value
+        key_cols = [SUBJECT]
+        if meta.list:
+            key_cols.append(OBJECT if meta.is_uid else VALUE)
+        if "lang" in new.columns or "lang" in old.columns:
+            key_cols.append("lang")
+
+        def keyed(df: DataFrame) -> DataFrame:
+            out = df
+            for i, kc in enumerate(key_cols):
+                if kc not in df.columns:  # e.g. lang absent on one side
+                    k = F.lit("\x00")
+                elif kc == "lang":
+                    # null-safe: null lang == the untagged posting
+                    k = F.coalesce(F.col(kc), F.lit("\x00"))
+                else:
+                    k = F.col(kc)
+                out = out.withColumn(f"_mk{i}", k)
+            return out
+
+        knames = [f"_mk{i}" for i in range(len(key_cols))]
+        old_k, new_k = keyed(old), keyed(new)
+        merged = (
+            old_k.join(new_k.select(knames).distinct(), knames, "left_anti")
+            .unionByName(new_k.dropDuplicates(knames), allowMissingColumns=True)
+            .drop(*knames)
+        )
         g = g.with_pred(name, merged, meta)
     return g
 

@@ -161,3 +161,24 @@ def test_upsert_relational_expansion(spark):
     small = spark.range(1, 4).select(F.col("id").alias("subject"))
     t2 = expand_template(g, 'uid(a) <linked> uid(b) .', {"a": small, "b": big})
     assert t2.count() == 3 * 100_000
+
+
+def test_set_preserves_facets_and_lang(spark):
+    # facet update on an existing edge + lang-variant postings
+    # (posting/list.go Ovr per (subject, lang); facet replacement on
+    # re-set of the same edge, types/facets/utils.go:75)
+    sch = "name: string @lang .\nfriend: [uid] ."
+    lines = spark.createDataFrame(
+        [("<0x1> <friend> <0x2> (weight=1) .",), ('<0x1> <name> "Ann"@en .',)],
+        "value string")
+    g = graph_from_triples(spark, parse_nquads(lines), SchemaRegistry.parse(sch))
+    g2 = set_nquads(g, '<0x1> <friend> <0x2> (weight=7) .\n'
+                       '<0x1> <friend> <0x3> (weight=2) .\n'
+                       '<0x1> <name> "Anne"@fr .\n'
+                       '<0x1> <name> "Annie"@en .')
+    fr = {r["object"]: r["facets"] for r in g2.pred("friend").collect()}
+    assert set(fr) == {2, 3}
+    assert fr[2]["weight"] == "7"  # facet replaced, not duplicated
+    assert fr[3]["weight"] == "2"
+    names = {r["lang"]: r["value"] for r in g2.pred("name").collect()}
+    assert names == {"en": "Annie", "fr": "Anne"}  # per-lang overwrite
