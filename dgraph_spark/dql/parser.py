@@ -578,7 +578,9 @@ class Parser:
                     a.filter = self.parse_filter_tree()
                     self.expect(")")
             self.expect(")")
-            # trailing filter form: count(pred) @filter(...) — same meaning
+            # trailing forms: count(pred) @filter(...) / @facets(eq(...))
+            # — filter/facet-filter the counted edges before counting
+            # (query_facets_test.go TestCountFacetsFiltering*)
             while self.peek().text == "@":
                 save = self.i
                 self.next()
@@ -587,6 +589,8 @@ class Parser:
                     self.expect("(")
                     a.filter = self.parse_filter_tree()
                     self.expect(")")
+                elif dname == "facets":
+                    a.facets = _merge_facets(a.facets, self.parse_facets_spec())
                 else:
                     self.i = save
                     break

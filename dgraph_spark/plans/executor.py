@@ -472,14 +472,15 @@ class Executor:
         # set (pagination does not affect variables).
         if block.facets is not None and block.facets.vars and "facets" in frontier.columns:
             for var, key in block.facets.vars.items():
+                texpr, tagg, _tk = self._typed_facet(frontier, key)
                 vdf = (
                     frontier.select(F.col(DST).alias(SUBJECT),
-                                    F.col(f"facets.{key}").alias(VALUE))
+                                    texpr.alias(VALUE))
                     # an edge without the facet contributes NOTHING — it
                     # must not enter the var's uid domain
                     # (query/query.go:1697 only edges carrying the facet)
                     .where(F.col(VALUE).isNotNull())
-                    .groupBy(SUBJECT).agg(F.sum(VALUE).alias(VALUE))
+                    .groupBy(SUBJECT).agg(tagg(VALUE).alias(VALUE))
                 )
                 self.env[var] = vdf
                 self.var_edges[var] = frontier
@@ -568,8 +569,14 @@ class Executor:
                     # (query/query.go filtered expand keeps uid preds only)
                     # @lang preds expand to every language variant
                     # (`model@jp` siblings, query/query.go expandAll langs)
+                    # Expanded predicates render ALL their facets
+                    # (`name|kind` siblings — query_facets_test.go
+                    # TestFacetsWithExpand / TestTypeExpandFacets)
+                    from dgraph_spark.dql.ast import FacetsSpec
+
                     langs = ["*"] if self.g.schema.get(base).lang else []
-                    level.attr_items.append(Attr(name=p, langs=langs))
+                    level.attr_items.append(
+                        Attr(name=p, langs=langs, facets=FacetsSpec(all=True)))
                 continue
             children = list(body.children) if body is not None else []
             if not children:
@@ -673,12 +680,13 @@ class Executor:
             e = self.g.edge(_fv_base, reverse=attr.name.startswith("~"))
             if FACETS in e.columns:
                 for var, key in attr.facets.vars.items():
+                    texpr, tagg, _tk = self._typed_facet(e, key)
                     self.env[var] = (
                         nodes.join(e, SUBJECT, "inner")
                         .select(F.col(OBJECT).alias(SUBJECT),
-                                F.col(f"facets.{key}").alias(VALUE))
+                                texpr.alias(VALUE))
                         .where(F.col(VALUE).isNotNull())
-                        .groupBy(SUBJECT).agg(F.sum(VALUE).alias(VALUE))
+                        .groupBy(SUBJECT).agg(tagg(VALUE).alias(VALUE))
                     )
         if not attr.var:
             return
@@ -905,16 +913,98 @@ class Executor:
             .select(*cols)
         )
 
+    def _typed_facet(self, df: DataFrame, key: str) -> tuple[Column, Column, str]:
+        """(typed value expr, merge agg) for a facet key. Facets are
+        typed at parse time in the reference (types/facets/utils.go);
+        our storage is untyped strings, so the type is probed from one
+        sample value (bounded planning metadata, the analogue of the
+        reference's facet-type lookup). Numerics merge by SUM across
+        parent edges (query/query.go populateUidValVar aggregateValue);
+        non-summable types keep one value (max, deterministic)."""
+        col = F.col(f"facets.{key}")
+        cache = getattr(self, "_facet_type_cache", None)
+        if cache is None:
+            cache = self._facet_type_cache = {}
+        if key in cache:
+            s = cache[key]
+        else:
+            row = (df.select(col.alias("_v")).where(F.col("_v").isNotNull())
+                   .limit(1).collect())
+            s = row[0]["_v"] if row else None
+            if s is not None:
+                cache[key] = s
+        import datetime as _dtm
+
+        if not isinstance(s, (str, type(None))):
+            # facets column already carries typed values (parquet-backed
+            # graphs): no cast needed
+            if isinstance(s, bool):
+                return col, F.max, "bool"
+            if isinstance(s, (int, float)):
+                return col, F.sum, "float"
+            if isinstance(s, (_dtm.datetime, _dtm.date)):
+                return col, F.max, "datetime"
+            return col, F.max, "string"
+        if s in ("true", "false"):
+            return col.cast("boolean"), F.max, "bool"
+        if s is not None and _FACET_INT_RE.match(s):
+            return col.cast("long"), F.sum, "int"
+        if s is not None and _FACET_FLOAT_RE.match(s):
+            return col.cast("double"), F.sum, "float"
+        if s is not None and re.match(r"^\d{4}-\d{2}-\d{2}", s):
+            # wide-offset tolerant (+23:00 zones appear in the reference
+            # corpus; java.time caps at ±18:00) — same parse as the loader
+            from dgraph_spark.sources.rdf import _datetime_expr
+
+            return _datetime_expr(F.regexp_replace(col, "Z$", "")), F.max, "datetime"
+        return col, F.max, "string"
+
     def _facet_cond(self, tree) -> Column:
-        """Facet FilterTree -> boolean Column over `facets` struct."""
+        """Facet FilterTree -> boolean Column over `facets` struct.
+
+        Reference semantics (worker/task.go applyFacetsTree): an edge
+        MISSING the facet fails the leaf condition outright — so every
+        leaf coalesces null -> false (crucial under NOT: a missing facet
+        must not make `not eq(...)` null-propagate the edge away).
+        Comparisons run in the facet's value type (types/facets/utils.go
+        facet typing): bool / numeric / datetime by literal inspection,
+        else string. allofterms/anyofterms term-match string facets
+        (worker/tokens.go over facet values)."""
         if tree.op == "func":
             f = tree.func
             key = f.pred
             lits = f.literals()
             col = F.col(f"facets.{key}")
+            name = f.name.lower()
+            if name in ("allofterms", "anyofterms"):
+                from dgraph_spark.functions.tokenizers import term_tokens
+
+                toks = [t for t in re.split(r"[^\w]+", str(lits[0]).lower()) if t]
+                arr = term_tokens(col)
+                conds = [F.array_contains(arr, t) for t in toks] or [F.lit(True)]
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = (cond & c) if name == "allofterms" else (cond | c)
+                return F.coalesce(cond, F.lit(False))
             from dgraph_spark.plans.functions import _cmp
 
-            return _cmp(col, f.name.lower(), [F.lit(x) for x in lits])
+            l0 = lits[0] if lits else None
+            if isinstance(l0, bool):
+                cond = _cmp(col.cast("boolean"), name, [F.lit(x) for x in lits])
+            elif isinstance(l0, (int, float)):
+                cond = _cmp(col.cast("double"), name,
+                            [F.lit(float(x)) for x in lits])
+            elif isinstance(l0, str) and re.match(r"^\d{4}-\d{2}(-\d{2})?", l0):
+                from dgraph_spark.sources.rdf import _datetime_expr
+
+                # cast("string") first: typed (timestamp) facet columns
+                # round-trip through the same wide-offset-tolerant parse
+                cond = _cmp(_datetime_expr(
+                    F.regexp_replace(col.cast("string"), "Z$", "")),
+                    name, [F.lit(x).cast("timestamp") for x in lits])
+            else:
+                cond = _cmp(col, name, [F.lit(x) for x in lits])
+            return F.coalesce(cond, F.lit(False))
         if tree.op == "and":
             out = self._facet_cond(tree.children[0])
             for c in tree.children[1:]:
@@ -1062,7 +1152,15 @@ class Executor:
         if block.facets and block.facets.order:
             for j, o in enumerate(block.facets.order):
                 cname = f"_okf{j}"
-                out = out.withColumn(cname, F.col(f"facets.{o.key}"))
+                if "facets" not in out.columns:
+                    continue
+                texpr, _agg, kind = self._typed_facet(out, o.key)
+                if kind == "bool":
+                    # bool facets are not sortable (types/sort.go
+                    # IsSortable): the key is ignored, ties fall through
+                    # to the uid tiebreak
+                    continue
+                out = out.withColumn(cname, texpr)
                 joined.append(cname)
         return out, joined
 
@@ -1121,15 +1219,20 @@ class Executor:
         scalar_attrs = [c for c in block.children if isinstance(c, Attr)]
         uid_preds: list[tuple[str, bool]] = []
         var_of_tag: dict[str, str] = {}  # pred tag -> value-var collecting
+        spec_of_tag: dict[str, object] = {}  # pred tag -> FacetsSpec
         for c in block.children:
             if isinstance(c, Block):
                 uid_preds.append((c.attr, c.reverse))
                 if c.var:
                     var_of_tag[("~" + c.attr) if c.reverse else c.attr] = c.var
+                if c.facets is not None:
+                    spec_of_tag[("~" + c.attr) if c.reverse else c.attr] = c.facets
             elif isinstance(c, Attr) and self.g.has_pred(c.name.lstrip("~")) and self.g.schema.get(c.name.lstrip("~")).is_uid:
                 uid_preds.append((c.name.lstrip("~"), c.name.startswith("~")))
                 if c.var:
                     var_of_tag[c.name] = c.var
+                if c.facets is not None:
+                    spec_of_tag[c.name] = c.facets
 
         expand_mode = any(isinstance(c, Attr) and c.expand for c in block.children)
 
@@ -1170,13 +1273,20 @@ class Executor:
         # pred-tagged union edge relation (pred name, reverse flag -> tag)
         tag_of: dict[str, tuple[str, bool]] = {}
 
+        # facets ride the union only when some child requests them
+        want_facets = bool(spec_of_tag)
+
         def _build_tagged(preds: list[tuple[str, bool]]) -> DataFrame | None:
             out = None
             for pred, rev in preds:
                 tag = ("~" + pred) if rev else pred
                 tag_of[tag] = (pred, rev)
-                e = self.g.edge(pred, reverse=rev).select(
-                    SUBJECT, OBJECT, F.lit(tag).alias("_pred"))
+                e = self.g.edge(pred, reverse=rev)
+                cols = [F.col(SUBJECT), F.col(OBJECT), F.lit(tag).alias("_pred")]
+                if want_facets:
+                    cols.append(F.col(FACETS) if FACETS in e.columns
+                                else F.lit(None).cast("map<string,string>").alias(FACETS))
+                e = e.select(*cols)
                 out = e if out is None else out.unionByName(e)
             return out
 
@@ -1195,16 +1305,22 @@ class Executor:
         # levels_by (depth, branch hash) -> Level, for tree assembly
         level_of: dict[tuple[int, int], Level] = {(0, ROOT_BH): top}
         for d in range(1, depth):
+            step_cols = [
+                F.col("_bh").alias("_pbh"),
+                F.xxhash64(F.col("_bh"), F.col("_pred")).alias("_bh"),
+                F.col("_pred"),
+                F.col(SUBJECT).alias(SRC),
+                F.col(OBJECT).alias(DST),
+            ]
+            if want_facets and FACETS in tagged.columns:
+                step_cols.append(F.col(FACETS))
             step = (
                 front.join(tagged, SUBJECT, "inner")
-                .select(
-                    F.col("_bh").alias("_pbh"),
-                    F.xxhash64(F.col("_bh"), F.col("_pred")).alias("_bh"),
-                    F.col("_pred"),
-                    F.col(SUBJECT).alias(SRC),
-                    F.col(OBJECT).alias(DST),
-                )
-                .distinct()
+                .select(*step_cols)
+                # dedup on the edge identity only — the facets MAP column
+                # is not comparable (and is functionally determined by
+                # the edge anyway)
+                .dropDuplicates(["_pbh", "_pred", SRC, DST])
             )
             if not block.recurse.loop:
                 if taken is not None:
@@ -1246,12 +1362,27 @@ class Executor:
                     continue
                 tag = row["_pred"]
                 pred, rev = tag_of[tag]
-                sub = Block(alias=tag, attr=pred, reverse=rev)
-                lvl = Level(
-                    block=sub,
-                    edges=step.where(F.col("_bh") == row["_bh"])
-                    .select(SRC, DST).withColumn(RANK, F.col(DST)),
-                )
+                spec = spec_of_tag.get(tag)
+                sub = Block(alias=tag, attr=pred, reverse=rev, facets=spec)
+                ecols = [SRC, DST] + ([FACETS] if FACETS in step.columns else [])
+                e = step.where(F.col("_bh") == row["_bh"]).select(*ecols)
+                if spec is not None and spec.order and FACETS in e.columns:
+                    # @facets(orderasc/desc: f) under @recurse: rank the
+                    # round's edges per parent by the typed facet value
+                    # (query/recurse.go applies the facet sort per level)
+                    okeys = []
+                    for o in spec.order:
+                        texpr, _agg, kind = self._typed_facet(e, o.key)
+                        if kind == "bool":
+                            continue  # nonsortable (types/sort.go)
+                        okeys.append(texpr.desc_nulls_last() if o.desc
+                                     else texpr.asc_nulls_last())
+                    okeys.append(F.col(DST).asc())
+                    e = e.withColumn(RANK, F.row_number().over(
+                        Window.partitionBy(SRC).orderBy(*okeys)))
+                else:
+                    e = e.withColumn(RANK, F.col(DST))
+                lvl = Level(block=sub, edges=e)
                 lvl.attr_items = list(round_attrs)
                 parent.children.append(lvl)
                 level_of[(d, row["_bh"])] = lvl
@@ -1797,7 +1928,8 @@ class Executor:
                     )
                 for key, alias in (spec.keys or []):
                     payload_col = payload_col.withField(
-                        f"`{alias or f'{child_name}|{key}'}`", F.col(f"facets.{key}")
+                        f"`{chr(1) + alias if alias else f'{child_name}|{key}'}`",
+                        F.col(f"facets.{key}")
                     )
                 for _var, key in (spec.vars or {}).items():
                     # @facets(L as weight) both binds the var AND renders
@@ -1807,6 +1939,15 @@ class Executor:
                                for k, a in (spec.keys or [])):
                         payload_col = payload_col.withField(
                             f"`{child_name}|{key}`", F.col(f"facets.{key}")
+                        )
+                for o in (spec.order or []):
+                    # @facets(orderasc: f) also RENDERS the ordering facet
+                    # as a `pred|f` sibling (query/query.go:1812
+                    # addFacetsToResult on sorted facets)
+                    if not any(k == o.key for k, _a in (spec.keys or [])) \
+                            and o.key not in (spec.vars or {}).values():
+                        payload_col = payload_col.withField(
+                            f"`{child_name}|{o.key}`", F.col(f"facets.{o.key}")
                         )
             for a, ecol in child_inrow:
                 # in-row scalar attrs read straight off the traversal join
@@ -1902,15 +2043,30 @@ class Executor:
                 # (nodes with no other data drop; query1_test
                 # TestCountEmptyData3 expects [])
                 return None, "", False
+            fspec = attr.facets
             if not reverse and not self.g.schema.get(name).is_uid:
                 # count(scalar-pred): posting-list length of a value
-                # predicate, 0 when absent (worker/task.go count postings)
-                per = self.g.scalar(name).groupBy(SUBJECT).agg(
+                # predicate, 0 when absent (worker/task.go count postings).
+                # On a @lang pred only the UNTAGGED postings count — same
+                # rule as fetching `name` without a lang directive
+                sdf = self.g.scalar(name)
+                if "lang" in sdf.columns:
+                    sdf = sdf.where(F.col("lang").isNull())
+                if fspec is not None and fspec.filter is not None:
+                    # count(p) @facets(eq(...)): only postings passing the
+                    # facet filter count (TestCountFacetsFiltering*)
+                    sdf = (sdf.where(self._facet_cond(fspec.filter))
+                           if "facets" in sdf.columns else sdf.where(F.lit(False)))
+                per = sdf.groupBy(SUBJECT).agg(
                     F.count("*").alias("_c"))
                 cdf = nodes.join(per, SUBJECT, "left").select(
                     SUBJECT, F.coalesce(F.col("_c"), F.lit(0)).alias(out))
                 return cdf, out, False
-            edges = self.g.edge(name, reverse=reverse).select(SUBJECT, OBJECT)
+            edges = self.g.edge(name, reverse=reverse)
+            if fspec is not None and fspec.filter is not None:
+                edges = (edges.where(self._facet_cond(fspec.filter))
+                         if FACETS in edges.columns else edges.where(F.lit(False)))
+            edges = edges.select(SUBJECT, OBJECT)
             if attr.filter is not None or attr.count_first is not None or attr.count_offset:
                 # count of a filtered/paginated edge set: restrict the edge
                 # frame first, then count per parent (the count child is a
@@ -2041,12 +2197,23 @@ class Executor:
             # name@* — every language variant as `name@xx` keys, the
             # untagged value under `name` (query/outputnode.go langs);
             # encoded as a map field expanded at JSON time
+            aggs = [F.map_from_entries(F.sort_array(F.collect_list(F.struct(
+                F.coalesce(F.col("lang"), F.lit("")).alias("k"),
+                F.col(VALUE).alias("v"))))).alias(out)]
+            if (attr.facets is not None and attr.facets.all
+                    and "facets" in sdf.columns):
+                # expand/@facets on a @lang pred: the UNTAGGED posting's
+                # facets render as `pred|key` siblings (the reference
+                # attaches facets per posting; tagged variants with
+                # facets are not exercised by its test corpus)
+                base_out = out[:-2] if out.endswith("@*") else out
+                aggs.append(F.first(
+                    F.when(F.col("lang").isNull(), F.col("facets")),
+                    ignorenulls=True).alias(f"{base_out}|"))
             vdf = (
                 nodes.join(sdf, SUBJECT, "inner")
                 .groupBy(SUBJECT)
-                .agg(F.map_from_entries(F.sort_array(F.collect_list(F.struct(
-                    F.coalesce(F.col("lang"), F.lit("")).alias("k"),
-                    F.col(VALUE).alias("v"))))).alias(out))
+                .agg(*aggs)
             )
             return vdf, out, False
         facet_sel = []
@@ -2055,9 +2222,20 @@ class Executor:
             if spec.all:
                 facet_sel.append(F.col("facets").alias(f"{out}|"))
             for key, alias in (spec.keys or []):
-                facet_sel.append(F.col(f"facets.{key}").alias(alias or f"{out}|{key}"))
+                facet_sel.append(
+                    F.col(f"facets.{key}").alias(
+                        chr(1) + alias if alias else f"{out}|{key}"))
         sdf = self._lang_select(sdf, attr.langs, keep=[c for c in ("facets",)
                                                       if c in sdf.columns])
+        if spec is not None and spec.filter is not None:
+            # value-pred facet filter gates the VALUE's emission (the
+            # posting is skipped when its facets fail —
+            # worker/task.go applyFacetsTree on value postings); a node
+            # left with no surviving attrs is then dropped wholesale
+            if "facets" in sdf.columns:
+                sdf = sdf.where(self._facet_cond(spec.filter))
+            else:
+                sdf = sdf.where(F.lit(False))
         meta = self.g.schema.get(name)
         if meta.list:
             # list values render in POSTING order: uid =
@@ -2065,15 +2243,44 @@ class Executor:
             # (posting/list.go:845-850, live/batch.go:235 fingerprintEdge)
             # — not value order. Key computed per distinct value.
             key = _posting_key_udf(meta.typ)
+            fld = [F.col("_pk").alias("k"), F.col(VALUE).alias("v")]
+            has_f = facet_sel and "facets" in sdf.columns
+            if has_f:
+                fld.append(F.col("facets").alias("f"))
+
+            def _psort(col):
+                # array_sort with a comparator on the posting key only:
+                # the struct may carry a MAP field (facets), which is
+                # not orderable — sort_array on the whole struct fails
+                return F.array_sort(
+                    col,
+                    lambda a, b: F.when(a["k"] < b["k"], -1)
+                                  .when(a["k"] > b["k"], 1).otherwise(0))
+
+            agg = [F.transform(
+                _psort(F.collect_list(F.struct(*fld))),
+                lambda s: s["v"],
+            ).alias(out)]
+            if has_f:
+                # list-valued facet siblings render as index-keyed maps
+                # aligned with the value list ({"0": ..., "1": ...},
+                # query/outputnode.go facetsMap for value lists); emitted
+                # as position-aligned ARRAYS here, folded to maps in
+                # _clean. Sort key must match the value sort exactly.
+                sorted_f = F.transform(
+                    _psort(F.collect_list(F.struct(*fld))),
+                    lambda s: s["f"])
+                if spec.all:
+                    agg.append(sorted_f.alias(f"{out}|"))
+                for fkey, falias in (spec.keys or []):
+                    agg.append(
+                        F.transform(sorted_f, lambda m: m[fkey]).alias(
+                            chr(1) + falias if falias else f"{out}|{fkey}"))
             vdf = (
                 nodes.join(sdf, SUBJECT, "inner")
                 .withColumn("_pk", key(F.col(VALUE).cast("string")))
                 .groupBy(SUBJECT)
-                .agg(F.transform(
-                    F.sort_array(F.collect_list(F.struct(
-                        F.col("_pk").alias("k"), F.col(VALUE).alias("v")))),
-                    lambda s: s["v"],
-                ).alias(out))
+                .agg(*agg)
             )
             return vdf, out, True
         vdf = nodes.join(sdf, SUBJECT, "inner").select(
@@ -2560,6 +2767,36 @@ def _render_datetime(v: "datetime.datetime") -> str:
     return s + "Z" if "+" not in s else s
 
 
+def _emit_facet(out: dict, key: str, val) -> None:
+    """Render one facet sibling: scalars type-infer; position-aligned
+    ARRAYS (value-list facets) fold to index-keyed maps
+    ({"0": v0, "2": v2} — query/outputnode.go facetsMap, positions of
+    the value list, missing-facet entries skipped)."""
+    if isinstance(val, list):
+        m = {str(i): _facet_value(x) for i, x in enumerate(val) if x is not None}
+        if m:
+            out[key] = m
+    elif val is not None:
+        out[key] = _facet_value(val)
+
+
+def _facet_only(raw: dict, cleaned: dict) -> bool:
+    """True when every surviving output key of a child node is a facet
+    sibling — such nodes are NOT emitted (query/outputnode.go: facets
+    ride on the parent edge; a child with no own attrs isn't a node)."""
+    if not cleaned:
+        return False
+    fkeys: set[str] = set()
+    for k in raw:
+        if k.endswith("|"):
+            fkeys |= {kk for kk in cleaned if kk.startswith(k)}
+        elif k.startswith("\x01"):
+            fkeys.add(k[1:])
+        elif "|" in k:
+            fkeys.add(k)
+    return all(kk in fkeys for kk in cleaned)
+
+
 def _clean(v):
     import datetime as _dt
 
@@ -2571,12 +2808,26 @@ def _clean(v):
             if k in ("__cnt__", "__cntkey__"):
                 # count(uid) sentinels are consumed at the list level
                 continue
-            if k.endswith("|") and isinstance(x, dict):
+            if k.endswith("|"):
                 # @facets (all keys): expand the facet map into
-                # `pred|key` siblings (query/outputnode.go facet keys)
-                for fk, fv in x.items():
-                    if fv is not None:
-                        out[f"{k}{fk}"] = _facet_value(_clean(fv))
+                # `pred|key` siblings; an aligned ARRAY of maps (value
+                # lists) folds to per-key index maps
+                if isinstance(x, dict):
+                    for fk, fv in x.items():
+                        if fv is not None:
+                            out[f"{k}{fk}"] = _facet_value(_clean(fv))
+                elif isinstance(x, list):
+                    fks = {fk for m in x if isinstance(m, dict)
+                           for fk, fv in m.items() if fv is not None}
+                    for fk in fks:
+                        _emit_facet(out, f"{k}{fk}",
+                                    [m.get(fk) if isinstance(m, dict) else None
+                                     for m in x])
+                continue
+            if k.startswith("\x01"):
+                # aliased facet sibling (tagalias: tag) — typed like any
+                # other facet value
+                _emit_facet(out, k[1:], _clean(x))
                 continue
             if k.endswith("@*") and isinstance(x, dict):
                 # name@*: one `name@xx` key per language, the untagged
@@ -2597,13 +2848,18 @@ def _clean(v):
                                  ([] if prev is None else [prev])) + merged
                 continue
             if "|" in k:
-                out[k] = _facet_value(_clean(x))
+                _emit_facet(out, k, _clean(x))
                 continue
             cx = _clean(x)
             if isinstance(cx, list) and not cx and not k.startswith("@"):
                 # a child array whose every node was dropped is omitted,
                 # not rendered as [] (query/outputnode.go: empty
                 # fastJsonNode lists are never emitted)
+                continue
+            if (isinstance(x, dict) and isinstance(cx, dict)
+                    and (not cx or _facet_only(x, cx))):
+                # single uid-pred child object that cleaned away (or kept
+                # only facet siblings): omitted like an empty list node
                 continue
             out[k] = cx
         return out
@@ -2623,6 +2879,11 @@ def _clean(v):
             norm = x.pop("__norm__", None) if isinstance(x, dict) else None
             cx = _clean(x)
             if cx is None or cx == {}:
+                continue
+            if isinstance(x, dict) and _facet_only(x, cx):
+                # a child node whose only surviving attrs are facet
+                # siblings is dropped (query/outputnode.go — e.g. a
+                # friend with facets but no requested predicates)
                 continue
             if norm is not None:
                 # child-level @normalize: splice the flattened aliased
@@ -2660,13 +2921,22 @@ def _aliased_names(b: Block) -> set[str]:
 def _normalize(node: dict, aliased: set[str] | None = None) -> list[dict]:
     """@normalize flatten (query/outputnode.go:921): cartesian-combine
     child lists; only ALIASED scalars survive when an alias set is given
-    (dgraph keeps only aliased attrs in normalized output)."""
+    (dgraph keeps only aliased attrs in normalized output). Facet
+    siblings (`pred|facet`) ALWAYS survive — the reference's normalize
+    keeps facet attrs regardless of aliasing (query_facets_test.go
+    TestFacetUIDListPredicateWithNormalize). A dict-valued entry (single
+    non-list uid child object) flattens like a one-element child list."""
     scalars = {
         k: v for k, v in node.items()
         if (not isinstance(v, list) or not (v and isinstance(v[0], dict)))
-        and (aliased is None or k in aliased)
+        and (not isinstance(v, dict) or "|" in k)  # index-map facet ok
+        and (aliased is None or k in aliased or "|" in k)
     }
-    child_lists = {k: v for k, v in node.items() if isinstance(v, list) and v and isinstance(v[0], dict)}
+    child_lists = {
+        k: ([v] if isinstance(v, dict) else v) for k, v in node.items()
+        if (isinstance(v, list) and v and isinstance(v[0], dict))
+        or (isinstance(v, dict) and "|" not in k)
+    }
     if not child_lists:
         return [scalars]
     results = [scalars]

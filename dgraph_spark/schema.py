@@ -87,9 +87,13 @@ class SchemaRegistry:
 
     def get(self, name: str) -> Predicate:
         # Unknown predicates get type `default` on first touch, mirroring
-        # worker/task.go:1104-1110.
+        # worker/task.go:1104-1110. dgraph.type is always [string]
+        # (schema.go initialSchema) — it renders as a LIST.
         if name not in self.predicates:
-            self.predicates[name] = Predicate(name=name, typ="default")
+            if name == "dgraph.type":
+                self.predicates[name] = Predicate(name=name, typ="string", list=True)
+            else:
+                self.predicates[name] = Predicate(name=name, typ="default")
         return self.predicates[name]
 
     def has(self, name: str) -> bool:

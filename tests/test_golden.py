@@ -1,11 +1,15 @@
 """Golden-corpus gate: the reference's OWN query tests, re-run against
 this engine.
 
-tests/golden/cases.json holds 476 (query, expected-JSON) pairs extracted
-from the reference's query/query{0..4}_test.go by tools/golden_extract.py
-(text only — assertions re-run here, no reference code). The full-corpus
-sweep result (476/476 exact, 0 order-only, 0 diff, 0 errors) is committed
-in tests/golden/status.json and triaged in tests/golden/RESULTS.md.
+tests/golden/cases.json holds 480 (query, expected-JSON) pairs extracted
+from the reference's query/query{0..4}_test.go + query_ngram_test.go by
+tools/golden_extract.py (text only — assertions re-run here, no
+reference code); cases_facets.json holds the 75-case facets suite
+(query_facets_test.go), which runs over the base fixture + the
+fixture_facets.nq overlay applied as a set-mutation. The full-corpus
+sweep result (555/555 exact, 0 order-only, 0 diff, 0 errors) is
+committed in tests/golden/status.json and triaged in
+tests/golden/RESULTS.md.
 
 This gate re-executes 130 of the passing cases live (the corpus minus
 the slow iterative outliers, chosen by measured wall time so the suite
@@ -48,15 +52,38 @@ def golden_ex(spark):
     spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
-def test_golden_gate_cases(golden_ex):
-    cases = {c["name"]: c for c in _load("cases.json")}
-    gate = _load("gate_cases.json")
-    assert len(gate) >= 100
+@pytest.fixture(scope="module")
+def golden_facets_ex(spark):
+    """Executor over base fixture + the facets overlay, applied the way
+    the reference does it: populateClusterWithFacets is a set-mutation on
+    the running cluster (query_facets_test.go:18-85) — here set_nquads on
+    the loaded Graph (which also exercises the mutation path's facet/lang
+    preservation)."""
+    from dgraph_spark.mutations import set_nquads
+    from dgraph_spark.plans import Executor
+    from dgraph_spark.sources.rdf import load_rdf_graph
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    g = load_rdf_graph(
+        spark,
+        os.path.join(_DIR, "fixture.nq"),
+        open(os.path.join(_DIR, "schema.txt")).read(),
+    )
+    g = set_nquads(g, open(os.path.join(_DIR, "fixture_facets.nq")).read())
+    for name in list(g.preds):
+        g.preds[name] = g.preds[name].coalesce(1).persist()
+        g.preds[name].count()
+    yield lambda: Executor(g)
+    spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _run_gate(make_ex, cases, gate):
     failures = []
     for name in gate:
         c = cases[name]
         try:
-            got = golden_ex().execute(c["query"])
+            got = make_ex().execute(c["query"])
         except Exception as e:  # noqa: BLE001 — collected into the report
             failures.append((name, f"{type(e).__name__}: {e}"))
             continue
@@ -65,14 +92,28 @@ def test_golden_gate_cases(golden_ex):
     assert not failures, f"{len(failures)} golden regressions: {failures[:10]}"
 
 
+def test_golden_gate_cases(golden_ex):
+    cases = {c["name"]: c for c in _load("cases.json")}
+    gate = _load("gate_cases.json")
+    assert len(gate) >= 100
+    _run_gate(golden_ex, cases, gate)
+
+
+def test_golden_facets_cases(golden_facets_ex):
+    """The reference's whole facets suite (query_facets_test.go), live."""
+    cases = {c["name"]: c for c in _load("cases_facets.json")}
+    assert len(cases) >= 75
+    _run_gate(golden_facets_ex, cases, list(cases))
+
+
 def test_golden_sweep_tallies():
     """The committed full-sweep result may only improve."""
     status = _load("status.json")
     tally = {}
     for s in status.values():
         tally[s] = tally.get(s, 0) + 1
-    assert len(status) >= 476
+    assert len(status) >= 555
     assert tally.get("error", 0) == 0
-    assert tally.get("pass", 0) >= 476
+    assert tally.get("pass", 0) >= 555
     assert tally.get("diff", 0) == 0
     assert tally.get("order", 0) == 0

@@ -25,6 +25,13 @@ def canon(x):
 
 
 def main():
+    overlay = None
+    argv = list(sys.argv)
+    if "--overlay" in argv:
+        i = argv.index("--overlay")
+        overlay = argv[i + 1]
+        del argv[i:i + 2]
+    sys.argv = argv
     cases = json.load(open(sys.argv[1]))
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/golden_results.jsonl"
     if len(sys.argv) > 3 and sys.argv[3].startswith("@"):
@@ -52,6 +59,11 @@ def main():
     g = load_rdf_graph(
         spark, "/root/repo/tests/golden/fixture.nq",
         open("/root/repo/tests/golden/schema.txt").read())
+    if overlay:
+        # apply like the reference's per-test populateClusterWithFacets:
+        # a set-mutation on top of the base cluster (addTriplesToCluster)
+        from dgraph_spark.mutations import set_nquads
+        g = set_nquads(g, open(overlay).read())
     for name in list(g.preds):
         g.preds[name] = g.preds[name].coalesce(1).persist()
         g.preds[name].count()
