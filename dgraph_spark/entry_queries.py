@@ -1218,6 +1218,140 @@ ORDER BY l_extendedprice DESC LIMIT 10
 """
 
 
+
+
+def q_ignorereflex(spark, sf_dir):
+    """@ignorereflex — removes nodes already on their own path
+    (query/query.go:2471 removeReflexive). customer -> in_nation ->
+    ~in_nation returns every customer of that nation INCLUDING the
+    origin; @ignorereflex drops exactly the origin, keeping the rest."""
+    c1 = uid_of("customer", 1)
+    return _flat(spark, sf_dir, f'''
+    {{ q(func: uid({c1})) @ignorereflex {{
+        c_name
+        in_nation {{ n_name peers: ~in_nation @filter(type(Customer)) {{ pc: c_name }} }}
+    }} }}''')
+
+
+SQL_ignorereflex = """
+SELECT c.c_name, n_name, p.c_name AS pc
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN customer p ON p.c_nationkey = n.n_nationkey
+WHERE c.c_custkey = 1 AND p.c_custkey <> 1
+"""
+
+
+def q_anyof_custom(spark, sf_dir):
+    """anyof(pred, tokenizer, q) — custom-plugin tokenizer surface
+    (tok/tok.go:134-151 LoadCustomTokenizer; worker/task.go:269-270).
+    The plugin here splits supplier names on '#'."""
+    from dgraph_spark.functions.tokenizers import register_tokenizer
+
+    register_tokenizer("hashsplit", lambda col: F.split(col, "#"))
+    return _flat(spark, sf_dir, '''
+    { q(func: anyof(s_name, "hashsplit", "000000012 000000034")) { s_name } }''')
+
+
+SQL_anyof_custom = """
+SELECT s_name FROM supplier
+WHERE list_contains(string_split(s_name, '#'), '000000012')
+   OR list_contains(string_split(s_name, '#'), '000000034')
+"""
+
+
+def q_mutation_roundtrip(spark, sf_dir):
+    """set + delete mutation document -> query the mutated graph
+    (edgraph/server.go:575 doMutate; dql/mutation.go). Inserts a new
+    Customer node, overwrites one account balance (posting Ovr), wipes
+    one customer's comment (S P * delete) — all visible to the query."""
+    from dgraph_spark.mutations import mutate
+
+    g = _g(spark, sf_dir)
+    c3, c7 = uid_of("customer", 3), uid_of("customer", 7)
+    g2 = mutate(g, f'''{{
+      set {{
+        <0x7f000000000001> <c_name> "Customer#MUTATED1" .
+        <0x7f000000000001> <c_acctbal> "99999.99"^^<float> .
+        <0x7f000000000001> <dgraph.type> "Customer" .
+        <{hex(c3)}> <c_acctbal> "88888.88"^^<float> .
+      }}
+      delete {{
+        <{hex(c7)}> <c_mktsegment> * .
+      }}
+    }}''')
+    return Executor(g2).execute_flat('''
+    { q(func: type(Customer)) @filter(ge(c_acctbal, 88888) OR NOT has(c_mktsegment)) {
+        c_name c_acctbal
+    } }''')
+
+
+SQL_mutation_roundtrip = """
+WITH mutated AS (
+  SELECT c_name,
+         CASE WHEN c_custkey = 3 THEN 88888.88 ELSE c_acctbal END AS bal,
+         CASE WHEN c_custkey = 7 THEN NULL ELSE c_mktsegment END AS com
+  FROM customer
+  UNION ALL
+  SELECT 'Customer#MUTATED1', 99999.99, NULL
+)
+SELECT c_name, bal AS c_acctbal FROM mutated
+WHERE bal >= 88888 OR com IS NULL
+"""
+
+
+def q_export_roundtrip(spark, sf_dir):
+    """export RDF -> re-parse -> per-predicate counts (worker/export.go
+    + chunker/rdf_parser.go round trip). A lossless bijection check:
+    every exported N-Quad line parses back to exactly one triple."""
+    from dgraph_spark.sources.rdf import export_rdf, parse_nquads
+
+    g = _g(spark, sf_dir)
+    sub = Graph(spark=spark,
+                preds={k: g.preds[k] for k in ("n_name", "r_name", "in_region")},
+                schema=g.schema)
+    lines = export_rdf(sub).withColumnRenamed("line", "value")
+    return (parse_nquads(lines)
+            .groupBy("predicate").agg(F.count("*").alias("n"))
+            .orderBy("predicate"))
+
+
+SQL_export_roundtrip = """
+SELECT * FROM (
+  SELECT 'in_region' AS predicate, count(*) AS n FROM nation
+  UNION ALL SELECT 'n_name', count(*) FROM nation
+  UNION ALL SELECT 'r_name', count(*) FROM region
+) ORDER BY predicate
+"""
+
+
+def q_graphql_query(spark, sf_dir):
+    """GraphQL facade: queryT(filter, order, first) rewritten to the same
+    engine (graphql/rewriter.py; reference graphql/resolve). The JSON
+    result rows become the oracle-checked DataFrame."""
+    from dgraph_spark.graphql import execute_graphql
+
+    g = _g(spark, sf_dir)
+    res = execute_graphql(g, '''
+    {
+      queryCustomer(filter: {c_acctbal: {gt: 9000}},
+                    order: {desc: c_acctbal}, first: 20) {
+        c_name
+        c_acctbal
+      }
+    }''')
+    rows = res["data"]["queryCustomer"]
+    return spark.createDataFrame(
+        [(r["c_name"], float(r["c_acctbal"])) for r in rows],
+        "c_name string, c_acctbal double")
+
+
+SQL_graphql_query = """
+SELECT c_name, c_acctbal FROM customer WHERE c_acctbal > 9000
+ORDER BY c_acctbal DESC, (3::BIGINT << 40) + c_custkey LIMIT 20
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "root_eq_reverse_traversal": (q_root_eq_reverse_traversal, SQL_root_eq_reverse_traversal),
     "eq_val_var": (q_eq_val_var, SQL_eq_val_var),
@@ -1281,4 +1415,9 @@ QUERIES: dict[str, tuple] = {
     "facet_order": (q_facet_order, SQL_facet_order),
     "len_filter": (q_len_filter, SQL_len_filter),
     "facet_var_order": (q_facet_var_order, SQL_facet_var_order),
+    "ignorereflex": (q_ignorereflex, SQL_ignorereflex),
+    "anyof_custom": (q_anyof_custom, SQL_anyof_custom),
+    "mutation_roundtrip": (q_mutation_roundtrip, SQL_mutation_roundtrip),
+    "export_roundtrip": (q_export_roundtrip, SQL_export_roundtrip),
+    "graphql_query": (q_graphql_query, SQL_graphql_query),
 }
