@@ -87,17 +87,21 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
             sym.join(labels, sym[SUBJECT] == labels.node, "inner")
             .select(F.col(OBJECT).alias("node"), "component")
         )
+        probe = it >= 1 and it % 2 == 1
         new_labels = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            # truncate lineage every round, but only MATERIALIZE (an
+            # action + full write barrier) on probe rounds — between
+            # probes two rounds of the propagation pipeline as one job
+            .localCheckpoint(eager=probe)
         )
         prev = labels
         labels = new_labels
         # convergence needs >= diameter rounds; checking every round
         # doubles the driver actions for nothing — probe every 2nd round
-        if it >= 1 and it % 2 == 1:
+        if probe:
             changed = (
                 new_labels.alias("n")
                 .join(prev.alias("o"), "node")
