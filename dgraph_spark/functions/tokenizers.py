@@ -130,6 +130,101 @@ PT_SUFFIXES = (["acoes", "acao", "amentos", "amento", "mente", "idades",
                 "idade", "eiro", "eira", "oso", "osa", "ar", "er", "ir",
                 "os", "as", "es", "o", "a", "e"], 3)
 
+# -- the remaining snowball languages of tok/stemmers.go:33-50 (da, nl,
+# fi, hu, no, ro, sv, tr), same snowball-lite shape: public snowball
+# stopword lists (abridged to the high-frequency head) + light
+# longest-first suffix strippers.
+DA_STOPWORDS = [
+    "og", "i", "jeg", "det", "at", "en", "den", "til", "er", "som", "pa",
+    "på", "de", "med", "han", "af", "for", "ikke", "der", "var", "mig",
+    "sig", "men", "et", "har", "om", "vi", "min", "havde", "ham", "hun",
+    "nu", "over", "da", "fra", "du", "ud", "sin", "dem", "os", "op", "man",
+]
+DA_SUFFIXES = (["erendes", "erende", "hedens", "heden", "heder", "endes",
+                "ernes", "erens", "ered", "ende", "erne", "eren", "erer",
+                "eres", "eret", "hed", "ene", "ens", "ere", "ers", "ets",
+                "en", "er", "es", "et", "e", "s"], 3)
+NL_STOPWORDS = [
+    "de", "en", "van", "ik", "te", "dat", "die", "in", "een", "hij", "het",
+    "niet", "zijn", "is", "was", "op", "aan", "met", "als", "voor", "had",
+    "er", "maar", "om", "hem", "dan", "zou", "of", "wat", "mijn", "men",
+    "dit", "zo", "door", "over", "ze", "zich", "bij", "ook", "tot", "je",
+    "mij", "uit", "der", "daar", "haar", "naar", "heb", "hoe", "heeft",
+    "hebben", "deze", "want", "nog", "zal", "me", "zij", "nu", "geen",
+]
+NL_SUFFIXES = (["heden", "ingen", "ing", "ende", "den", "en", "er",
+                "e", "s"], 3)
+FI_STOPWORDS = [
+    "ja", "on", "se", "ei", "etta", "että", "oli", "han", "hän", "mutta",
+    "niin", "kuin", "kun", "mina", "minä", "sina", "sinä", "me", "te",
+    "he", "tama", "tämä", "tuo", "joka", "mika", "mikä", "myos", "myös",
+    "sen", "sita", "sitä", "ovat", "ole", "olla", "siina", "jos", "vain",
+    "nyt", "jo",
+]
+FI_SUFFIXES = (["issa", "issä", "ista", "istä", "illa", "illä", "ilta",
+                "iltä", "ille", "inen", "isen", "iden", "ien", "ssa",
+                "ssä", "sta", "stä", "lla", "llä", "lta", "ltä", "lle",
+                "ksi", "tta", "ttä", "nsa", "nsä", "an", "än", "en", "in",
+                "at", "ät", "a", "ä", "t", "n"], 3)
+HU_STOPWORDS = [
+    "a", "az", "es", "és", "hogy", "nem", "is", "de", "egy", "ez", "volt",
+    "van", "meg", "csak", "mint", "mar", "már", "el", "ki", "meg", "még",
+    "vagy", "ha", "mi", "azt", "be", "fel", "le", "arra", "ezek", "ezt",
+]
+HU_SUFFIXES = (["okkal", "ekkel", "akkal", "ban", "ben", "nak", "nek",
+                "val", "vel", "tol", "től", "bol", "ből", "rol", "ről",
+                "hoz", "hez", "höz", "nal", "nél", "ra", "re", "ba", "be",
+                "on", "en", "ön", "ok", "ek", "ak", "at", "et", "ot",
+                "öt", "t", "k", "n", "i"], 3)
+NO_STOPWORDS = [
+    "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er", "som",
+    "pa", "på", "de", "med", "han", "av", "ikke", "der", "sa", "så", "var",
+    "meg", "seg", "men", "ett", "har", "om", "vi", "min", "mitt", "ha",
+    "hadde", "hun", "na", "nå", "over", "da", "ved", "fra", "du", "ut",
+    "sin", "dem", "oss", "opp", "man", "kan", "hans", "hvor", "eller",
+    "hva", "skal", "selv", "her", "alle", "vil", "bli", "ble", "etter",
+]
+NO_SUFFIXES = (["hetenes", "hetens", "hetene", "heter", "heten", "endes",
+                "ande", "ende", "edes", "enes", "erte", "het", "ast",
+                "ert", "ede", "ane", "ene", "ens", "ers", "ets", "en",
+                "ar", "er", "as", "es", "et", "a", "e", "s"], 3)
+RO_STOPWORDS = [
+    "si", "și", "in", "în", "a", "ca", "pe", "la", "de", "cu", "un", "o",
+    "este", "sunt", "care", "nu", "se", "mai", "din", "al", "ai", "ale",
+    "lui", "ei", "noi", "voi", "dar", "sau", "daca", "dacă", "cand",
+    "când", "pentru", "dupa", "după", "fara", "fără", "ce", "cel", "cea",
+]
+RO_SUFFIXES = (["iilor", "ilor", "ului", "elor", "atie", "ație", "eaza",
+                "ează", "uri", "ele", "ate", "ata", "ată", "ii", "ul",
+                "ei", "le", "ea", "at", "a", "e", "i"], 3)
+SV_STOPWORDS = [
+    "och", "det", "att", "i", "en", "jag", "hon", "som", "han", "pa",
+    "på", "den", "med", "var", "sig", "for", "för", "sa", "så", "till",
+    "ar", "är", "men", "ett", "om", "hade", "de", "av", "icke", "mig",
+    "du", "henne", "da", "då", "sin", "nu", "har", "inte", "hans",
+    "honom", "skulle", "hennes", "dar", "där", "min", "man", "ej", "vid",
+    "kunde", "nagot", "något", "fran", "från", "ut", "nar", "när",
+    "efter", "upp", "vi", "dem", "vara", "vad", "over", "över", "an",
+    "än", "dig", "kan", "sina", "har", "här", "ha", "mot", "alla",
+    "under", "nagon", "någon", "eller", "allt", "mycket",
+]
+SV_SUFFIXES = (["heterna", "hetens", "heter", "heten", "andet", "arnas",
+                "ernas", "ornas", "ande", "arne", "aste", "orna", "ade",
+                "are", "ern", "ens", "ast", "at", "ad", "en", "ar", "er",
+                "or", "as", "es", "a", "e", "s"], 3)
+TR_STOPWORDS = [
+    "ve", "bir", "bu", "da", "de", "icin", "için", "ile", "mi", "mu",
+    "ama", "ki", "ne", "o", "cok", "çok", "daha", "en", "gibi", "kadar",
+    "sonra", "ancak", "artik", "artık", "butun", "bütün", "her", "hic",
+    "hiç", "ise", "iste", "işte", "kendi", "nasil", "nasıl", "neden",
+    "niye", "sey", "şey", "uzere", "üzere", "yani", "ya", "hem", "ona",
+]
+TR_SUFFIXES = (["larindan", "lerinden", "larinda", "lerinde", "lari",
+                "leri", "larin", "lerin", "larda", "lerde", "dan", "den",
+                "tan", "ten", "lar", "ler", "nin", "nun", "nün", "nın",
+                "da", "de", "ta", "te", "in", "un", "ün", "ın", "i", "u",
+                "ü", "ı", "a", "e"], 3)
+
 # accent folding per language (1:1 translate table + ß handled apart)
 _FOLD = {
     "de": ("äöü", "aou"),
@@ -138,6 +233,14 @@ _FOLD = {
     "ru": ("ё", "е"),
     "it": ("àèéìòóù", "aeeioou"),
     "pt": ("áâãàçéêíóôõú", "aaaaceeiooou"),
+    "da": ("æøå", "aoa"),
+    "nl": ("éëïö", "eeio"),
+    "fi": ("äöå", "aoa"),
+    "hu": ("áéíóöőúüű", "aeiooouuu"),
+    "no": ("æøå", "aoa"),
+    "ro": ("ăâîșşțţ", "aaisstt"),
+    "sv": ("åäö", "aao"),
+    "tr": ("çğıöşü", "cgiosu"),
 }
 
 _LANG_TABLES = {
@@ -147,14 +250,24 @@ _LANG_TABLES = {
     "ru": (RU_STOPWORDS, RU_SUFFIXES),
     "it": (IT_STOPWORDS, IT_SUFFIXES),
     "pt": (PT_STOPWORDS, PT_SUFFIXES),
+    "da": (DA_STOPWORDS, DA_SUFFIXES),
+    "nl": (NL_STOPWORDS, NL_SUFFIXES),
+    "fi": (FI_STOPWORDS, FI_SUFFIXES),
+    "hu": (HU_STOPWORDS, HU_SUFFIXES),
+    "no": (NO_STOPWORDS, NO_SUFFIXES),
+    "ro": (RO_STOPWORDS, RO_SUFFIXES),
+    "sv": (SV_STOPWORDS, SV_SUFFIXES),
+    "tr": (TR_STOPWORDS, TR_SUFFIXES),
 }
 
 # CJK: no stemmer/stopwords — unicode segmentation yields one token per
-# Han character plus latin/digit runs (bleve's unicode tokenizer shape,
-# tok/stemmers.go has no zh snowball entry)
-_CJK_TOKEN_RE = r"[\p{IsHan}]|[a-z0-9]+"
-_CJK_TOKEN_RE_RE2 = r"\p{Han}|[a-z0-9]+"  # DuckDB / RE2 spelling
-_CJK_LANGS = {"zh"}
+# CJK character (Han / kana / hangul) plus latin/digit runs
+# (tok/stemmers.go routes zh/ja/ko to cjk_bigram; divergence: per-char
+# tokens instead of overlapping bigrams, applied identically to both
+# the indexed text and the query so matching is consistent)
+_CJK_TOKEN_RE = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}]|[a-z0-9]+"
+_CJK_TOKEN_RE_RE2 = r"\p{Han}|\p{Hiragana}|\p{Katakana}|\p{Hangul}|[a-z0-9]+"  # DuckDB / RE2 spelling
+_CJK_LANGS = {"zh", "ja", "ko"}
 
 
 def _fold_expr(col: Column, lang: str) -> Column:
@@ -313,7 +426,9 @@ def all_of_terms(col: Column, query: str) -> Column:
 def _query_text_tokens(query: str, lang: str) -> list[str]:
     if lang in _CJK_LANGS:
         import re as _re
-        return _re.findall(r"[㐀-鿿豈-﫿]|[a-z0-9]+", query.lower())
+        return _re.findall(
+            r"[㐀-鿿豈-﫿ぁ-ゟ゠-ヿ가-힯ᄀ-ᇿ]"
+            r"|[a-z0-9]+", query.lower())
     if lang in _LANG_TABLES:
         stops = set(lang_stopwords(lang)) | {
             _fold_py(w, lang) for w in lang_stopwords(lang)}

@@ -112,3 +112,41 @@ def test_zh_fulltext_analyzer(spark):
     got = df.select(fulltext_tokens(F.col("t"), "zh").alias("x")).collect()[0]["x"]
     assert got == ["\u67e5", "\u8be2", "spark", "\u8868"]
     assert _query_text_tokens("\u67e5\u8868 spark", "zh") == ["\u67e5", "\u8868", "spark"]
+
+
+def test_remaining_snowball_languages(spark):
+    """da/nl/fi/hu/no/ro/sv/tr complete the reference's snowball set
+    (tok/stemmers.go:33-50); ja/ko route through the CJK segmenter."""
+    import pyspark.sql.functions as F
+
+    from dgraph_spark.functions.tokenizers import (
+        _query_text_tokens, fulltext_tokens)
+
+    def toks(text, lang):
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(fulltext_tokens(F.col("t"), lang).alias("x")).collect()[0]["x"]
+
+    cases = {
+        "da": ("og hurtige tabeller sorteres", "tabell"),
+        "nl": ("de snelle tabellen worden gesorteerd", "tabell"),
+        "fi": ("nopeat taulukot ja indeksit", "tauluko"),
+        "hu": ("a gyors táblák és indexek", "tabl"),
+        "no": ("og raske tabeller sorteres", "tabell"),
+        "ro": ("și tabelele rapide sunt sortate", "tabel"),
+        "sv": ("och snabba tabeller sorteras", "tabell"),
+        "tr": ("ve hızlı tablolar sıralanır", "tablo"),
+    }
+    stop0 = {"da": "og", "nl": "de", "fi": "ja", "hu": "a",
+             "no": "og", "ro": "și", "sv": "och", "tr": "ve"}
+    for lang, (text, stem) in cases.items():
+        got = toks(text, lang)
+        assert stem in got, (lang, got)
+        assert stop0[lang] not in got, (lang, got)  # stopword removed
+        # query side tokenizes through the SAME analyzer
+        assert _query_text_tokens("tabellen tabelele tablolar taulukot", lang)
+    # ja/ko: per-char CJK segmentation + latin runs, both sides
+    for lang, text in (("ja", "クエリspark表"),
+                       ("ko", "쿼리spark표")):
+        got = toks(text, lang)
+        assert "spark" in got and len(got) >= 3
+        assert _query_text_tokens(text, lang) == got
