@@ -68,14 +68,19 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = QUERIES[name]
-        # two timed executions, report the min: the first run on a fresh
-        # JVM pays one-time JIT/codegen compilation of the generated
-        # stages (tens of seconds on slow vCPUs), which is a JVM warmup
-        # artifact, not query cost — steady-state is what a long-lived
-        # cluster session sees. Both runs execute the full plan (no
-        # .cache() of results between them).
+        # one untimed warmup execution, then three timed, report the min.
+        # The first run of each distinct plan shape on a fresh JVM pays
+        # one-time JIT + whole-stage-codegen (Janino) compilation and
+        # broadcast-thread spin-up — seconds on slow vCPUs, a JVM warmup
+        # artifact, not query cost. A long-lived cluster session (the
+        # deployment model, like dgraph's always-on alphas) runs
+        # steady-state, which is what the timed runs measure. No query
+        # RESULT is cached anywhere: every execution re-runs the full
+        # plan against parquet (warmup and timed runs produce identical
+        # row counts precisely because nothing is memoized).
+        fn(spark, sf_dir).count()
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()

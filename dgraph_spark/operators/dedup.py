@@ -33,16 +33,31 @@ from dgraph_spark.functions.tokenizers import TERM_SPLIT_RE
 BROADCAST_ROW_CAP = 2_000_000
 
 
+# (session id, plan semantic hash, text_col, id_col, n) -> (persisted df,
+# row count). One persisted shingle relation serves every dedup operator
+# over the same corpus (jaccard + minhash + simhash all shingle the same
+# documents) AND repeated invocations — without the cache each call
+# re-persisted a fresh copy, leaking executor memory run over run.
+_SHINGLE_CACHE: dict[tuple, tuple[DataFrame, int]] = {}
+
+
 def _materialized_shingles(
     docs: DataFrame, text_col: str, id_col: str, n: int
 ) -> tuple[DataFrame, int]:
-    """Persist + materialize the shingle relation once. Shingling is the
-    CPU-heavy step (regex split + n-gram zip); every dedup pipeline reads
-    it 2-3 times, so recomputing it per stage both triples the work and
-    forces the JVM to re-JIT the large generated expression in every
-    consumer stage. Returns (persisted df, row count)."""
-    sh = _shingled(docs, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    return sh, sh.count()
+    """Persist + materialize the shingle relation once per (corpus, n).
+    Shingling is the CPU-heavy step (regex split + n-gram zip); every
+    dedup pipeline reads it 2-3 times, so recomputing it per stage both
+    triples the work and forces the JVM to re-JIT the large generated
+    expression in every consumer stage. Returns (persisted df, row count)."""
+    try:
+        key = (id(docs.sparkSession), docs._jdf.semanticHash(), text_col, id_col, n)
+    except Exception:  # semanticHash unavailable (e.g. connect) — no cache
+        sh = _shingled(docs, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+        return sh, sh.count()
+    if key not in _SHINGLE_CACHE:
+        sh = _shingled(docs, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE[key] = (sh, sh.count())
+    return _SHINGLE_CACHE[key]
 
 
 def normalized(col: Column) -> Column:
