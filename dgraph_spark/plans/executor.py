@@ -141,6 +141,12 @@ class Executor:
         # var name -> "block" | "edge_attr" | "value" (how it was bound;
         # drives post-@cascade re-binding)
         self.var_kind: dict[str, str] = {}
+        # var name -> in-row column name on var_edges[name] holding the
+        # var's value (set when `v as pred` rode along the traversal
+        # join): per-parent aggregation reads the edge relation directly
+        # instead of re-joining the node table — one lineage instead of
+        # three for the level-agg pattern
+        self.var_inrow: dict[str, str] = {}
 
     def _reset_query_state(self) -> None:
         """Clear per-QUERY variable bindings so one Executor can serve many
@@ -154,6 +160,7 @@ class Executor:
         self.var_agg = {}
         self.scalar_vars = set()
         self.var_kind = {}
+        self.var_inrow = {}
 
     # ================================================================ public
     def execute(self, query: str | ParsedQuery, vars: dict | None = None) -> dict:
@@ -424,6 +431,9 @@ class Executor:
                         F.col(DST).alias(SUBJECT)).distinct()
             elif kind == "value" and name in self.env:
                 self.env[name] = self.env[name].join(alive, SUBJECT, "left_semi")
+                # the narrowed domain no longer matches the raw edge
+                # relation — disable the in-row aggregation fast path
+                self.var_inrow.pop(name, None)
 
     def _len_frontier(self, f: FuncCall) -> DataFrame:
         var = next(a for a in f.args if a.is_len)
@@ -704,6 +714,26 @@ class Executor:
             self.var_level[attr.var] = level
             self.var_kind[attr.var] = "edge_attr"
             return
+        inrow = f"_a_{attr.name}"
+        if (not attr.is_count and attr.math is None and attr.val_var is None
+                and not attr.langs and inrow in level.edges.columns):
+            # `v as pred` where pred already rides in-row on the traversal
+            # join: the var's (subject, value) map derives from the edge
+            # relation itself — no node-table re-scan, and per-parent
+            # aggregation (`sum(val(v))`) can later fold the SAME edge
+            # relation with a single groupBy instead of a 3-way re-join.
+            vdf = level.edges.select(
+                F.col(DST).alias(SUBJECT), F.col(inrow).alias(VALUE))
+            if SRC in level.edges.columns:
+                # value is functionally dependent on the node, so any
+                # surviving row per subject carries the right value
+                vdf = vdf.dropDuplicates([SUBJECT])
+            self.env[attr.var] = vdf
+            self.var_edges[attr.var] = level.edges
+            self.var_level[attr.var] = level
+            self.var_kind[attr.var] = "value"
+            self.var_inrow[attr.var] = inrow
+            return
         vdf = self._attr_value_df(attr, nodes, level)
         if vdf is not None:
             self.env[attr.var] = vdf
@@ -754,6 +784,15 @@ class Executor:
             if vdf is None:
                 return None
             fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[attr.name]
+            inrow = self.var_inrow.get(attr.val_var)
+            if (def_edges is not None and SRC in def_edges.columns
+                    and inrow and inrow in def_edges.columns):
+                # the var's values ride in-row on its defining edges:
+                # per-parent aggregation is one groupBy of that relation
+                return (
+                    def_edges.groupBy(SRC).agg(fn(inrow).alias(VALUE))
+                    .select(F.col(SRC).alias(SUBJECT), VALUE)
+                )
             if def_edges is not None and SRC in def_edges.columns:
                 return (
                     def_edges.select(SRC, DST)
@@ -2141,6 +2180,14 @@ class Executor:
                 )
                 return per_parent, out, False
             def_edges = self.var_edges.get(attr.val_var)
+            inrow = self.var_inrow.get(attr.val_var)
+            if (def_edges is not None and SRC in def_edges.columns
+                    and inrow and inrow in def_edges.columns):
+                per_parent = (
+                    def_edges.groupBy(SRC).agg(fn(inrow).alias(out))
+                    .select(F.col(SRC).alias(SUBJECT), out)
+                )
+                return per_parent, out, False
             if def_edges is not None and SRC in def_edges.columns:
                 per_parent = (
                     def_edges.select(SRC, DST)
