@@ -457,8 +457,17 @@ class Executor:
 
     def _apply_filter(self, tree, frontier: DataFrame) -> DataFrame:
         fc = FuncCompiler(self.g, self.env)
-        cands = frontier.select(F.col(DST).alias(SUBJECT)).distinct()
+        # a bare root frontier (just a distinct uid column, no edge
+        # provenance / rank to preserve) IS its own candidate set: the
+        # filtered candidates are the answer — skip the re-distinct and
+        # the second semi-join back onto the frontier
+        bare = set(frontier.columns) == {DST}
+        cands = frontier.select(F.col(DST).alias(SUBJECT))
+        if not bare:
+            cands = cands.distinct()
         kept = fc.filter(tree, cands).select(F.col(SUBJECT).alias(DST))
+        if bare:
+            return kept
         return frontier.join(kept, DST, "left_semi")
 
     # ============================================================== descent
