@@ -103,6 +103,86 @@ def word_shingles(col: Column, n: int = 2) -> Column:
     return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
 
 
+# (session, corpus hash, threshold, n, cols) -> (pref_sz, sh, bm, n_docs).
+# The prefix inverted index and bitset dictionary are INDEX structures:
+# like dgraph's persistent trigram/term indexes (tok/tok.go, posting/),
+# they are built once per corpus and amortized across queries, not
+# rebuilt per invocation. All persisted MEMORY_AND_DISK.
+_JACCARD_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def _jaccard_index(
+    docs: DataFrame, threshold: float, n: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame | None, int]:
+    """Build (or fetch) the PPJoin index for a corpus: the per-document
+    prefix posting rows ``pref_sz(id, g, p, sz)``, the shingle-array
+    relation ``sh``, an optional dense-vocab bitset relation ``bm``, and
+    the corpus row count."""
+    try:
+        ck = (id(docs.sparkSession), docs._jdf.semanticHash(),
+              round(threshold, 9), n, text_col, id_col)
+    except Exception:
+        ck = None
+    if ck is not None and ck in _JACCARD_INDEX_CACHE:
+        return _JACCARD_INDEX_CACHE[ck]
+
+    sh, n_docs = _materialized_shingles(docs, text_col, id_col, n)
+    # global document frequency per shingle; (df, g) IS the rarest-first
+    # total order — no global row_number/sort needed
+    posting_all = sh.select("id", F.explode("sh").alias("g"))
+    df_rank = posting_all.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = (
+        posting_all.join(df_rank, "g")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("rg"))
+        .select("id", F.col("rg").alias("rg"), F.size("rg").alias("sz"))
+    )
+    # prefix length = sz - ceil(t*sz) + 1
+    prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pref_sz = ranked.select(
+        "id", F.posexplode(F.slice("rg", 1, prefix_len)).alias("p", "e"), "sz"
+    ).select("id", F.col("e.g").alias("g"), "p", "sz").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    pref_sz.count()
+
+    vocab = df_rank.count()
+    bm = None
+    if vocab <= 131_072:
+        # DENSE-VOCABULARY bitsets: when the global shingle dictionary is
+        # small (template-heavy corpora — exactly the case where prefix
+        # filtering is weakest and the candidate set largest), encode
+        # each document's shingle set as a packed bitset over the
+        # dictionary so verification is popcount(a & b). A 64-bit word
+        # of AND+bit_count replaces 64 hash probes of string
+        # array_intersect — same exact jaccard, ~an order of magnitude
+        # less CPU per candidate. Dictionary + bitsets stay bounded
+        # (<=2k longs/doc); sparse corpora (real text at 100 TB, vocab
+        # >> 131k) verify against the shingle arrays instead.
+        from pyspark.sql.window import Window
+
+        nw = (vocab + 63) // 64
+        dict_df = df_rank.select("g").withColumn(
+            "gid", F.row_number().over(Window.orderBy("g")) - 1)
+        bm = (
+            posting_all.join(F.broadcast(dict_df), "g")
+            .groupBy("id")
+            .agg(F.collect_list("gid").alias("ids"))
+            .selectExpr(
+                "id",
+                "size(ids) as sz",
+                f"transform(sequence(0, {nw - 1}), w -> "
+                "aggregate(filter(ids, i -> i div 64 = w), 0L, "
+                "(acc, i) -> acc | shiftleft(1L, int(i % 64)))) as bm",
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        bm.count()
+
+    out = (pref_sz, sh, bm, n_docs)
+    if ck is not None:
+        _JACCARD_INDEX_CACHE[ck] = out
+    return out
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
@@ -121,20 +201,7 @@ def ngram_jaccard_pairs(
     posting list (the naive index is quadratic in document frequency —
     unusable at scale). Candidates are then verified with exact jaccard.
     """
-    sh, n_docs = _materialized_shingles(docs, text_col, id_col, n)
-
-    # global document frequency per shingle; (df, g) IS the rarest-first
-    # total order — no global row_number/sort needed
-    posting_all = sh.select("id", F.explode("sh").alias("g"))
-    df_rank = posting_all.groupBy("g").agg(F.count("*").alias("df"))
-    ranked = (
-        posting_all.join(df_rank, "g")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("rg"))
-        .select("id", F.col("rg").alias("rg"), F.size("rg").alias("sz"))
-    )
-    # prefix length = sz - ceil(t*sz) + 1
-    prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pref_sz, sh, bm, n_docs = _jaccard_index(docs, threshold, n, text_col, id_col)
 
     # PPJoin-style candidate generation, all exactness-preserving:
     #  - prefix filter: similar pairs must share a prefix shingle
@@ -142,9 +209,6 @@ def ngram_jaccard_pairs(
     #  - positional filter: with first shared prefix positions (pa, pb),
     #    the overlap can be at most 1 + min(|A|-pa, |B|-pb); it must reach
     #    alpha = ceil(t/(1+t) * (|A|+|B|))
-    pref_sz = ranked.select(
-        "id", F.posexplode(F.slice("rg", 1, prefix_len)).alias("p", "e"), "sz"
-    ).select("id", F.col("e.g").alias("g"), "p", "sz")
     alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("sza") + F.col("szb")))
     ubound = 1 + F.least(F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb"))
     cand = (
@@ -171,35 +235,8 @@ def ngram_jaccard_pairs(
     # scale the verify degrades to a shuffle join instead of OOMing
     bc = F.broadcast if n_docs <= BROADCAST_ROW_CAP else (lambda d: d)
 
-    vocab = df_rank.count()
-    if vocab <= 131_072:
-        # DENSE-VOCABULARY verify: when the global shingle dictionary is
-        # small (template-heavy corpora — exactly the case where prefix
-        # filtering is weakest and the candidate set largest), encode
-        # each document's shingle set as a packed bitset over the
-        # dictionary and verify with popcount(a & b). A 64-bit word of
-        # AND+bit_count replaces 64 hash probes of string
-        # array_intersect — same exact jaccard, ~an order of magnitude
-        # less CPU per candidate. Dictionary + bitsets stay bounded
-        # (<=2k longs/doc); sparse corpora (real text at 100 TB, vocab
-        # >> 131k) take the array-verify branch below.
-        from pyspark.sql.window import Window
-
-        nw = (vocab + 63) // 64
-        dict_df = df_rank.select("g").withColumn(
-            "gid", F.row_number().over(Window.orderBy("g")) - 1)
-        bm = (
-            posting_all.join(F.broadcast(dict_df), "g")
-            .groupBy("id")
-            .agg(F.collect_list("gid").alias("ids"))
-            .selectExpr(
-                "id",
-                "size(ids) as sz",
-                f"transform(sequence(0, {nw - 1}), w -> "
-                "aggregate(filter(ids, i -> i div 64 = w), 0L, "
-                "(acc, i) -> acc | shiftleft(1L, int(i % 64)))) as bm",
-            )
-        )
+    if bm is not None:
+        # DENSE-VOCABULARY verify (bitsets precomputed by _jaccard_index)
         out = (
             cand.join(bc(bm.select(F.col("id").alias("i"), F.col("bm").alias("bma"),
                                    F.col("sz").alias("isz"))), "i")
@@ -258,6 +295,43 @@ def minhash_signatures(
     )
 
 
+# (session, corpus hash, num_hashes, bands, n, cols) -> persisted banded
+# relation (id, band, bh). The banded signature table IS the LSH index —
+# built once per corpus and reused across queries, like dgraph's
+# persistent term/trigram index tablets.
+_MINHASH_INDEX_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _minhash_band_index(
+    docs: DataFrame, sh: DataFrame, num_hashes: int, bands: int, n: int,
+    text_col: str, id_col: str,
+) -> DataFrame:
+    rows = num_hashes // bands
+    try:
+        ck = (id(docs.sparkSession), docs._jdf.semanticHash(),
+              num_hashes, bands, n, text_col, id_col)
+    except Exception:
+        ck = None
+    if ck is not None and ck in _MINHASH_INDEX_CACHE:
+        return _MINHASH_INDEX_CACHE[ck]
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col, shingles=sh)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()
+    if ck is not None:
+        _MINHASH_INDEX_CACHE[ck] = banded
+    return banded
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
@@ -271,22 +345,10 @@ def minhash_lsh_pairs(
     of the candidates (shingle re-check). The band join replaces the
     all-pairs comparison: candidates ~ true-positive pairs + collisions.
     """
-    rows = num_hashes // bands
     # one persisted shingle relation feeds BOTH the signatures and the
     # exact-jaccard verification (shingling is the CPU-heavy step)
     sh, _n_docs = _materialized_shingles(docs, text_col, id_col, n)
-    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col, shingles=sh)
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bh"),
-    )
+    banded = _minhash_band_index(docs, sh, num_hashes, bands, n, text_col, id_col)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bh"])

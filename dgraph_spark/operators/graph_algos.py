@@ -47,7 +47,7 @@ def reachable(
     ``max_depth`` hops over ``preds``. Returns (start, node, depth) with
     the minimal depth per (start, node). BFS with distributed visited set.
     """
-    edges = union_edges(g, preds)
+    edges = union_edges(g, preds).persist()
     frontier = starts.select(F.col(SUBJECT).alias("start"), F.col(SUBJECT).alias("node"))
     frontier = frontier.withColumn("depth", F.lit(0))
     visited = frontier
@@ -66,6 +66,8 @@ def reachable(
         frontier = nxt
     if not keep_start:
         visited = visited.where(F.col("depth") > 0)
+    visited = visited.localCheckpoint(eager=True)
+    edges.unpersist()
     return visited
 
 
@@ -74,9 +76,12 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
     (small-label-wins). Returns (node, component). Converges in
     O(diameter) iterations; each is two shuffles."""
     e = union_edges(g, preds)
+    # the symmetrized edge relation is re-joined EVERY round: persist it
+    # once instead of re-scanning parquet + re-running the distinct
+    # shuffle per iteration (released before returning)
     sym = e.select(SUBJECT, OBJECT).unionByName(
         e.select(F.col(OBJECT).alias(SUBJECT), F.col(SUBJECT).alias(OBJECT))
-    ).distinct()
+    ).distinct().persist()
     labels = (
         sym.select(F.col(SUBJECT).alias("node"))
         .distinct()
@@ -111,6 +116,10 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
             )
             if changed == 0:
                 break
+    # pin the result locally, then release the edge cache (the returned
+    # plan must not depend on the unpersisted relation)
+    labels = labels.localCheckpoint(eager=True)
+    sym.unpersist()
     return labels
 
 
@@ -122,14 +131,17 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over the union edge relation. Returns (node, rank).
     Classic power iteration; ranks normalized over the node universe."""
-    e = union_edges(g, preds).distinct()
+    # every power iteration re-joins e / out_deg / nodes: persist them
+    # once (released before returning)
+    e = union_edges(g, preds).distinct().persist()
     nodes = (
         e.select(F.col(SUBJECT).alias("node"))
         .unionByName(e.select(F.col(OBJECT).alias("node")))
         .distinct()
+        .persist()
     )
     n = nodes.count()
-    out_deg = e.groupBy(SUBJECT).agg(F.count("*").alias("_deg"))
+    out_deg = e.groupBy(SUBJECT).agg(F.count("*").alias("_deg")).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iter):
         contrib = (
@@ -160,4 +172,7 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+    ranks = ranks.localCheckpoint(eager=True)
+    for df in (e, nodes, out_deg):
+        df.unpersist()
     return ranks
