@@ -1325,6 +1325,98 @@ SELECT * FROM (
 """
 
 
+def q_since_math(spark, sf_dir):
+    """math(since(t)) — seconds-since-now arithmetic on a datetime value
+    var (query/aggregator.go:566-574 since). Day-floored so the Spark
+    and DuckDB `now()` (evaluated seconds apart) agree."""
+    return _flat(spark, sf_dir, '''
+    { q(func: type(Order)) @filter(gt(o_totalprice, 300000)) {
+        o_totalprice
+        d as o_orderdate
+        age_days: math(floor(since(d) / 86400.0))
+    } }''')
+
+
+SQL_since_math = """
+SELECT o_totalprice, o_orderdate,
+       floor((epoch(now()) - epoch(o_orderdate)) / 86400.0)::BIGINT AS age_days
+FROM orders WHERE o_totalprice > 300000
+"""
+
+
+def q_schema_introspect(spark, sf_dir):
+    """schema(pred: [...]) {} introspection (worker/schema.go,
+    edgraph/server.go Query schema path) as a checkable relation."""
+    g = _g(spark, sf_dir)
+    rows = Executor(g).execute(
+        'schema(pred: [c_name, c_acctbal, in_nation, placed]) {}')["schema"]
+    return spark.createDataFrame(
+        [(r["predicate"], r["type"], bool(r.get("list", False)),
+          bool(r.get("reverse", False))) for r in rows],
+        "predicate string, type string, is_list boolean, has_reverse boolean")
+
+
+SQL_schema_introspect = """
+SELECT * FROM (VALUES
+  ('c_name', 'string', false, false),
+  ('c_acctbal', 'float', false, false),
+  ('in_nation', 'uid', false, true),
+  ('placed', 'uid', true, true)
+) AS t(predicate, type, is_list, has_reverse)
+"""
+
+
+def q_json_load_roundtrip(spark, sf_dir):
+    """JSON document loader: rows -> JSON melt -> graph -> DQL query
+    (chunker/json_parser.go). Nested region object becomes a uid edge."""
+    from dgraph_spark.sources.json_loader import json_to_graph
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .join(spark.read.parquet(f"{sf_dir}/region.parquet"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n_name").alias("name"),
+            F.struct(F.col("r_name").alias("rname")).alias("region"),
+        )
+    )
+    g = json_to_graph(spark, docs, type_name="Nation")
+    return Executor(g).execute_flat('''
+    { q(func: has(name)) { name region { rname } } }''')
+
+
+SQL_json_load_roundtrip = """
+SELECT n_name AS name, r_name AS rname
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_backup_restore(spark, sf_dir):
+    """Backup (parquet snapshot) -> restore -> query the restored graph
+    (worker/backup*.go, worker/restore_map.go semantics: a full export/
+    import cycle preserves every predicate)."""
+    import tempfile
+
+    g = _g(spark, sf_dir)
+    sub = Graph(spark=spark,
+                preds={k: g.preds[k] for k in ("n_name", "r_name", "in_region")},
+                schema=g.schema)
+    path = tempfile.mkdtemp(prefix="dgs_backup_")
+    sub.write_parquet(path)
+    restored = Graph.read_parquet(spark, path)
+    return Executor(restored).execute_flat('''
+    { q(func: has(n_name)) {
+        n_name
+        in_region { r_name }
+    } }''')
+
+
+SQL_backup_restore = """
+SELECT n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
 def q_graphql_query(spark, sf_dir):
     """GraphQL facade: queryT(filter, order, first) rewritten to the same
     engine (graphql/rewriter.py; reference graphql/resolve). The JSON
@@ -1417,6 +1509,10 @@ QUERIES: dict[str, tuple] = {
     "facet_var_order": (q_facet_var_order, SQL_facet_var_order),
     "ignorereflex": (q_ignorereflex, SQL_ignorereflex),
     "anyof_custom": (q_anyof_custom, SQL_anyof_custom),
+    "since_math": (q_since_math, SQL_since_math),
+    "schema_introspect": (q_schema_introspect, SQL_schema_introspect),
+    "json_load_roundtrip": (q_json_load_roundtrip, SQL_json_load_roundtrip),
+    "backup_restore": (q_backup_restore, SQL_backup_restore),
     "mutation_roundtrip": (q_mutation_roundtrip, SQL_mutation_roundtrip),
     "export_roundtrip": (q_export_roundtrip, SQL_export_roundtrip),
     "graphql_query": (q_graphql_query, SQL_graphql_query),

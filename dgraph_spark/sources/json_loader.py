@@ -19,7 +19,12 @@ from dgraph_spark.schema import Predicate, SchemaRegistry
 
 def _uid_col(df: DataFrame, path_hint: str) -> F.Column:
     """uid: honor an explicit `uid` field ("0x.." or int), else hash the
-    row's JSON rendering (deterministic blank-node assignment)."""
+    row's JSON rendering (deterministic blank-node assignment). A
+    ``_salt`` column (the parent's uid for nested objects) joins the
+    hash so each nested occurrence gets its OWN blank node — the
+    reference mints a fresh blank node per nested object without uid
+    (chunker/json_parser.go mapToNquads NewNodeId), so two nations with
+    byte-identical region objects must NOT share a child."""
     if "uid" in df.columns:
         u = F.col("uid").cast("string")
         hexed = F.regexp_extract(u, r"^0[xX]([0-9a-fA-F]+)$", 1)
@@ -28,7 +33,10 @@ def _uid_col(df: DataFrame, path_hint: str) -> F.Column:
             .when(u.rlike("^[0-9]+$"), u.cast("long"))
             .otherwise(F.abs(F.xxhash64(u)))
         )
-    return F.abs(F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in df.columns])), F.lit(path_hint)))
+    body = F.to_json(F.struct(*[F.col(c) for c in df.columns if c != "_salt"]))
+    if "_salt" in df.columns:
+        return F.abs(F.xxhash64(body, F.lit(path_hint), F.col("_salt")))
+    return F.abs(F.xxhash64(body, F.lit(path_hint)))
 
 
 def json_to_graph(
@@ -53,25 +61,32 @@ def json_to_graph(
         annotated = df.withColumn("_uid", uid)
         for field in df.schema.fields:
             name = field.name
-            if name == "uid":
+            if name in ("uid", "_salt"):
                 continue
             typ = field.dataType
             if isinstance(typ, StructType):
-                child = annotated.select(F.col("_uid").alias("_parent"), F.col(name)).where(
+                child = annotated.select(F.col("_uid").alias("_salt"), F.col(name)).where(
                     F.col(name).isNotNull()
                 )
-                child_flat = child.select("_parent", f"{name}.*")
-                child_uid = melt(child_flat.drop("_parent"), f"{path}/{name}")
+                child_flat = child.select("_salt", f"{name}.*")
+                child_uid = melt(child_flat, f"{path}/{name}")
                 edge = child_flat.withColumn("_cuid", child_uid).select(
-                    F.col("_parent").alias(SUBJECT), F.col("_cuid").alias("object")
+                    F.col("_salt").alias(SUBJECT), F.col("_cuid").alias("object")
                 )
                 _append(preds, name, edge)
                 reg.add(Predicate(name=name, typ="uid"))
             elif isinstance(typ, ArrayType) and isinstance(typ.elementType, StructType):
+                # position joins the salt so identical sibling elements
+                # still mint distinct blank nodes
                 child = annotated.select(
-                    F.col("_uid").alias("_parent"), F.explode(name).alias("_e")
+                    F.col("_uid").alias("_parent"),
+                    F.posexplode(name).alias("_pos", "_e"),
                 )
-                child_flat = child.select("_parent", "_e.*")
+                child_flat = child.select(
+                    F.col("_parent"),
+                    F.concat_ws("#", F.col("_parent"), F.col("_pos")).alias("_salt"),
+                    "_e.*",
+                )
                 child_uid = melt(child_flat.drop("_parent"), f"{path}/{name}")
                 edge = child_flat.withColumn("_cuid", child_uid).select(
                     F.col("_parent").alias(SUBJECT), F.col("_cuid").alias("object")
