@@ -1325,6 +1325,105 @@ SELECT * FROM (
 """
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary plumbing: docs -> binary media column ->
+    Arrow mapInPandas decode (deterministic stub kernel,
+    operators/multimodal.py:51) -> typed features. The stub's
+    width/height are pure functions of the payload length, so the whole
+    pipeline has an exact SQL twin."""
+    from dgraph_spark.operators.multimodal import (
+        extract_image_features, media_table_from_docs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_table_from_docs(docs)
+    return extract_image_features(media).select("media_id", "width", "height")
+
+
+SQL_multimodal_features = """
+SELECT doc_id AS media_id,
+       (octet_length(encode(text)) % 640) + 1 AS width,
+       (octet_length(encode(text)) % 480) + 1 AS height
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling stub over the binary column: one pseudo-frame per
+    1 KiB chunk (operators/multimodal.py:103); per-media frame counts."""
+    from dgraph_spark.operators.multimodal import (
+        media_table_from_docs, sample_frames)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_table_from_docs(docs)
+    return (sample_frames(media, every_n_bytes=1024)
+            .groupBy("media_id").agg(F.count("*").alias("frames")))
+
+
+SQL_multimodal_frames = """
+SELECT doc_id AS media_id,
+       ((greatest(octet_length(encode(text)), 1) + 1023) // 1024) AS frames
+FROM documents
+"""
+
+
+def q_cdc_diff(spark, sf_dir):
+    """CDC egress payload: the set/del change events between two graph
+    snapshots (worker/cdc.go:44-260 txn set/del event lists), here from
+    a mutation's before/after states."""
+    from dgraph_spark.mutations import mutate
+    from dgraph_spark.streaming.cdc import graph_diff
+
+    g = _g(spark, sf_dir)
+    c3, c7 = uid_of("customer", 3), uid_of("customer", 7)
+    g2 = mutate(g, f'''{{
+      set {{
+        <0x7f000000000001> <c_name> "Customer#CDC1" .
+        <{hex(c3)}> <c_mktsegment> "SEGMENT-X" .
+      }}
+      delete {{
+        <{hex(c7)}> <c_mktsegment> * .
+      }}
+    }}''')
+    keep = ("c_name", "c_mktsegment")
+    old = Graph(spark=spark, preds={k: g.preds[k] for k in keep}, schema=g.schema)
+    new = Graph(spark=spark, preds={k: g2.preds[k] for k in keep}, schema=g2.schema)
+    return graph_diff(old, new).select("op", "subject", "predicate", "value_str")
+
+
+SQL_cdc_diff = """
+SELECT 'set' AS op, (127::BIGINT << 48) + 1 AS subject,
+       'c_name' AS predicate, 'Customer#CDC1' AS value_str
+UNION ALL
+SELECT 'set', (3::BIGINT << 40) + 3, 'c_mktsegment', 'SEGMENT-X'
+UNION ALL
+SELECT 'del', (3::BIGINT << 40) + 3, 'c_mktsegment', c_mktsegment
+FROM customer WHERE c_custkey = 3
+UNION ALL
+SELECT 'del', (3::BIGINT << 40) + 7, 'c_mktsegment', c_mktsegment
+FROM customer WHERE c_custkey = 7
+"""
+
+
+def q_stateful_counts(spark, sf_dir):
+    """Stateful running count+sum per key (applyInPandasWithState shape,
+    streaming/stateful.py:79). The batch path shares the declared
+    semantics; multi-micro-batch state evolution is covered by
+    tests/test_stateful_streaming.py."""
+    from dgraph_spark.sources.events import read_events
+    from dgraph_spark.streaming.stateful import running_counts
+
+    ev = read_events(spark, sf_dir)
+    out = running_counts(ev, "event_type", "value")
+    return out.withColumn("total_value", F.round("total_value", 2))
+
+
+SQL_stateful_counts = """
+SELECT event_type AS key, COUNT(*) AS total,
+       round(SUM(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_since_math(spark, sf_dir):
     """math(since(t)) — seconds-since-now arithmetic on a datetime value
     var (query/aggregator.go:566-574 since). Day-floored so the Spark
@@ -1509,6 +1608,10 @@ QUERIES: dict[str, tuple] = {
     "facet_var_order": (q_facet_var_order, SQL_facet_var_order),
     "ignorereflex": (q_ignorereflex, SQL_ignorereflex),
     "anyof_custom": (q_anyof_custom, SQL_anyof_custom),
+    "multimodal_features": (q_multimodal_features, SQL_multimodal_features),
+    "multimodal_frames": (q_multimodal_frames, SQL_multimodal_frames),
+    "cdc_diff": (q_cdc_diff, SQL_cdc_diff),
+    "stateful_counts": (q_stateful_counts, SQL_stateful_counts),
     "since_math": (q_since_math, SQL_since_math),
     "schema_introspect": (q_schema_introspect, SQL_schema_introspect),
     "json_load_roundtrip": (q_json_load_roundtrip, SQL_json_load_roundtrip),

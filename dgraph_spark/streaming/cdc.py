@@ -23,8 +23,20 @@ def graph_diff(old: Graph, new: Graph) -> DataFrame:
     o = old.to_triples()
     n = new.to_triples()
     keys = ["subject", "predicate", "object_uid", "value_str"]
-    added = n.join(o, keys, "left_anti").withColumn("op", F.lit("set"))
-    removed = o.join(n, keys, "left_anti").withColumn("op", F.lit("del"))
+
+    def anti(a: DataFrame, b: DataFrame) -> DataFrame:
+        # null-safe equality: object_uid is NULL for scalar triples and
+        # value_str NULL for uid triples — a plain join key would never
+        # match them and report the whole graph as churn
+        bb = b.select(*[F.col(k).alias(f"_b_{k}") for k in keys])
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_b_{k}"))
+            cond = c if cond is None else (cond & c)
+        return a.join(bb, cond, "left_anti")
+
+    added = anti(n, o).withColumn("op", F.lit("set"))
+    removed = anti(o, n).withColumn("op", F.lit("del"))
     return added.unionByName(removed).select("op", *keys)
 
 
