@@ -23,6 +23,7 @@ Two result modes:
 from __future__ import annotations
 
 import itertools
+import json
 import re
 from dataclasses import dataclass, field
 
@@ -251,6 +252,132 @@ class Executor:
         if target is None:
             raise KeyError(f"block {block_alias!r} not found")
         return self._block_flat(target)
+
+    # =========================================================== RDF output
+    def execute_rdf(self, query: str | ParsedQuery, vars: dict | None = None) -> str:
+        """Query results as N-Quads (query/outputrdf.go ToRDF).
+
+        DFS over the executed levels, attribute-major in query order;
+        subjects ascend in SrcUID order, uid-pred triples follow the
+        (sorted/paginated) posting order; values render with valToBytes
+        quoting (ints/floats quoted, bools bare, strings JSON-escaped,
+        datetimes RFC3339). Unsupported directives raise the reference's
+        exact error strings (outputrdf.go validateSubGraphForRDF)."""
+        self._reset_query_state()
+        pq = parse_dql(query, vars) if isinstance(query, str) else query
+        for b in pq.blocks:
+            self._rdf_validate(b)
+        for b in pq.blocks:
+            _propagate_cascade(b)
+        self._consumed_vars = set().union(
+            set(), *(_block_needs(b) for b in pq.blocks))
+        lines: list[str] = []
+        for block in self._schedule(pq.blocks):
+            if block.is_schema:
+                continue
+            if block.shortest is not None:
+                self._run_shortest(block)  # binds path vars; no RDF body
+                continue
+            level = self._run_block(block)
+            if level is not None:
+                self._rdf_emit(level, lines)
+        return "".join(lines)
+
+    def _rdf_validate(self, block: Block) -> None:
+        def facet_out(spec) -> bool:
+            return spec is not None and bool(
+                spec.all or spec.keys or spec.order or spec.vars)
+
+        if block.groupby is not None:
+            raise ValueError("groupby is not supported in rdf output format")
+        if block.normalize:
+            raise ValueError(
+                "normalize directive is not supported in the rdf output format")
+        if block.ignorereflex:
+            raise ValueError(
+                "ignorereflex directive is not supported in the rdf output format")
+        if block.func is not None and block.func.name.lower() == "checkpwd":
+            raise ValueError(
+                "chkpwd function is not supported in the rdf output format")
+        if facet_out(block.facets):
+            raise ValueError("facets are not supported in the rdf output format")
+        for c in block.children:
+            if isinstance(c, Attr):
+                if c.is_count and c.name == "uid":
+                    raise ValueError(
+                        "uid count is not supported in the rdf output format")
+                if c.pwd is not None:
+                    raise ValueError(
+                        "chkpwd function is not supported in the rdf output format")
+                if facet_out(c.facets):
+                    raise ValueError(
+                        "facets are not supported in the rdf output format")
+            else:
+                self._rdf_validate(c)
+
+    def _rdf_emit(self, level: Level, lines: list[str]) -> None:
+        """Emit one level's children (attribute-major, query order), then
+        descend — castToRDF's traversal shape."""
+        block = level.block
+        nodes = self._nodes(level)
+        child_levels = list(level.children)
+
+        def take_level(b) -> "Level | None":
+            for i, cl in enumerate(child_levels):
+                if cl.block is b:
+                    return child_levels.pop(i)
+            return None
+
+        for c in block.children:
+            if isinstance(c, Attr):
+                self._rdf_attr(c, nodes, level, lines)
+                continue
+            cl = take_level(c)
+            if cl is None:
+                continue
+            self._rdf_edges(cl, lines)
+            self._rdf_emit(cl, lines)
+        # levels not matched by identity (recurse-synthesized blocks)
+        for cl in child_levels:
+            self._rdf_edges(cl, lines)
+            self._rdf_emit(cl, lines)
+
+    def _rdf_edges(self, child: Level, lines: list[str]) -> None:
+        """Uid-pred relation triples: src-major ascending, posting
+        (rank when ordered, else uid) order within a source."""
+        b = child.block
+        name = b.alias or (("~" if b.reverse else "") + (b.attr or ""))
+        e = child.edges
+        if SRC not in e.columns or DST not in e.columns:
+            return
+        keys = [SRC, RANK] if RANK in e.columns else [SRC, DST]
+        for r in e.select(SRC, DST, *([RANK] if RANK in e.columns else [])
+                          ).orderBy(*keys).collect():
+            lines.append(f"<{r[SRC]:#x}> <{name}> <{r[DST]:#x}> .\n")
+
+    def _rdf_attr(self, attr: Attr, nodes: DataFrame, level: Level,
+                  lines: list[str]) -> None:
+        if attr.expand is not None:
+            return
+        if attr.name == "uid" and not attr.is_count:
+            return  # outputrdf.go: RDF for the `uid` attribute is ignored
+        out = self._attr_output(attr, nodes, level)
+        col_df, out_col, _multi = out if out is not None else (None, "", False)
+        if col_df is None:
+            return
+        dtype = dict(col_df.dtypes).get(out_col, "string")
+        elem = dtype[6:-1] if dtype.startswith("array<") else dtype
+        for r in col_df.select(SUBJECT, _qc(out_col).alias("_v")
+                               ).orderBy(SUBJECT).collect():
+            v = r["_v"]
+            if v is None:
+                continue
+            vals = v if isinstance(v, list) else [v]
+            for x in vals:
+                if x is None:
+                    continue
+                lines.append(
+                    f"<{r[SUBJECT]:#x}> <{out_col}> {_rdf_object(x, elem)} .\n")
 
     # ============================================================ scheduling
     def _schedule(self, blocks: list[Block]) -> list[Block]:
@@ -2813,6 +2940,35 @@ def _facet_value(s):
         # round-trips the original offset through JSON marshal)
         return s if re.search(r"(Z|[+-]\d{2}:\d{2})$", s) else s + "Z"
     return s
+
+
+def _go_g(f: float) -> str:
+    """Go fmt %g: shortest-unique decimal (strconv 'g' with precision -1).
+    Python's repr is the same shortest-round-trip algorithm; trim the
+    trailing '.0' Go omits on integral floats."""
+    s = repr(float(f))
+    return s[:-2] if s.endswith(".0") else s
+
+
+def _rdf_object(v, dtype: str) -> str:
+    """One RDF object term (outputrdf.go getObjectVal + valToBytes):
+    ints/floats quoted numbers, bools bare, strings JSON-marshaled,
+    datetimes quoted RFC3339."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, _dt.datetime):
+        return f'"{_render_datetime(v)}"'
+    if isinstance(v, _dt.date):
+        return f'"{v.isoformat()}T00:00:00Z"'
+    if isinstance(v, int):
+        return f'"{v}"'
+    if isinstance(v, float):
+        return f'"{_go_g(v)}"'
+    if dtype.startswith("decimal"):
+        return f'"{v}"'
+    return json.dumps(str(v), ensure_ascii=False)
 
 
 def _render_datetime(v: "datetime.datetime") -> str:

@@ -106,6 +106,27 @@ def test_golden_facets_cases(golden_facets_ex):
     _run_gate(golden_facets_ex, cases, list(cases))
 
 
+def test_golden_rdf_cases(golden_ex):
+    """The reference's RDF-output suite (query/rdf_result_test.go), live:
+    exact N-Quad text for result cases, exact error strings for the
+    unsupported-directive cases (query/outputrdf.go)."""
+    cases = _load("cases_rdf.json")
+    assert len(cases) >= 11
+    failures = []
+    for c in cases:
+        try:
+            got = golden_ex().execute_rdf(c["query"])
+            err = None
+        except Exception as e:  # noqa: BLE001 — collected into the report
+            got, err = None, str(e)
+        if "expected_error" in c:
+            if err is None or c["expected_error"] not in err:
+                failures.append((c["name"], f"want error {c['expected_error']!r}, got {err!r}"))
+        elif got != c["expected_rdf"]:
+            failures.append((c["name"], err or "diff"))
+    assert not failures, f"{len(failures)} rdf regressions: {failures}"
+
+
 def test_golden_sweep_tallies():
     """The committed full-sweep result may only improve."""
     status = _load("status.json")
