@@ -1672,6 +1672,12 @@ class Executor:
             edges = (edges.withColumn("_rn", F.row_number().over(wp))
                      .where(F.col("_rn") == 1).drop("_rn"))
         edges = edges.drop("_pi")
+        # the unified weighted edge relation is re-joined every relaxation
+        # round (and every depth-ball round): persist it once for the
+        # loop instead of re-scanning parquet per iteration; released
+        # after the result is pinned below
+        edges = edges.persist()
+        edges_cached = edges
 
         unit_weights = all(wkey is None for _p, _r, wkey, _f in preds)
         spark = self.spark
@@ -1765,6 +1771,9 @@ class Executor:
         if sp.minweight is not None:
             result = result.where(F.col("dist") >= sp.minweight)
         result = result.select("node", "dist", "path", "preds", "wfs")
+        # every surviving frame (found / grown) was eagerly checkpointed,
+        # so nothing downstream re-reads the cached edge relation
+        edges_cached.unpersist()
         if block.var:
             # the path var holds the FIRST (best) route's nodes, in path
             # order (query/shortest.go:424 DestUIDs = kroutes[0]); _frank
