@@ -28,6 +28,8 @@ class FuncCall:
 
     name: str
     args: list[Arg] = field(default_factory=list)
+    # named options (`similar_to(p, k, v, distance_threshold: 1.5, ef: 12)`)
+    kwargs: dict = field(default_factory=dict)
 
     @property
     def pred(self) -> str | None:

@@ -30,9 +30,10 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|\#[^\n]*)
   | (?P<string>"(?:\\.|[^"\\])*")
-  | (?P<regex>/(?:\\.|[^/\\])+/[a-z]*)
+  | (?P<regex>/(?:\\.|[^/\\])+/[a-zA-Z]*)
   | (?P<number>0[xX][0-9a-fA-F]+|-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
   | (?P<name>[a-zA-Z_$][a-zA-Z0-9_.\-]*)
+  | (?P<iri><[^<>\s{}()\[\],=]+>)
   | (?P<punct><=|>=|==|!=|&&|\|\||[{}()\[\]:,@~*/+\-%<>=.!|])
     """,
     re.VERBOSE,
@@ -71,11 +72,22 @@ def tokenize(src: str) -> list[Token]:
     return out
 
 
+class _FragmentRef:
+    """Placeholder for `...name` until fragment definitions are parsed."""
+
+    def __init__(self, name: str, pos: int):
+        self.name = name
+        self.pos = pos
+
+
 class Parser:
-    def __init__(self, src: str, vars: dict | None = None):
+    def __init__(self, src: str, vars: dict | None = None,
+                 allow_unused: bool = False):
         self.toks = tokenize(src)
         self.i = 0
         self.vars = vars or {}
+        self.allow_unused = allow_unused
+        self.fragments: dict[str, list] = {}
 
     def _subst(self, text: str):
         """GraphQL-style query variables: `$a` -> bound value
@@ -137,11 +149,57 @@ class Parser:
         if self.peek().text == "schema":
             # standalone `schema(...) { ... }` query (no outer braces)
             q.blocks.append(self.parse_block(root=True))
+            if self.peek().text == "schema":
+                raise SyntaxError("Only one schema block allowed")
+            if self.peek().kind != "eof":
+                raise SyntaxError(
+                    f"DQL parse error at {self.peek().pos}: unexpected trailing "
+                    f"{self.peek().text!r}")
             return q
+        # GraphQL-style fragments may precede or follow the query body
+        # (dql/parser.go parseFragment; spliced by substituteFragments)
+        while self.peek().text == "fragment":
+            self._parse_fragment_def()
         self.expect("{")
         while not self.accept("}"):
             q.blocks.append(self.parse_block(root=True))
+        while self.peek().text == "fragment":
+            self._parse_fragment_def()
+        if self.peek().kind != "eof":
+            raise SyntaxError(
+                f"DQL parse error at {self.peek().pos}: unexpected trailing "
+                f"{self.peek().text!r}")
+        for b in q.blocks:
+            self._splice_fragments(b, ())
+        _validate_vars(q, allow_unused=self.allow_unused)
         return q
+
+    def _parse_fragment_def(self) -> None:
+        self.next()  # 'fragment'
+        name = self.expect_kind("name").text
+        holder = Block()
+        self.parse_body(holder)
+        self.fragments[name] = holder.children
+
+    def _splice_fragments(self, b: Block, stack: tuple) -> None:
+        import copy as _copy
+
+        out = []
+        for c in b.children:
+            if isinstance(c, _FragmentRef):
+                if c.name in stack:
+                    raise SyntaxError(f"cyclic fragment reference: {c.name}")
+                if c.name not in self.fragments:
+                    raise SyntaxError(
+                        f"DQL parse error at {c.pos}: undefined fragment {c.name!r}")
+                sub = Block(children=_copy.deepcopy(self.fragments[c.name]))
+                self._splice_fragments(sub, stack + (c.name,))
+                out.extend(sub.children)
+                continue
+            if isinstance(c, Block):
+                self._splice_fragments(c, stack)
+            out.append(c)
+        b.children = out
 
     # ---- blocks ----
     def parse_block(self, root: bool) -> Block:
@@ -161,6 +219,8 @@ class Parser:
                 # schema introspection block (dql/parser.go:662 getSchema)
                 b.is_schema = True
                 if self.accept("("):
+                    if self.peek().text == ")":
+                        raise SyntaxError("Invalid schema block")
                     while not self.accept(")"):
                         self.accept(",")
                         key = self.expect_kind("name").text
@@ -183,15 +243,38 @@ class Parser:
                 b.alias = "_path_"  # dgraph's output key for shortest blocks
         else:
             b.attr = name
+        saw_params = False
         while True:
             if self.peek().text == "(":
                 self.parse_block_params(b)
+                saw_params = True
             elif self.peek().text == "@":
-                self.parse_directives(b)
+                self.parse_directives(b, root=root)
             else:
                 break
+        if root and not saw_params:
+            # every root block takes an argument list, even an empty one
+            # (dql/parser.go: "Expected Left round brackets")
+            raise SyntaxError(
+                f"DQL parse error at {t.pos}: Expected Left round brackets. "
+                f"Got: {self.peek().text!r}")
         if self.peek().text == "{":
             self.parse_body(b)
+        if (b.func is None and not b.is_var_block and root and saw_params
+                and b.shortest is None):
+            # empty-uid block (`me() { ... }`): only aggregates / math
+            # (query/query.go:2864 "Only aggregation/math functions
+            # allowed inside empty blocks.")
+            for c in b.children:
+                if isinstance(c, Block):
+                    raise SyntaxError(
+                        "Only aggregation/math functions allowed inside "
+                        f"empty blocks. Got: {c.attr}")
+                if not ((c.name in ("min", "max", "sum", "avg") and c.val_var)
+                        or c.math is not None):
+                    raise SyntaxError(
+                        "Only aggregation/math functions allowed inside "
+                        f"empty blocks. Got: {c.name}")
         return b
 
     def parse_block_params(self, b: Block) -> None:
@@ -201,14 +284,27 @@ class Parser:
             key = self.expect_kind("name").text
             self.expect(":")
             if key == "func":
+                if b.func is not None:
+                    raise SyntaxError("Only one function allowed at root")
                 b.func = self.parse_func()
             elif key in ("orderasc", "orderdesc"):
-                b.order.append(self.parse_order_key(desc=(key == "orderdesc")))
+                o = self.parse_order_key(desc=(key == "orderdesc"))
+                for prev in b.order:
+                    if prev.key == o.key and prev.is_var == o.is_var:
+                        raise SyntaxError(
+                            f"Sorting by an attribute: [{o.key}] can only be done once")
+                b.order.append(o)
             elif key == "first":
+                if b.first is not None:
+                    raise SyntaxError('Got repeated key "first"')
+                self.accept("+")  # `first: +4` (lex itemPlus before number)
                 b.first = int(self._subst(self.next().text))
                 if b.first == 0:
                     b.first = None  # first: 0 == unset (x/x.go PageRange)
             elif key == "offset":
+                if b.offset is not None:
+                    raise SyntaxError('Got repeated key "offset"')
+                self.accept("+")
                 b.offset = int(self._subst(self.next().text))
             elif key == "after":
                 t = self.next()
@@ -244,8 +340,8 @@ class Parser:
                     else:
                         b.shortest.numpaths = int(val)
             else:
-                # unknown param: consume one value token
-                self.next()
+                # dql/parser.go parseArguments: "Got invalid keyword: %s"
+                raise SyntaxError(f"Got invalid keyword: {key}")
 
     def parse_shortest_endpoint(self):
         t = self.next()
@@ -284,17 +380,61 @@ class Parser:
         name = self.expect_kind("name").text
         self.expect("(")
         f = FuncCall(name=name)
+        if name.lower() == "var":
+            # uid vars read via uid(x), value vars via val(x)
+            raise SyntaxError("Unexpected var(). Maybe you want to try using uid()")
         first = True
         while not self.accept(")"):
-            if not first:
-                self.accept(",")
+            if not first and not self.accept(","):
+                # arguments are comma-separated (dql/parser.go
+                # parseFunction: expected comma or language)
+                raise SyntaxError(
+                    f"Expected comma or language but got: {self.peek().text}")
             first = False
-            f.args.append(self.parse_arg(f, len(f.args)))
+            # named option `distance_threshold: 1.5, ef: 12` (v25
+            # similar_to options; dql/parser.go parseFuncArgs key:value)
+            if (self.peek().kind == "name" and self.peek(1).text == ":"
+                    and self.peek(2).kind in ("number", "string")):
+                key = self.next().text
+                self.next()
+                t = self.next()
+                if key in f.kwargs:
+                    raise SyntaxError(f"Duplicate option {key!r}")
+                f.kwargs[key] = _num(t.text) if t.kind == "number" else _unquote(t.text)
+                continue
+            a = self.parse_arg(f, len(f.args))
+            if isinstance(a, list):
+                f.args.extend(a)
+            else:
+                f.args.append(a)
+        lname = name.lower()
+        if not f.args and not f.kwargs and lname not in ("uid",):
+            raise SyntaxError(f"Got empty attr for function: [{name}]")
+        if lname == "type" and len(f.args) != 1:
+            raise SyntaxError("type function only supports one argument")
+        if lname == "similar_to":
+            for k in f.kwargs:
+                if k not in ("distance_threshold", "ef", "nprobe", "metric"):
+                    raise SyntaxError(f"Unknown option {k!r} in similar_to")
+            if len(f.args) > 3:
+                # legacy "ef=12,..." string options were removed in v25
+                raise SyntaxError("Expected named parameter in similar_to options")
         return f
+
+    # first-arg-is-a-predicate functions where the attr must be bare;
+    # dql/parser.go:2031 exempts uid and type (typFunc) from the rule
+    _PRED_FIRST_FUNCS = {
+        "eq", "le", "lt", "ge", "gt", "between", "has", "allofterms",
+        "anyofterms", "alloftext", "anyoftext", "regexp", "match", "ngram",
+        "anyof", "allof", "uid_in", "similar_to", "near", "within",
+        "contains", "intersects", "checkpwd",
+    }
 
     def parse_arg(self, f: FuncCall, argpos: int) -> Arg:
         t = self.peek()
         if t.kind == "string":
+            if argpos == 0 and f.name.lower() in self._PRED_FIRST_FUNCS:
+                raise SyntaxError("Attribute in function must not be quoted")
             self.next()
             return Arg(value=_unquote(t.text))
         if t.kind == "regex":
@@ -304,6 +444,8 @@ class Parser:
             self.next()
             return Arg(value=_num(t.text))
         if t.text == "[":  # (nested) array literal: similar_to vectors, geo coords
+            if f.name.lower() == "uid":
+                raise SyntaxError("Unexpected character [ while parsing request.")
             return Arg(value=self._parse_array_literal())
         if t.text == "~":
             # reverse-predicate argument, e.g. has(~of_part)
@@ -329,7 +471,24 @@ class Parser:
                 pred = self.expect_kind("name").text
                 self.expect(")")
                 return Arg(value=("~" + pred if rev else pred), is_count=True)
+            if name == "uid" and self.peek().text == "(" and f.name.lower() != "uid":
+                # nested uid(...) argument — `uid_in(school, uid(v))`
+                # (dql/parser.go parseFuncArgs uid nesting): splice the
+                # inner uid list / var names into this call's args
+                self.next()
+                inner: list[Arg] = []
+                while not self.accept(")"):
+                    self.accept(",")
+                    t2 = self.next()
+                    if t2.kind == "number":
+                        inner.append(Arg(value=_num(t2.text)))
+                    else:
+                        inner.append(Arg(value=t2.text))
+                return inner
             if name == "len" and self.peek().text == "(":
+                if f.name.lower() not in ("eq", "le", "lt", "ge", "gt", "between"):
+                    raise SyntaxError(
+                        "len function only allowed inside inequality")
                 self.next()
                 var = self.expect_kind("name").text
                 self.expect(")")
@@ -337,7 +496,10 @@ class Parser:
             lang = None
             if self.peek().text == "@":
                 self.next()
-                if self.peek().text in (".", "*"):
+                if self.peek().text == "*":
+                    raise SyntaxError(
+                        "The * symbol cannot be used as a valid language inside functions")
+                if self.peek().text == ".":
                     lang = self.next().text
                 else:
                     lang = self.expect_kind("name").text
@@ -353,7 +515,13 @@ class Parser:
         while not self.accept("]"):
             self.accept(",")
             t = self.next()
-            out.append(_unquote(t.text) if t.kind == "string" else t.text)
+            if t.kind == "string":
+                out.append(_unquote(t.text))
+            elif t.kind == "iri":
+                # `<人物>` — IRI-quoted predicate/type name (lex/iri.go)
+                out.append(t.text[1:-1])
+            else:
+                out.append(t.text)
         return out
 
     def _parse_array_literal(self):
@@ -372,7 +540,9 @@ class Parser:
         return out
 
     # ---- filter trees ----
-    def parse_filter_tree(self) -> FilterTree:
+    def parse_filter_tree(self) -> FilterTree | None:
+        if self.peek().text == ")":
+            return None  # `@filter()` — an empty filter is a no-op
         return self.parse_or()
 
     def parse_or(self) -> FilterTree:
@@ -408,7 +578,7 @@ class Parser:
         return FilterTree(op="func", func=self.parse_func())
 
     # ---- directives ----
-    def parse_directives(self, b: Block) -> None:
+    def parse_directives(self, b: Block, root: bool = False) -> None:
         while self.peek().text == "@":
             self.next()
             # directive names are case-insensitive (@IGNOREREFLEX,
@@ -448,18 +618,21 @@ class Parser:
                     gb.attrs.append(self.parse_groupby_attr())
                 b.groupby = gb
             elif name == "facets":
+                if root:
+                    # root blocks take no @facets (dql/parser.go
+                    # validateDirectives root path)
+                    raise SyntaxError("Unknown directive [facets]")
                 spec = self.parse_facets_spec()
+                if b.facets is not None:
+                    # one output spec + one filter spec may coexist, but
+                    # not two of either kind (dql/parser.go)
+                    if (b.facets.all or b.facets.keys) and (spec.all or spec.keys):
+                        raise SyntaxError("Only one facets allowed")
+                    if b.facets.filter is not None and spec.filter is not None:
+                        raise SyntaxError("Only one facets filter allowed")
                 b.facets = _merge_facets(b.facets, spec)
             else:
-                # unknown directive with optional args — skip
-                if self.accept("("):
-                    depth = 1
-                    while depth:
-                        t = self.next()
-                        if t.text == "(":
-                            depth += 1
-                        elif t.text == ")":
-                            depth -= 1
+                raise SyntaxError(f"Unknown directive [{name}]")
 
     def parse_groupby_attr(self) -> Attr:
         alias = None
@@ -468,29 +641,61 @@ class Parser:
             self.next()
             alias = name
             name = self.expect_kind("name").text
-        return Attr(name=name, alias=alias)
+        return Attr(name=name, alias=alias, langs=self._parse_lang_chain())
+
+    def _parse_lang_chain(self) -> list[str]:
+        """Optional `@en` / `@en:ru:hu` / `@.` / `@*` after a predicate."""
+        if self.peek().text != "@":
+            return []
+        self.next()
+        langs = []
+        if self.peek().text in (".", "*"):
+            langs.append(self.next().text)
+        else:
+            langs.append(self.expect_kind("name").text)
+            while self.peek().text == ":":
+                self.next()
+                langs.append(self.expect_kind("name").text)
+        return langs
 
     def parse_facets_spec(self) -> FacetsSpec:
         spec = FacetsSpec()
         if not self.accept("("):
             spec.all = True
             return spec
+        first_item = True
         while not self.accept(")"):
-            self.accept(",")
+            if not first_item and not self.accept(","):
+                raise SyntaxError(
+                    f"Expected comma or ) in facets but got: {self.peek().text}")
+            if self.peek().text == ",":
+                raise SyntaxError("Consecutive commas not allowed.")
+            first_item = False
             t = self.peek()
             if t.text in ("orderasc", "orderdesc"):
                 self.next()
                 self.expect(":")
                 key = self.expect_kind("name").text
+                if self.peek().text.lower() == "as" and self.peek().kind == "name":
+                    # `orderdesc: a as b` — bind var a to facet b AND sort
+                    # by it (dql/parser.go TestParseFacetsOrderVar)
+                    self.next()
+                    facet = self.expect_kind("name").text
+                    spec.vars[key] = facet
+                    key = facet
                 spec.order.append(Order(key=key, desc=(t.text == "orderdesc"), is_facet=True))
             elif t.kind == "name" and self.peek(1).text.lower() == "as" and self.peek(1).kind == "name":
                 var = self.next().text
                 self.next()  # as
                 key = self.expect_kind("name").text
+                if key in spec.vars.values():
+                    raise SyntaxError(
+                        f"Duplicate variable mappings for facet {key}")
                 spec.vars[var] = key
             elif t.kind == "name" and self.peek(1).text == "(" :
                 # facet filter function, e.g. eq(close, true)
                 spec.filter = self.parse_filter_tree()
+                _check_no_vars_in_facet_filter(spec.filter)
             elif t.kind == "name" and self.peek(1).text == ":":
                 alias = self.next().text
                 self.next()
@@ -503,8 +708,28 @@ class Parser:
 
     # ---- block body ----
     def parse_body(self, b: Block) -> None:
+        self._parse_body_items(b)
+        if b.groupby is not None:
+            for c in b.children:
+                ok = isinstance(c, Attr) and (
+                    c.is_count or c.name in ("min", "max", "sum", "avg"))
+                if not ok:
+                    raise SyntaxError(
+                        "Only aggregator/count functions allowed inside @groupby")
+
+    def _parse_body_items(self, b: Block) -> None:
         self.expect("{")
         while not self.accept("}"):
+            if self.accept(","):
+                # commas are item separators (lex/state itemComma):
+                # `gender,age` parses as two attrs
+                continue
+            if self.peek().text == "." and self.peek(1).text == "." and self.peek(2).text == ".":
+                pos = self.next().pos
+                self.next()
+                self.next()
+                b.children.append(_FragmentRef(self.expect_kind("name").text, pos))
+                continue
             b.children.append(self.parse_body_item())
 
     def parse_body_item(self):
@@ -539,7 +764,9 @@ class Parser:
             reverse = True
             t = self.peek()
 
-        name = self.expect_kind("name").text
+        name_tok = self.expect_kind("name")
+        name = name_tok.text
+        name_end = name_tok.pos + len(name)
 
         # count(pred) / val(v) / math(...) / min|max|sum|avg(val(v)) / expand(...)
         if name == "checkpwd" and self.peek().text == "(":
@@ -604,6 +831,10 @@ class Parser:
             self.next()
             node = self.parse_math_expr()
             self.expect(")")
+            if alias is None and var is None:
+                # dql/parser.go: a bare math() result has no output name
+                raise SyntaxError(
+                    "Function math should be used with a variable or have an alias")
             return Attr(name="math", alias=alias, math=node, var=var)
         if name in ("min", "max", "sum", "avg") and self.peek().text == "(":
             self.next()
@@ -617,12 +848,15 @@ class Parser:
             # min(pred) — aggregate straight over a predicate; only legal
             # inside @groupby (query/groupby.go aggregateChild)
             p = self.expect_kind("name").text
+            langs = self._parse_lang_chain()
             self.expect(")")
-            return Attr(name=name, alias=alias, agg_pred=p, var=var)
+            return Attr(name=name, alias=alias, agg_pred=p, var=var, langs=langs)
         if name == "expand" and self.peek().text == "(":
             self.next()
             arg_t = self.next()
             arg = arg_t.text
+            if arg in ("_forward_", "_reverse_"):
+                raise SyntaxError(f"Argument {arg} has been deprecated")
             if arg == "val":
                 self.expect("(")
                 arg = "val:" + self.expect_kind("name").text
@@ -642,6 +876,7 @@ class Parser:
                     self.expect("(")
                     attr.filter = self.parse_filter_tree()
                     self.expect(")")
+                    _check_type_only(attr.filter)
                 else:
                     self.i = save
             if self.peek().text == "{":
@@ -651,9 +886,10 @@ class Parser:
                 attr.expand_body = blk
             return attr
 
-        # lang tags: name@en:ru:.
+        # lang tags: name@en:ru:. — the '@' must be ADJACENT to the name
+        # (lex: `name@en` is one item; `name @x` is a directive)
         langs: list[str] = []
-        if self.peek().text == "@" and (
+        if self.peek().text == "@" and self.peek().pos == name_end and (
             self.peek(1).kind == "name" or self.peek(1).text in (".", "*")
         ) and self.peek(1).text != "filter":
             save = self.i
@@ -676,6 +912,10 @@ class Parser:
 
         # Does a block follow? (params/directives/body, any order)
         if self.peek().text == "(" or self._block_follows():
+            if self.peek().text == "(" and self.peek(1).text == ")":
+                # `sumvar()` — bare empty call in body position
+                # (dql/parser.go "Expected argument but got ')'")
+                raise SyntaxError("Expected argument but got ')'")
             blk = Block(alias=alias or name, attr=name, reverse=reverse, var=var)
             while True:
                 if self.peek().text == "(":
@@ -692,18 +932,19 @@ class Parser:
         attr = Attr(name=name, alias=alias, langs=langs, var=var)
         attr.name = ("~" + name) if reverse else name
         while self.peek().text == "@":
-            save = self.i
             self.next()
             dname = self.expect_kind("name").text
             if dname == "facets":
                 attr.facets = _merge_facets(attr.facets, self.parse_facets_spec())
             elif dname == "filter":
+                if attr.filter is not None:
+                    raise SyntaxError(
+                        f"Repeated filter at root of the attribute {name}")
                 self.expect("(")
                 attr.filter = self.parse_filter_tree()
                 self.expect(")")
             else:
-                self.i = save
-                break
+                raise SyntaxError(f"Unknown directive [{dname}]")
         return attr
 
     def _block_follows(self) -> bool:
@@ -759,7 +1000,9 @@ class Parser:
 
     def parse_math_mul(self) -> MathNode:
         left = self.parse_math_unary()
-        while self.peek().text in ("*", "/", "%"):
+        # `a dot b` — infix vector dot product (dql/math.go treats dot as
+        # a binary function in operator position)
+        while self.peek().text in ("*", "/", "%") or self.peek().text == "dot":
             op = self.next().text
             right = self.parse_math_unary()
             left = MathNode(op=op, children=[left, right])
@@ -786,6 +1029,8 @@ class Parser:
             name = t.text
             if name in self._MATH_FUNCS and self.peek().text == "(":
                 self.next()
+                if self.peek().text == ")":
+                    raise SyntaxError("Empty () not allowed in math block")
                 node = MathNode(op=name, children=[])
                 while not self.accept(")"):
                     self.accept(",")
@@ -799,6 +1044,120 @@ class Parser:
             # bare name == value variable reference
             return MathNode(var=name)
         raise SyntaxError(f"DQL math parse error at {t.pos}: {t.text!r}")
+
+
+def _math_var_names(node) -> set[str]:
+    out = set()
+    if node is None:
+        return out
+    if node.var:
+        out.add(node.var)
+    for c in node.children:
+        out |= _math_var_names(c)
+    return out
+
+
+def _validate_vars(q: ParsedQuery, allow_unused: bool = False) -> None:
+    """dql/parser.go validate(): every used variable must be defined and
+    every defined variable must be used (shortest-path block vars are
+    implicitly consumed by the `_path_` output). ``allow_unused`` is the
+    upsert path (dql ParseMutation): the mutation block consumes query
+    vars, so only the used-but-undefined direction is enforced."""
+    defined: set[str] = set()
+    exempt: set[str] = set()
+    used: set[str] = set()
+
+    def walk_func(f: FuncCall) -> None:
+        lname = f.name.lower()
+        for a in f.args:
+            if a.is_pred:
+                continue
+            if a.is_val_var or a.is_len:
+                used.add(str(a.value))
+            elif lname in ("uid", "uid_in") and isinstance(a.value, str) \
+                    and not a.value.startswith("0x"):
+                used.add(a.value)
+
+    def walk_tree(t) -> None:
+        if t is None:
+            return
+        if t.op == "func":
+            walk_func(t.func)
+            return
+        for c in t.children:
+            walk_tree(c)
+
+    def walk_block(b: Block) -> None:
+        if b.var:
+            defined.add(b.var)
+            if b.shortest is not None:
+                exempt.add(b.var)
+        if b.func is not None:
+            walk_func(b.func)
+        walk_tree(b.filter)
+        for o in b.order:
+            if o.is_var:
+                used.add(o.key)
+        if b.facets is not None:
+            defined.update(b.facets.vars)
+            walk_tree(b.facets.filter)
+        if b.shortest is not None:
+            for ep in (b.shortest.from_, b.shortest.to):
+                if isinstance(ep, str):
+                    used.add(ep)
+        for c in b.children:
+            if isinstance(c, Block):
+                walk_block(c)
+                continue
+            if c.var:
+                defined.add(c.var)
+            if c.val_var:
+                used.add(c.val_var)
+            if c.math is not None:
+                used.update(_math_var_names(c.math))
+            if c.expand and c.expand.startswith("val:"):
+                used.add(c.expand[4:])
+            if c.facets is not None:
+                defined.update(c.facets.vars)
+                walk_tree(c.facets.filter)
+            walk_tree(c.filter)
+
+    for b in q.blocks:
+        walk_block(b)
+    if used - defined:
+        raise SyntaxError(
+            f"Some variables are used but not defined "
+            f"Defined:{sorted(defined)} Used:{sorted(used)}")
+    if not allow_unused and defined - used - exempt:
+        raise SyntaxError(
+            f"Some variables are defined but not used "
+            f"Defined:{sorted(defined)} Used:{sorted(used)}")
+
+
+def _check_no_vars_in_facet_filter(tree: "FilterTree | None") -> None:
+    """dql/parser.go: 'variables are not allowed in facets filter.'"""
+    if tree is None:
+        return
+    if tree.op == "func":
+        if tree.func.name.lower() in ("uid", "val") or any(
+                a.is_val_var for a in tree.func.args):
+            raise SyntaxError("variables are not allowed in facets filter")
+        return
+    for c in tree.children:
+        _check_no_vars_in_facet_filter(c)
+
+
+def _check_type_only(tree: "FilterTree | None") -> None:
+    """expand(...) @filter(...) may only test type() (query/query.go
+    validateQuery: 'expand is only compatible with type filters')."""
+    if tree is None:
+        return
+    if tree.op == "func":
+        if tree.func.name.lower() != "type":
+            raise SyntaxError("expand is only compatible with type filters")
+        return
+    for c in tree.children:
+        _check_type_only(c)
 
 
 def _merge_facets(a: FacetsSpec | None, b: FacetsSpec) -> FacetsSpec:
@@ -840,8 +1199,11 @@ def _num(s: str):
     return float(s) if ("." in s or "e" in s or "E" in s) else int(s)
 
 
-def parse_dql(src: str, vars: dict | None = None) -> ParsedQuery:
+def parse_dql(src: str, vars: dict | None = None,
+              allow_unused: bool = False) -> ParsedQuery:
     """Parse a DQL read query into the AST (reference: dql.Parse,
     dql/parser.go:615). ``vars`` binds `$name` query variables;
-    header-declared defaults apply when a binding is missing."""
-    return Parser(src, vars).parse()
+    header-declared defaults apply when a binding is missing.
+    ``allow_unused`` is for upsert query blocks whose vars are consumed
+    by the mutation section."""
+    return Parser(src, vars, allow_unused=allow_unused).parse()

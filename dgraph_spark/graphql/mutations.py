@@ -91,7 +91,7 @@ def _matched_uids(graph: Graph, typ: str, filt: dict | None):
     ex = Executor(graph)
     from dgraph_spark.dql.parser import parse_dql
 
-    pq = parse_dql(q)
+    pq = parse_dql(q, allow_unused=True)
     for block in ex._schedule(pq.blocks):
         ex._run_block(block)
     vdf = ex.env.get("v")

@@ -357,7 +357,7 @@ def upsert(
     ex = Executor(graph)
     from dgraph_spark.dql.parser import parse_dql
 
-    pq = parse_dql(query)
+    pq = parse_dql(query, allow_unused=True)
     for block in ex._schedule(pq.blocks):
         ex._run_block(block)
     matched = 0

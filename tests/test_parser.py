@@ -75,7 +75,7 @@ def test_directives():
 
 def test_facets():
     q = parse_dql("""{
-      q(func: type(T)) { friend @facets(weight) @facets(eq(close, true)) @facets(w as weight) { name } }
+      q(func: type(T)) { friend @facets(weight) @facets(eq(close, true)) @facets(w as weight) { s: sum(val(w)) name } }
     }""")
     blk = q.blocks[0].children[0]
     assert ("weight", None) in blk.facets.keys
