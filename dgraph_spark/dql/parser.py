@@ -308,7 +308,16 @@ class Parser:
                 b.offset = int(self._subst(self.next().text))
             elif key == "after":
                 t = self.next()
-                b.after = int(t.text, 0)
+                try:
+                    v = int(t.text, 0)
+                    if v < 0:
+                        raise ValueError
+                except ValueError:
+                    # x/parse.go ParseUint failure text, surfaced verbatim
+                    raise SyntaxError(
+                        f'strconv.ParseUint: parsing "{t.text}": '
+                        "invalid syntax") from None
+                b.after = v
             elif key == "depth":
                 if b.shortest is not None:
                     b.shortest.depth = int(self.next().text)
@@ -412,14 +421,46 @@ class Parser:
             raise SyntaxError(f"Got empty attr for function: [{name}]")
         if lname == "type" and len(f.args) != 1:
             raise SyntaxError("type function only supports one argument")
-        if lname == "similar_to":
+        self._check_func_arity(f, lname)
+        return f
+
+    def _check_func_arity(self, f: FuncCall, lname: str) -> None:
+        """Per-function argument-count rules (worker/task.go
+        ensureArgsCount; parseSrcFn case arms)."""
+
+        def arity_err(expected: int) -> SyntaxError:
+            got = [a.value for a in f.args[1:]]
+            return SyntaxError(
+                f"Function '{lname}' requires {expected} arguments, but "
+                f"got {len(got)} ({got})")
+
+        if lname in ("le", "lt", "ge", "gt"):
+            # ineq takes exactly one comparison value; arrays belong to eq
+            if len(f.args) != 2 or isinstance(f.args[1].value, list):
+                raise arity_err(1)
+        elif lname == "between" and len(f.args) != 3:
+            raise arity_err(2)
+        elif lname == "regexp":
+            # the /re/mods literal contributes (pattern, modifiers) = 2
+            # args; a plain string is only 1 (worker/task.go:2145)
+            if len(f.args) != 2 or not (
+                    isinstance(f.args[1].value, str)
+                    and f.args[1].value.startswith("/")):
+                raise SyntaxError(
+                    f"Function 'regexp' requires 2 arguments, but got "
+                    f"{len(f.args) - 1} ({[a.value for a in f.args[1:]]})")
+        elif lname == "near" and len(f.args) != 3:
+            raise arity_err(2)
+        elif lname in ("within", "contains", "intersects") \
+                and len(f.args) != 2:
+            raise arity_err(1)
+        elif lname == "similar_to":
             for k in f.kwargs:
                 if k not in ("distance_threshold", "ef", "nprobe", "metric"):
                     raise SyntaxError(f"Unknown option {k!r} in similar_to")
             if len(f.args) > 3:
                 # legacy "ef=12,..." string options were removed in v25
                 raise SyntaxError("Expected named parameter in similar_to options")
-        return f
 
     # first-arg-is-a-predicate functions where the attr must be bare;
     # dql/parser.go:2031 exempts uid and type (typFunc) from the rule
@@ -438,6 +479,8 @@ class Parser:
             self.next()
             return Arg(value=_unquote(t.text))
         if t.kind == "regex":
+            # modifier legality (only `i`) is an execution-time check
+            # (worker/task.go:2154) — the reference parser accepts any flags
             self.next()
             return Arg(value=t.text)
         if t.kind == "number":

@@ -504,6 +504,9 @@ def regexp_match(col: Column, pattern: str) -> Column:
     no trigram prefilter + verify pass needed (worker/task.go:1161-1199)."""
     body, _, flags = pattern.rpartition("/")
     body = body.lstrip("/") if body.startswith("/") else body
+    if flags not in ("", "i"):
+        # worker/task.go:2154 — `i` is the only modifier
+        raise ValueError(f"Invalid regexp modifier: {flags}")
     if "i" in flags:
         # (?u) too: Java regex needs UNICODE_CASE for non-ASCII case
         # folding (Go's regexp/syntax folds Unicode by default)

@@ -169,6 +169,7 @@ class Executor:
         self._reset_query_state()
         pq = parse_dql(query, vars) if isinstance(query, str) else query
         for b in pq.blocks:
+            _validate_block_tree(b)
             _propagate_cascade(b)
         self._consumed_vars = set().union(set(), *(_block_needs(b) for b in pq.blocks))
         out: dict[str, list] = {}
@@ -238,6 +239,7 @@ class Executor:
         self._reset_query_state()
         pq = parse_dql(query, vars) if isinstance(query, str) else query
         for b in pq.blocks:
+            _validate_block_tree(b)
             _propagate_cascade(b)
         self._consumed_vars = set().union(set(), *(_block_needs(b) for b in pq.blocks))
         target = None
@@ -268,6 +270,7 @@ class Executor:
         for b in pq.blocks:
             self._rdf_validate(b)
         for b in pq.blocks:
+            _validate_block_tree(b)
             _propagate_cascade(b)
         self._consumed_vars = set().union(
             set(), *(_block_needs(b) for b in pq.blocks))
@@ -700,13 +703,23 @@ class Executor:
             preds = []
             for t in attr.expand.split(","):
                 preds.extend(self.g.schema.type_preds(t.strip()))
-        requested = {a.name for a in level.block.children if isinstance(a, Attr)}
-        requested |= {b.attr for b in level.block.children if isinstance(b, Block)}
+        # an expanded predicate that collides with an explicitly-requested
+        # sibling is an error, not a dedup (query/query.go:2144 isSimilar;
+        # count() siblings are dissimilar and never collide)
+        requested = {a.name for a in level.block.children
+                     if isinstance(a, Attr) and not a.is_count
+                     and not a.expand and a.name != "uid"}
+        requested |= {("~" if b.reverse else "") + b.attr
+                      for b in level.block.children
+                      if isinstance(b, Block) and b.attr}
         body = attr.expand_body
         for p in dict.fromkeys(preds):
             rev = p.startswith("~")
             base = p.lstrip("~")
-            if p in requested or not self.g.has_pred(base):
+            if p in requested:
+                raise ValueError(
+                    f"Repeated subgraph: [{p}] while using expand()")
+            if not self.g.has_pred(base):
                 continue
             if not rev and not self.g.schema.get(base).is_uid:
                 if attr.filter is None:
@@ -872,6 +885,19 @@ class Executor:
             return
         vdf = self._attr_value_df(attr, nodes, level)
         if vdf is not None:
+            if (self.g.schema.strict and not attr.is_count
+                    and attr.math is None and attr.val_var is None
+                    and self.g.schema.has(base)
+                    and self.g.schema.get(base).list
+                    and not self.g.schema.get(base).is_uid
+                    and vdf.groupBy(SUBJECT).count()
+                           .where("count > 1").limit(1).count() > 0):
+                # query/query.go:1640 — per-uid runtime check: a list pred
+                # may back a value var only while every node has <= 1
+                # posting
+                raise ValueError(
+                    "Value variables not supported for predicate with "
+                    "list type.")
             self.env[attr.var] = vdf
             self.var_edges[attr.var] = level.edges
             self.var_level[attr.var] = level
@@ -919,6 +945,13 @@ class Executor:
             def_edges = self.var_edges.get(attr.val_var)
             if vdf is None:
                 return None
+            def_level = self.var_level.get(attr.val_var)
+            if def_level is level and attr.val_var not in self.scalar_vars:
+                # the var is defined by a SIBLING at this very level —
+                # there is no child level to aggregate over
+                # (query/query.go:1099 evalLevelAgg relSG search)
+                raise ValueError(
+                    "Invalid variable aggregation. Check the levels.")
             fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[attr.name]
             inrow = self.var_inrow.get(attr.val_var)
             if (def_edges is not None and SRC in def_edges.columns
@@ -1298,14 +1331,29 @@ class Executor:
             elif f"_a_{o.key}" in out.columns:
                 # order key rides in-row on the edge — no join
                 out = out.withColumn(cname, F.col(f"_a_{o.key}"))
-            elif o.is_var or (o.key in self.env and not self.g.has_pred(o.key)):
+            elif o.is_var or (o.key in self.env and not self.g.has_pred(o.key)
+                              and not self.g.schema.strict):
                 # sorting by a value variable EXCLUDES nodes the var is
-                # not defined for (worker/sort.go sortWithVar semantics)
+                # not defined for (worker/sort.go sortWithVar semantics).
+                # A BARE var name (without val()) is only honored on
+                # permissive graphs — the reference requires `val(v)` and
+                # treats the bare name as an unknown attribute
                 vdf = self.env[o.key].where(F.col(VALUE).isNotNull()).select(
                     F.col(SUBJECT).alias(DST), F.col(VALUE).alias(cname)
                 )
                 out = out.join(vdf, DST, "inner")
             else:
+                if not self.g.has_pred(o.key) and not self.g.schema.has(o.key):
+                    # query/query.go: sort key is neither a variable nor a
+                    # known predicate
+                    raise ValueError(
+                        f"Cannot sort by unknown attribute {o.key}")
+                self.g.schema.validate_sort(o.key)
+                if not self.g.has_pred(o.key):
+                    # declared in schema but no postings: null sort key
+                    out = out.withColumn(cname, F.lit(None).cast("string"))
+                    joined.append(cname)
+                    continue
                 sdf = self.g.scalar(o.key)
                 sdf = self._lang_select(sdf, [o.lang] if o.lang else [])
                 val = F.col(VALUE)
@@ -1410,6 +1458,12 @@ class Executor:
                     spec_of_tag[c.name] = c.facets
 
         expand_mode = any(isinstance(c, Attr) and c.expand for c in block.children)
+        # preds the query EXPLICITLY asks for (captured before expansion
+        # rounds mutate uid_preds): expansion may not repeat any of them
+        # (query/query.go:2144 via recurse.go expandChildren)
+        explicit = {a.name for a in scalar_attrs
+                    if not a.is_count and not a.expand and a.name != "uid"}
+        explicit |= {("~" + b) if r else b for b, r in uid_preds}
 
         def _typed_preds(nodes_df: DataFrame) -> tuple[list[Attr], list[tuple[str, bool]]]:
             """expand(_all_) under @recurse: predicates come from the
@@ -1424,6 +1478,10 @@ class Executor:
             for t in types:
                 for p in self.g.schema.type_preds(t):
                     base = p.lstrip("~")
+                    if p in explicit:
+                        # query/query.go:2144 via recurse.go expandChildren
+                        raise ValueError(
+                            f"Repeated subgraph: [{p}] while using expand()")
                     if p in seen or not self.g.has_pred(base):
                         continue
                     seen.add(p)
@@ -1901,12 +1959,18 @@ class Executor:
                     continue
                 # var defined in another block: collapse with its
                 # defining aggregate (min of per-parent mins == global
-                # min, etc.); plain value vars collapse additively
+                # min, etc.). A var that was NOT aggregate-defined is
+                # rejected (query/query.go:379 ErrWrongAgg)
                 vdf = self.env.get(v)
                 if vdf is None:
                     scalars[v] = None
                     continue
-                fn = _FNS[self.var_agg.get(v, "sum")]
+                agg = self.var_agg.get(v)
+                if agg is None and v not in self.scalar_vars:
+                    raise ValueError(
+                        "Only aggregated variables allowed within empty "
+                        "block.")
+                fn = _FNS[agg or "sum"]
                 scalars[v] = vdf.agg(fn(VALUE).alias("v")).collect()[0]["v"]
             if any(scalars.get(n) is None for n in math_vars(attr.math)):
                 val = None
@@ -2201,6 +2265,12 @@ class Executor:
             # when the node has no password (worker/task.go:581)
             from dgraph_spark.functions.password import checkpwd as _ckp
             pred = attr.agg_pred or "password"
+            ptyp = self.g.schema.get(pred).typ
+            if self.g.schema.strict and ptyp != "password":
+                # worker/task.go checkpwd type gate
+                raise ValueError(
+                    f"checkpwd fn can only be used on attr: [{pred}] with "
+                    f"schema type password. Got type: {ptyp}")
             out = attr.alias or f"checkpwd({pred})"
             if not self.g.has_pred(pred):
                 return nodes.select(SUBJECT, F.lit(False).alias(out)), out, False
@@ -2896,6 +2966,78 @@ def _qc(name: str) -> Column:
     names with '@', '.', '|', '-' (lang tags, dotted preds, facet keys)
     aren't parsed as struct access or arithmetic."""
     return F.col("`" + name + "`")
+
+
+_AGG_NAMES = ("min", "max", "sum", "avg")
+
+
+def _child_unique_key(c) -> str | None:
+    """query/query.go:491 uniqueKey / treeCopy attrsSeen: alias if given,
+    else attr + count/langs/val-var decorations. ``None`` = exempt."""
+    if isinstance(c, Block):
+        if c.attr and c.alias and c.alias != c.attr:
+            return c.alias
+        key = ("~" if c.reverse else "") + (c.attr or c.alias)
+        if c.groupby is not None:
+            key += "groupby"  # query/query.go:524 — @groupby gets its own key
+        return key
+    if c.expand:
+        return None  # expand() duplicates are checked at expansion time
+    if c.alias:
+        return c.alias
+    key = c.name
+    if c.val_var:
+        key = f"val({c.val_var})"
+        if c.name in _AGG_NAMES:
+            key += c.name
+    elif c.math is not None:
+        key = f"val({c.var})"
+    elif c.agg_pred:
+        key = c.agg_pred + c.name
+    if c.is_count:
+        key += "count"
+    if c.langs:
+        key += str(c.langs)
+    return key
+
+
+def _validate_block_tree(b: Block) -> None:
+    """Structural rules the reference enforces at query-build time
+    (query/query.go treeCopy, query/recurse.go, query/shortest.go)."""
+    seen: set[str] = set()
+    for c in b.children:
+        key = _child_unique_key(c)
+        if key is not None:
+            if key in seen:
+                # query/query.go:547
+                raise ValueError(
+                    f"{key} not allowed multiple times in same sub-query.")
+            seen.add(key)
+        if b.shortest is not None:
+            if not isinstance(c, Block) and c.expand:
+                raise ValueError("expand() not allowed inside shortest")
+            if getattr(c, "facets", None) is not None \
+                    and len(c.facets.keys) > 1:
+                # shortest.go:123 — one facet = the edge weight
+                raise ValueError(
+                    f"Expected 1 but got {len(c.facets.keys)} facets")
+        if b.recurse is not None and isinstance(c, Block) and c.children:
+            # query/recurse.go:42
+            raise ValueError(
+                "recurse queries require that all predicates are "
+                "specified in one level")
+    if b.recurse is not None and b.recurse.loop and not b.recurse.depth:
+        # query/recurse.go:150
+        raise ValueError(
+            "Depth must be > 0 when loop is true for recurse query")
+    if b.order and b.facets is not None and b.facets.order:
+        # sorting by a predicate and a facet together is rejected
+        # (dql/parser.go sort-key accounting)
+        raise ValueError(
+            "Cannot sort by both predicate and facets on the same block")
+    for c in b.children:
+        if isinstance(c, Block):
+            _validate_block_tree(c)
 
 
 def _propagate_cascade(b: Block) -> None:

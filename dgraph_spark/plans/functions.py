@@ -323,6 +323,9 @@ class FuncCompiler:
     # ---------------------------------------------------------------- eval
     def _eval(self, f: FuncCall, candidates: DataFrame | None) -> DataFrame:
         name = f.name.lower()
+        # strict-schema index requirements (no-op outside declared-schema
+        # graphs; worker/task.go:1080-1110)
+        self.g.schema.validate_func(name, f.pred, at_root=candidates is None)
         if name in _COMPARE:
             out = self._compare(f, candidates)
         elif name == "between":
@@ -346,7 +349,9 @@ class FuncCompiler:
         elif name in ("anyof", "allof"):
             out = self._custom_search(f)
         else:
-            raise NotImplementedError(f"function {f.name!r} not implemented")
+            # dql/parser.go validateFunction / worker InvalidFn
+            raise NotImplementedError(
+                f"Function name: {f.name} is not valid.")
         if candidates is not None:
             # restrict to candidates: semi join (frontier is usually the
             # smaller side; Catalyst/AQE picks broadcast when it fits)
@@ -595,12 +600,20 @@ class FuncCompiler:
         df, col, unique = self._value_source(pred, None)
         if name == "near":
             pt, dist = lits[0], float(lits[1])
+            if dist <= 0:
+                # types/geofilter.go:129
+                raise ValueError(
+                    "Invalid max distance specified for a near query")
             cond = geo.near(col, float(pt[0]), float(pt[1]), dist)
         elif name == "within":
             cond = geo.within(col, _as_geojson_poly(lits[0]))
         elif name == "contains":
             cond = geo.geo_contains(col, _as_geojson_poly(lits[0]))
         else:
+            if not (isinstance(lits[0], list) and lits[0]
+                    and isinstance(lits[0][0], list)):
+                # types/geofilter.go:201 — intersects needs a (multi)polygon
+                raise ValueError("Require a polygon for intersects query")
             cond = geo.intersects(col, _as_geojson_poly(lits[0]))
         out = df.where(cond).select(SUBJECT)
         return out if unique else out.distinct()
@@ -623,6 +636,12 @@ class FuncCompiler:
         from dgraph_spark.functions.password import checkpwd
 
         pred = f.pred
+        ptyp = self.g.schema.get(pred).typ
+        if self.g.schema.strict and ptyp != "password":
+            # worker/task.go checkpwd type gate, verbatim message
+            raise ValueError(
+                f"checkpwd fn can only be used on attr: [{pred}] with "
+                f"schema type password. Got type: {ptyp}")
         candidate = str(f.literals()[0])
         df, col, unique = self._value_source(pred, None)
         out = df.where(checkpwd(col, candidate)).select(SUBJECT)

@@ -17,6 +17,15 @@ import json
 from dataclasses import dataclass, field
 
 
+# Tokenizer properties, mirroring tok/tok.go IsSortable / IsLossy:
+# exact/int/bigfloat and the datetime granularities sort; float is
+# sortable but lossy; hash/bool are exact (non-lossy) but unsortable;
+# term/fulltext/trigram/ngram/geo are lossy search indexes.
+SORTABLE_TOKENIZERS = {
+    "exact", "int", "float", "bigfloat", "year", "month", "day", "hour",
+}
+NONLOSSY_TOKENIZERS = {"exact", "hash", "int", "bool"}
+
 # Scalar type names mirror types/scalar_types.go:67-80.
 SCALAR_TYPES = {
     "default",
@@ -81,6 +90,12 @@ class SchemaRegistry:
 
     predicates: dict[str, Predicate] = field(default_factory=dict)
     types: dict[str, list[str]] = field(default_factory=dict)
+    # strict = a declared DQL schema (SchemaRegistry.parse): enforce the
+    # reference's index/sortability requirements (worker/task.go:1089,
+    # worker/tokens.go pickTokenizer, worker/sort.go processSort).
+    # Programmatic registries (e.g. the TPC-H warehouse view) stay
+    # permissive: there every parquet column IS the index.
+    strict: bool = False
 
     def add(self, pred: Predicate) -> None:
         self.predicates[pred.name] = pred
@@ -98,6 +113,103 @@ class SchemaRegistry:
 
     def has(self, name: str) -> bool:
         return name in self.predicates
+
+    # ---- strict-mode validation (reference error parity) ----
+    def validate_func(self, fname: str, pred: str | None,
+                      at_root: bool) -> None:
+        """Reject function/index combinations the reference rejects.
+
+        Mirrors worker/task.go:1080-1110 (parseSrcFn + needsIndex) and
+        worker/tokens.go pickTokenizer/verifyStringIndex, including the
+        exact error strings. No-op unless ``strict``.
+        """
+        if not self.strict or pred is None:
+            return
+        p = self.predicates.get(pred.lstrip("~"))
+        if p is None:
+            # undeclared predicate: stays an empty result, like dgraph's
+            # type-default tablet (worker/task.go:1104)
+            return
+        lf = fname.lower()
+        idx = {t.lower() for t in p.indexes}
+        if lf in ("regexp", "match") and p.typ != "string":
+            # worker/task.go:1259
+            raise ValueError(
+                "Got non-string type. Regex match is allowed only on "
+                "string type.")
+        # string-index functions require their tokenizer everywhere, even
+        # under @filter (needsIndex: standardFn/fullTextSearchFn/matchFn
+        # return true unconditionally; verifyStringIndex message)
+        required = None
+        if lf in ("anyofterms", "allofterms"):
+            required = "term"
+        elif lf in ("anyoftext", "alloftext"):
+            required = "fulltext"
+        elif lf == "ngram":
+            required = "ngram"
+        elif lf == "match":
+            required = "trigram"
+        if required is not None and required not in idx:
+            raise ValueError(
+                f"Attribute {pred} is not indexed with type {required}")
+        if lf in ("near", "within", "contains", "intersects") \
+                and "geo" not in idx:
+            raise ValueError(f"Predicate {pred} is not indexed")
+        if not at_root:
+            # compare/regexp filters evaluate by value fetch — no index
+            # needed (worker/task.go:284-289)
+            return
+        if lf == "regexp" and "trigram" not in idx:
+            # worker/task.go:1295-1298
+            raise ValueError(
+                f"Attribute {pred} does not have trigram index for regex "
+                "matching. Please add a trigram index or use has/uid "
+                "function with regexp() as filter.")
+        if lf in ("eq", "le", "lt", "ge", "gt", "between"):
+            if not idx:
+                raise ValueError(f"Predicate {pred} is not indexed")
+            if lf != "eq":
+                # pickTokenizer: ineq needs a sortable tokenizer
+                if not (idx & SORTABLE_TOKENIZERS):
+                    raise ValueError(
+                        f"Attribute:{pred} does not have proper index for "
+                        "comparison")
+                return
+            # eq: pickTokenizer picks first non-lossy, else (strings) first
+            # non-trigram, else tokenizers[0] — then getInequalityTokens
+            # rejects multi-token picks other than term/fulltext
+            # (worker/tokens.go:173-180)
+            ordered = [t.lower() for t in p.indexes]
+            picked = next((t for t in ordered if t in NONLOSSY_TOKENIZERS),
+                          None)
+            if picked is None and p.typ == "string":
+                picked = next((t for t in ordered if t != "trigram"), None)
+            if picked is None:
+                picked = ordered[0]
+            if picked in ("trigram", "ngram"):
+                raise ValueError(
+                    f"Attribute {pred} does not have a valid tokenizer.")
+
+    def validate_sort(self, pred: str) -> None:
+        """Reject sort keys the reference rejects (worker/sort.go
+        processSort list check; both-sort-paths-fail cases). No-op
+        unless ``strict``."""
+        if not self.strict:
+            return
+        p = self.predicates.get(pred)
+        if p is None:
+            return
+        if p.list:
+            # worker/sort.go:517
+            raise ValueError(
+                f"Sorting not supported on attr: {pred} of type: [scalar]")
+        if p.typ == "uid":
+            # sortWithoutIndex: non-scalar; index path has no tokenizer
+            raise ValueError(f"Cannot sort attribute {pred} of type object.")
+        if p.typ == "bool":
+            # bool tokenizer is unsortable AND types/sort.go can't order
+            # bool values, so both sort paths fail
+            raise ValueError(f"Attribute {pred} is not sortable.")
 
     def type_preds(self, type_name: str) -> list[str]:
         return self.types.get(type_name, [])
@@ -124,6 +236,7 @@ class SchemaRegistry:
                     for n, p in self.predicates.items()
                 },
                 "types": self.types,
+                "strict": self.strict,
             },
             indent=1,
         )
@@ -135,6 +248,7 @@ class SchemaRegistry:
         for n, p in raw.get("predicates", {}).items():
             reg.add(Predicate(name=n, indexes=tuple(p.pop("indexes", ())), **p))
         reg.types = {k: list(v) for k, v in raw.get("types", {}).items()}
+        reg.strict = bool(raw.get("strict", False))
         return reg
 
     @classmethod
@@ -147,7 +261,7 @@ class SchemaRegistry:
 
         Grammar follows schema/parse.go (subset: no @noconflict options).
         """
-        reg = cls()
+        reg = cls(strict=True)
         lines = schema_text.splitlines()
         i = 0
         while i < len(lines):

@@ -140,15 +140,18 @@ def test_expand_val_var(spark):
         '<0x1> <name> "Alice" .',
         '<0x1> <city> "Oslo" .',
         '<0x1> <age> "30"^^<int> .',
+        # one posting per node: the reference rejects value vars over
+        # nodes with >1 postings of a list pred (query/query.go:1640) —
+        # multi-pred expand reads DISTINCT values across subjects
         '<0x9> <plist> "name" .',
-        '<0x9> <plist> "city" .',
+        '<0xa> <plist> "city" .',
     ])
     lines = spark.createDataFrame([(l,) for l in nq.splitlines()], "value string")
     g = graph_from_triples(spark, parse_nquads(lines), SchemaRegistry.parse(
         "name: string .\ncity: string .\nage: int .\nplist: [string] ."))
     r = Executor(g).execute('''
     {
-      var(func: uid(0x9)) { p as plist }
+      var(func: uid(0x9, 0xa)) { p as plist }
       q(func: uid(0x1)) { expand(val(p)) }
     }''')
     node = r["q"][0]

@@ -127,6 +127,25 @@ def test_golden_rdf_cases(golden_ex):
     assert not failures, f"{len(failures)} rdf regressions: {failures}"
 
 
+def test_golden_error_cases(golden_ex):
+    """Negative golden suite (tools/golden_extract_errors.py): 52
+    must-error queries from query/query[0-4]_test.go. Each must raise;
+    when the reference test pins a message substring, ours must carry
+    it too."""
+    cases = _load("cases_errors.json")
+    assert len(cases) >= 50
+    failures = []
+    for c in cases:
+        try:
+            golden_ex().execute(c["query"])
+            failures.append((c["name"], "no error raised"))
+        except Exception as e:  # noqa: BLE001 — collected into the report
+            want = c.get("error_contains")
+            if want and want.lower() not in str(e).lower():
+                failures.append((c["name"], f"want {want!r} got {str(e)[:90]!r}"))
+    assert not failures, f"{len(failures)} error-case regressions: {failures}"
+
+
 def test_golden_sweep_tallies():
     """The committed full-sweep result may only improve."""
     status = _load("status.json")

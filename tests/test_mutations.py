@@ -8,7 +8,8 @@ from dgraph_spark.mutations import delete_nquads, set_nquads, upsert
 from dgraph_spark.schema import SchemaRegistry
 from dgraph_spark.sources.rdf import graph_from_triples, parse_nquads
 
-SCHEMA = "name: string .\nage: int .\nfriend: [uid] .\nemail: string @upsert ."
+SCHEMA = ("name: string @index(hash) .\nage: int @index(int) .\n"
+          "friend: [uid] .\nemail: string @index(hash) @upsert .")
 
 
 def _graph(spark, nq: str) -> Graph:

@@ -24,7 +24,7 @@ _:new <name> "Carol" .
 """
 
 SCHEMA = """
-name: string @lang .
+name: string @index(hash) @lang .
 age: int .
 friend: [uid] @reverse .
 """
