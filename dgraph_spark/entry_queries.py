@@ -704,6 +704,24 @@ LIMIT 10
 """
 
 
+def q_similar_to_uid(spark, sf_dir):
+    """similar_to(pred, k, "0xuid") — the query vector is another NODE's
+    vector (worker/task.go:2211 interpretVFloatOrUid; hnsw SearchWithUid).
+    The query node itself ranks first at distance 0 (index.AcceptAll)."""
+    from dgraph_spark.sources.tpch_graph import uid_of
+
+    return _flat(spark, sf_dir, f'''
+    {{ q(func: similar_to(embedding, 10, "{hex(uid_of("embeddings", 7))}")) {{ label }} }}''')
+
+
+SQL_similar_to_uid = """
+SELECT label FROM embeddings
+ORDER BY list_distance(embedding,
+  (SELECT embedding FROM embeddings WHERE vec_id = 7)) ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 def q_chain_region_revenue(spark, sf_dir):
     """3-level traversal chain (region -> nations -> customers -> orders),
     the join-heavy TPC-H Q5 shape."""
@@ -1580,6 +1598,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_dedup_embedding_cosine),
     "text_stats": (q_text_stats, _text_stats_sql()),
     "similar_to_dql": (q_similar_to_dql, SQL_similar_to_dql),
+    "similar_to_uid": (q_similar_to_uid, SQL_similar_to_uid),
     "chain_region_revenue": (q_chain_region_revenue, SQL_chain_region_revenue),
     "order_by_val": (q_order_by_val, SQL_order_by_val),
     "facet_output": (q_facet_output, SQL_facet_output),

@@ -570,7 +570,21 @@ class FuncCompiler:
                 raise ValueError("similar_to expects a vector literal [..]")
             vec = lits[1]
         if not isinstance(vec, list):
-            raise ValueError("similar_to expects a vector literal [..]")
+            # similar_to(pred, k, "0x1"): a uid in vector position searches
+            # near THAT node's own vector; a node with no vector posting
+            # yields an empty result, and the query node itself may appear
+            # in the k results (worker/task.go:2211 interpretVFloatOrUid,
+            # tok/hnsw SearchWithUid + index.AcceptAll)
+            try:
+                uid = int(vec, 0) if isinstance(vec, str) else int(vec)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"Value {vec!r} is not a uid or vector") from None
+            src, scol, _u = self._value_source(pred, None)
+            row = src.where(F.col(SUBJECT) == uid).select(scol).limit(1).collect()
+            if not row:
+                return self._empty_uids()
+            vec = list(row[0][0])
         metric = "euclidean"
         for idx in self.g.schema.get(pred).indexes:
             if idx.startswith("hnsw") and "cosine" in idx:

@@ -155,6 +155,9 @@ class SchemaRegistry:
         if lf in ("near", "within", "contains", "intersects") \
                 and "geo" not in idx:
             raise ValueError(f"Predicate {pred} is not indexed")
+        if lf == "similar_to" and not any(t.startswith("hnsw") for t in idx):
+            # needsIndex(similarToFn) — worker/task.go:1089
+            raise ValueError(f"Predicate {pred} is not indexed")
         if not at_root:
             # compare/regexp filters evaluate by value fetch — no index
             # needed (worker/task.go:284-289)

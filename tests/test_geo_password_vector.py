@@ -91,6 +91,21 @@ def test_similar_to_dql(geo_graph):
     assert len(uids) == 2
 
 
+def test_similar_to_uid_arg(geo_graph):
+    """similar_to(pred, k, "0x2"): the query vector is node 0x2's own
+    vector; the query node ranks first at distance 0
+    (worker/task.go:2211 interpretVFloatOrUid; index.AcceptAll keeps
+    self). A uid with no vector posting yields empty, not an error
+    (tok/hnsw SearchWithUid errFetchingPostingList path)."""
+    r = Executor(geo_graph).execute(
+        '{ q(func: similar_to(vec, 2, "0x2")) { uid } }')
+    uids = [n["uid"] for n in r["q"]]
+    assert uids[0] == "0x2" and len(uids) == 2
+    r2 = Executor(geo_graph).execute(
+        '{ q(func: similar_to(vec, 2, "0xdead")) { uid } }')
+    assert r2.get("q", []) == []
+
+
 def test_intersects_crossing_polygons(spark):
     """Cross-shaped overlap: every vertex of each polygon is OUTSIDE the
     other, so vertex-containment alone says false — only the segment
