@@ -500,7 +500,19 @@ class Parser:
             self.next()
             name = t.text
             if name.startswith("$"):
-                return Arg(value=self._subst(name))
+                bound = self._subst(name)
+                if f.name.lower() == "uid" and isinstance(bound, str):
+                    # GraphQL var in uid(): "1", "0x1", or a list string
+                    # "[1, 31]" (dql/parser.go parseID) — expand to uid
+                    # literal args
+                    toks = [t.strip() for t in
+                            bound.strip().lstrip("[").rstrip("]").split(",")
+                            if t.strip()]
+                    try:
+                        return [Arg(value=int(t, 0)) for t in toks]
+                    except ValueError:
+                        pass
+                return Arg(value=bound)
             if name in ("true", "false"):
                 return Arg(value=(name == "true"))
             if name == "val" and self.peek().text == "(":

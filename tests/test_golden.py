@@ -146,6 +146,24 @@ def test_golden_error_cases(golden_ex):
     assert not failures, f"{len(failures)} error-case regressions: {failures}"
 
 
+def test_golden_vars_cases(golden_ex):
+    """GraphQL-style query-variable cases (processQueryWithVars):
+    header-declared defaults, int bindings, and uid-list string bindings
+    ("[1, 31]" in uid($a), dql/parser.go parseID)."""
+    cases = _load("cases_vars.json")
+    assert len(cases) >= 2
+    failures = []
+    for c in cases:
+        try:
+            got = golden_ex().execute(c["query"], vars=c["vars"])
+        except Exception as e:  # noqa: BLE001 — collected into the report
+            failures.append((c["name"], f"{type(e).__name__}: {e}"))
+            continue
+        if got != c["expected"]:
+            failures.append((c["name"], "diff"))
+    assert not failures, f"vars-case regressions: {failures}"
+
+
 def test_golden_sweep_tallies():
     """The committed full-sweep result may only improve."""
     status = _load("status.json")
