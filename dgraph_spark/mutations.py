@@ -35,6 +35,31 @@ def _triples_from_nquads(graph: Graph, nquads: str) -> DataFrame:
     return parse_nquads(lines)
 
 
+# predicates whose VALUES only dgraph's graphql admin may write
+# (x/keys.go:796 otherReservedPredicate)
+_GRAPHQL_RESERVED = {
+    "dgraph.graphql.xid", "dgraph.graphql.schema", "dgraph.drop.op",
+    "dgraph.graphql.p_query", "dgraph.namespace.id", "dgraph.namespace.name",
+}
+
+
+def _guard_reserved_preds(graph: Graph, pred_names: list[str]) -> None:
+    """Reserved-namespace mutation guard (edgraph/server.go
+    newReservedPredicateGuard; worker/proposal.go:177)."""
+    for name in pred_names:
+        if name in _GRAPHQL_RESERVED:
+            raise ValueError(
+                f"Cannot mutate graphql reserved predicate {name}")
+        if (name.startswith("dgraph.") and name != "dgraph.type"
+                and not graph.schema.has(name)):
+            # pre-defined predicates (dgraph.type, ACL preds — which carry
+            # initial schema and thus pass schema.has) stay writable
+            raise ValueError(
+                f"Can't store predicate `{name}` as it is prefixed with "
+                "`dgraph.` which is reserved as the namespace for dgraph's "
+                "internal types/predicates.")
+
+
 def set_triples(graph: Graph, triples: DataFrame) -> Graph:
     """Apply set-mutations (long-format triples DF as from parse_nquads).
     Returns a new Graph.
@@ -52,6 +77,7 @@ def set_triples(graph: Graph, triples: DataFrame) -> Graph:
 
     g = graph
     pred_names = [r["predicate"] for r in triples.select("predicate").distinct().collect()]
+    _guard_reserved_preds(g, pred_names)
     for name in pred_names:
         if not g.has_pred(name) and not g.schema.has(name):
             # new predicate: infer uid-ness from the rows (first write

@@ -254,6 +254,31 @@ class SchemaRegistry:
         reg.strict = bool(raw.get("strict", False))
         return reg
 
+    def alter(self, schema_text: str) -> "SchemaRegistry":
+        """Apply a user schema alter in place (edgraph/server.go Alter):
+        user-defined names under the ``dgraph.`` namespace are rejected
+        with the reference's exact messages."""
+        frag = SchemaRegistry.parse(schema_text)
+        for t in frag.types:
+            if t.startswith("dgraph."):
+                raise ValueError(
+                    f"Can't alter type `{t}` as it is prefixed with "
+                    "`dgraph.` which is reserved as the namespace for "
+                    "dgraph's internal types/predicates.")
+        names = set(frag.predicates)
+        names.update(p for preds in frag.types.values() for p in preds)
+        for n in sorted(names):
+            if n.startswith("dgraph.") and n != "dgraph.type":
+                raise ValueError(
+                    f"Can't alter predicate `{n}` as it is prefixed with "
+                    "`dgraph.` which is reserved as the namespace for "
+                    "dgraph's internal types/predicates.")
+        for p in frag.predicates.values():
+            self.add(p)
+        for t, preds in frag.types.items():
+            self.define_type(t, preds)
+        return self
+
     @classmethod
     def parse(cls, schema_text: str) -> "SchemaRegistry":
         """Parse dgraph schema lines, e.g.::

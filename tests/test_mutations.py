@@ -183,3 +183,27 @@ def test_set_preserves_facets_and_lang(spark):
     assert fr[3]["weight"] == "2"
     names = {r["lang"]: r["value"] for r in g2.pred("name").collect()}
     assert names == {"en": "Annie", "fr": "Anne"}  # per-lang overwrite
+
+
+def test_reserved_predicate_mutation_rejected(spark):
+    """Reserved-namespace guard (query/mutation_test.go:24-65;
+    edgraph/server.go newReservedPredicateGuard, worker/proposal.go:177):
+    graphql-reserved values are never user-writable, other dgraph.*
+    predicates only when pre-defined (dgraph.type), and schema alters
+    may not name anything under dgraph.*."""
+    import pytest
+
+    g = _graph(spark, '<0x1> <name> "Ann" .')
+    with pytest.raises(ValueError, match="graphql reserved predicate"):
+        set_nquads(g, '<0x1> <dgraph.graphql.schema> "df" .')
+    with pytest.raises(ValueError, match="reserved as the namespace"):
+        set_nquads(g, '<0x1> <dgraph.blah> "x" .')
+    # dgraph.type is pre-defined and stays writable
+    g2 = set_nquads(g, '<0x1> <dgraph.type> "Person" .')
+    assert g2.pred("dgraph.type").where(F.col("subject") == 1).count() == 1
+    with pytest.raises(ValueError, match=r"Can't alter type `dgraph.Person`"):
+        g.schema.alter("type dgraph.Person { name }")
+    with pytest.raises(ValueError, match=r"Can't alter predicate `dgraph.name`"):
+        g.schema.alter("dgraph.name: string .")
+    g.schema.alter("nickname: string @index(term) .")
+    assert g.schema.get("nickname").indexes == ("term",)
