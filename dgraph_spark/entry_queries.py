@@ -1318,6 +1318,35 @@ WHERE bal >= 88888 OR com IS NULL
 """
 
 
+def q_json_mutation_roundtrip(spark, sf_dir):
+    """SetJson mutation document -> query (chunker/json_parser.go
+    mapToNquads; api.Mutation.SetJson): a nested doc adds one supplier
+    node with an in_nation edge carrying a facet; the query reads the
+    mutated graph through the same traversal path as loaded data."""
+    from dgraph_spark.mutations import set_json
+
+    g = _g(spark, sf_dir)
+    g2 = set_json(g, {
+        "uid": "_:s", "s_name": "Supplier#JSON1", "s_acctbal": 4242.5,
+        "dgraph.type": "Supplier",
+        "in_nation": {"uid": hex(uid_of("nation", 3)),
+                      "in_nation|since": 2024},
+    })
+    return Executor(g2).execute_flat('''
+    { q(func: eq(n_name, "NATION_3")) {
+        sups: ~in_nation @filter(ge(s_acctbal, 4242)) { s_name s_acctbal }
+    } }''').select("s_name", "s_acctbal")
+
+
+SQL_json_mutation_roundtrip = """
+SELECT s_name, s_acctbal FROM (
+  SELECT s.s_name, s.s_acctbal, s.s_nationkey FROM supplier s
+  UNION ALL SELECT 'Supplier#JSON1', 4242.5, 3
+) s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3' AND s.s_acctbal >= 4242
+"""
+
+
 def q_export_roundtrip(spark, sf_dir):
     """export RDF -> re-parse -> per-predicate counts (worker/export.go
     + chunker/rdf_parser.go round trip). A lossless bijection check:
@@ -1636,6 +1665,7 @@ QUERIES: dict[str, tuple] = {
     "json_load_roundtrip": (q_json_load_roundtrip, SQL_json_load_roundtrip),
     "backup_restore": (q_backup_restore, SQL_backup_restore),
     "mutation_roundtrip": (q_mutation_roundtrip, SQL_mutation_roundtrip),
+    "json_mutation_roundtrip": (q_json_mutation_roundtrip, SQL_json_mutation_roundtrip),
     "export_roundtrip": (q_export_roundtrip, SQL_export_roundtrip),
     "graphql_query": (q_graphql_query, SQL_graphql_query),
 }

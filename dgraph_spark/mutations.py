@@ -132,6 +132,146 @@ def set_nquads(graph: Graph, nquads: str) -> Graph:
     return set_triples(graph, _triples_from_nquads(graph, nquads))
 
 
+# ---------------------------------------------------------------- JSON
+def json_to_nquads(doc, op: str = "set") -> str:
+    """JSON mutation document -> N-Quad text (chunker/json_parser.go
+    mapToNquads): nested objects become edges to child nodes, `uid`
+    pins identity ("0x..", int, "_:blank", "uid(v)"), "pred@lang" keys
+    carry language, "pred|facet" keys carry facets (scalar form for
+    single values and edges-from-inside-the-child, {"idx": v} map form
+    for scalar lists), geojson objects collapse to geo literals, and —
+    with ``op="delete"`` — null values emit S P * wildcard deletes."""
+    import json as _json
+
+    if isinstance(doc, (str, bytes)):
+        doc = _json.loads(doc)
+    lines: list[str] = []
+    counter = [0]
+
+    def _blank() -> str:
+        counter[0] += 1
+        return f"_:j{counter[0]}"
+
+    def _id_tok(u) -> str:
+        if isinstance(u, bool):
+            raise ValueError(f"Unexpected uid value: {u!r}")
+        if isinstance(u, int):
+            return f"<{hex(u)}>"
+        s = str(u).strip()
+        if s.startswith("_:") or s.startswith("uid("):
+            return s
+        int(s, 0)  # "0x.." / decimal — raises on anything else
+        return f"<{s}>"
+
+    def _esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace('"', '\\"')
+
+    def _lit(v) -> str:
+        if isinstance(v, bool):
+            return f'"{str(v).lower()}"^^<bool>'
+        if isinstance(v, int):
+            return f'"{v}"^^<int>'
+        if isinstance(v, float):
+            return f'"{v}"^^<float>'
+        return f'"{_esc(str(v))}"'
+
+    def _facet_str(fts: dict) -> str:
+        if not fts:
+            return ""
+        parts = []
+        for k, v in fts.items():
+            if isinstance(v, bool):
+                parts.append(f"{k}={str(v).lower()}")
+            elif isinstance(v, (int, float)):
+                parts.append(f"{k}={v}")
+            else:
+                parts.append(f"{k}={v}")
+        return " (" + ", ".join(parts) + ")"
+
+    def _is_geo(v: dict) -> bool:
+        return set(v) == {"type", "coordinates"} and isinstance(
+            v.get("type"), str)
+
+    def walk(obj: dict, parent_pred: str | None) -> tuple[str, dict]:
+        raw_facets = {k: v for k, v in obj.items() if "|" in k}
+        uid_val = obj.get("uid")
+        if uid_val is None:
+            if op == "delete":
+                raise ValueError(
+                    "UID must be present and non-zero while deleting edges.")
+            subj = _blank()
+        else:
+            subj = _id_tok(uid_val)
+        for pred, v in obj.items():
+            if pred in ("uid", "namespace") or "|" in pred:
+                continue
+            # "name@en" splits into predicate + lang (x.PredicateLang) —
+            # JSON mutations have no other way to carry language
+            pred, _, lang = pred.partition("@")
+            lang = f"@{lang}" if lang else ""
+            if v is None:
+                if op == "delete":
+                    lines.append(f"{subj} <{pred}> * .")
+                continue
+            scalar_fts = {
+                k.split("|", 1)[1]: fv for k, fv in raw_facets.items()
+                if k.split("|", 1)[0] == pred and not isinstance(fv, dict)}
+            if isinstance(v, dict) and not _is_geo(v):
+                if not v:
+                    continue
+                child, edge_fts = walk(v, pred)
+                lines.append(
+                    f"{subj} <{pred}> {child}"
+                    f"{_facet_str({**scalar_fts, **edge_fts})} .")
+            elif isinstance(v, list):
+                # {"idx": val} facet maps align to scalar list positions
+                idx_fts = {
+                    k.split("|", 1)[1]: fv for k, fv in raw_facets.items()
+                    if k.split("|", 1)[0] == pred and isinstance(fv, dict)}
+                for i, item in enumerate(v):
+                    if isinstance(item, dict) and not _is_geo(item):
+                        child, edge_fts = walk(item, pred)
+                        lines.append(f"{subj} <{pred}> {child}"
+                                     f"{_facet_str(edge_fts)} .")
+                    else:
+                        if isinstance(item, dict):
+                            item = _json.dumps(item)
+                        fts = {fk: fm[str(i)] for fk, fm in idx_fts.items()
+                               if str(i) in fm}
+                        lines.append(f"{subj} <{pred}> {_lit(item)}"
+                                     f"{_facet_str(fts)} .")
+            else:
+                if isinstance(v, dict):  # geojson
+                    v = _json.dumps(v)
+                lines.append(
+                    f"{subj} <{pred}> {_lit(v)}{lang}"
+                    f"{_facet_str(scalar_fts)} .")
+        edge_fts = {}
+        if parent_pred is not None:
+            edge_fts = {
+                k.split("|", 1)[1]: fv for k, fv in raw_facets.items()
+                if k.split("|", 1)[0] == parent_pred
+                and not isinstance(fv, dict)}
+        return subj, edge_fts
+
+    for o in doc if isinstance(doc, list) else [doc]:
+        walk(o, None)
+    return "\n".join(lines)
+
+
+def set_json(graph: Graph, doc) -> Graph:
+    """SetJson mutation (api.Mutation.SetJson; chunker ParseJSON with
+    SetNquads): JSON documents -> triples -> the same posting-replace
+    path as set_nquads."""
+    return set_nquads(graph, json_to_nquads(doc, op="set"))
+
+
+def delete_json(graph: Graph, doc) -> Graph:
+    """DeleteJson mutation: null values delete all postings of
+    (uid, pred); concrete values/edges delete those postings only."""
+    return delete_nquads(graph, json_to_nquads(doc, op="delete"))
+
+
 def delete_triples(graph: Graph, triples: DataFrame) -> Graph:
     """Apply delete-mutations. A row with NULL object_uid AND NULL
     value_str (parsed from `* `) deletes every value of (subject, pred).

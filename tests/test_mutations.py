@@ -9,7 +9,8 @@ from dgraph_spark.schema import SchemaRegistry
 from dgraph_spark.sources.rdf import graph_from_triples, parse_nquads
 
 SCHEMA = ("name: string @index(hash) .\nage: int @index(int) .\n"
-          "friend: [uid] .\nemail: string @index(hash) @upsert .")
+          "friend: [uid] .\nemail: string @index(hash) @upsert .\n"
+          "nick: string @lang .")
 
 
 def _graph(spark, nq: str) -> Graph:
@@ -207,3 +208,52 @@ def test_reserved_predicate_mutation_rejected(spark):
         g.schema.alter("dgraph.name: string .")
     g.schema.alter("nickname: string @index(term) .")
     assert g.schema.get("nickname").indexes == ("term",)
+
+
+def test_set_json_mutation(spark):
+    """SetJson (chunker/json_parser.go mapToNquads): nested objects make
+    edges, facet keys inside the child bind to the incoming edge
+    (query/mutation-and-queries TestFacetJsonInputSupportsAnyOfTerms
+    shape), "pred|f" sibling keys facet scalars, list facets use index
+    maps, pred@lang keys carry language."""
+    from dgraph_spark.mutations import delete_json, set_json
+    from dgraph_spark.plans import Executor
+
+    g = _graph(spark, '<0x1> <name> "Seed" .')
+    g2 = set_json(g, {
+        "uid": "_:a",
+        "name": "Ann",
+        "name|origin": "census",
+        "nick@en": "Annie",
+        "scores": [7, 9],
+        "scores|src": {"0": "unit", "1": "final"},
+        "access.to": {
+            "uid": "0x7",
+            "name": "Doc7",
+            "access.to|permission": "WRITE",
+            "access.to|inherit": False,
+        },
+    })
+    # edge facets landed on the access.to edge
+    edge = g2.pred("access.to").collect()
+    assert len(edge) == 1 and edge[0]["object"] == 7
+    assert edge[0]["facets"]["permission"] == "WRITE"
+    assert edge[0]["facets"]["inherit"] == "false"
+    # facet filter over the JSON-ingested edge, reference query shape
+    r = Executor(g2).execute(
+        '{ q(func: has(access.to)) { access.to '
+        '@facets(anyofterms(permission, "READ WRITE")) { name } } }')
+    assert r["q"][0]["access.to"]["name"] == "Doc7"
+    # scalar + list facets, lang key
+    rows = {r["value"]: r for r in g2.pred("scores").collect()}
+    assert rows["7"]["facets"]["src"] == "unit"
+    assert rows["9"]["facets"]["src"] == "final"
+    nick = g2.pred("nick").collect()[0]
+    assert nick["lang"] == "en" and nick["value"] == "Annie"
+    # delete_json: null wipes the pred, concrete edge removes one posting
+    uid_a = [r["subject"] for r in g2.pred("name").collect()
+             if r["value"] == "Ann"][0]
+    g3 = delete_json(g2, {"uid": hex(uid_a), "scores": None})
+    assert g3.pred("scores").count() == 0
+    g4 = delete_json(g2, {"uid": hex(uid_a), "access.to": {"uid": "0x7"}})
+    assert g4.pred("access.to").count() == 0
