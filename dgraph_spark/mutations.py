@@ -78,6 +78,17 @@ def set_triples(graph: Graph, triples: DataFrame) -> Graph:
     g = graph
     pred_names = [r["predicate"] for r in triples.select("predicate").distinct().collect()]
     _guard_reserved_preds(g, pred_names)
+    if g.schema.strict and "lang" in triples.columns:
+        # lang-tagged values need @lang in the schema
+        # (edgraph ValidateAndConvert: "should have @lang directive")
+        for name in pred_names:
+            if (g.schema.has(name) and not g.schema.get(name).lang
+                    and triples.where((F.col("predicate") == name)
+                                      & F.col("lang").isNotNull())
+                              .limit(1).count() > 0):
+                raise ValueError(
+                    f"Attr: [{name}] should have @lang directive in schema "
+                    "to use @lang")
     for name in pred_names:
         if not g.has_pred(name) and not g.schema.has(name):
             # new predicate: infer uid-ness from the rows (first write

@@ -257,3 +257,15 @@ def test_set_json_mutation(spark):
     assert g3.pred("scores").count() == 0
     g4 = delete_json(g2, {"uid": hex(uid_a), "access.to": {"uid": "0x7"}})
     assert g4.pred("access.to").count() == 0
+
+
+def test_lang_requires_directive(spark):
+    """Lang-tagged mutation values need @lang in the schema
+    (edgraph ValidateAndConvert)."""
+    import pytest
+
+    g = _graph(spark, '<0x1> <name> "Ann" .')
+    with pytest.raises(ValueError, match="should have @lang directive"):
+        set_nquads(g, '<0x1> <name> "Anne"@fr .')
+    g2 = set_nquads(g, '<0x1> <nick> "Annie"@en .')  # nick declares @lang
+    assert g2.pred("nick").collect()[0]["lang"] == "en"
