@@ -167,12 +167,16 @@ def json_to_nquads(doc, op: str = "set") -> str:
         if isinstance(u, bool):
             raise ValueError(f"Unexpected uid value: {u!r}")
         if isinstance(u, int):
-            return f"<{hex(u)}>"
-        s = str(u).strip()
-        if s.startswith("_:") or s.startswith("uid("):
-            return s
-        int(s, 0)  # "0x.." / decimal — raises on anything else
-        return f"<{s}>"
+            n = u
+        else:
+            s = str(u).strip()
+            if s.startswith("_:") or s.startswith("uid("):
+                return s
+            n = int(s, 0)  # "0x.." / decimal — raises on anything else
+        if not 0 < n < 1 << 64:
+            # strconv.ParseUint(_, 0, 64) range/sign failure
+            raise ValueError(f"Unable to parse uid: {u!r} out of range")
+        return f"<{hex(n)}>"
 
     def _esc(s: str) -> str:
         return s.replace("\\", "\\\\").replace('"', '\\"')
@@ -206,6 +210,8 @@ def json_to_nquads(doc, op: str = "set") -> str:
     def walk(obj: dict, parent_pred: str | None) -> tuple[str, dict]:
         raw_facets = {k: v for k, v in obj.items() if "|" in k}
         uid_val = obj.get("uid")
+        if uid_val == "":  # empty string == absent (mapToNquads)
+            uid_val = None
         if uid_val is None:
             if op == "delete":
                 raise ValueError(
@@ -222,7 +228,9 @@ def json_to_nquads(doc, op: str = "set") -> str:
             lang = f"@{lang}" if lang else ""
             if v is None:
                 if op == "delete":
-                    lines.append(f"{subj} <{pred}> * .")
+                    # lang-tagged key deletes only that language's posting
+                    # (TestNquadsFromJsonDeleteStarLang)
+                    lines.append(f'{subj} <{pred}> "*"{lang} .')
                 continue
             scalar_fts = {
                 k.split("|", 1)[1]: fv for k, fv in raw_facets.items()
@@ -254,6 +262,13 @@ def json_to_nquads(doc, op: str = "set") -> str:
             else:
                 if isinstance(v, dict):  # geojson
                     v = _json.dumps(v)
+                if isinstance(v, str) and _re.match(
+                        r"^(uid|val)\([A-Za-z0-9_.]+\)$", v.strip()):
+                    # upsert template refs pass through unquoted
+                    # (TestValInUpsert: ObjectId = "val(name)")
+                    lines.append(f"{subj} <{pred}> {v.strip()}"
+                                 f"{_facet_str(scalar_fts)} .")
+                    continue
                 lines.append(
                     f"{subj} <{pred}> {_lit(v)}{lang}"
                     f"{_facet_str(scalar_fts)} .")
@@ -296,6 +311,14 @@ def delete_triples(graph: Graph, triples: DataFrame) -> Graph:
         meta = g.schema.get(name)
         old = g.pred(name)
         wipe = rows.where(F.col("object_uid").isNull() & (F.coalesce(F.col("value_str"), F.lit("*")) == "*"))
+        if "lang" in rows.columns and "lang" in old.columns:
+            # `<s> <p> "*"@es .` wipes only the es posting
+            # (chunker DeleteNquads lang form); untagged star wipes all
+            wipe_lang = wipe.where(F.col("lang").isNotNull())
+            old = old.join(
+                wipe_lang.select(SUBJECT, "lang"), [SUBJECT, "lang"],
+                "left_anti")
+            wipe = wipe.where(F.col("lang").isNull())
         old = old.join(wipe.select(SUBJECT), SUBJECT, "left_anti")
         if meta.is_uid:
             spec = rows.where(F.col("object_uid").isNotNull()).select(

@@ -269,3 +269,40 @@ def test_lang_requires_directive(spark):
         set_nquads(g, '<0x1> <name> "Anne"@fr .')
     g2 = set_nquads(g, '<0x1> <nick> "Annie"@en .')  # nick declares @lang
     assert g2.pred("nick").collect()[0]["lang"] == "en"
+
+
+def test_json_nquads_edge_cases(spark):
+    """chunker/json_parser_test.go ports: uid range/sign/empty handling,
+    val()/uid() template refs, lang-scoped delete-star."""
+    import pytest
+
+    from dgraph_spark.mutations import delete_json, json_to_nquads
+
+    # out-of-range / negative uids error (strconv.ParseUint(_, 0, 64))
+    with pytest.raises(ValueError):
+        json_to_nquads({"uid": "0xa14222b693e4ba34123", "name": "N"})
+    with pytest.raises(ValueError):
+        json_to_nquads({"uid": "-100", "name": "N"})
+    # empty uid string == absent -> blank node (TestNquadsFromJson_EmptyUid)
+    out = json_to_nquads({"uid": "", "name": "Alice"})
+    assert out.startswith("_:")
+    # val()/uid() refs pass through unquoted (TestValInUpsert)
+    assert json_to_nquads({"uid": 1000, "name": "val(name)"}) \
+        == "<0x3e8> <name> val(name) ."
+    assert json_to_nquads({"uid": "uid(Project10)",
+                           "row": {"uid": "uid(x)"}}) \
+        == "uid(Project10) <row> uid(x) ."
+    # delete: null deletes all (TestNquadsDeleteEdges), @lang only that
+    # language's posting (TestNquadsFromJsonDeleteStarLang)
+    assert json_to_nquads({"uid": 1000, "name": None}, op="delete") \
+        == '<0x3e8> <name> "*" .'
+    assert json_to_nquads({"uid": 1000, "name@es": None}, op="delete") \
+        == '<0x3e8> <name> "*"@es .'
+    g = _graph(spark, "<0x1> <friend> <0x2> .")
+    from dgraph_spark.mutations import set_nquads as _set
+    g = _set(g, '<0x1> <nick> "Annie"@en .\n<0x1> <nick> "Ana"@es .')
+    g2 = delete_json(g, {"uid": "0x1", "nick@es": None})
+    langs = {r["lang"] for r in g2.pred("nick").collect()}
+    assert langs == {"en"}
+    g3 = delete_json(g, {"uid": "0x1", "nick": None})
+    assert g3.pred("nick").count() == 0
