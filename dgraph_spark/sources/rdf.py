@@ -165,6 +165,15 @@ def graph_from_triples(
                     (off != "") & ~off.isin("+00:00", "-00:00"), F.col("value_str")
                 ).alias("vraw")
                 cols = [F.col(SUBJECT), value, vraw]
+            elif meta.typ == "float32vector":
+                # vectors arrive as "[1.1, 2.2]" strings (chunker JSON /
+                # RDF ^^<float32vector>); ""/"[]" create NO posting
+                # (json_parser_test.go TestNquadsJsonEmptyStringVectorPred)
+                rows = rows.where(
+                    F.trim(F.col("value_str")).rlike(r"\[\s*[^\s\]]"))
+                value = F.from_json(
+                    F.col("value_str"), "array<float>").alias(VALUE)
+                cols = [F.col(SUBJECT), value]
             else:
                 value = F.col("value_str").cast(_CAST.get(meta.typ, "string")).alias(VALUE)
                 cols = [F.col(SUBJECT), value]

@@ -306,3 +306,26 @@ def test_json_nquads_edge_cases(spark):
     assert langs == {"en"}
     g3 = delete_json(g, {"uid": "0x1", "nick": None})
     assert g3.pred("nick").count() == 0
+
+
+def test_json_vector_pred(spark):
+    """float32vector via JSON mutation (chunker
+    TestNquadsJsonValidVector / EmptyString / EmptySquareBracket):
+    "[1.1, 2.2]" strings parse to vectors; ""/"[]" create no posting."""
+    from dgraph_spark.mutations import set_json
+    from dgraph_spark.plans import Executor
+
+    sch = ('name: string @index(exact) .\n'
+           'description_v: float32vector @index(hnsw(metric:"euclidean")) .')
+    lines = spark.createDataFrame([('<0x9> <name> "seed" .',)], "value string")
+    g = graph_from_triples(spark, parse_nquads(lines),
+                           SchemaRegistry.parse(sch))
+    g2 = set_json(g, [
+        {"uid": "0x2", "name": "ipad", "description_v": "[1.1, 2.2, 3.3]"},
+        {"uid": "0x3", "name": "ipod", "description_v": ""},
+        {"uid": "0x4", "name": "ipod2", "description_v": "[]"},
+    ])
+    r = Executor(g2).execute(
+        '{ q(func: similar_to(description_v, 2, [1.0, 2.0, 3.0])) { name } }')
+    assert [n["name"] for n in r["q"]] == ["ipad"]  # only 1 vector exists
+    assert g2.pred("description_v").count() == 1
