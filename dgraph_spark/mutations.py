@@ -385,11 +385,12 @@ _TMPL_RE = _re.compile(
     r'(?:<([^>]*)>|(_:[A-Za-z0-9_.\-]+)|uid\((\w+)\))\s+'   # 1 iri | 2 blank | 3 var
     r'<([^>]*)>\s+'                                          # 4 predicate
     r'(?:<([^>]*)>|(_:[A-Za-z0-9_.\-]+)|uid\((\w+)\)|(\*)'   # 5 iri | 6 blank | 7 var | 8 wildcard
-    r'|"((?:[^"\\]|\\.)*)"'                                  # 9 literal
-    r'(?:@([a-zA-Z\-]+))?'                                   # 10 lang
-    r'(?:\^\^<([^>]*)>)?'                                    # 11 datatype
+    r'|val\((\w+)\)'                                         # 9 value-var
+    r'|"((?:[^"\\]|\\.)*)"'                                  # 10 literal
+    r'(?:@([a-zA-Z\-]+))?'                                   # 11 lang
+    r'(?:\^\^<([^>]*)>)?'                                    # 12 datatype
     r')'
-    r'(?:\s+\(([^)]*)\))?'                                   # 12 facets
+    r'(?:\s+\(([^)]*)\))?'                                   # 13 facets
     r'\s*\.\s*$'
 )
 
@@ -422,14 +423,14 @@ def expand_template(graph: Graph, nquads: str, env: dict[str, DataFrame],
     for line in nquads.splitlines():
         if not line.strip() or line.strip().startswith("#"):
             continue
-        if "uid(" not in line:
+        if "uid(" not in line and not _re.search(r"\sval\(\w+\)", line):
             const_lines.append(line)
             continue
         m = _TMPL_RE.match(line)
         if not m:
             raise ValueError(f"bad upsert template N-Quad: {line!r}")
         (s_iri, s_blank, s_var, pred, o_iri, o_blank, o_var, o_star,
-         o_lit, lang, dtype, facets) = m.groups()
+         o_valvar, o_lit, lang, dtype, facets) = m.groups()
         line_vars = []
         for v in (s_var, o_var):
             if v is not None and v not in line_vars:
@@ -462,7 +463,7 @@ def expand_template(graph: Graph, nquads: str, env: dict[str, DataFrame],
         )
         value = F.lit("*") if o_star else (
             F.lit(o_lit) if o_lit is not None else F.lit(None).cast("string"))
-        parts.append(base.select(
+        row = base.select(
             _id_expr(s_iri, s_blank, s_var).alias(SUBJECT),
             F.lit(pred).alias("predicate"),
             obj_uid.alias("object_uid"),
@@ -470,7 +471,19 @@ def expand_template(graph: Graph, nquads: str, env: dict[str, DataFrame],
             (F.lit(lang) if lang else F.lit(None).cast("string")).alias("lang"),
             (F.lit(dtype) if dtype else F.lit(None).cast("string")).alias("datatype"),
             fmap.alias("facets"),
-        ))
+        )
+        if o_valvar is not None:
+            # `uid(u) <p> val(n) .` — each subject takes ITS value of n
+            # (edgraph/server.go updateValInNQuads); subjects the var has
+            # no value for drop out (no posting written)
+            if o_valvar not in env:
+                raise ValueError(
+                    f"upsert var {o_valvar!r} not bound by query")
+            vals = env[o_valvar].select(
+                SUBJECT, F.col(VALUE).cast("string").alias("__vv"))
+            row = (row.join(vals, SUBJECT, "inner")
+                      .withColumn("value_str", F.col("__vv")).drop("__vv"))
+        parts.append(row)
     if const_lines:
         parts.append(_triples_from_nquads(graph, "\n".join(const_lines)))
     if not parts:

@@ -329,3 +329,24 @@ def test_json_vector_pred(spark):
         '{ q(func: similar_to(description_v, 2, [1.0, 2.0, 3.0])) { name } }')
     assert [n["name"] for n in r["q"]] == ["ipad"]  # only 1 vector exists
     assert g2.pred("description_v").count() == 1
+
+
+def test_upsert_val_substitution(spark):
+    """`uid(u) <p> val(n) .` writes each matched uid's own n-value
+    (edgraph/server.go updateValInNQuads); uids without a value for n
+    get no posting."""
+    from dgraph_spark.mutations import upsert_text
+
+    g = _graph(spark, '<0x1> <name> "Ann" .\n<0x1> <age> "30"^^<int> .\n'
+                      '<0x2> <name> "Bob" .\n<0x2> <age> "40"^^<int> .\n'
+                      '<0x3> <name> "Cat" .')
+    r = upsert_text(g, '''
+    upsert {
+      query { u as var(func: has(name)) { n as age } }
+      mutation @if(gt(len(u), 0)) {
+        set { uid(u) <age_copy> val(n) . }
+      }
+    }''')
+    assert r.applied
+    rows = {x["subject"]: x["value"] for x in r.graph.pred("age_copy").collect()}
+    assert rows == {1: "30", 2: "40"}  # 0x3 has no age -> no posting
