@@ -32,7 +32,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:\\.|[^"\\])*")
   | (?P<regex>/(?:\\.|[^/\\])+/[a-zA-Z]*)
   | (?P<number>0[xX][0-9a-fA-F]+|-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
-  | (?P<name>[a-zA-Z_$][a-zA-Z0-9_.\-]*)
+  | (?P<name>[a-zA-Z_$](?:[a-zA-Z0-9_.]|-(?=[a-zA-Z_]))*)  # '-' only before a letter (lex: es-419 fails at '4')
   | (?P<iri><[^<>\s{}()\[\],=]+>)
   | (?P<punct><=|>=|==|!=|&&|\|\||[{}()\[\]:,@~*/+\-%<>=.!|])
     """,
@@ -141,7 +141,27 @@ class Parser:
                     self.accept(",")
                     vname = self.expect_kind("name").text
                     self.expect(":")
-                    self.expect_kind("name")  # type
+                    vtype = self.expect_kind("name").text.lower()
+                    self.accept("!")
+                    if vname in self.vars:
+                        # typed bindings validate against the declaration
+                        # (dql/parser.go checkValueType)
+                        b = str(self.vars[vname])
+                        if vtype == "int":
+                            try:
+                                int(b)
+                            except ValueError:
+                                raise SyntaxError(
+                                    f"Expected an int but got {b}") from None
+                        elif vtype == "float":
+                            try:
+                                float(b)
+                            except ValueError:
+                                raise SyntaxError(
+                                    f"Expected a float but got {b}") from None
+                        elif vtype == "bool" and b not in ("true", "false",
+                                                           "True", "False"):
+                            raise SyntaxError(f"Expected a bool but got {b}")
                     if self.accept("="):
                         t = self.next()
                         dval = _num(t.text) if t.kind == "number" else _unquote(t.text) if t.kind == "string" else t.text
@@ -309,7 +329,7 @@ class Parser:
             elif key == "after":
                 t = self.next()
                 try:
-                    v = int(t.text, 0)
+                    v = int(str(self._subst(t.text)), 0)
                     if v < 0:
                         raise ValueError
                 except ValueError:
@@ -403,13 +423,18 @@ class Parser:
             # named option `distance_threshold: 1.5, ef: 12` (v25
             # similar_to options; dql/parser.go parseFuncArgs key:value)
             if (self.peek().kind == "name" and self.peek(1).text == ":"
-                    and self.peek(2).kind in ("number", "string")):
+                    and (self.peek(2).kind in ("number", "string")
+                         or self.peek(2).text.startswith("$"))):
                 key = self.next().text
                 self.next()
                 t = self.next()
                 if key in f.kwargs:
                     raise SyntaxError(f"Duplicate option {key!r}")
-                f.kwargs[key] = _num(t.text) if t.kind == "number" else _unquote(t.text)
+                if t.text.startswith("$"):
+                    bound = str(self._subst(t.text))
+                    f.kwargs[key] = _num(bound) if _NUM_RE.match(bound) else bound
+                else:
+                    f.kwargs[key] = _num(t.text) if t.kind == "number" else _unquote(t.text)
                 continue
             a = self.parse_arg(f, len(f.args))
             if isinstance(a, list):
@@ -590,6 +615,11 @@ class Parser:
                 out.append(_unquote(self.next().text))
             elif self.peek().text == "[":
                 out.append(self._parse_array_literal())
+            elif self.peek().text.startswith("$"):
+                # mixed literal/variable arrays
+                # (dql TestParseGraphQLMixedVarArray)
+                bound = str(self._subst(self.next().text))
+                out.append(_num(bound) if _NUM_RE.match(bound) else bound)
             else:
                 out.append(_num(self.next().text))
         return out
@@ -1082,6 +1112,12 @@ class Parser:
         if t.kind == "name":
             self.next()
             name = t.text
+            if name.startswith("$"):
+                # GraphQL query variable inside math(): substitute the
+                # binding as a constant (dql/math.go TestParseMathSubs)
+                bound = self._subst(name)
+                return MathNode(const=_num(bound) if isinstance(bound, str)
+                                else bound)
             if name in self._MATH_FUNCS and self.peek().text == "(":
                 self.next()
                 if self.peek().text == ")":
@@ -1246,6 +1282,9 @@ def _unquote(s: str) -> str:
         return _ESCAPES.get(e, e)
 
     return re.sub(r"\\(u[0-9a-fA-F]{4}|.)", sub, body)
+
+
+_NUM_RE = re.compile(r"^-?(0[xX][0-9a-fA-F]+|\d+(\.\d+)?([eE][+-]?\d+)?)$")
 
 
 def _num(s: str):

@@ -20,8 +20,12 @@ _CASES = json.load(
 @pytest.mark.parametrize(
     "case", _CASES, ids=[c["name"] for c in _CASES])
 def test_parser_parity(case):
+    vars_ = case.get("vars")
     if case["ok"]:
-        parse_dql(case["query"])  # must not raise
+        parse_dql(case["query"], vars_)  # must not raise
     else:
-        with pytest.raises(Exception):
-            parse_dql(case["query"])
+        with pytest.raises(Exception) as ei:
+            parse_dql(case["query"], vars_)
+        want = case.get("error_contains")
+        if want and vars_ is not None:
+            assert want in str(ei.value)
