@@ -143,6 +143,78 @@ def set_nquads(graph: Graph, nquads: str) -> Graph:
     return set_triples(graph, _triples_from_nquads(graph, nquads))
 
 
+# ---------------------------------------------------------------- Alter drops
+_PRE_DEFINED_PREDS = {
+    "dgraph.type", "dgraph.xid", "dgraph.password", "dgraph.user.group",
+    "dgraph.rule.predicate", "dgraph.rule.permission", "dgraph.acl.rule",
+} | _GRAPHQL_RESERVED
+_PRE_DEFINED_TYPES = {
+    "dgraph.graphql", "dgraph.type.User", "dgraph.type.Group",
+    "dgraph.type.Rule", "dgraph.graphql.persisted_query", "dgraph.namespace",
+}
+
+
+def drop_attr(graph: Graph, pred: str) -> Graph:
+    """Alter{DropAttr}: remove one predicate's data AND schema entry
+    (edgraph/server.go:467-522). Pre-defined predicates are protected."""
+    if pred in _PRE_DEFINED_PREDS:
+        raise ValueError(
+            f"predicate {pred} is pre-defined and is not allowed to be "
+            "dropped")
+    preds = {k: v for k, v in graph.preds.items() if k != pred}
+    import copy as _copy
+
+    schema = _copy.deepcopy(graph.schema)
+    schema.predicates.pop(pred, None)
+    for t, ps in schema.types.items():
+        schema.types[t] = [p for p in ps if p != pred]
+    return Graph(spark=graph.spark, preds=preds, schema=schema,
+                 wide=graph.wide, pred_home=graph.pred_home,
+                 edge_homes=graph.edge_homes)
+
+
+def drop_type(graph: Graph, type_name: str) -> Graph:
+    """Alter{DropOp: TYPE}: remove the type DEFINITION only — data and
+    predicate schemas stay (edgraph/server.go:524-539)."""
+    if type_name in _PRE_DEFINED_TYPES:
+        raise ValueError(
+            f"type {type_name} is pre-defined and is not allowed to be "
+            "dropped")
+    import copy as _copy
+
+    schema = _copy.deepcopy(graph.schema)
+    schema.types.pop(type_name, None)
+    return Graph(spark=graph.spark, preds=dict(graph.preds), schema=schema,
+                 wide=graph.wide, pred_home=graph.pred_home,
+                 edge_homes=graph.edge_homes)
+
+
+def drop_data(graph: Graph) -> Graph:
+    """Alter{DropOp: DATA}: wipe every posting, KEEP the schema
+    (edgraph/server.go:432-465)."""
+    from dgraph_spark.schema import SPARK_TYPE
+
+    import copy as _copy
+
+    spark = graph.spark
+    preds = {}
+    for name in graph.preds:
+        meta = graph.schema.get(name)
+        vt = "object bigint" if meta.is_uid else (
+            f"value {SPARK_TYPE.get(meta.typ, 'string')}")
+        preds[name] = spark.createDataFrame([], f"subject bigint, {vt}")
+    return Graph(spark=spark, preds=preds,
+                 schema=_copy.deepcopy(graph.schema))
+
+
+def drop_all(graph: Graph) -> Graph:
+    """Alter{DropAll}: data AND schema gone (edgraph/server.go:401-430)."""
+    from dgraph_spark.schema import SchemaRegistry
+
+    return Graph(spark=graph.spark, preds={},
+                 schema=SchemaRegistry(strict=graph.schema.strict))
+
+
 # ---------------------------------------------------------------- JSON
 def json_to_nquads(doc, op: str = "set") -> str:
     """JSON mutation document -> N-Quad text (chunker/json_parser.go

@@ -350,3 +350,32 @@ def test_upsert_val_substitution(spark):
     assert r.applied
     rows = {x["subject"]: x["value"] for x in r.graph.pred("age_copy").collect()}
     assert rows == {1: "30", 2: "40"}  # 0x3 has no age -> no posting
+
+
+def test_alter_drop_operations(spark):
+    """Alter drops (edgraph/server.go:401-539): DropAttr removes data +
+    schema for one predicate, DropOp TYPE removes only the type
+    definition, DropData wipes postings but keeps schema, DropAll wipes
+    both; pre-defined names are protected."""
+    import pytest
+
+    from dgraph_spark.mutations import (drop_all, drop_attr, drop_data,
+                                        drop_type)
+
+    g = _graph(spark, '<0x1> <name> "Ann" .\n<0x1> <age> "30"^^<int> .')
+    g.schema.define_type("Person", ["name", "age"])
+    g2 = drop_attr(g, "age")
+    assert not g2.has_pred("age") and not g2.schema.has("age")
+    assert g2.schema.types["Person"] == ["name"]
+    assert g2.pred("name").count() == 1
+    with pytest.raises(ValueError, match="pre-defined"):
+        drop_attr(g, "dgraph.type")
+    g3 = drop_type(g, "Person")
+    assert "Person" not in g3.schema.types and g3.schema.has("name")
+    with pytest.raises(ValueError, match="pre-defined"):
+        drop_type(g, "dgraph.graphql")
+    g4 = drop_data(g)
+    assert g4.pred("name").count() == 0 and g4.schema.has("name")
+    assert g4.schema.types["Person"] == ["name", "age"]
+    g5 = drop_all(g)
+    assert not g5.preds and not g5.schema.predicates
