@@ -134,6 +134,16 @@ def set_triples(graph: Graph, triples: DataFrame) -> Graph:
             .unionByName(new_k.dropDuplicates(knames), allowMissingColumns=True)
             .drop(*knames)
         )
+        if meta.unique and not meta.is_uid:
+            # @unique: no value may belong to two subjects after the
+            # merge (edgraph/server.go:1776 verifyUnique)
+            dup = (merged.groupBy(VALUE)
+                   .agg(F.countDistinct(SUBJECT).alias("_c"))
+                   .where("_c > 1").limit(1).collect())
+            if dup:
+                raise ValueError(
+                    f"could not insert duplicate value [{dup[0][VALUE]}] "
+                    f"for predicate [{name}]")
         g = g.with_pred(name, merged, meta)
     return g
 

@@ -379,3 +379,22 @@ def test_alter_drop_operations(spark):
     assert g4.schema.types["Person"] == ["name", "age"]
     g5 = drop_all(g)
     assert not g5.preds and not g5.schema.predicates
+
+
+def test_unique_predicate_enforced(spark):
+    """@unique predicates reject a value already owned by another
+    subject (edgraph/server.go:1776 verifyUnique); re-setting the SAME
+    subject's value is fine."""
+    import pytest
+
+    sch = "email: string @index(hash) @unique @upsert ."
+    lines = spark.createDataFrame([('<0x1> <email> "a@x.com" .',)],
+                                  "value string")
+    g = graph_from_triples(spark, parse_nquads(lines),
+                           SchemaRegistry.parse(sch))
+    with pytest.raises(ValueError, match=r"duplicate value \[a@x.com\]"):
+        set_nquads(g, '<0x2> <email> "a@x.com" .')
+    g2 = set_nquads(g, '<0x1> <email> "a@x.com" .')  # same owner: ok
+    assert g2.pred("email").count() == 1
+    g3 = set_nquads(g, '<0x2> <email> "b@x.com" .')
+    assert g3.pred("email").count() == 2
