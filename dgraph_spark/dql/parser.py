@@ -122,6 +122,10 @@ class Parser:
 
     def expect_kind(self, kind: str) -> Token:
         t = self.next()
+        if kind == "name" and t.kind == "iri":
+            # IRI-quoted predicate name `<http://...>` (lex/iri.go) —
+            # usable wherever a bare name is
+            return Token("name", t.text[1:-1], t.pos)
         if t.kind != kind:
             raise SyntaxError(f"DQL parse error at {t.pos}: expected {kind}, got {t.text!r}")
         return t
@@ -191,6 +195,16 @@ class Parser:
                 f"{self.peek().text!r}")
         for b in q.blocks:
             self._splice_fragments(b, ())
+        seen_aliases: set[str] = set()
+        for b in q.blocks:
+            # dql/parser.go:740 validateResult — var/shortest blocks are
+            # exempt from the unique-alias rule
+            if b.is_var_block or b.shortest is not None or b.is_schema:
+                continue
+            if b.alias in seen_aliases:
+                raise SyntaxError(
+                    f"Duplicate aliases not allowed: {b.alias}")
+            seen_aliases.add(b.alias)
         _validate_vars(q, allow_unused=self.allow_unused)
         return q
 
@@ -313,6 +327,12 @@ class Parser:
                     if prev.key == o.key and prev.is_var == o.is_var:
                         raise SyntaxError(
                             f"Sorting by an attribute: [{o.key}] can only be done once")
+                if b.order and (o.is_var or any(p.is_var for p in b.order)):
+                    # dql/parser.go:1414 — a val(v) sort key must be the
+                    # ONLY sort key
+                    raise SyntaxError(
+                        "Multiple sorting only allowed by predicates. "
+                        f"Got: {o.key}")
                 b.order.append(o)
             elif key == "first":
                 if b.first is not None:
@@ -339,14 +359,27 @@ class Parser:
                         "invalid syntax") from None
                 b.after = v
             elif key == "depth":
+                t = self.next()
+                try:
+                    d = int(str(self._subst(t.text)))
+                except ValueError:
+                    # query/recurse.go parse: typed directive args
+                    raise SyntaxError(
+                        "Value inside depth should be type of integer"
+                    ) from None
                 if b.shortest is not None:
-                    b.shortest.depth = int(self.next().text)
+                    b.shortest.depth = d
                 else:
                     b.recurse = b.recurse or RecurseArgs()
-                    b.recurse.depth = int(self.next().text)
+                    b.recurse.depth = d
             elif key == "loop":
+                t = self.next()
+                v = str(self._subst(t.text))
+                if v not in ("true", "false"):
+                    raise SyntaxError(
+                        "Value inside loop should be type of boolean")
                 b.recurse = b.recurse or RecurseArgs()
-                b.recurse.loop = self.next().text == "true"
+                b.recurse.loop = v == "true"
             elif key == "maxfrontiersize":
                 # caps the candidate-path frontier during shortest-path
                 # search (query/query.go:727-734)
@@ -498,6 +531,11 @@ class Parser:
 
     def parse_arg(self, f: FuncCall, argpos: int) -> Arg:
         t = self.peek()
+        if t.kind == "iri":
+            # IRI-quoted predicate argument (lex/iri.go)
+            self.next()
+            return Arg(value=t.text[1:-1],
+                       is_pred=(argpos == 0 and f.name.lower() != "uid"))
         if t.kind == "string":
             if argpos == 0 and f.name.lower() in self._PRED_FIRST_FUNCS:
                 raise SyntaxError("Attribute in function must not be quoted")
@@ -690,10 +728,20 @@ class Parser:
                         self.accept(",")
                         k = self.expect_kind("name").text
                         self.expect(":")
-                        v = self.next().text
+                        v = str(self._subst(self.next().text))
                         if k == "depth":
-                            b.recurse.depth = int(v)
+                            try:
+                                b.recurse.depth = int(v)
+                            except ValueError:
+                                # query/recurse.go typed directive args
+                                raise SyntaxError(
+                                    "Value inside depth should be type of "
+                                    "integer") from None
                         elif k == "loop":
+                            if v not in ("true", "false"):
+                                raise SyntaxError(
+                                    "Value inside loop should be type of "
+                                    "boolean")
                             b.recurse.loop = v == "true"
             elif name == "groupby":
                 self.expect("(")
