@@ -670,7 +670,7 @@ class Parser:
 
     def parse_or(self) -> FilterTree:
         left = self.parse_and()
-        while self.peek().text in ("OR", "or", "||", "|"):
+        while self.peek().text.lower() in ("or", "||", "|"):
             self.next()
             right = self.parse_and()
             if left.op == "or":
@@ -681,7 +681,7 @@ class Parser:
 
     def parse_and(self) -> FilterTree:
         left = self.parse_not()
-        while self.peek().text in ("AND", "and", "&&"):
+        while self.peek().text.lower() in ("and", "&&"):
             self.next()
             right = self.parse_not()
             if left.op == "and":
@@ -691,7 +691,7 @@ class Parser:
         return left
 
     def parse_not(self) -> FilterTree:
-        if self.peek().text in ("NOT", "not", "!"):
+        if self.peek().text.lower() in ("not", "!"):
             self.next()
             return FilterTree(op="not", children=[self.parse_not()])
         if self.accept("("):
