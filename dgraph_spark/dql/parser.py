@@ -575,6 +575,15 @@ class Parser:
                         return [Arg(value=int(t, 0)) for t in toks]
                     except ValueError:
                         pass
+                if (isinstance(bound, str) and bound.strip().startswith("[")
+                        and f.name.lower() != "uid"):
+                    # vector-string binding: "[0.1,0.2]" (types.ParseVFloat)
+                    try:
+                        return Arg(value=[
+                            float(t) for t in
+                            bound.strip().strip("[]").split(",") if t.strip()])
+                    except ValueError:
+                        pass
                 return Arg(value=bound)
             if name in ("true", "false"):
                 return Arg(value=(name == "true"))
@@ -908,7 +917,15 @@ class Parser:
             self.next()
             pred = self.expect_kind("name").text
             self.accept(",")
-            pw = _unquote(self.expect_kind("string").text)
+            t = self.next()
+            if t.kind == "string":
+                pw = _unquote(t.text)
+            elif t.text.startswith("$"):
+                pw = str(self._subst(t.text))  # GraphQL var binding
+            else:
+                raise SyntaxError(
+                    f"DQL parse error at {t.pos}: expected string, "
+                    f"got {t.text!r}")
             self.expect(")")
             return Attr(name="checkpwd", alias=alias, agg_pred=pred, pwd=pw, var=var)
         if name == "count" and self.peek().text == "(":
@@ -1164,8 +1181,15 @@ class Parser:
                 # GraphQL query variable inside math(): substitute the
                 # binding as a constant (dql/math.go TestParseMathSubs)
                 bound = self._subst(name)
-                return MathNode(const=_num(bound) if isinstance(bound, str)
-                                else bound)
+                if isinstance(bound, str):
+                    b = bound.strip()
+                    if b.startswith("["):
+                        # vector constant "[0.1,0.2]" (types.ParseVFloat)
+                        bound = [float(x) for x in
+                                 b.strip("[]").split(",") if x.strip()]
+                    else:
+                        bound = _num(bound)
+                return MathNode(const=bound)
             if name in self._MATH_FUNCS and self.peek().text == "(":
                 self.next()
                 if self.peek().text == ")":
