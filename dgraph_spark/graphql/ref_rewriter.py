@@ -293,7 +293,9 @@ class Rewriter:
             if val is None and op != "between":
                 continue  # non-eq null comparisons are dropped
             if op == "in":
-                vals = ", ".join(_render_scalar(self._resolve(x)) for x in val)
+                vlist = val if isinstance(val, list) else [val]
+                vals = ", ".join(_render_scalar(self._resolve(x))
+                                 for x in vlist)
                 out.append(_F("leaf", f"eq({pred}, {vals})"))
             elif op in ("eq", "le", "lt", "ge", "gt", "allofterms",
                         "anyofterms", "alloftext", "anyoftext"):
@@ -1024,3 +1026,70 @@ class Rewriter:
 def rewrite_query(gql: str, schema: GQLSchema,
                   variables: dict | None = None) -> str:
     return Rewriter(schema, variables).rewrite(gql)
+
+
+def _linked_fields(schema: GQLSchema, typ: str):
+    """Fields of ``typ`` whose target type must drop back-edges when a
+    ``typ`` node is deleted (resolve/mutation_rewriter.go deleteRewrite):
+    @hasInverse pairs in either direction, and reverse @dgraph preds."""
+    out = []
+    t = schema.get(typ)
+    for fname, f in t.fields.items():
+        ct = schema.types.get(f.typ)
+        if ct is None or ct.kind not in ("type", "interface"):
+            continue
+        if f.dgraph_pred and f.dgraph_pred.startswith("~"):
+            fwd = f.dgraph_pred[1:]
+            inv = next((i for i, g in ct.fields.items()
+                        if schema.pred_name(f.typ, i) == fwd), None)
+            out.append((fname, f, inv, fwd, True))
+            continue
+        inv = next(
+            (i for i, g in ct.fields.items()
+             if g.typ == typ and (f.inverse == i or g.inverse == fname)),
+            None)
+        if inv is not None:
+            out.append((fname, f, inv, schema.pred_name(f.typ, inv), False))
+    return out
+
+
+def rewrite_delete_mutation(gql: str, schema: GQLSchema,
+                            variables: dict | None = None
+                            ) -> tuple[str, list]:
+    """deleteT(filter) -> (upsert dgquery text, deletejson payload)
+    matching graphql/resolve/delete_mutation_test.yaml exactly."""
+    doc = _parse_query(gql.replace("mutation", "query", 1))
+    op = doc["ops"][0]
+    typ = op["name"][len("delete"):]
+    rw = Rewriter(schema, variables)
+    args = {k: rw._resolve(v) for k, v in op.get("args", {}).items()}
+    filt = args.get("filter") or {}
+    type_leaf = _F("leaf", f"type({typ})")
+    idf = next((fn for fn, f in schema.get(typ).fields.items() if f.is_id),
+               None)
+    if isinstance(filt, dict) and idf in filt:
+        ids = rw._id_list(filt[idf])
+        rest = {k: v for k, v in filt.items() if k != idf}
+        tree = rw._filter_obj(typ, rest) if rest else None
+        func = f"func: uid({', '.join(ids)})"
+        full = _F("and", kids=[tree, type_leaf]) if tree else type_leaf
+    else:
+        func = f"func: type({typ})"
+        full = rw._filter_obj(typ, filt) if filt else None
+    lines = [f"  x as delete{typ}({func})"
+             + (f" @filter({full.render()})" if full is not None else "")
+             + " {", "    uid"]
+    deljson: list = [{"uid": "uid(x)"}]
+    n = 2
+    for fname, f, inv, inv_pred, is_rev in _linked_fields(schema, typ):
+        var = f"{f.typ}_{n}"
+        n += 1
+        lines.append(f"    {var} as {schema.pred_name(typ, fname)}")
+        ct = schema.get(f.typ)
+        inv_field = ct.fields.get(inv) if inv else None
+        ref = {"uid": "uid(x)"}
+        val = [ref] if (is_rev or (inv_field is not None
+                                   and inv_field.is_list)) else ref
+        deljson.append({"uid": f"uid({var})", inv_pred: val})
+    lines.append("  }")
+    return "query {\n" + "\n".join(lines) + "\n}", deljson

@@ -42,3 +42,22 @@ def test_rewritten_dql_parses():
     engine's parser (the rewrite layer and the DQL engine compose)."""
     for c in _CASES:
         parse_dql(c["dgquery"], {"$pwd0": "x"}, allow_unused=True)
+
+
+_DEL_CASES = yaml.safe_load(
+    open(os.path.join(_DIR, "delete_mutation_cases.yaml")))
+
+
+@pytest.mark.parametrize(
+    "case", _DEL_CASES,
+    ids=[c["name"][:48] for c in _DEL_CASES])
+def test_graphql_delete_mutation_rewrite(case):
+    """deleteT(filter) upsert rewriting (graphql/resolve/
+    delete_mutation_test.yaml): exact dgquery text + deletejson payload
+    including @hasInverse / reverse-predicate back-edge cleanup."""
+    from dgraph_spark.graphql.ref_rewriter import rewrite_delete_mutation
+
+    q, dj = rewrite_delete_mutation(case["gqlmutation"], _SCHEMA,
+                                    _vars(case))
+    assert q == case["dgquery"].rstrip("\n")
+    assert dj == json.loads(case["dgmutations"][0]["deletejson"])
