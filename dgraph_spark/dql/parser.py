@@ -45,12 +45,16 @@ _KEY_PARAMS = {"first", "offset", "after", "orderasc", "orderdesc", "func",
 
 
 class Token:
-    __slots__ = ("kind", "text", "pos")
+    __slots__ = ("kind", "text", "pos", "end")
 
-    def __init__(self, kind: str, text: str, pos: int):
+    def __init__(self, kind: str, text: str, pos: int, end: int | None = None):
         self.kind = kind
         self.text = text
         self.pos = pos
+        # source end offset — differs from pos+len(text) when the token
+        # text was rewritten (IRI `<name>` stripped to `name`), which
+        # matters for "@lang must be adjacent" checks
+        self.end = pos + len(text) if end is None else end
 
     def __repr__(self):
         return f"Token({self.kind},{self.text!r})"
@@ -125,7 +129,7 @@ class Parser:
         if kind == "name" and t.kind == "iri":
             # IRI-quoted predicate name `<http://...>` (lex/iri.go) —
             # usable wherever a bare name is
-            return Token("name", t.text[1:-1], t.pos)
+            return Token("name", t.text[1:-1], t.pos, end=t.end)
         if t.kind != kind:
             raise SyntaxError(f"DQL parse error at {t.pos}: expected {kind}, got {t.text!r}")
         return t
@@ -908,7 +912,7 @@ class Parser:
 
         name_tok = self.expect_kind("name")
         name = name_tok.text
-        name_end = name_tok.pos + len(name)
+        name_end = name_tok.end
 
         # count(pred) / val(v) / math(...) / min|max|sum|avg(val(v)) / expand(...)
         if name == "checkpwd" and self.peek().text == "(":

@@ -201,20 +201,19 @@ def drop_type(graph: Graph, type_name: str) -> Graph:
 
 def drop_data(graph: Graph) -> Graph:
     """Alter{DropOp: DATA}: wipe every posting, KEEP the schema
-    (edgraph/server.go:432-465)."""
-    from dgraph_spark.schema import SPARK_TYPE
-
+    (edgraph/server.go:432-465). Each predicate keeps its ORIGINAL
+    column set (lang/facets included) so @lang / @facets queries on the
+    emptied graph still analyze — they just return no rows."""
     import copy as _copy
 
-    spark = graph.spark
-    preds = {}
-    for name in graph.preds:
-        meta = graph.schema.get(name)
-        vt = "object bigint" if meta.is_uid else (
-            f"value {SPARK_TYPE.get(meta.typ, 'string')}")
-        preds[name] = spark.createDataFrame([], f"subject bigint, {vt}")
-    return Graph(spark=spark, preds=preds,
-                 schema=_copy.deepcopy(graph.schema))
+    preds = {name: df.limit(0) for name, df in graph.preds.items()}
+    # wide tables hold real rows: empty them too (schema kept), and keep
+    # the pred_home/edge_homes routing consistent with the emptied wides.
+    wide = {name: df.limit(0) for name, df in graph.wide.items()}
+    return Graph(spark=graph.spark, preds=preds,
+                 schema=_copy.deepcopy(graph.schema),
+                 wide=wide, pred_home=graph.pred_home,
+                 edge_homes=graph.edge_homes)
 
 
 def drop_all(graph: Graph) -> Graph:
@@ -261,7 +260,13 @@ def json_to_nquads(doc, op: str = "set") -> str:
         return f"<{hex(n)}>"
 
     def _esc(s: str) -> str:
-        return s.replace("\\", "\\\\").replace('"', '\\"')
+        # control chars must be escaped or the emitted quad spans lines
+        # and the line-based N-Quad parse drops it silently (the chunker
+        # builds quads structurally; escaping keeps the text round-trip
+        # exact — parse_nquads JSON-decodes these on read).
+        return (s.replace("\\", "\\\\").replace('"', '\\"')
+                .replace("\n", "\\n").replace("\r", "\\r")
+                .replace("\t", "\\t"))
 
     def _lit(v) -> str:
         if isinstance(v, bool):
@@ -282,7 +287,20 @@ def json_to_nquads(doc, op: str = "set") -> str:
             elif isinstance(v, (int, float)):
                 parts.append(f"{k}={v}")
             else:
-                parts.append(f"{k}={v}")
+                s = str(v)
+                # the facet group regex '\(([^)]*)\)' cannot represent
+                # these chars even inside quotes — reject loudly instead
+                # of silently dropping the whole quad
+                if any(ch in s for ch in ")(\n\r"):
+                    raise ValueError(
+                        f"facet value {s!r} for key {k!r} contains "
+                        "unsupported characters ( ) or newline")
+                if any(ch in s for ch in ',= "\\\t'):
+                    # JSON-style quoting; the reader's quoted branch
+                    # JSON-decodes, so this round-trips exactly
+                    parts.append(f"{k}={_json.dumps(s)}")
+                else:
+                    parts.append(f"{k}={s}")
         return " (" + ", ".join(parts) + ")"
 
     def _is_geo(v: dict) -> bool:

@@ -33,12 +33,69 @@ from dgraph_spark.functions.tokenizers import TERM_SPLIT_RE
 BROADCAST_ROW_CAP = 2_000_000
 
 
-# (session id, plan semantic hash, text_col, id_col, n) -> (persisted df,
-# row count). One persisted shingle relation serves every dedup operator
+# (session id, plan semantic hash, data snapshot, ...) -> persisted
+# relations. One persisted shingle relation serves every dedup operator
 # over the same corpus (jaccard + minhash + simhash all shingle the same
 # documents) AND repeated invocations — without the cache each call
 # re-persisted a fresh copy, leaking executor memory run over run.
 _SHINGLE_CACHE: dict[tuple, tuple[DataFrame, int]] = {}
+
+import os as _os
+import weakref as _weakref
+
+# Live sessions by id(): a WeakValueDictionary entry dies with its
+# session, so a cache key whose session id is no longer here is known
+# stale (id() may be reused after GC) and is pruned before lookup.
+_LIVE_SESSIONS: "_weakref.WeakValueDictionary[int, object]" = (
+    _weakref.WeakValueDictionary())
+_ALL_CACHES: list[dict] = []
+
+
+def _corpus_key(docs: DataFrame, *extra) -> tuple | None:
+    """Cache key for a corpus DataFrame: (session id, plan semantic hash,
+    input-file snapshot, *extra). The snapshot (sorted file paths +
+    mtimes) distinguishes a rewritten parquet directory from the prior
+    contents even though the PLAN hash is identical; in-memory DataFrames
+    (no input files) are immutable so the plan hash alone suffices.
+    Returns None when the key can't be built (no caching)."""
+    try:
+        sess = docs.sparkSession
+        sid = id(sess)
+        _LIVE_SESSIONS[sid] = sess
+        for cache in _ALL_CACHES:  # prune entries from dead sessions
+            for k in [k for k in cache if k[0] not in _LIVE_SESSIONS]:
+                _drop_entry(cache, k)
+        snap = []
+        for f in docs.inputFiles():
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                snap.append((f, _os.path.getmtime(p)))
+            except OSError:
+                snap.append((f, None))
+        return (sid, docs._jdf.semanticHash(), tuple(sorted(snap))) + extra
+    except Exception:
+        return None
+
+
+def _drop_entry(cache: dict, key: tuple) -> None:
+    val = cache.pop(key, None)
+    for item in (val if isinstance(val, tuple) else (val,)):
+        if isinstance(item, DataFrame):
+            try:
+                item.unpersist()
+            except Exception:
+                pass
+
+
+def invalidate_dedup_caches() -> None:
+    """Unpersist and drop every cached dedup index/shingle relation —
+    call after rewriting a corpus in place within one session."""
+    for cache in _ALL_CACHES:
+        for k in list(cache):
+            _drop_entry(cache, k)
+
+
+_ALL_CACHES.append(_SHINGLE_CACHE)
 
 
 def _materialized_shingles(
@@ -49,9 +106,8 @@ def _materialized_shingles(
     dedup pipeline reads it 2-3 times, so recomputing it per stage both
     triples the work and forces the JVM to re-JIT the large generated
     expression in every consumer stage. Returns (persisted df, row count)."""
-    try:
-        key = (id(docs.sparkSession), docs._jdf.semanticHash(), text_col, id_col, n)
-    except Exception:  # semanticHash unavailable (e.g. connect) — no cache
+    key = _corpus_key(docs, text_col, id_col, n)
+    if key is None:  # semanticHash unavailable (e.g. connect) — no cache
         sh = _shingled(docs, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
         return sh, sh.count()
     if key not in _SHINGLE_CACHE:
@@ -109,6 +165,7 @@ def word_shingles(col: Column, n: int = 2) -> Column:
 # they are built once per corpus and amortized across queries, not
 # rebuilt per invocation. All persisted MEMORY_AND_DISK.
 _JACCARD_INDEX_CACHE: dict[tuple, tuple] = {}
+_ALL_CACHES.append(_JACCARD_INDEX_CACHE)
 
 
 def _jaccard_index(
@@ -118,11 +175,7 @@ def _jaccard_index(
     prefix posting rows ``pref_sz(id, g, p, sz)``, the shingle-array
     relation ``sh``, an optional dense-vocab bitset relation ``bm``, and
     the corpus row count."""
-    try:
-        ck = (id(docs.sparkSession), docs._jdf.semanticHash(),
-              round(threshold, 9), n, text_col, id_col)
-    except Exception:
-        ck = None
+    ck = _corpus_key(docs, round(threshold, 9), n, text_col, id_col)
     if ck is not None and ck in _JACCARD_INDEX_CACHE:
         return _JACCARD_INDEX_CACHE[ck]
 
@@ -300,6 +353,7 @@ def minhash_signatures(
 # built once per corpus and reused across queries, like dgraph's
 # persistent term/trigram index tablets.
 _MINHASH_INDEX_CACHE: dict[tuple, DataFrame] = {}
+_ALL_CACHES.append(_MINHASH_INDEX_CACHE)
 
 
 def _minhash_band_index(
@@ -307,11 +361,7 @@ def _minhash_band_index(
     text_col: str, id_col: str,
 ) -> DataFrame:
     rows = num_hashes // bands
-    try:
-        ck = (id(docs.sparkSession), docs._jdf.semanticHash(),
-              num_hashes, bands, n, text_col, id_col)
-    except Exception:
-        ck = None
+    ck = _corpus_key(docs, num_hashes, bands, n, text_col, id_col)
     if ck is not None and ck in _MINHASH_INDEX_CACHE:
         return _MINHASH_INDEX_CACHE[ck]
     sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col, shingles=sh)

@@ -32,6 +32,11 @@ _NQUAD_RE = (
     r'\s*\.\s*$'
 )
 
+# one `key = value` pair inside the facet group; a quoted value may
+# contain commas/equals/escaped quotes, an unquoted value runs to the
+# next comma (types/facets parseFacets)
+_FACET_KV_RE = r'([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*("(?:[^"\\]|\\.)*"|[^,]*)'
+
 
 def _uid_expr(iri: F.Column, blank: F.Column) -> F.Column:
     """uid for an id token: numeric '<0x..>'/'<123>' parsed directly,
@@ -83,15 +88,24 @@ def parse_nquads(lines: DataFrame, text_col: str = "value") -> DataFrame:
             F.when(
                 parts[9] != "",
                 F.map_from_entries(
-                    F.transform(
-                        F.split(parts[9], r",\s*(?=[A-Za-z_][A-Za-z0-9_.]*\s*=)"),
-                        lambda kv: F.struct(
-                            F.trim(F.split(kv, "=", 2)[0]).alias("key"),
-                            # strip whitespace and optional quotes from
-                            # the facet value (types/facets parseFacet)
-                            F.regexp_replace(
-                                F.trim(F.split(kv, "=", 2)[1]),
-                                r'^"(.*)"$', "$1",
+                    F.zip_with(
+                        F.regexp_extract_all(parts[9], F.lit(_FACET_KV_RE), 1),
+                        F.regexp_extract_all(parts[9], F.lit(_FACET_KV_RE), 2),
+                        lambda k, v: F.struct(
+                            k.alias("key"),
+                            # quoted values may contain ','/'='/escapes:
+                            # JSON-decode them (the escape grammar
+                            # matches); unquoted values just trim
+                            # (types/facets parseFacet)
+                            F.coalesce(
+                                F.when(
+                                    v.rlike(r'^".*"$'),
+                                    F.from_json(
+                                        F.concat(F.lit("["), v, F.lit("]")),
+                                        "array<string>",
+                                    )[0],
+                                ),
+                                F.trim(v),
                             ).alias("value"),
                         ),
                     )

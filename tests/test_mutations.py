@@ -398,3 +398,62 @@ def test_unique_predicate_enforced(spark):
     assert g2.pred("email").count() == 1
     g3 = set_nquads(g, '<0x2> <email> "b@x.com" .')
     assert g3.pred("email").count() == 2
+
+
+def test_set_json_multiline_text_roundtrip(spark):
+    """A JSON string value containing \\n/\\t must survive the
+    JSON->N-Quad->parse round trip (chunker builds quads structurally;
+    our text path must escape control chars or the line-based parser
+    silently drops the posting)."""
+    from dgraph_spark.mutations import set_json
+
+    g = _graph(spark, '<0x1> <name> "Seed" .')
+    g2 = set_json(g, {"uid": "0x2", "name": "line1\nline2\tend"})
+    rows = g2.pred("name").where(F.col("subject") == 2).collect()
+    assert len(rows) == 1
+    assert rows[0]["value"] == "line1\nline2\tend"
+
+
+def test_set_json_facet_value_escaping(spark):
+    """String facet values with ','/'='/' ' are quoted into the (k=v)
+    group and parse back exactly; values the facet grammar cannot carry
+    raise instead of silently dropping the quad."""
+    import pytest
+
+    from dgraph_spark.mutations import set_json
+
+    g = _graph(spark, '<0x1> <name> "Seed" .')
+    g2 = set_json(g, {"uid": "0x2", "name": "Ann",
+                      "name|note": "a, b = c"})
+    row = g2.pred("name").where(F.col("subject") == 2).collect()[0]
+    assert row["facets"]["note"] == "a, b = c"
+    with pytest.raises(ValueError, match="unsupported characters"):
+        set_json(g, {"uid": "0x3", "name": "Bob", "name|note": "bad)val"})
+
+
+def test_drop_data_keeps_lang_and_facet_columns(spark):
+    """DropData empties every predicate but keeps its full column set —
+    a nick@en query on the emptied graph analyzes fine and returns
+    nothing (ADVICE r3: previously rebuilt without lang/facets cols)."""
+    from dgraph_spark.mutations import drop_data
+
+    g = _graph(spark, '<0x1> <nick> "Annie"@en .\n'
+                      '<0x1> <name> "Ann" (src=census) .')
+    g2 = drop_data(g)
+    nick = g2.pred("nick")
+    assert "lang" in nick.columns and nick.count() == 0
+    assert "facets" in g2.pred("name").columns
+    # wide tables (if any) are emptied too, not left with stale rows
+    for wdf in g2.wide.values():
+        assert wdf.count() == 0
+
+
+def test_iri_predicate_with_lang_tag(spark):
+    """`<name>@en` in a query body: the IRI brackets are stripped from
+    the token text but the source span must still satisfy the '@ is
+    adjacent' check (ADVICE r3: raised 'Unknown directive [en]')."""
+    from dgraph_spark.dql.parser import parse_dql
+
+    q = parse_dql('{ q(func: has(name)) { <name>@en } }')
+    attrs = q.blocks[0].children
+    assert any(a.name == "name" and a.langs == ["en"] for a in attrs)

@@ -148,3 +148,26 @@ def test_simhash_banded_join_is_exact_sf001(spark, docs_med):
     }
     banded = {(r["i"], r["j"]) for r in simhash_near_pairs(docs_med, 3).collect()}
     assert banded == brute
+
+
+def test_dedup_index_cache_detects_rewritten_parquet(spark, tmp_path):
+    """Rewriting the parquet directory between calls must MISS the
+    shingle cache even though the plan semanticHash is identical
+    (ADVICE r3: stale persisted index returned wrong dedup results)."""
+    import time
+
+    from dgraph_spark.operators.dedup import _materialized_shingles
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string").write.mode("overwrite").parquet(p)
+    sh1, n1 = _materialized_shingles(spark.read.parquet(p), "text", "doc_id", 2)
+    assert n1 == 2
+    time.sleep(1.1)  # ensure mtime tick
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta")],
+        "doc_id long, text string").write.mode("overwrite").parquet(p)
+    sh2, n2 = _materialized_shingles(spark.read.parquet(p), "text", "doc_id", 2)
+    assert n2 == 3  # fresh index, not the stale cached one
