@@ -438,13 +438,50 @@ def _query_text_tokens(query: str, lang: str) -> list[str]:
             if t and t.lower() not in EN_STOPWORDS]
 
 
+def _stem_substring(t: str, lang: str) -> str:
+    """A substring every document token stemming to ``t`` must contain.
+
+    Suffix-stripping stemmers only ever REMOVE a suffix, so the stem is
+    a prefix of the (folded) token and hence a substring of the folded
+    text — except the EN ies->y rule which APPENDS 'y'; dropping that
+    'y' restores the guaranteed-prefix property ('stud' for
+    studies/study)."""
+    if lang not in _LANG_TABLES and lang not in _CJK_LANGS:
+        return t[:-1] if len(t) > 1 and t.endswith("y") else t
+    return t
+
+
+def _text_prefilter(col: Column, qtoks: list[str], lang: str,
+                    mode_any: bool) -> Column:
+    """Cheap superset test ahead of the full analyzer: substring
+    containment on the lowered (and fold-normalized) text. The analyzer
+    expression (stopword set + stem CASE tree per token) is ~10x the
+    cost of a StringContains scan, so running it only on rows that pass
+    this filter keeps the hot path inside whole-stage codegen doing
+    almost no work per non-matching row — the Spark analogue of the
+    reference consulting its fulltext index before touching postings
+    (worker/tokens.go)."""
+    lowered = F.lower(col)
+    if lang in _LANG_TABLES:
+        lowered = _fold_expr(lowered, lang)
+    conds = [lowered.contains(_stem_substring(t, lang)) for t in qtoks]
+    out = conds[0]
+    for c in conds[1:]:
+        out = (out | c) if mode_any else (out & c)
+    return out
+
+
 def any_of_text(col: Column, query: str, lang: str = "en") -> Column:
     """anyoftext — fulltext analyzer applied to both sides; `pred@de`
     routes both sides through the German analyzer (tok/stemmers.go)."""
     qtoks = _query_text_tokens(query, lang)
     if not qtoks:
         return F.lit(False)
-    return F.arrays_overlap(fulltext_tokens(col, lang), F.array(*[F.lit(t) for t in qtoks]))
+    exact = F.arrays_overlap(
+        fulltext_tokens(col, lang), F.array(*[F.lit(t) for t in qtoks]))
+    # CASE WHEN evaluates the analyzer lazily, only on prefilter hits
+    return F.when(_text_prefilter(col, qtoks, lang, mode_any=True),
+                  exact).otherwise(F.lit(False))
 
 
 def all_of_text(col: Column, query: str, lang: str = "en") -> Column:
@@ -455,7 +492,8 @@ def all_of_text(col: Column, query: str, lang: str = "en") -> Column:
     cond = F.array_contains(toks, qtoks[0])
     for t in qtoks[1:]:
         cond = cond & F.array_contains(toks, t)
-    return cond
+    return F.when(_text_prefilter(col, qtoks, lang, mode_any=False),
+                  cond).otherwise(F.lit(False))
 
 
 # ---- custom tokenizer plugins (tok/tok.go:134-151 LoadCustomTokenizer;

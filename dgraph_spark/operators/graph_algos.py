@@ -59,8 +59,11 @@ def reachable(
         )
         # drop already-visited (start, node) pairs -> minimal depth kept
         nxt = nxt.join(visited.select("start", "node"), ["start", "node"], "left_anti")
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.limit(1).count() == 0:
+        # lazy checkpoint + full count: one job computes, caches, and
+        # lineage-truncates the round (a limit(1) probe would only
+        # partially materialize the checkpoint)
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
@@ -77,48 +80,62 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
     O(diameter) iterations; each is two shuffles."""
     e = union_edges(g, preds)
     # the symmetrized edge relation is re-joined EVERY round: persist it
-    # once instead of re-scanning parquet + re-running the distinct
-    # shuffle per iteration (released before returning)
+    # once instead of re-scanning parquet per iteration (released before
+    # returning). NO distinct — the min-aggregation absorbs duplicate
+    # edges, and an edge-relation-wide distinct is the single biggest
+    # shuffle here at scale.
     sym = e.select(SUBJECT, OBJECT).unionByName(
         e.select(F.col(OBJECT).alias(SUBJECT), F.col(SUBJECT).alias(OBJECT))
-    ).distinct().persist()
+    ).persist()
     labels = (
         sym.select(F.col(SUBJECT).alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    prev_sum = None
     for it in range(max_iter):
         neigh = (
             sym.join(labels, sym[SUBJECT] == labels.node, "inner")
             .select(F.col(OBJECT).alias("node"), "component")
         )
-        probe = it >= 1 and it % 2 == 1
-        new_labels = (
+        propagated = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            # truncate lineage every round, but only MATERIALIZE (an
-            # action + full write barrier) on probe rounds — between
-            # probes two rounds of the propagation pipeline as one job
-            .localCheckpoint(eager=probe)
         )
-        prev = labels
-        labels = new_labels
-        # convergence needs >= diameter rounds; checking every round
-        # doubles the driver actions for nothing — probe every 2nd round
-        if probe:
-            changed = (
-                new_labels.alias("n")
-                .join(prev.alias("o"), "node")
-                .where(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
+        # pointer jump (shortcutting): component <- label(component).
+        # Propagation alone needs O(diameter) rounds; adding one jump
+        # per round squares the reach (O(log diameter)) for one extra
+        # self-join shuffle — the classic two-phase CC round.
+        roots = propagated.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("_root"),
+        )
+        labels = (
+            propagated.join(roots, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("_root"), F.col("component")),
+                    F.col("component"),
+                ).alias("component"),
             )
-            if changed == 0:
-                break
-    # pin the result locally, then release the edge cache (the returned
-    # plan must not depend on the unpersisted relation)
-    labels = labels.localCheckpoint(eager=True)
+            # lazy checkpoint: the probe action below computes the
+            # round ONCE, caching + lineage-truncating as it goes —
+            # exactly one job per round
+            .localCheckpoint(eager=False)
+        )
+        # labels are per-node nonincreasing under min-propagation, so the
+        # label total strictly decreases until convergence — a single
+        # 1-row aggregate replaces the old self-join change probe.
+        cur = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    # the probe action already materialized the final checkpoint, so the
+    # returned plan no longer depends on the released edge cache
     sym.unpersist()
     return labels
 

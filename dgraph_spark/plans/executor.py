@@ -1561,7 +1561,9 @@ class Executor:
                 new_taken = step.select("_pred", SRC, DST).distinct()
                 taken = (new_taken if taken is None
                          else taken.unionByName(new_taken)).localCheckpoint(eager=False)
-            step = step.localCheckpoint(eager=True)
+            # lazy checkpoint: the branches action below computes the
+            # round once, caching + truncating lineage in the same job
+            step = step.localCheckpoint(eager=False)
             for tag, var in var_of_tag.items():
                 # `a as friend` under @recurse accumulates every target
                 # reached via that pred across ALL rounds
@@ -1753,7 +1755,8 @@ class Executor:
                     bcf(frontier_b).join(edges, SUBJECT, "inner")
                     .select(F.col(OBJECT).alias(SUBJECT)).distinct()
                     .join(ball, SUBJECT, "left_anti")
-                    .localCheckpoint(eager=True)
+                    # lazy: the count below materializes in the same job
+                    .localCheckpoint(eager=False)
                 )
                 front_n = nxt.count()
                 if front_n == 0:
@@ -1803,7 +1806,9 @@ class Executor:
                 # answers, by design). orderBy().limit() compiles to
                 # TakeOrdered — per-partition top-N then merge.
                 grown = grown.orderBy(F.col("dist").asc()).limit(sp.maxfrontiersize)
-            grown = grown.localCheckpoint(eager=True)
+            # lazy checkpoint: the stats action computes, caches, and
+            # lineage-truncates the round in ONE job
+            grown = grown.localCheckpoint(eager=False)
             # one action for both loop conditions
             stats = grown.agg(
                 F.count("*").alias("n"),
