@@ -53,6 +53,9 @@ class GField:
     inverse: str | None = None
     is_embedding: bool = False
     vector_metric: str = "euclidean"
+    # @default(add: {value: "..."}, update: {value: "..."})
+    default_add: str | None = None
+    default_update: str | None = None
     custom: bool = False
     custom_requires: list[str] = field(default_factory=list)
     lambda_: bool = False
@@ -188,6 +191,18 @@ def parse_sdl(src: str) -> GQLSchema:
                     f.custom_requires = sorted(req)
                 elif dname == "lambda":
                     f.lambda_ = True
+                elif dname == "default":
+                    # token stream: add : { value : "v" } update : { ... }
+                    act = None
+                    for j, a in enumerate(args):
+                        if a in ("add", "update"):
+                            act = a
+                        elif a == "value" and j + 2 < len(args) + 1:
+                            v = args[j + 2].strip('"')
+                            if act == "add":
+                                f.default_add = v
+                            elif act == "update":
+                                f.default_update = v
                 elif dname == "external":
                     f.external = True
             elif t is not None:
@@ -217,17 +232,19 @@ def parse_sdl(src: str) -> GQLSchema:
             is_list = True
             i += 1
         typ = toks[i]; i += 1
+        nonnull = False
         if peek() == "!":
+            if not is_list:
+                nonnull = True  # outer ! of a scalar field
             i += 1
-        nn_inner = False
         if is_list:
             if peek() == "]":
                 i += 1
             if peek() == "!":
-                nn_inner = True
+                nonnull = True  # outer ! of the list type
                 i += 1
         f = GField(name=fname, typ=typ, is_list=is_list,
-                   nonnull=nn_inner, is_id=(typ == "ID"), owner=owner.name)
+                   nonnull=nonnull, is_id=(typ == "ID"), owner=owner.name)
         parse_directives(f, None)
         owner.fields[fname] = f
 

@@ -61,3 +61,64 @@ def test_graphql_delete_mutation_rewrite(case):
                                     _vars(case))
     assert q == case["dgquery"].rstrip("\n")
     assert dj == json.loads(case["dgmutations"][0]["deletejson"])
+
+
+_ADD_CASES = yaml.safe_load(
+    open(os.path.join(_DIR, "add_mutation_cases.yaml")))
+_UPD_CASES = yaml.safe_load(
+    open(os.path.join(_DIR, "update_mutation_cases.yaml")))
+
+
+def _run_mutation_case(case, rewriter_cls):
+    """Mirrors the reference's mutationRewriting harness
+    (graphql/resolve/mutation_test.go): compare the existence-query text,
+    then the upsert mutations (cond exact, payloads JSON-equal) and the
+    secondary query text."""
+    rw = rewriter_cls(_SCHEMA, _vars(case))
+    q, err = rw.rewrite_queries(case["gqlmutation"])
+    if case.get("error"):
+        assert err == case["error"]["message"]
+        return
+    assert err is None, err
+    assert q == (case.get("dgquery") or "").rstrip("\n")
+    qname = {}
+    if case.get("qnametouid"):
+        qname = json.loads(case["qnametouid"])
+    muts, qsec, err2 = rw.rewrite(qname)
+    if case.get("error2"):
+        assert err2 == case["error2"]["message"]
+        return
+    assert err2 is None, err2
+    expected = case.get("dgmutations") or []
+    assert len(muts) == len(expected), (muts, expected)
+    for got, want in zip(muts, expected):
+        assert got.get("cond", "") == (want.get("cond") or "")
+        if want.get("setjson") or got.get("setjson") is not None:
+            assert got.get("setjson") == json.loads(want["setjson"])
+        if want.get("deletejson") or got.get("deletejson") is not None:
+            assert got.get("deletejson") == json.loads(want["deletejson"])
+    assert qsec == (case.get("dgquerysec") or "").rstrip("\n")
+
+
+@pytest.mark.parametrize(
+    "case", _ADD_CASES,
+    ids=[f"{i:03d}-{c['name'][:48]}" for i, c in enumerate(_ADD_CASES)])
+def test_graphql_add_mutation_rewrite(case):
+    """addT(input, upsert) rewriting (graphql/resolve/
+    add_mutation_test.yaml): existence queries, setjson with blank
+    uids + dgraph.type + inverse edges, additional-delete var blocks,
+    upsert conditions."""
+    from dgraph_spark.graphql.mutation_rewriter import AddMutationRewriter
+
+    _run_mutation_case(case, AddMutationRewriter)
+
+
+@pytest.mark.parametrize(
+    "case", _UPD_CASES,
+    ids=[f"{i:03d}-{c['name'][:48]}" for i, c in enumerate(_UPD_CASES)])
+def test_graphql_update_mutation_rewrite(case):
+    """updateT(input: {filter, set, remove}) rewriting
+    (graphql/resolve/update_mutation_test.yaml)."""
+    from dgraph_spark.graphql.mutation_rewriter import UpdateMutationRewriter
+
+    _run_mutation_case(case, UpdateMutationRewriter)
