@@ -71,6 +71,14 @@ def tokenize(src: str) -> list[Token]:
         kind = m.lastgroup
         if kind == "ws":
             continue
+        if kind == "regex" and (not out or out[-1].text != ","):
+            # a /.../ literal only occurs as regexp()'s second argument,
+            # right after the comma (lex/iri.go lexes it contextually);
+            # anywhere else '/' is the division operator — without this,
+            # math(a / (b/c)) swallows "/ (b/c" as a regex
+            out.append(Token("punct", "/", m.start()))
+            i = m.start() + 1
+            continue
         out.append(Token(kind, m.group(), m.start()))
     out.append(Token("eof", "", len(src)))
     return out

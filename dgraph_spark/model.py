@@ -144,9 +144,15 @@ class Graph:
     # ------------------------------------------------------------ long format
     def to_triples(self) -> DataFrame:
         """Single long triples DataFrame ``(subject, predicate, object_uid,
-        value_str)`` — the export/interchange format (worker/export.go).
-        Typed values are serialized to strings; uid edges keep object_uid.
-        """
+        value_str, lang, facets)`` — the export/interchange format
+        (worker/export.go). Typed values are serialized to strings; uid
+        edges keep object_uid; @lang tags and facets ride along so a
+        warehouse round-trip loses nothing."""
+        _null_facets = F.lit(None).cast("map<string,string>")
+
+        def _opt(df, col, null):
+            return F.col(col) if col in df.columns else null
+
         parts = []
         for name, df in self.preds.items():
             if self.schema.get(name).is_uid:
@@ -155,6 +161,8 @@ class Graph:
                     F.lit(name).alias("predicate"),
                     F.col(OBJECT).alias("object_uid"),
                     F.lit(None).cast("string").alias("value_str"),
+                    F.lit(None).cast("string").alias("lang"),
+                    _opt(df, "facets", _null_facets).alias("facets"),
                 )
             else:
                 part = df.select(
@@ -162,6 +170,8 @@ class Graph:
                     F.lit(name).alias("predicate"),
                     F.lit(None).cast("long").alias("object_uid"),
                     F.col(VALUE).cast("string").alias("value_str"),
+                    _opt(df, "lang", F.lit(None).cast("string")).alias("lang"),
+                    _opt(df, "facets", _null_facets).alias("facets"),
                 )
             parts.append(part)
         out = parts[0]

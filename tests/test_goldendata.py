@@ -1,0 +1,182 @@
+"""Dataset-scale tier: the reference's own 21million query corpus over
+its goldendata film graph (systest/21million/queries/query-0NN, data
+systest/data/goldendata_first_200k.rdf.gz — 200k triples of the same
+Freebase film dataset, the largest real graph vendored in the repo).
+
+Three gates:
+- every corpus query parses, plans and executes through the bulk-load
+  (predicate-partitioned parquet) path without error;
+- the queries whose full answer lies inside the subset still match the
+  reference's pinned JSON byte-for-byte;
+- an independent DuckDB oracle over the SAME parquet triples checks
+  values for a core set (term search, count index, value variables,
+  min-aggregation, ordered pagination).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.goldendata import GOLDEN_RDF, QUERY_DIR, load_cases, load_graph
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(GOLDEN_RDF) and os.path.isdir(QUERY_DIR)),
+    reason="reference goldendata/21million corpus not available")
+
+# full-dataset pinned answers that remain complete on the 200k subset
+_EXACT_ON_SUBSET = {"query-020", "query-021", "query-067", "query-072"}
+
+
+@pytest.fixture(scope="module")
+def golden(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("goldendata") / "parquet")
+    return load_graph(spark, wh), wh
+
+
+def test_21million_corpus_executes(golden):
+    from dgraph_spark.plans import Executor
+
+    g, _wh = golden
+    errors, exact = [], []
+    for qname, dql, pinned in load_cases():
+        try:
+            got = Executor(g).execute(dql)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"{qname}: {type(e).__name__}: {e}")
+            continue
+        if got == pinned:
+            exact.append(qname)
+    assert errors == []
+    assert _EXACT_ON_SUBSET <= set(exact)
+
+
+def _duck(wh: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"""
+        CREATE VIEW t AS SELECT * FROM read_parquet(
+            '{wh}/*/*.parquet', hive_partitioning=1);
+        CREATE VIEW name_en AS SELECT subject, value_str AS name
+            FROM t WHERE predicate='name' AND lang='en';
+        CREATE VIEW df AS SELECT subject, object_uid AS film
+            FROM t WHERE predicate='director.film';
+        CREATE VIEW ird AS SELECT subject, value_str AS ird
+            FROM t WHERE predicate='initial_release_date';
+    """)
+    return con
+
+
+def _exec(golden, dql: str) -> dict:
+    from dgraph_spark.plans import Executor
+
+    g, _wh = golden
+    return Executor(g).execute(dql)
+
+
+_TERMS = "list_transform(string_split_regex(lower(name), '[^a-z0-9]+'), x -> x)"
+
+
+def test_goldendata_eq_lang(golden):
+    """query-001 shape: eq on a lang-tagged predicate."""
+    got = _exec(golden, '''
+    { q(func: eq(name@en, "The Doors: Live in Europe (1968)")) {
+        name@en initial_release_date } }''')
+    con = _duck(golden[1])
+    rows = con.execute("""
+        SELECT n.name, i.ird FROM name_en n LEFT JOIN ird i USING (subject)
+        WHERE n.name = 'The Doors: Live in Europe (1968)'
+    """).fetchall()
+    assert len(got["q"]) == len(rows) == 1
+    assert got["q"][0]["name@en"] == rows[0][0]
+    assert got["q"][0]["initial_release_date"][:4] == rows[0][1][:4]
+
+
+def test_goldendata_anyofterms(golden):
+    """query-002 shape: term search on name@en."""
+    got = _exec(golden, '''
+    { q(func: anyofterms(name@en, "Blade Runner")) { name@en } }''')
+    con = _duck(golden[1])
+    (n,) = con.execute(f"""
+        SELECT count(*) FROM name_en
+        WHERE list_has_any({_TERMS}, ['blade', 'runner'])
+    """).fetchone()
+    names = {r["name@en"] for r in got["q"]}
+    oracle = {r[0] for r in con.execute(f"""
+        SELECT name FROM name_en
+        WHERE list_has_any({_TERMS}, ['blade', 'runner'])
+    """).fetchall()}
+    assert len(got["q"]) == n and names == oracle
+
+
+def test_goldendata_ordered_pagination(golden):
+    """query-019 shape: has() root, orderasc on lang value, first: 5."""
+    got = _exec(golden, '''
+    { me(func: has(director.film), first: 5, orderasc: name@en) {
+        name@en } }''')
+    con = _duck(golden[1])
+    oracle = [r[0] for r in con.execute("""
+        SELECT n.name FROM (SELECT DISTINCT subject FROM df) d
+        JOIN name_en n USING (subject)
+        ORDER BY n.name COLLATE C, d.subject LIMIT 5
+    """).fetchall()]
+    assert [r.get("name@en") for r in got["me"]] == oracle
+
+
+def test_goldendata_count_index(golden):
+    """query-067 shape: eq(count(pred), k) root — count-index scan."""
+    got = _exec(golden, '''
+    { q(func: eq(count(director.film), 3)) { count: count(uid) } }''')
+    con = _duck(golden[1])
+    (n,) = con.execute("""
+        SELECT count(*) FROM (
+          SELECT subject FROM df GROUP BY subject HAVING count(*) = 3)
+    """).fetchone()
+    assert got["q"][0]["count"] == n
+
+
+def test_goldendata_value_var_bucket_filter(golden):
+    """query-013 shape: count into a value var, eq(val(v), [1,2,3])."""
+    got = _exec(golden, '''
+    { steve as var(func: allofterms(name@en, "Steven")) {
+        films as count(director.film) }
+      stevens(func: uid(steve)) @filter(eq(val(films), [1,2,3])) {
+        name@en numFilms : val(films) } }''')
+    con = _duck(golden[1])
+    oracle = {(r[0], r[1]) for r in con.execute(f"""
+        SELECT n.name, count(d.film) AS films
+        FROM name_en n JOIN df d USING (subject)
+        WHERE list_has_all({_TERMS}, ['steven'])
+        GROUP BY n.subject, n.name HAVING count(d.film) IN (1, 2, 3)
+    """).fetchall()}
+    assert {(r["name@en"], r["numFilms"]) for r in got["stevens"]} == oracle
+    assert len(got["stevens"]) > 0  # the subset genuinely exercises this
+
+
+def test_goldendata_min_value_var_order(golden):
+    """query-041 shape: min(val(ird)) per director, orderasc val(minIRD)."""
+    got = _exec(golden, '''
+    { stevens as var(func: allofterms(name@en, "steven")) {
+        director.film { ird as initial_release_date }
+        minIRD as min(val(ird)) }
+      byIRD(func: uid(stevens), orderasc: val(minIRD)) {
+        name@en firstRelease: val(minIRD) } }''')
+    con = _duck(golden[1])
+    oracle = [(r[0], r[1][:4]) for r in con.execute(f"""
+        SELECT n.name, min(i.ird) AS m
+        FROM name_en n JOIN df d USING (subject)
+        JOIN ird i ON i.subject = d.film
+        WHERE list_has_all({_TERMS}, ['steven'])
+        GROUP BY n.subject, n.name ORDER BY m, n.subject
+    """).fetchall()]
+    rows = [(r["name@en"], r["firstRelease"][:4]) for r in got["byIRD"]]
+    assert len(rows) == len(oracle) and len(rows) > 0
+    # order-aware on the sort key; name ties may legitimately reorder
+    assert [y for _x, y in rows] == [y for _x, y in oracle]
+    assert {x for x, _y in rows} == {x for x, _y in oracle}
