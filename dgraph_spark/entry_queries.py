@@ -1373,23 +1373,30 @@ SELECT * FROM (
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal binary plumbing: docs -> binary media column ->
-    Arrow mapInPandas decode (deterministic stub kernel,
-    operators/multimodal.py:51) -> typed features. The stub's
-    width/height are pure functions of the payload length, so the whole
-    pipeline has an exact SQL twin."""
+    """Multimodal pipeline with a REAL decode kernel: each document
+    becomes a genuine P6 PPM (solid color keyed to doc_id), and the
+    pure-numpy decoder (operators/multimodal.py decode_ppm) must parse
+    the header and de-interleave RGB to recover the channel means —
+    which have closed-form SQL twins."""
     from dgraph_spark.operators.multimodal import (
         extract_image_features, media_table_from_docs)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = media_table_from_docs(docs)
-    return extract_image_features(media).select("media_id", "width", "height")
+    return extract_image_features(media).select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
 
 
 SQL_multimodal_features = """
 SELECT doc_id AS media_id,
-       (octet_length(encode(text)) % 640) + 1 AS width,
-       (octet_length(encode(text)) % 480) + 1 AS height
+       32 AS width,
+       (n_chars % 97) + 1 AS height,
+       round((doc_id % 256)::DOUBLE, 6) AS mean_r,
+       round((doc_id * 7 % 256)::DOUBLE, 6) AS mean_g,
+       round((doc_id * 13 % 256)::DOUBLE, 6) AS mean_b
 FROM documents
 """
 
@@ -1408,7 +1415,8 @@ def q_multimodal_frames(spark, sf_dir):
 
 SQL_multimodal_frames = """
 SELECT doc_id AS media_id,
-       ((greatest(octet_length(encode(text)), 1) + 1023) // 1024) AS frames
+       ((11 + length(((n_chars % 97) + 1)::VARCHAR)
+         + 96 * ((n_chars % 97) + 1)) + 1023) // 1024 AS frames
 FROM documents
 """
 

@@ -96,10 +96,15 @@ def test_multimodal_image_features(docs):
     media = media_table_from_docs(docs.limit(20))
     feats = extract_image_features(media).collect()
     assert len(feats) == 20
-    f = feats[0]
-    assert f["width"] >= 1 and f["height"] >= 1
-    assert len(f["feature"]) == 16
-    assert abs(sum(f["feature"]) - 1.0) < 1e-6
+    for f in feats:
+        # real decode: solid color (id%256, 7id%256, 13id%256) recovered
+        # exactly from the P6 raster
+        assert f["width"] == 32 and f["height"] >= 1
+        d = f["media_id"]
+        assert (f["mean_r"], f["mean_g"], f["mean_b"]) == (
+            d % 256, d * 7 % 256, d * 13 % 256)
+        assert len(f["feature"]) == 16
+        assert abs(sum(f["feature"]) - 1.0) < 1e-6
 
     frames = sample_frames(media.limit(3), every_n_bytes=64)
     rows = frames.collect()
@@ -171,3 +176,77 @@ def test_dedup_index_cache_detects_rewritten_parquet(spark, tmp_path):
         "doc_id long, text string").write.mode("overwrite").parquet(p)
     sh2, n2 = _materialized_shingles(spark.read.parquet(p), "text", "doc_id", 2)
     assert n2 == 3  # fresh index, not the stale cached one
+
+
+def test_multimodal_real_decoders():
+    """The decode kernels are real: PPM with comments, BMP with row
+    padding + bottom-up order, PCM16 WAV — all pure numpy, checked
+    against hand-built payloads."""
+    import numpy as np
+
+    from dgraph_spark.operators.multimodal import (decode_bmp, decode_ppm,
+                                                   decode_wav,
+                                                   _decode_image_bytes)
+
+    # PPM P6 with a header comment; 2x2 distinct pixels
+    px = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  10, 20, 30])
+    ppm = b"P6\n# a comment\n2 2\n255\n" + px
+    img = decode_ppm(ppm)
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0) and tuple(img[1, 1]) == (10, 20, 30)
+
+    # grayscale P5
+    p5 = b"P5\n3 1\n255\n" + bytes([1, 2, 3])
+    assert decode_ppm(p5).tolist() == [[1, 2, 3]]
+
+    # BMP: 3x2, 24bpp, bottom-up, stride padded 9->12
+    rows_bgr = [
+        bytes([30, 20, 10, 60, 50, 40, 90, 80, 70]) + b"\x00\x00\x00",  # bottom row
+        bytes([3, 2, 1, 6, 5, 4, 9, 8, 7]) + b"\x00\x00\x00",           # top row
+    ]
+    header = (b"BM" + (54 + 24).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little") + (3).to_bytes(4, "little")
+              + (2).to_bytes(4, "little") + (1).to_bytes(2, "little")
+              + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+              + b"\x00" * 20)
+    bmp = header + rows_bgr[0] + rows_bgr[1]
+    img = decode_bmp(bmp)
+    assert img.shape == (2, 3, 3)
+    assert tuple(img[0, 0]) == (1, 2, 3)      # top-left RGB
+    assert tuple(img[1, 2]) == (70, 80, 90)   # bottom-right RGB
+
+    # WAV: 8 samples of a known square wave at 8kHz mono
+    samples = np.array([1000, -1000] * 4, dtype="<i2")
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    wav = (b"RIFF" + (36 + 16).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little") + fmt
+           + b"data" + (16).to_bytes(4, "little") + samples.tobytes())
+    rate, ch, got = decode_wav(wav)
+    assert (rate, ch) == (8000, 1) and got.tolist() == samples.tolist()
+
+    # compressed codecs fail loudly with the detected container
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="jpeg"):
+        _decode_image_bytes(b"\xff\xd8\xff\xe0rest")
+
+
+def test_multimodal_audio_features(spark):
+    import numpy as np
+
+    from dgraph_spark.operators.multimodal import extract_audio_features
+
+    samples = np.array([3000, -3000] * 100, dtype="<i2")
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (16000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    wav = (b"RIFF" + (36 + 400).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little") + fmt
+           + b"data" + (400).to_bytes(4, "little") + samples.tobytes())
+    media = spark.createDataFrame([(1, bytearray(wav))],
+                                  "media_id long, media binary")
+    row = extract_audio_features(media).collect()[0]
+    assert row["sample_rate"] == 16000 and row["channels"] == 1
+    assert row["n_samples"] == 200 and abs(row["rms"] - 3000.0) < 1e-9
