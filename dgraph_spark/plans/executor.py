@@ -347,16 +347,20 @@ class Executor:
 
     def _rdf_edges(self, child: Level, lines: list[str]) -> None:
         """Uid-pred relation triples: src-major ascending, posting
-        (rank when ordered, else uid) order within a source."""
+        (rank when ordered, else uid) order within a source. The line
+        TEXT is built as a column expression — the driver receives
+        finished strings, not rows to format (a has(pred)-sized dump
+        stays JVM-side except the final concat)."""
         b = child.block
         name = b.alias or (("~" if b.reverse else "") + (b.attr or ""))
         e = child.edges
         if SRC not in e.columns or DST not in e.columns:
             return
         keys = [SRC, RANK] if RANK in e.columns else [SRC, DST]
-        for r in e.select(SRC, DST, *([RANK] if RANK in e.columns else [])
-                          ).orderBy(*keys).collect():
-            lines.append(f"<{r[SRC]:#x}> <{name}> <{r[DST]:#x}> .\n")
+        formatted = e.orderBy(*keys).select(
+            F.format_string("<%#x> <%s> <%#x> .\n", F.col(SRC), F.lit(name),
+                            F.col(DST)).alias("_l"))
+        lines.extend(r["_l"] for r in formatted.collect())
 
     def _rdf_attr(self, attr: Attr, nodes: DataFrame, level: Level,
                   lines: list[str]) -> None:
@@ -370,6 +374,21 @@ class Executor:
             return
         dtype = dict(col_df.dtypes).get(out_col, "string")
         elem = dtype[6:-1] if dtype.startswith("array<") else dtype
+        obj_expr = _rdf_object_expr(_qc(out_col), elem) \
+            if not dtype.startswith("array<") else None
+        if obj_expr is not None:
+            # distributed formatter: line text is a column expression
+            # (byte-identical to _rdf_object for these types), so large
+            # dumps ship finished strings instead of typed rows
+            formatted = (
+                col_df.where(_qc(out_col).isNotNull()).orderBy(SUBJECT)
+                .select(F.concat(
+                    F.format_string("<%#x> <%s> ", F.col(SUBJECT),
+                                    F.lit(out_col)),
+                    obj_expr, F.lit(" .\n")).alias("_l"))
+            )
+            lines.extend(r["_l"] for r in formatted.collect())
+            return
         for r in col_df.select(SUBJECT, _qc(out_col).alias("_v")
                                ).orderBy(SUBJECT).collect():
             v = r["_v"]
@@ -3104,6 +3123,24 @@ def _go_g(f: float) -> str:
     trailing '.0' Go omits on integral floats."""
     s = repr(float(f))
     return s[:-2] if s.endswith(".0") else s
+
+
+def _rdf_object_expr(col, dtype: str):
+    """Column-expression twin of _rdf_object for the high-volume types
+    (string / integer / boolean); returns None when the type needs the
+    driver-side renderer (floats' Go %g, datetimes' offset rules, geo,
+    decimals — rare in bulk dumps, exactness over throughput there)."""
+    if dtype in ("int", "bigint", "smallint", "tinyint"):
+        return F.format_string('"%d"', col.cast("long"))
+    if dtype == "boolean":
+        return F.when(col, F.lit("true")).otherwise(F.lit("false"))
+    if dtype == "string":
+        # JSON-marshal exactly like json.dumps(ensure_ascii=False):
+        # to_json emits the same escape set (\" \\ \n \r \t \uXXXX for
+        # other control chars, non-ASCII passed through)
+        j = F.to_json(F.struct(col.alias("v")))
+        return F.substring(j, 6, F.length(j) - 6)
+    return None
 
 
 def _rdf_object(v, dtype: str) -> str:

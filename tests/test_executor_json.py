@@ -218,3 +218,33 @@ def test_recurse_edge_dedup_semantics(spark):
     a2 = b["knows"][0]           # back-edge b->a IS taken (new edge)
     assert a2["name"] == "a"
     assert "knows" not in a2     # a->b already taken -> recursion stops
+
+
+def test_rdf_object_expr_matches_driver_renderer(spark):
+    """The distributed RDF line formatter (_rdf_object_expr) is
+    byte-identical to the driver renderer (_rdf_object) for the types it
+    claims — strings with every escape class, integers, booleans."""
+    from pyspark.sql import functions as F
+
+    from dgraph_spark.plans.executor import _rdf_object, _rdf_object_expr
+
+    vals = ["plain", 'quo"te', "back\\slash", "new\nline", "tab\there",
+            "ünïcodé 你好", "ctrl\x01char", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r["o"] for r in df.select(
+        _rdf_object_expr(F.col("v"), "string").alias("o")).collect()]
+    assert got == [_rdf_object(v, "string") for v in vals]
+
+    di = spark.createDataFrame([(0,), (42,), (-7,), (2 ** 62,)], "v long")
+    gi = [r["o"] for r in di.select(
+        _rdf_object_expr(F.col("v"), "bigint").alias("o")).collect()]
+    assert gi == ['"0"', '"42"', '"-7"', f'"{2 ** 62}"']
+
+    db = spark.createDataFrame([(True,), (False,)], "v boolean")
+    gb = [r["o"] for r in db.select(
+        _rdf_object_expr(F.col("v"), "boolean").alias("o")).collect()]
+    assert gb == ["true", "false"]
+
+    # types with driver-only rendering are declined, not mis-rendered
+    assert _rdf_object_expr(F.col("v"), "double") is None
+    assert _rdf_object_expr(F.col("v"), "timestamp") is None
