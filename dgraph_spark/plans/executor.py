@@ -869,6 +869,10 @@ class Executor:
         if not attr.var:
             return
         base = attr.name.lstrip("~")
+        if self.g.has_pred(base) and self.g.schema.get(base).typ == "bigfloat":
+            from dgraph_spark.schema import warn_bigfloat
+
+            warn_bigfloat(base, "value-variable math/aggregation")
         if (not attr.is_count and attr.math is None and attr.val_var is None
                 and self.g.has_pred(base) and self.g.schema.get(base).is_uid):
             # `B as friend` with NO body: a UID variable holding the edge
@@ -2665,6 +2669,11 @@ class Executor:
                 else:
                     # min(pred): aggregate the predicate's value over the
                     # group (query/groupby.go:30 aggregateChild)
+                    if (self.g.has_pred(attr.agg_pred) and
+                            self.g.schema.get(attr.agg_pred).typ == "bigfloat"):
+                        from dgraph_spark.schema import warn_bigfloat
+
+                        warn_bigfloat(attr.agg_pred, "aggregation")
                     src_col = f"_p_{attr.agg_pred}"
                     if src_col not in df.columns:
                         sdf = self.g.scalar(attr.agg_pred).select(

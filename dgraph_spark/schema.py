@@ -342,3 +342,25 @@ def _parse_pred_line(line: str) -> Predicate:
     pred.upsert = "@upsert" in rest
     pred.unique = "@unique" in rest
     return pred
+
+
+# ---------------------------------------------------------------- bigfloat
+# The reference's bigfloat is 200-bit arbitrary precision
+# (types/scalar_types.go:27); this engine stores decimal(38,10).
+# Storage/comparison are documented divergences; ARITHMETIC on the
+# narrowed type can silently lose precision, so participating in
+# math/aggregation warns once per (predicate, context).
+_BIGFLOAT_WARNED: set[str] = set()
+
+
+def warn_bigfloat(pred: str, context: str) -> None:
+    import warnings
+
+    key = f"{pred}|{context}"
+    if key in _BIGFLOAT_WARNED:
+        return
+    _BIGFLOAT_WARNED.add(key)
+    warnings.warn(
+        f"predicate {pred!r} is bigfloat (200-bit in the reference) but "
+        f"stored as decimal(38,10) here; {context} may lose precision",
+        stacklevel=3)
