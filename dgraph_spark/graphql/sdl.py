@@ -69,6 +69,7 @@ class GField:
 class GType:
     name: str
     has_auth: bool = False
+    dgraph_name: str | None = None  # @dgraph(type: "...") override
     kind: str = "type"            # type | interface | union | enum | input
     fields: dict[str, GField] = field(default_factory=dict)
     interfaces: list[str] = field(default_factory=list)
@@ -208,6 +209,10 @@ def parse_sdl(src: str) -> GQLSchema:
             elif t is not None:
                 if dname == "auth":
                     t.has_auth = True
+                elif dname == "dgraph":
+                    for j, a in enumerate(args):
+                        if a == "type":
+                            t.dgraph_name = args[j + 2].strip('"')
                 elif dname == "secret":
                     for j, a in enumerate(args):
                         if a == "field":

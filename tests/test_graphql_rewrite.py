@@ -122,3 +122,27 @@ def test_graphql_update_mutation_rewrite(case):
     from dgraph_spark.graphql.mutation_rewriter import UpdateMutationRewriter
 
     _run_mutation_case(case, UpdateMutationRewriter)
+
+
+_AUTH_SCHEMA_SRC = open(os.path.join(_DIR, "auth_schema.graphql")).read()
+_AUTH_CASES = yaml.safe_load(
+    open(os.path.join(_DIR, "auth_query_cases.yaml")))
+
+
+@pytest.mark.parametrize(
+    "case", _AUTH_CASES,
+    ids=[f"{i:03d}-{c['name'][:48]}" for i, c in enumerate(_AUTH_CASES)])
+def test_graphql_auth_query_rewrite(case):
+    """@auth query rewriting (graphql/resolve/auth_query_test.yaml):
+    JWT-evaluated RBAC rules, graph-rule @cascade var blocks, TypeRoot
+    chains, child-level uid() filters, interface/union/aggregate/
+    password/_entities handling — exact DQL text for all 76 cases."""
+    from dgraph_spark.graphql.auth_rewriter import (parse_auth_rules,
+                                                    rewrite_query_with_auth)
+    from dgraph_spark.graphql.sdl import parse_sdl
+
+    schema = parse_sdl(_AUTH_SCHEMA_SRC)
+    rules = parse_auth_rules(_AUTH_SCHEMA_SRC)
+    got = rewrite_query_with_auth(case["gqlquery"], schema, rules,
+                                  case.get("jwtvar") or {})
+    assert got == (case["dgquery"] or "").rstrip("\n")
