@@ -1128,3 +1128,182 @@ def self_eval_negative(rn: RuleNode, jwt: dict) -> bool:
 def rewrite_query_with_auth(gql: str, schema: GQLSchema, auth_rules: dict,
                             jwt: dict | None = None) -> str:
     return AuthRewriter(schema, auth_rules, jwt).rewrite(gql)
+
+
+# ----------------------------------------------------- delete mutations
+class AuthDeleteRewriter(AuthRewriter):
+    """deleteRewriter.Rewrite with auth (mutation_rewriter.go:1048):
+    the x-as upsert query gets the TypeRoot auth chain, @hasInverse
+    back-edge cleanup vars number after the auth allocations, and a
+    payload selection re-query (filterByUid) forms the second upsert."""
+
+    def rewrite_delete(self, gql: str, variables: dict | None = None):
+        doc = _parse_query(gql.replace("mutation", "query", 1))
+        self.frags = doc["frags"]
+        self._pwd_header = ""
+        op = doc["ops"][0]
+        typ = op["name"][len("delete"):]
+        self.rw.vars = {("$" + k): v for k, v in (variables or {}).items()}
+        auth = AuthState(self.jwt, "delete", typ + "Root")
+        auth.has_auth_rules = self._payload_has_auth(typ, op, "delete")
+        auth.has_cascade = self._has_cascade(op)
+        rbac = self.static_eval(auth, typ)
+        q = GQ(attr=op["name"], var="x")
+        dg = [q]
+        iface_dead = False
+        t0 = self.s.types.get(typ)
+        if t0 is not None and t0.kind == "interface":
+            iface_dead = not any(self.static_eval(auth, i) != NEGATIVE
+                                 for i in self.s.implementers(typ))
+        if rbac == NEGATIVE or iface_dead:
+            q.attr += "()"
+        else:
+            args = {k: self.rw._resolve(v)
+                    for k, v in (op.get("args") or {}).items()}
+            filt = args.get("filter") if isinstance(args.get("filter"),
+                                                    dict) else None
+            ids = None
+            idf = next((fn for fn, f in self.s.get(typ).fields.items()
+                        if f.is_id), None)
+            if filt and idf in filt:
+                got = self.rw._id_list(filt[idf])
+                if got:
+                    ids = got
+            q.func = f"uid({', '.join(ids)})" if ids else \
+                f"type({self._dgname(typ)})"
+            q.children.append(GQ(attr="uid"))
+            if ids and not (filt and len(filt) > 1):
+                # only the uid func came from the filter: type filter
+                tl = _F("leaf", f"type({self._dgname(typ)})")
+                q.filter = tl
+            else:
+                self._add_field_args(q, typ, args, filt, skip_id=True)
+                if ids:
+                    pass  # type filter added by _add_field_args id logic
+            dg = self._add_auth_queries(typ, [q], rbac, auth)
+        deletes: list = [{"uid": "uid(x)"}]
+        if not q.attr.endswith("()"):
+            deletes.extend(self._remove_node_reference(typ, q, auth))
+        mutations = [{"deletejson": deletes, "cond": ""}]
+        dgquery = render_blocks(dg)
+        # second upsert: re-query the payload selection before deletion
+        qf = self._query_field(typ, op)
+        dgquerysec = None
+        if qf is not None:
+            sec_auth = AuthState(self.jwt, "query",
+                                 self.vg_next_for(auth, qf))
+            sec_auth.vg = auth.vg
+            sec_auth.var_name = "x"
+            sec_auth.has_auth_rules = self._payload_field_has_auth(qf)
+            sec_auth.has_cascade = self._has_cascade(qf)
+            alias = qf["alias"] or qf["name"]
+            qf_op = {"name": f"Delete{typ}Payload.{alias}",
+                     "args": qf.get("args") or {},
+                     "dirs": qf.get("dirs"), "fields": qf.get("fields")}
+            sec = self._as_query_field_by_uid(qf_op, qf, sec_auth)
+            qcopy = GQ(attr="var", var="x", func=q.func)
+            qcopy.filter = q.filter
+            if not qcopy.func:
+                qcopy.attr += "()"
+            if sec and sec[0].attr.endswith("()"):
+                qcopy.var = ""
+            blocks = [qcopy] + dg[1:] + sec
+            dgquerysec = render_blocks(blocks)
+        return dgquery, mutations, dgquerysec
+
+    def vg_next_for(self, auth: AuthState, qf: dict) -> str:
+        f = self.s.field(None, "")  # placeholder, not used
+        ftyp = self._payload_field_type(qf)
+        return auth.vg.next(ftyp, False)
+
+    def _payload_field_type(self, qf: dict) -> str:
+        return qf["_ftyp"]
+
+    def _query_field(self, typ: str, op: dict):
+        """The payload field whose type is the mutated type (QueryField)."""
+        pl_typ_lower = typ[:1].lower() + typ[1:]
+        for fld in op.get("fields") or []:
+            if fld.get("name") in (pl_typ_lower, typ) and \
+                    fld.get("fields") is not None:
+                fld = dict(fld)
+                fld["_ftyp"] = typ
+                return fld
+        return None
+
+    def _payload_has_auth(self, typ: str, op: dict, kind: str) -> bool:
+        # hasAuthRules(m.QueryField()): only the payload field that
+        # queries the mutated type counts — a msg-only payload means no
+        # auth chain even when the type itself has rules
+        qf = self._query_field(typ, op)
+        if qf is None:
+            return False
+        if self.rule_for(typ, kind) is not None or \
+                self._iface_impl_auth_kind_any(typ, kind):
+            return True
+        return self._has_auth_in_selection(typ, qf.get("fields"), kind)
+
+    def _iface_impl_auth_kind_any(self, typ: str, kind: str) -> bool:
+        t = self.s.types.get(typ)
+        if t is None or t.kind != "interface":
+            return False
+        return any(self.rule_for(i, kind) is not None
+                   for i in self.s.implementers(typ))
+
+    def _payload_field_has_auth(self, qf: dict) -> bool:
+        typ = qf["_ftyp"]
+        return (self.rule_for(typ, "query") is not None
+                or self._has_auth_in_selection(typ, qf.get("fields"),
+                                               "query"))
+
+    def _as_query_field_by_uid(self, op: dict, qf: dict,
+                               auth: AuthState) -> list[GQ]:
+        """rewriteAsQuery of the payload field with filterByUid=True:
+        root func is uid(x), then the standard query-auth chain."""
+        typ = qf["_ftyp"]
+        rbac = self.static_eval(auth, typ)
+        q = GQ(attr=op["name"])
+        if rbac == NEGATIVE:
+            q.attr += "()"
+            return [q]
+        args = {k: self.rw._resolve(v)
+                for k, v in (op.get("args") or {}).items()}
+        filt = args.get("filter") if isinstance(args.get("filter"),
+                                                dict) else None
+        q.func = f"uid({auth.var_name})"
+        auth.var_name = ""
+        self._add_field_args(q, typ, args, filt, skip_id=True)
+        sel_auth = self._selection(q, typ, op.get("fields") or [], auth)
+        self._add_uid(q)
+        casc = self.rw._cascade_arg(typ, op.get("dirs"))
+        if casc:
+            q.cascade = (["__all__"] if casc == "@cascade"
+                         else [c.strip() for c in
+                               casc[len("@cascade("):-1].split(",")])
+        out = self._add_auth_queries(typ, [q], rbac, auth)
+        out.extend(sel_auth)
+        return out
+
+    def _remove_node_reference(self, typ: str, qry: GQ,
+                               auth: AuthState) -> list:
+        """removeNodeReference (mutation_rewriter.go:1012)."""
+        from dgraph_spark.graphql.ref_rewriter import _linked_fields
+
+        deletes = []
+        for fname, f, inv, inv_pred, is_rev in _linked_fields(self.s, typ):
+            var = auth.vg.next(f.typ, False)
+            qry.children.append(GQ(var=var,
+                                   attr=self.s.pred_name(typ, fname)))
+            ct = self.s.get(f.typ)
+            inv_field = ct.fields.get(inv) if inv else None
+            ref = {"uid": "uid(x)"}
+            val = [ref] if (is_rev or (inv_field is not None
+                                       and inv_field.is_list)) else ref
+            deletes.append({"uid": f"uid({var})", inv_pred: val})
+        return deletes
+
+
+def rewrite_delete_mutation_with_auth(gql: str, schema: GQLSchema,
+                                      auth_rules: dict, jwt: dict | None,
+                                      variables: dict | None = None):
+    return AuthDeleteRewriter(schema, auth_rules, jwt).rewrite_delete(
+        gql, variables)

@@ -1044,9 +1044,14 @@ def _linked_fields(schema: GQLSchema, typ: str):
                         if schema.pred_name(f.typ, i) == fwd), None)
             out.append((fname, f, inv, fwd, True))
             continue
+        # a field inherited from an interface matches the inverse declared
+        # against the interface type (Question.author <-> Author.posts
+        # where posts: [Post])
+        own_ifaces = set(getattr(schema.types.get(typ), "interfaces", []))
         inv = next(
             (i for i, g in ct.fields.items()
-             if g.typ == typ and (f.inverse == i or g.inverse == fname)),
+             if (g.typ == typ or g.typ in own_ifaces)
+             and (f.inverse == i or g.inverse == fname)),
             None)
         if inv is not None:
             out.append((fname, f, inv, schema.pred_name(f.typ, inv), False))

@@ -146,3 +146,33 @@ def test_graphql_auth_query_rewrite(case):
     got = rewrite_query_with_auth(case["gqlquery"], schema, rules,
                                   case.get("jwtvar") or {})
     assert got == (case["dgquery"] or "").rstrip("\n")
+
+
+_AUTH_DEL_CASES = yaml.safe_load(
+    open(os.path.join(_DIR, "auth_delete_cases.yaml")))
+
+
+@pytest.mark.parametrize(
+    "case", _AUTH_DEL_CASES,
+    ids=[f"{i:03d}-{c['name'][:48]}" for i, c in enumerate(_AUTH_DEL_CASES)])
+def test_graphql_auth_delete_mutation_rewrite(case):
+    """@auth delete-mutation rewriting (auth_delete_test.yaml): the
+    x-as upsert query with TypeRoot auth chains, @hasInverse cleanup
+    vars numbered after auth allocations, and the payload re-query
+    (filterByUid) as the second upsert — exact text, all 24 cases."""
+    from dgraph_spark.graphql.auth_rewriter import (
+        parse_auth_rules, rewrite_delete_mutation_with_auth)
+    from dgraph_spark.graphql.sdl import parse_sdl
+
+    schema = parse_sdl(_AUTH_SCHEMA_SRC)
+    rules = parse_auth_rules(_AUTH_SCHEMA_SRC)
+    variables = json.loads(case["variables"]) if case.get("variables") else {}
+    dq, muts, dqsec = rewrite_delete_mutation_with_auth(
+        case["gqlquery"], schema, rules, case.get("jwtvar") or {}, variables)
+    assert dq == case["dgquery"].rstrip("\n")
+    expected = case.get("dgmutations") or []
+    assert len(muts) == len(expected)
+    for got, want in zip(muts, expected):
+        assert got["deletejson"] == json.loads(want["deletejson"])
+    if case.get("dgquerysec"):
+        assert dqsec == case["dgquerysec"].rstrip("\n")
