@@ -36,6 +36,16 @@ def union_edges(g: Graph, preds: list[str]) -> DataFrame:
     return out
 
 
+def _cached_rel(g: Graph, key: tuple, build) -> DataFrame:
+    """Persist a loop relation once per (immutable) Graph and reuse it
+    across queries — the adjacency-tablet index pattern: iterative
+    algorithms re-join the same relation every round and every call."""
+    cache = g.__dict__.setdefault("_loop_rel_cache", {})
+    if key not in cache:
+        cache[key] = build().persist()
+    return cache[key]
+
+
 def reachable(
     g: Graph,
     starts: DataFrame,
@@ -47,7 +57,8 @@ def reachable(
     ``max_depth`` hops over ``preds``. Returns (start, node, depth) with
     the minimal depth per (start, node). BFS with distributed visited set.
     """
-    edges = union_edges(g, preds).persist()
+    edges = _cached_rel(g, ("reach_edges", tuple(preds)),
+                        lambda: union_edges(g, preds))
     frontier = starts.select(F.col(SUBJECT).alias("start"), F.col(SUBJECT).alias("node"))
     frontier = frontier.withColumn("depth", F.lit(0))
     visited = frontier
@@ -70,7 +81,6 @@ def reachable(
     if not keep_start:
         visited = visited.where(F.col("depth") > 0)
     visited = visited.localCheckpoint(eager=True)
-    edges.unpersist()
     return visited
 
 
@@ -78,15 +88,17 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
     """Undirected connected components via iterative label propagation
     (small-label-wins). Returns (node, component). Converges in
     O(diameter) iterations; each is two shuffles."""
-    e = union_edges(g, preds)
-    # the symmetrized edge relation is re-joined EVERY round: persist it
-    # once instead of re-scanning parquet per iteration (released before
-    # returning). NO distinct — the min-aggregation absorbs duplicate
-    # edges, and an edge-relation-wide distinct is the single biggest
-    # shuffle here at scale.
-    sym = e.select(SUBJECT, OBJECT).unionByName(
-        e.select(F.col(OBJECT).alias(SUBJECT), F.col(SUBJECT).alias(OBJECT))
-    ).persist()
+    # the symmetrized edge relation is re-joined EVERY round and reused
+    # across calls: persist once per graph. NO distinct — the
+    # min-aggregation absorbs duplicate edges, and an edge-relation-wide
+    # distinct is the single biggest shuffle here at scale.
+    def _sym():
+        e = union_edges(g, preds)
+        return e.select(SUBJECT, OBJECT).unionByName(
+            e.select(F.col(OBJECT).alias(SUBJECT),
+                     F.col(SUBJECT).alias(OBJECT)))
+
+    sym = _cached_rel(g, ("cc_sym", tuple(preds)), _sym)
     labels = (
         sym.select(F.col(SUBJECT).alias("node"))
         .distinct()
@@ -134,9 +146,8 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
         if cur == prev_sum:
             break
         prev_sum = cur
-    # the probe action already materialized the final checkpoint, so the
-    # returned plan no longer depends on the released edge cache
-    sym.unpersist()
+    # the probe action already materialized the final checkpoint; the
+    # graph-cached edge relation stays persisted for the next call
     return labels
 
 
@@ -150,15 +161,16 @@ def pagerank(
     Classic power iteration; ranks normalized over the node universe."""
     # every power iteration re-joins e / out_deg / nodes: persist them
     # once (released before returning)
-    e = union_edges(g, preds).distinct().persist()
-    nodes = (
+    e = _cached_rel(g, ("pr_edges", tuple(preds)),
+                    lambda: union_edges(g, preds).distinct())
+    nodes = _cached_rel(g, ("pr_nodes", tuple(preds)), lambda: (
         e.select(F.col(SUBJECT).alias("node"))
         .unionByName(e.select(F.col(OBJECT).alias("node")))
-        .distinct()
-        .persist()
-    )
+        .distinct()))
     n = nodes.count()
-    out_deg = e.groupBy(SUBJECT).agg(F.count("*").alias("_deg")).persist()
+    out_deg = _cached_rel(
+        g, ("pr_outdeg", tuple(preds)),
+        lambda: e.groupBy(SUBJECT).agg(F.count("*").alias("_deg")))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iter):
         contrib = (
@@ -190,6 +202,4 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     ranks = ranks.localCheckpoint(eager=True)
-    for df in (e, nodes, out_deg):
-        df.unpersist()
     return ranks

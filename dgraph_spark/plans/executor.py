@@ -1549,6 +1549,18 @@ class Executor:
         tagged = _build_tagged(uid_preds)
         if tagged is None:
             return top
+        # the tagged union edge relation is re-joined every recursion
+        # round AND re-used across queries over the same (immutable)
+        # Graph — persist it once per (preds, facets) shape, like
+        # dgraph's adjacency tablets
+        _tkey = ("recurse_tagged", want_facets,
+                 tuple(sorted(uid_preds)))
+        _rcache = self.g.__dict__.setdefault("_loop_rel_cache", {})
+        if _tkey in _rcache:
+            tagged = _rcache[_tkey]
+        else:
+            tagged = tagged.persist()
+            _rcache[_tkey] = tagged
 
         ROOT_BH = 0
         # frontier: (branch hash, node) pairs of the current depth
@@ -1756,11 +1768,23 @@ class Executor:
                      .where(F.col("_rn") == 1).drop("_rn"))
         edges = edges.drop("_pi")
         # the unified weighted edge relation is re-joined every relaxation
-        # round (and every depth-ball round): persist it once for the
-        # loop instead of re-scanning parquet per iteration; released
-        # after the result is pinned below
-        edges = edges.persist()
-        edges_cached = edges
+        # round (and every depth-ball round). Persist it once per GRAPH,
+        # not per query: like dgraph's adjacency tablets, the relation is
+        # an index structure amortized across calls (the Graph is
+        # immutable — mutations build a new Graph, so no invalidation is
+        # needed). Filtered edge blocks may reference query variables, so
+        # only the unfiltered shape is cached.
+        cacheable = all(f is None for _p, _r, _wk, f in preds)
+        ckey = ("shortest_edges",) + tuple(
+            (p, r, wk) for p, r, wk, _f in preds)
+        rel_cache = self.g.__dict__.setdefault("_loop_rel_cache", {})
+        if cacheable and ckey in rel_cache:
+            edges = rel_cache[ckey]
+        else:
+            edges = edges.persist()
+            if cacheable:
+                rel_cache[ckey] = edges
+        edges_cached = edges if not cacheable else None
 
         unit_weights = all(wkey is None for _p, _r, wkey, _f in preds)
         spark = self.spark
@@ -1857,9 +1881,11 @@ class Executor:
         if sp.minweight is not None:
             result = result.where(F.col("dist") >= sp.minweight)
         result = result.select("node", "dist", "path", "preds", "wfs")
-        # every surviving frame (found / grown) was eagerly checkpointed,
-        # so nothing downstream re-reads the cached edge relation
-        edges_cached.unpersist()
+        # every surviving frame (found / grown) was checkpointed, so
+        # nothing downstream re-reads the per-query edge relation;
+        # graph-cached relations stay persisted for the next query
+        if edges_cached is not None:
+            edges_cached.unpersist()
         if block.var:
             # the path var holds the FIRST (best) route's nodes, in path
             # order (query/shortest.go:424 DestUIDs = kroutes[0]); _frank
