@@ -875,8 +875,9 @@ class AuthRewriter:
         t = self.s.types.get(typ)
         if t is not None and t.kind == "interface":
             impls = self.s.implementers(typ)
-            impl_has_rules = any(self.rule_for(i, auth.selector) is not None
-                                 for i in impls)
+            # AuthRules().Rules != nil — ANY action's rules count, not
+            # just the current selector's (query_rewriter.go:1060)
+            impl_has_rules = any(self.rules.get(i) for i in impls)
             qrys: list[GQ] = []
             filts = []
             for obj in impls:
@@ -899,7 +900,7 @@ class AuthRewriter:
                     qrys.extend(obj_qrys)
                 filts.append(obj_filt)
             if not filts and impl_has_rules:
-                return [GQ(attr=dg[0].attr + "()")]
+                return [GQ(attr=dg[0].attr + "()", var=dg[0].var)]
             fld_auth = fld_auth + qrys
             if filts:
                 # a single-child OR still renders parenthesized
@@ -1307,3 +1308,280 @@ def rewrite_delete_mutation_with_auth(gql: str, schema: GQLSchema,
                                       variables: dict | None = None):
     return AuthDeleteRewriter(schema, auth_rules, jwt).rewrite_delete(
         gql, variables)
+
+
+# ----------------------------------------------------- update mutations
+class _VGAdapter:
+    """Bridge the mutation VariableGenerator (xid-memoizing) to the
+    auth module's (typ, auth_flag) calling convention — one shared
+    counter, exactly like the reference's single VarGen."""
+
+    def __init__(self, mvg):
+        self.mvg = mvg
+
+    def next(self, typ: str, auth: bool = False) -> str:
+        return self.mvg.next(typ, "", "", auth=auth)
+
+
+def rewrite_update_mutation_with_auth(gql: str, schema: GQLSchema,
+                                      auth_rules: dict, jwt: dict | None,
+                                      variables: dict | None = None,
+                                      id_existence: dict | None = None):
+    """UpdateRewriter.Rewrite with auth (mutation_rewriter.go:578 +
+    query_rewriter.go RewriteUpsertQueryFromMutation/addAuthQueries):
+    returns (dgquery_existence, mutations, dgquerysec)."""
+    from dgraph_spark.graphql.mutation_rewriter import (
+        UpdateMutationRewriter, _mutations_from_frag, _Errors as _MErrors,
+        _wrap as _mwrap)
+
+    vars_dollar = {("$" + k): v for k, v in (variables or {}).items()}
+    urw = UpdateMutationRewriter(schema, vars_dollar)
+    dgq, err = urw.rewrite_queries(gql)
+    if err:
+        return dgq, None, None, err
+    arw = AuthRewriter(schema, auth_rules, jwt)
+    auth = AuthState(arw.jwt, "update", urw.typ + "Root")
+    auth.vg = _VGAdapter(urw.vg)
+    payload = urw.op.get("fields") or []
+    qf = next((f for f in payload
+               if isinstance(f, dict) and f.get("fields") is not None
+               and schema.field(urw.typ, "") is None
+               and (f.get("name") in (urw.typ[:1].lower() + urw.typ[1:],
+                                      urw.typ))), None)
+    auth.has_auth_rules = False
+    if qf is not None:
+        auth.has_auth_rules = (
+            arw.rule_for(urw.typ, "update") is not None
+            or arw._has_auth_in_selection(urw.typ, qf.get("fields"),
+                                          "update"))
+    rbac = arw.static_eval(auth, urw.typ)
+
+    def _delete_auth_hook(frag, target_var, ttyp):
+        # addDelete auth tail (mutation_rewriter.go:2370): removing an
+        # edge from a node of an update-auth type requires permission
+        rn = arw.rule_for(ttyp, "update")
+        if rn is None:
+            return
+        sub = AuthState(arw.jwt, "update", ttyp + "Root")
+        sub.vg = auth.vg
+        sub.is_writing_auth = True
+        sub.var_name = target_var
+        sub.has_auth_rules = True
+        qrys, filt = arw._rewrite_rule_node(ttyp, rn, sub)
+        if not qrys:
+            return
+        frag.queries.append({"attr": target_var,
+                             "func": f"uid({target_var})",
+                             "children": ["uid"]})
+        frag.queries.append({"attr": target_var + ".auth",
+                             "func": f"uid({target_var})", "filter": filt,
+                             "children": ["uid"]})
+        frag.queries.extend(qrys)
+
+    urw.delete_auth_hook = _delete_auth_hook
+    q = GQ(attr=urw.op["name"], var="x")
+    if rbac == NEGATIVE:
+        q.attr += "()"
+        dg = [q]
+    else:
+        args = {k: urw.rw._resolve(v)
+                for k, v in (urw.op.get("args") or {}).items()}
+        filt = urw.filter
+        ids = None
+        idf = next((fn for fn, f in schema.get(urw.typ).fields.items()
+                    if f.is_id), None)
+        if filt and idf in filt:
+            got = arw.rw._id_list(filt[idf])
+            if got:
+                ids = got
+        q.children.append(GQ(attr="uid"))
+        if ids and len(filt) == 1:
+            q.func = f"uid({', '.join(ids)})"
+            q.filter = _F("leaf", f"type({arw._dgname(urw.typ)})")
+        else:
+            q.func = (f"uid({', '.join(ids)})" if ids
+                      else f"type({arw._dgname(urw.typ)})")
+            arw._add_field_args(q, urw.typ, args, filt, skip_id=True)
+        dg = arw._add_auth_queries(urw.typ, [q], rbac, auth)
+    queries = dg
+    src_uid = "uid(x)"
+    obj_set = urw.set_arg if isinstance(urw.set_arg, dict) else None
+    obj_del = urw.del_arg if isinstance(urw.del_arg, dict) else None
+    if not obj_set and not obj_del:
+        return dgq, [], "", None
+    mutations = []
+    errors: list[str] = []
+    id_existence = dict(id_existence or {})
+    for obj, mode, set_frag in ((obj_set, "update_set", True),
+                                (obj_del, "update_remove", False)):
+        if not obj:
+            continue
+        try:
+            frag, _uv, errs = urw.rewrite_object(
+                urw.typ, None, src_uid, obj, id_existence, mode)
+        except _MErrors as ex:
+            frag, errs = None, ex.msgs
+        errors.extend(errs)
+        if frag is not None:
+            frag.conditions.append("gt(len(x), 0)")
+            mutations.append(_mutations_from_frag(frag,
+                                                  set_is_fragment=set_frag))
+            for fq in frag.queries:
+                queries.append(fq if isinstance(fq, GQ)
+                               else _frag_query_to_gq(fq))
+    err2 = _mwrap(errors) if errors else None
+    return dgq, mutations, render_blocks(queries), err2
+
+
+def _frag_query_to_gq(fq: dict) -> GQ:
+    g = GQ(attr=fq.get("attr", "var"), var=fq.get("var") or "",
+           func=fq.get("func") or "")
+    if fq.get("filter"):
+        g.filter = fq["filter"]
+    for c in fq.get("children") or []:
+        if isinstance(c, str):
+            g.children.append(GQ(attr=c))
+        else:
+            cg = GQ(attr=c.get("attr", ""), var=c.get("var") or "")
+            if c.get("filter"):
+                cg.filter = c["filter"]
+            g.children.append(cg)
+    return g
+
+
+# ------------------------------------------------------- add mutations
+def rewrite_add_mutation_with_auth(gql: str, schema: GQLSchema,
+                                   auth_rules: dict, jwt: dict | None,
+                                   variables: dict | None = None,
+                                   id_existence: dict | None = None):
+    """AddRewriter.Rewrite with auth: upsert roots get the real
+    update-selector auth chain; additional deletes carry per-edge auth
+    checks. Returns (dgquery, mutations, dgquerysec, new_nodes, err)."""
+    from dgraph_spark.graphql.mutation_rewriter import (
+        AddMutationRewriter, _mutations_from_frag, _Errors as _MErrors,
+        _wrap as _mwrap, _as_uid)
+
+    vars_dollar = {("$" + k): v for k, v in (variables or {}).items()}
+    arw_mut = AddMutationRewriter(schema, vars_dollar)
+    dgq, err = arw_mut.rewrite_queries(gql)
+    if err:
+        return dgq, None, None, {}, err
+    arw = AuthRewriter(schema, auth_rules, jwt)
+    auth = AuthState(arw.jwt, "update", arw_mut.typ + "Root")
+    auth.vg = _VGAdapter(arw_mut.vg)
+    payload = arw_mut.op.get("fields") or []
+    qf = next((f for f in payload
+               if isinstance(f, dict) and f.get("fields") is not None), None)
+    auth.has_auth_rules = qf is not None and (
+        arw.rule_for(arw_mut.typ, "update") is not None
+        or arw._has_auth_in_selection(arw_mut.typ, qf.get("fields"),
+                                      "update"))
+
+    def _delete_auth_hook(frag, target_var, ttyp):
+        rn = arw.rule_for(ttyp, "update")
+        if rn is None:
+            return
+        sub = AuthState(arw.jwt, "update", ttyp + "Root")
+        sub.vg = auth.vg
+        sub.is_writing_auth = True
+        sub.var_name = target_var
+        sub.has_auth_rules = True
+        qrys, filt = arw._rewrite_rule_node(ttyp, rn, sub)
+        if not qrys:
+            return
+        frag.queries.append({"attr": target_var,
+                             "func": f"uid({target_var})",
+                             "children": ["uid"]})
+        frag.queries.append({"attr": target_var + ".auth",
+                             "func": f"uid({target_var})", "filter": filt,
+                             "children": ["uid"]})
+        frag.queries.extend(qrys)
+
+    arw_mut.delete_auth_hook = _delete_auth_hook
+    mutation_type = "add_upsert" if arw_mut.upsert else "add"
+    id_existence = dict(id_existence or {})
+    queries: list[GQ] = []
+    frags = []
+    errors: list[str] = []
+    new_nodes: dict[str, str] = {}
+    for obj in arw_mut.inputs:
+        try:
+            frag, upsert_var, errs = arw_mut.rewrite_object(
+                arw_mut.typ, None, "", obj, id_existence, mutation_type)
+        except _MErrors as ex:
+            frag, upsert_var, errs = None, "", ex.msgs
+        errors.extend(errs)
+        if upsert_var:
+            rbac = arw.static_eval(auth, arw_mut.typ)
+            if rbac == NEGATIVE:
+                queries.append(GQ(attr=arw_mut.op["name"] + "()",
+                                  var=upsert_var))
+            else:
+                q = GQ(attr=upsert_var, var=upsert_var)
+                try:
+                    uid = _as_uid(id_existence.get(upsert_var))
+                    q.func = f"uid({uid:#x})"
+                    q.filter = _F("leaf",
+                                  f"type({arw._dgname(arw_mut.typ)})")
+                    q.children.append(GQ(attr="uid"))
+                    queries.extend(arw._add_auth_queries(
+                        arw_mut.typ, [q], rbac, auth))
+                except _MErrors:
+                    queries.append(GQ(attr=arw_mut.op["name"] + "()",
+                                      var=upsert_var))
+            frag.conditions.append(f"gt(len({upsert_var}), 0)")
+        if frag is not None:
+            frags.append(frag)
+            new_nodes.update(frag.new_nodes)
+    mutations = []
+    for frag in frags:
+        mutations.append(_mutations_from_frag(frag, set_is_fragment=True))
+        for fq in frag.queries:
+            queries.append(fq if isinstance(fq, GQ)
+                           else _frag_query_to_gq(fq))
+    err2 = _mwrap(errors) if errors else None
+    return dgq, mutations, render_blocks(queries), new_nodes, err2
+
+
+def build_new_node_auth_query(schema: GQLSchema, auth_rules: dict,
+                              jwt: dict | None, uids: dict,
+                              new_nodes: dict) -> str | None:
+    """authorizeNewNodes (resolve/mutation.go:598): the post-mutation
+    check that every node created by an add/update passes its type's
+    add-auth rules. Returns the check query text, '' when no auth
+    applies, or raises _AuthFailed when RBAC statically denies."""
+    arw = AuthRewriter(schema, auth_rules, jwt)
+    vg = VarGen()
+    by_type: dict[str, list[int]] = {}
+    for var, typ in new_nodes.items():
+        if var in uids:
+            by_type.setdefault(typ, []).append(int(uids[var], 0))
+    blocks: list[GQ] = []
+    for typ in sorted(by_type):
+        var_name = vg.next(typ, False)
+        sub = AuthState(arw.jwt, "add", typ + "Root")
+        sub.vg = vg
+        sub.is_writing_auth = True
+        sub.var_name = var_name
+        sub.has_auth_rules = True
+        rn = arw.rule_for(typ, "add")
+        qrys, filt = arw._rewrite_rule_node(typ, rn, sub)
+        rbac = rn.evaluate_static(arw.jwt) if rn is not None else UNCERTAIN
+        if rbac == NEGATIVE:
+            raise AuthFailedError("authorization failed")
+        if rbac == POSITIVE or not qrys:
+            continue
+        typ_q = GQ(attr=typ, func=f"uid({var_name})")
+        typ_q.filter = filt
+        typ_q.children.append(GQ(attr="uid"))
+        nodes = sorted(by_type[typ])
+        var_q = GQ(attr="var", var=var_name,
+                   func="uid(" + ", ".join(f"{u:#x}" for u in nodes) + ")")
+        blocks.extend([typ_q, var_q] + qrys)
+    if not blocks:
+        return None
+    return render_blocks(blocks)
+
+
+class AuthFailedError(Exception):
+    pass

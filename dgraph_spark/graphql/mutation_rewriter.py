@@ -139,7 +139,8 @@ class VarGen:
         self.counter = 0
         self.xid_map: dict[str, str] = {}
 
-    def next(self, typ: str, xid_name: str = "", xid_val: str = "") -> str:
+    def next(self, typ: str, xid_name: str = "", xid_val: str = "",
+             auth: bool = False) -> str:
         flag = xid_name
         if "." in flag:
             xid_name = flag.split(".")[1]
@@ -150,7 +151,8 @@ class VarGen:
             if key in self.xid_map:
                 return self.xid_map[key]
         self.counter += 1
-        name = f"{typ}_{self.counter}"
+        name = (f"{typ}_Auth{self.counter}" if auth
+                else f"{typ}_{self.counter}")
         if key:
             self.xid_map[key] = name
         return name
@@ -280,6 +282,9 @@ class _MutRewriter:
         self.vg = VarGen(schema)
         self.meta = _XidMeta()
         self.errors: list[str] = []
+        # optional: auth layer appends per-delete auth check blocks
+        # (mutation_rewriter.go:2370 addDelete auth tail)
+        self.delete_auth_hook = None
 
     # ------------------------------------------------------------ parsing
     def _deep(self, v):
@@ -364,6 +369,8 @@ class _MutRewriter:
             "uid": f"uid({target_var})",
             del_fld_name: [ref] if del_fld.f.is_list else ref,
         })
+        if self.delete_auth_hook is not None:
+            self.delete_auth_hook(frag, target_var, qry_fld.target)
 
     # ------------------------------------------------- existence queries
     def _interface_variable(self, typ: str, xid: GField, xid_string: str):

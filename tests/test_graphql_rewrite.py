@@ -176,3 +176,80 @@ def test_graphql_auth_delete_mutation_rewrite(case):
         assert got["deletejson"] == json.loads(want["deletejson"])
     if case.get("dgquerysec"):
         assert dqsec == case["dgquerysec"].rstrip("\n")
+
+
+_AUTH_ADD_CASES = yaml.safe_load(
+    open(os.path.join(_DIR, "auth_add_cases.yaml")))
+_AUTH_UPD_CASES = yaml.safe_load(
+    open(os.path.join(_DIR, "auth_update_cases.yaml")))
+
+
+def _existence_from_queryjson(case) -> dict:
+    out = {}
+    if case.get("queryjson"):
+        for var, rows in json.loads(case["queryjson"]).items():
+            if rows:
+                out[var] = rows[0]["uid"]
+    return out
+
+
+@pytest.mark.parametrize(
+    "case", _AUTH_ADD_CASES,
+    ids=[f"{i:03d}-{c['name'][:48]}" for i, c in enumerate(_AUTH_ADD_CASES)])
+def test_graphql_auth_add_mutation_rewrite(case):
+    """@auth add-mutation rewriting (auth_add_test.yaml): existence
+    queries, upsert roots with real update-selector auth chains,
+    additional-delete per-edge auth checks, and the post-mutation
+    authorizeNewNodes check query built from assigned uids."""
+    from dgraph_spark.graphql.auth_rewriter import (
+        AuthFailedError, build_new_node_auth_query, parse_auth_rules,
+        rewrite_add_mutation_with_auth)
+    from dgraph_spark.graphql.sdl import parse_sdl
+
+    schema = parse_sdl(_AUTH_SCHEMA_SRC)
+    rules = parse_auth_rules(_AUTH_SCHEMA_SRC)
+    jwt = case.get("jwtvar") or {}
+    variables = json.loads(case["variables"]) if case.get("variables") else {}
+    dq, muts, dqsec, new_nodes, err = rewrite_add_mutation_with_auth(
+        case["gqlquery"], schema, rules, jwt, variables,
+        _existence_from_queryjson(case))
+    if case.get("dgquery"):
+        assert dq == case["dgquery"].rstrip("\n")
+    if case.get("dgquerysec"):
+        assert dqsec == case["dgquerysec"].rstrip("\n")
+    if case.get("authquery") is not None and not case.get("skipauth"):
+        uids = json.loads(case["uids"]) if case.get("uids") else {}
+        try:
+            aq = build_new_node_auth_query(schema, rules, jwt, uids,
+                                           new_nodes)
+        except AuthFailedError:
+            # statically denied — the reference errors before executing
+            # the check query; the corpus marks these with `error`
+            assert case.get("error")
+            return
+        if aq is not None:
+            assert aq == (case.get("authquery") or "").rstrip("\n")
+
+
+@pytest.mark.parametrize(
+    "case", [c for c in _AUTH_UPD_CASES if not c.get("error")],
+    ids=[f"{i:03d}-{c['name'][:48]}"
+         for i, c in enumerate(_AUTH_UPD_CASES) if not c.get("error")])
+def test_graphql_auth_update_mutation_rewrite(case):
+    """@auth update-mutation rewriting (auth_update_test.yaml): the
+    x-as upsert query with update-rule chains and additional-delete
+    auth checks (error cases are resolution-level, exercised in the
+    reference's executor mock — rewrite output asserted here)."""
+    from dgraph_spark.graphql.auth_rewriter import (
+        parse_auth_rules, rewrite_update_mutation_with_auth)
+    from dgraph_spark.graphql.sdl import parse_sdl
+
+    schema = parse_sdl(_AUTH_SCHEMA_SRC)
+    rules = parse_auth_rules(_AUTH_SCHEMA_SRC)
+    variables = json.loads(case["variables"]) if case.get("variables") else {}
+    dq, muts, dqsec, err = rewrite_update_mutation_with_auth(
+        case["gqlquery"], schema, rules, case.get("jwtvar") or {}, variables,
+        _existence_from_queryjson(case))
+    if case.get("dgquery"):
+        assert dq == case["dgquery"].rstrip("\n")
+    assert dqsec == case["dgquerysec"].rstrip("\n")
