@@ -545,6 +545,8 @@ class AuthRewriter:
         seen: set[str] = set()
         flat = self._flatten(typ, fields)
         for ftyp, fld in flat:
+            if self._skip_dir(fld):
+                continue
             name = fld["name"]
             alias = fld["alias"] or name
             f = self.s.field(ftyp, name)
@@ -743,6 +745,22 @@ class AuthRewriter:
         q.children.extend(agg_children + other_children)
         ret.extend(field_auth)
         return ret
+
+    def _skip_dir(self, fld: dict) -> bool:
+        """@skip/@include; an UNBOUND variable fails safe (field dropped
+        in both directions — matches the reference harness)."""
+        dm = {d["name"]: d["args"] for d in (fld.get("dirs") or [])}
+        if "skip" in dm:
+            v = dm["skip"].get("if")
+            rv = self.rw._resolve(v)
+            if (rv is None and isinstance(v, tuple)) or bool(rv):
+                return True
+        if "include" in dm:
+            v = dm["include"].get("if")
+            rv = self.rw._resolve(v)
+            if (rv is None and isinstance(v, tuple)) or not bool(rv):
+                return True
+        return False
 
     def _flatten(self, typ: str, fields: list) -> list:
         out = []
@@ -1585,3 +1603,60 @@ def build_new_node_auth_query(schema: GQLSchema, auth_rules: dict,
 
 class AuthFailedError(Exception):
     pass
+
+
+# ------------------------------------------ post-mutation payload query
+def rewrite_payload_query(gql: str, schema: GQLSchema, uids: list[str],
+                          auth_rules: dict | None = None,
+                          jwt: dict | None = None) -> str:
+    """FromMutationResult -> rewriteAsQueryByIds: the query that fetches
+    a mutation's payload selection over the mutated root uids
+    (mutation_rewriter.go:751/805, query_rewriter.go:453)."""
+    arw = AuthRewriter(schema, auth_rules or {}, jwt)
+    doc = _parse_query(gql.replace("mutation", "query", 1))
+    arw.frags = doc["frags"]
+    arw._pwd_header = ""
+    op = doc["ops"][0]
+    m = re.match(r"(add|update|delete)(.+)", op["name"])
+    prefix, typ = m.group(1), m.group(2)
+    payload_type = prefix.capitalize() + typ + "Payload"
+    qf = next((f for f in op.get("fields") or []
+               if isinstance(f, dict) and f.get("fields") is not None), None)
+    if qf is None:
+        return ""
+    alias = qf["alias"] or qf["name"]
+    auth = AuthState(arw.jwt, "query", typ + "Root")
+    auth.has_auth_rules = (
+        arw.rule_for(typ, "query") is not None
+        or arw._has_auth_in_selection(typ, qf.get("fields"), "query"))
+    rbac = arw.static_eval(auth, typ)
+    q = GQ(attr=f"{payload_type}.{alias}")
+    if rbac == NEGATIVE:
+        q.attr += "()"
+        return render_blocks([q])
+    ordered = [f"{int(u, 0):#x}" for u in uids]
+    q.func = f"uid({', '.join(ordered)})"
+    args = {k: arw.rw._resolve(v) for k, v in (qf.get("args") or {}).items()}
+    filt = args.get("filter") if isinstance(args.get("filter"),
+                                            dict) else None
+    idf = next((fn for fn, f in schema.get(typ).fields.items()
+                if f.is_id), None)
+    if filt and idf in filt:
+        ids = set(arw.rw._id_list(filt[idf]))
+        inter = [u for u in ordered if u in ids]
+        q.func = f"uid({', '.join(inter)})"
+    arw._add_field_args(q, typ, args, filt, skip_id=False)
+    sel_auth = arw._selection(q, typ, qf.get("fields") or [], auth)
+    arw._add_uid(q)
+    casc = arw.rw._cascade_arg(typ, qf.get("dirs"))
+    if casc:
+        q.cascade = (["__all__"] if casc == "@cascade"
+                     else [c.strip() for c in
+                           casc[len("@cascade("):-1].split(",")])
+    # @cascade on the MUTATION itself (any form) propagates to the
+    # payload re-query root as a bare @cascade
+    if any(d["name"] == "cascade" for d in op.get("dirs") or []):
+        q.cascade = ["__all__"]
+    dg = arw._add_auth_queries(typ, [q], rbac, auth)
+    dg.extend(sel_auth)
+    return render_blocks(dg)

@@ -253,3 +253,39 @@ def test_graphql_auth_update_mutation_rewrite(case):
     if case.get("dgquery"):
         assert dq == case["dgquery"].rstrip("\n")
     assert dqsec == case["dgquerysec"].rstrip("\n")
+
+
+_MQ_TESTS = yaml.safe_load(
+    open(os.path.join(_DIR, "mutation_query_cases.yaml")))
+_MQ_TYPES = {
+    "Add Post ": ('addPost(input: [{title: "A Post", author: {id: "0x1"}}])',
+                  "AddPostPayload", ["0x4"]),
+    "Update Post ": ('updatePost(input: {filter: {postID: ["0x4"]}, '
+                     'set: {text: "Updated text"}})',
+                     "UpdatePostPayload", ["0x4"]),
+}
+_MQ_ALLOWED = {"UPDATE_MUTATION": ["Update Post "],
+               "ADD_UPDATE_MUTATION": ["Add Post ", "Update Post "]}
+_MQ_PARAMS = [
+    (tt_key, name, case)
+    for tt_key, cases in _MQ_TESTS.items()
+    for name in _MQ_ALLOWED.get(tt_key, [])
+    for case in cases
+]
+
+
+@pytest.mark.parametrize(
+    "tt_key,mq_name,case", _MQ_PARAMS,
+    ids=[f"{n.strip()}-{c['name'][:40]}" for _t, n, c in _MQ_PARAMS])
+def test_graphql_mutation_payload_query_rewrite(tt_key, mq_name, case):
+    """FromMutationResult payload-query rewriting
+    (mutation_query_test.yaml): the query that fetches a mutation's
+    payload selection over the mutated root uids — aliases, deep
+    selections, filters/order/pagination, skip/include with unbound
+    variables, cascade at every position."""
+    from dgraph_spark.graphql.auth_rewriter import rewrite_payload_query
+
+    mut, ptype, uids = _MQ_TYPES[mq_name]
+    gql = case["gqlquery"].replace(tt_key, mut, 1)
+    want = case["dgquery"].replace("PAYLOAD_TYPE", ptype, 1).rstrip("\n")
+    assert rewrite_payload_query(gql, _SCHEMA, uids) == want
