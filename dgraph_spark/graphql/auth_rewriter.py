@@ -295,6 +295,10 @@ def render_blocks(blocks: list[GQ]) -> str:
     return "query {\n" + "\n".join(out) + "\n}"
 
 
+class JWTRequiredError(Exception):
+    """closedByDefault with no JWT token."""
+
+
 # ------------------------------------------------------------ auth rewriter
 class VarGen:
     def __init__(self):
@@ -321,7 +325,13 @@ class AuthRewriter:
     """queryRewriter.Rewrite with auth (query_rewriter.go:66)."""
 
     def __init__(self, schema: GQLSchema, auth_rules: dict,
-                 jwt: dict | None = None):
+                 jwt: dict | None = None, closed_by_default: bool = False):
+        # closedByDefault (x/config.go GraphQL flag): with no JWT token
+        # at all, EVERY operation is denied before rewriting — even on
+        # types without @auth (auth.go ExtractCustomClaims)
+        if closed_by_default and jwt is None:
+            raise JWTRequiredError(
+                "a valid JWT is required but was not provided")
         self.s = schema
         self.rules = merge_interface_rules(auth_rules, schema)
         self.jwt = jwt or {}

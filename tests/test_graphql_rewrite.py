@@ -289,3 +289,23 @@ def test_graphql_mutation_payload_query_rewrite(tt_key, mq_name, case):
     gql = case["gqlquery"].replace(tt_key, mut, 1)
     want = case["dgquery"].replace("PAYLOAD_TYPE", ptype, 1).rstrip("\n")
     assert rewrite_payload_query(gql, _SCHEMA, uids) == want
+
+
+def test_graphql_auth_closed_by_default():
+    """closedByDefault (auth_closed_by_default_*_test.yaml): with no
+    JWT token every operation is denied up front — even on types
+    without @auth — with the reference's exact message."""
+    from dgraph_spark.graphql.auth_rewriter import (AuthRewriter,
+                                                    JWTRequiredError,
+                                                    parse_auth_rules)
+    from dgraph_spark.graphql.sdl import parse_sdl
+
+    schema = parse_sdl(_AUTH_SCHEMA_SRC)
+    rules = parse_auth_rules(_AUTH_SCHEMA_SRC)
+    with pytest.raises(JWTRequiredError,
+                       match="a valid JWT is required but was not provided"):
+        AuthRewriter(schema, rules, jwt=None, closed_by_default=True)
+    # a present (even empty-claims) token proceeds to normal rewriting
+    rw = AuthRewriter(schema, rules, jwt={}, closed_by_default=True)
+    assert rw.rewrite("query { queryLog { logs } }") == \
+        "query {\n  queryLog()\n}"
