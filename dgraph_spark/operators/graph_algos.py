@@ -171,21 +171,33 @@ def pagerank(
     out_deg = _cached_rel(
         g, ("pr_outdeg", tuple(preds)),
         lambda: e.groupBy(SUBJECT).agg(F.count("*").alias("_deg")))
+    # dangling NODE SET is rank-independent: compute the anti-join once
+    # per graph instead of once per power iteration
+    dangling_nodes = _cached_rel(
+        g, ("pr_dangling", tuple(preds)),
+        lambda: nodes.join(out_deg, nodes.node == out_deg[SUBJECT],
+                           "left_anti").select("node"))
+    # (src, dst, 1/deg) is rank-independent — pre-join once per graph so
+    # each power iteration is a single join + aggregate
+    e_share = _cached_rel(
+        g, ("pr_eshare", tuple(preds)),
+        lambda: e.join(out_deg, SUBJECT).select(
+            SUBJECT, OBJECT, (F.lit(1.0) / F.col("_deg")).alias("_share")))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iter):
         contrib = (
-            e.join(out_deg, SUBJECT)
-            .join(ranks, e[SUBJECT] == ranks.node, "inner")
-            .select(F.col(OBJECT).alias("node"), (F.col("rank") / F.col("_deg")).alias("c"))
+            e_share.join(ranks, e_share[SUBJECT] == ranks.node, "inner")
+            .select(F.col(OBJECT).alias("node"),
+                    (F.col("rank") * F.col("_share")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
         # dangling-node mass: rank held by nodes with no out-edges
         # redistributes uniformly (standard formulation; without it the
-        # ranks don't sum to 1). One extra 1-row aggregate per
-        # iteration, broadcast — stays fully distributed.
+        # ranks don't sum to 1). Per iteration this is now a semi-join
+        # against the cached dangling set + a 1-row aggregate.
         dangling = (
-            ranks.join(out_deg, ranks.node == out_deg[SUBJECT], "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         ranks = (
