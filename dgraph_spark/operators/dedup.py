@@ -513,12 +513,20 @@ def embedding_near_dups(
     without it, an all-pairs comparison (only for small relations)."""
     from dgraph_spark.operators.similarity import _dot, _norm
 
+    # norms are per-ROW: compute before the pair join, not per pair
+    # (an O(d) aggregate twice per candidate otherwise)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                        *([F.col(block_col).alias("blk")] if block_col else []))
+    v = v.withColumn("_n", _norm(F.col("v")))
+    if block_col:
+        # spread blocks across cores: the pair compute is CPU-bound and
+        # a small parquet file otherwise runs it on one task
+        par = vectors.sparkSession.sparkContext.defaultParallelism
+        v = v.repartition(par, "blk")
     on = ["blk"] if block_col else []
     a, b = v.alias("a"), v.alias("b")
     pairs = (a.join(b, on) if on else a.crossJoin(b)).where(F.col("a.id") < F.col("b.id"))
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n"))
     return (
         pairs.select(
             F.col("a.id").alias("i"), F.col("b.id").alias("j"), cos.alias("cos")
