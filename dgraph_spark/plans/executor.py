@@ -160,6 +160,7 @@ class Executor:
         self.var_level = {}
         self.var_agg = {}
         self.scalar_vars = set()
+        self._blocks_run = 0
         self.var_kind = {}
         self.var_inrow = {}
 
@@ -183,12 +184,38 @@ class Executor:
                     out["schema"] = self._schema_json(block)
                 continue
             if block.is_var_block:
+                before = frozenset(self.env)
                 self._run_block(block)
+                self._truncate_new_vars(before)
                 continue
+            before = frozenset(self.env)
             result = self._block_json(block)
+            self._truncate_new_vars(before)
             if result is not None:
                 out[block.alias] = result
         return out
+
+
+    # blocks executed before var lineage-truncation kicks in: short
+    # queries (1-2 blocks) keep full plan fusion; deep chains get flat
+    # per-block plans
+    _VAR_TRUNCATE_AFTER = 2
+
+    def _truncate_new_vars(self, before: frozenset) -> None:
+        """Variables are MATERIALIZED uid/value lists in the reference
+        (query/query.go assigns DestUIDs per block); lazily checkpointing
+        each block's new vars keeps later blocks' plans flat — without
+        this, a deep multi-block var chain (e.g. LDBC IC05: six levels of
+        vars each referenced several times) makes Catalyst re-analyze the
+        shared subtrees combinatorially, which looks like a hang. Only
+        applied from the third block on, so one-var queries keep their
+        fully-fused single plan."""
+        self._blocks_run = getattr(self, "_blocks_run", 0) + 1
+        if self._blocks_run <= self._VAR_TRUNCATE_AFTER:
+            return
+        for k, v in list(self.env.items()):
+            if k not in before and v is not None:
+                self.env[k] = v.localCheckpoint(eager=False)
 
     def _schema_json(self, block: Block) -> list:
         """schema(pred: [...]) {...} introspection
@@ -245,12 +272,16 @@ class Executor:
         target = None
         for block in self._schedule(pq.blocks):
             if block.is_var_block:
+                before = frozenset(self.env)
                 self._run_block(block)
+                self._truncate_new_vars(before)
                 continue
             if block_alias is None or block.alias == block_alias:
                 target = block
                 break
+            before = frozenset(self.env)
             self._run_block(block)  # still run (may define vars)
+            self._truncate_new_vars(before)
         if target is None:
             raise KeyError(f"block {block_alias!r} not found")
         return self._block_flat(target)
@@ -1479,6 +1510,22 @@ class Executor:
                     var_of_tag[c.name] = c.var
                 if c.facets is not None:
                     spec_of_tag[c.name] = c.facets
+
+        # a `v as pred` child whose predicate holds NO data still DECLARES
+        # the variable (query/recurse.go assigns empty DestUIDs): pre-bind
+        # every edge-var to an empty uid relation so uid(v) consumers in
+        # later blocks resolve even when the traversal never runs
+        for c in block.children:
+            v = getattr(c, "var", None)
+            if not v or v in self.env:
+                continue
+            base = (c.attr if isinstance(c, Block) else c.name)
+            base = (base or "").lstrip("~")
+            if not self.g.has_pred(base) and (
+                    not self.g.schema.has(base)
+                    or self.g.schema.get(base).is_uid):
+                self.env[v] = self.spark.createDataFrame(
+                    [], f"{SUBJECT} long")
 
         expand_mode = any(isinstance(c, Attr) and c.expand for c in block.children)
         # preds the query EXPLICITLY asks for (captured before expansion
