@@ -137,3 +137,103 @@ def test_graphql_delete_mutation(spark):
     assert r["data"]["deletePerson"] == {"msg": "Deleted", "numUids": 1}
     assert g2.pred("name").count() == 1
     assert g2.pred("age").count() == 1
+
+
+def test_reference_rewrites_execute_end_to_end(spark):
+    """The byte-exact GraphQL rewriters COMPOSE with the engine: a
+    graph stored with the reference's `Type.field` predicate naming
+    answers ref_rewriter-emitted DQL through the Executor, auth chains
+    included."""
+    import json as _json
+    import os as _os
+
+    from dgraph_spark.dql.parser import parse_dql
+    from dgraph_spark.graphql.auth_rewriter import (parse_auth_rules,
+                                                    rewrite_query_with_auth)
+    from dgraph_spark.graphql.ref_rewriter import rewrite_query
+    from dgraph_spark.graphql.sdl import parse_sdl
+    from dgraph_spark.plans import Executor
+    from dgraph_spark.schema import SchemaRegistry
+    from dgraph_spark.sources.rdf import graph_from_triples, parse_nquads
+
+    _dir = _os.path.join(_os.path.dirname(__file__), "golden", "graphql")
+    schema = parse_sdl(open(_os.path.join(_dir, "schema.graphql")).read())
+    nq = """
+    _:a1 <Author.name> "Ann Author" .
+    _:a1 <dgraph.type> "Author" .
+    _:a1 <Author.reputation> "4.3"^^<float> .
+    _:a2 <Author.name> "Bob Writer" .
+    _:a2 <dgraph.type> "Author" .
+    _:a2 <Author.reputation> "8.9"^^<float> .
+    _:p1 <Post.title> "Intro to GraphQL" .
+    _:p1 <Post.numLikes> "10"^^<int> .
+    _:p1 <dgraph.type> "Post" .
+    _:p1 <Post.author> _:a1 .
+    _:p2 <Post.title> "Advanced DQL" .
+    _:p2 <Post.numLikes> "33"^^<int> .
+    _:p2 <dgraph.type> "Post" .
+    _:p2 <Post.author> _:a2 .
+    """
+    reg = SchemaRegistry.parse("""
+    Author.name: string @index(hash, term) .
+    Author.reputation: float @index(float) .
+    Post.title: string @index(term) .
+    Post.numLikes: int @index(int) .
+    Post.author: [uid] @reverse .
+    """)
+    lines = spark.createDataFrame(
+        [(ln.strip(),) for ln in nq.splitlines() if ln.strip()],
+        "value string")
+    g = graph_from_triples(spark, parse_nquads(lines), reg)
+    g.schema.define_type("Author", ["Author.name", "Author.reputation"])
+    g.schema.define_type("Post", ["Post.title", "Post.numLikes",
+                                  "Post.author"])
+
+    dql = rewrite_query(
+        'query { queryPost(filter: {title: {anyofterms: "GraphQL"}}) '
+        '{ title numLikes author { name } } }', schema)
+    got = Executor(g).execute(parse_dql(dql))
+    row = got["queryPost"][0]
+    assert row["Post.title"] == "Intro to GraphQL"
+    assert row["Post.numLikes"] == 10
+    assert row["Post.author"][0]["Author.name"] == "Ann Author"
+    assert len(got["queryPost"]) == 1
+
+    dql2 = rewrite_query(
+        'query { queryAuthor(filter: {reputation: {gt: 5}}, '
+        'order: {desc: reputation}) { name reputation } }', schema)
+    got2 = Executor(g).execute(parse_dql(dql2))
+    assert [r["Author.name"] for r in got2["queryAuthor"]] == ["Bob Writer"]
+
+    # an auth-gated query executes through the same engine: the auth
+    # schema's UserSecret rules compile to TypeRoot chains over
+    # UserSecret.* predicates
+    auth_src = open(_os.path.join(_dir, "auth_schema.graphql")).read()
+    aschema = parse_sdl(auth_src)
+    arules = parse_auth_rules(auth_src)
+    nq2 = """
+    _:s1 <UserSecret.aSecret> "mine" .
+    _:s1 <UserSecret.ownedBy> "user1" .
+    _:s1 <dgraph.type> "UserSecret" .
+    _:s2 <UserSecret.aSecret> "other" .
+    _:s2 <UserSecret.ownedBy> "user2" .
+    _:s2 <dgraph.type> "UserSecret" .
+    """
+    reg2 = SchemaRegistry.parse("""
+    UserSecret.aSecret: string @index(term) .
+    UserSecret.ownedBy: string @index(hash) .
+    """)
+    lines2 = spark.createDataFrame(
+        [(ln.strip(),) for ln in nq2.splitlines() if ln.strip()],
+        "value string")
+    g2 = graph_from_triples(spark, parse_nquads(lines2), reg2)
+    g2.schema.define_type("UserSecret",
+                          ["UserSecret.aSecret", "UserSecret.ownedBy"])
+    adql = rewrite_query_with_auth(
+        "query { queryUserSecret { aSecret ownedBy } }", aschema, arules,
+        {"USER": "user1"})
+    got3 = Executor(g2).execute(parse_dql(adql, allow_unused=True))
+    rows3 = got3["queryUserSecret"]
+    assert len(rows3) == 1  # the auth chain filtered out user2's secret
+    assert rows3[0]["UserSecret.aSecret"] == "mine"
+    assert rows3[0]["UserSecret.ownedBy"] == "user1"
