@@ -180,3 +180,63 @@ def test_goldendata_min_value_var_order(golden):
     # order-aware on the sort key; name ties may legitimately reorder
     assert [y for _x, y in rows] == [y for _x, y in oracle]
     assert {x for x, _y in rows} == {x for x, _y in oracle}
+
+
+def test_goldendata_count_index_family(golden):
+    """query-063..067 shape: the count-index scan family at several k
+    over director.film, against the DuckDB group-count oracle."""
+    from dgraph_spark.plans import Executor
+
+    g, wh = golden
+    con = _duck(wh)
+    for k in (1, 2, 3, 30, 100):
+        got = Executor(g).execute(
+            '{ q(func: eq(count(director.film), %d)) { count: count(uid) } }'
+            % k)
+        (n,) = con.execute(f"""
+            SELECT count(*) FROM (
+              SELECT subject FROM df GROUP BY subject HAVING count(*) = {k})
+        """).fetchone()
+        got_n = got["q"][0]["count"] if got["q"] else 0
+        assert got_n == n, f"count(director.film)={k}"
+
+
+def test_goldendata_directed_by_traversal(golden):
+    """query-010 shape: forward traversal film -> directed_by with the
+    director's name, checked as (film, director) pair sets."""
+    got = _exec(golden, '''
+    { q(func: anyofterms(name@en, "Spielberg")) {
+        name@en directed_by { name@en } } }''')
+    con = _duck(golden[1])
+    pairs = set()
+    for r in got["q"]:
+        for d in r.get("directed_by", []):
+            pairs.add((r.get("name@en"), d.get("name@en")))
+    dbv = con.execute(f"""
+        CREATE VIEW dbe AS SELECT subject, object_uid AS director
+        FROM t WHERE predicate='directed_by';
+        SELECT fn.name, dn.name FROM name_en fn
+        JOIN dbe e USING (subject) JOIN name_en dn ON dn.subject = e.director
+        WHERE list_has_any({_TERMS.replace('name', 'fn.name')}, ['spielberg'])
+    """).fetchall()
+    assert pairs == set(dbv) and len(pairs) > 0
+
+
+def test_goldendata_year_filter_traversal(golden):
+    """query-004 shape: child @filter(le(initial_release_date, ...)) —
+    year-granularity datetime comparison inside a traversal."""
+    got = _exec(golden, '''
+    { q(func: eq(name@en, "Steven Spielberg")) {
+        director.film @filter(le(initial_release_date, "2000")) {
+          name@en } } }''')
+    con = _duck(golden[1])
+    oracle = {r[0] for r in con.execute("""
+        SELECT fn.name FROM name_en n
+        JOIN df d USING (subject) JOIN name_en fn ON fn.subject = d.film
+        JOIN ird i ON i.subject = d.film
+        WHERE n.name = 'Steven Spielberg'
+          AND try_cast(substr(i.ird, 1, 4) AS INT) <= 2000
+    """).fetchall()}
+    films = {f.get("name@en") for r in got["q"]
+             for f in r.get("director.film", [])}
+    assert films == oracle
