@@ -257,13 +257,8 @@ def _render_gq(q: GQ, indent: str, out: list[str], root: bool) -> None:
         if q.func:
             inner.append(f"func: {q.func}")
         inner += q.order + q.args
-        if inner or q.attr.endswith("()") is False and q.func == "" \
-                and q.var == "" and False:
-            pass
         if inner:
             head += "(" + ", ".join(inner) + ")"
-        elif q.func == "" and not q.children and not q.var:
-            pass  # bare `name()` handled by caller via attr suffix
         ft = q.filter_text()
         if ft:
             head += f" @filter({ft})"

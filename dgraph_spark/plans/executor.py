@@ -312,7 +312,9 @@ class Executor:
             if block.shortest is not None:
                 self._run_shortest(block)  # binds path vars; no RDF body
                 continue
+            before = frozenset(self.env)
             level = self._run_block(block)
+            self._truncate_new_vars(before)
             if level is not None:
                 self._rdf_emit(level, lines)
         return "".join(lines)
