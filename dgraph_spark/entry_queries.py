@@ -1401,6 +1401,31 @@ FROM documents
 """
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """Audio pipeline with a REAL decode kernel: each document becomes
+    a genuine PCM16 WAV (square wave keyed to doc_id), and the
+    pure-numpy RIFF parser (operators/multimodal.py decode_wav) must
+    recover the sample rate, count, and RMS — closed-form SQL twins."""
+    from dgraph_spark.operators.multimodal import (audio_table_from_docs,
+                                                   extract_audio_features)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = audio_table_from_docs(docs)
+    return extract_audio_features(media).select(
+        "media_id", "sample_rate", "channels", "n_samples",
+        F.round("rms", 6).alias("rms"))
+
+
+SQL_multimodal_audio = """
+SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       1 AS channels,
+       ((n_chars % 50) + 1) * 16 AS n_samples,
+       round((doc_id % 1000)::DOUBLE, 6) AS rms
+FROM documents
+"""
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling stub over the binary column: one pseudo-frame per
     1 KiB chunk (operators/multimodal.py:103); per-media frame counts."""
@@ -1615,6 +1640,7 @@ QUERIES: dict[str, tuple] = {
     "anyof_custom": (q_anyof_custom, SQL_anyof_custom),
     "multimodal_features": (q_multimodal_features, SQL_multimodal_features),
     "multimodal_frames": (q_multimodal_frames, SQL_multimodal_frames),
+    "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
     "cdc_diff": (q_cdc_diff, SQL_cdc_diff),
     "stateful_counts": (q_stateful_counts, SQL_stateful_counts),
     "since_math": (q_since_math, SQL_since_math),

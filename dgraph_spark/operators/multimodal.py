@@ -296,3 +296,40 @@ def media_table_from_docs(docs: DataFrame, text_col: str = "text",
 
     src = docs.select(F.col(id_col), F.col("n_chars"))
     return src.mapInPandas(build, MEDIA_SCHEMA)
+
+
+def audio_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL PCM16 WAV per document: 8 kHz mono square wave
+    of amplitude doc_id % 1000 with (n_chars % 50 + 1) * 16 samples —
+    the decoder must walk the RIFF chunks and parse the sample array to
+    recover rate/count/RMS, all of which have closed-form SQL twins."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "media": [], "mime": [],
+                   "meta": []}
+            for did, nch in zip(pdf[id_col], pdf["n_chars"]):
+                n = (int(nch) % 50 + 1) * 16
+                amp = int(did) % 1000
+                samples = np.empty(n, dtype="<i2")
+                samples[0::2] = amp
+                samples[1::2] = -amp
+                fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                       + (8000).to_bytes(4, "little")
+                       + (16000).to_bytes(4, "little")
+                       + (2).to_bytes(2, "little")
+                       + (16).to_bytes(2, "little"))
+                data = samples.tobytes()
+                payload = (b"RIFF" + (36 + len(data)).to_bytes(4, "little")
+                           + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+                           + fmt + b"data"
+                           + len(data).to_bytes(4, "little") + data)
+                out["media_id"].append(int(did))
+                out["kind"].append("audio")
+                out["media"].append(payload)
+                out["mime"].append("audio/wav")
+                out["meta"].append('{"synthetic": true}')
+            yield pd.DataFrame(out)
+
+    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+        build, MEDIA_SCHEMA)
