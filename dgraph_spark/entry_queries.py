@@ -544,6 +544,55 @@ LIMIT 10
 """
 
 
+def _lsh_planes(dim: int = 64, n: int = 6) -> list:
+    """Fixed seeded hyperplanes shared by the Spark query and its SQL
+    twin — making the LSH-bucketed ANN fully deterministic."""
+    import random
+
+    rng = random.Random(42)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors — the 100 TB ANN
+    shape: hyperplane signature equi-join prunes candidates, exact
+    re-rank inside the probed buckets (operators/similarity.py
+    ann_topk_lsh). Deterministic planes give an exact SQL twin."""
+    from dgraph_spark.operators.similarity import ann_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = ann_topk_lsh(
+        emb.where(F.col("vec_id") != 0), list(qvec), k=10,
+        hyperplanes=_lsh_planes(), metric="euclidean",
+        id_col="vec_id", vec_col="embedding", probe_hamming=2)
+    return _round(out, {"dist": 3})
+
+
+def _sql_ann_lsh() -> str:
+    planes = _lsh_planes()
+
+    def bucket(col: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(f"{x!r}" for x in p) + "]"
+            terms.append(f"(CASE WHEN list_inner_product({col}, {lit}) >= 0 "
+                         f"THEN {1 << i} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_distance(embedding::DOUBLE[], (SELECT v FROM q)), 3) AS dist
+FROM embeddings
+WHERE vec_id != 0
+  AND bit_count(xor({bucket('embedding')}::BIGINT,
+                    (SELECT {bucket('v')} FROM q)::BIGINT)) <= 2
+ORDER BY list_distance(embedding::DOUBLE[], (SELECT v FROM q)) ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 def q_stream_tumbling(spark, sf_dir):
     """Structured-Streaming-shaped tumbling window agg (batch-equivalent;
     extension beyond reference — SURVEY §2.11)."""
@@ -1641,6 +1690,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, SQL_multimodal_features),
     "multimodal_frames": (q_multimodal_frames, SQL_multimodal_frames),
     "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
+    "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "cdc_diff": (q_cdc_diff, SQL_cdc_diff),
     "stateful_counts": (q_stateful_counts, SQL_stateful_counts),
     "since_math": (q_since_math, SQL_since_math),
