@@ -1150,8 +1150,10 @@ def self_eval_negative(rn: RuleNode, jwt: dict) -> bool:
 
 
 def rewrite_query_with_auth(gql: str, schema: GQLSchema, auth_rules: dict,
-                            jwt: dict | None = None) -> str:
-    return AuthRewriter(schema, auth_rules, jwt).rewrite(gql)
+                            jwt: dict | None = None,
+                            closed_by_default: bool = False) -> str:
+    return AuthRewriter(schema, auth_rules, jwt,
+                        closed_by_default=closed_by_default).rewrite(gql)
 
 
 # ----------------------------------------------------- delete mutations

@@ -237,3 +237,44 @@ def test_reference_rewrites_execute_end_to_end(spark):
     assert len(rows3) == 1  # the auth chain filtered out user2's secret
     assert rows3[0]["UserSecret.aSecret"] == "mine"
     assert rows3[0]["UserSecret.ownedBy"] == "user1"
+
+
+def test_execute_graphql_ref_completion(spark):
+    """execute_graphql_ref: rewrite -> execute -> completion renames
+    Type.field keys to GraphQL response keys, drops internal uids, and
+    honors @auth when a JWT is supplied."""
+    import os as _os
+
+    from dgraph_spark.graphql import execute_graphql_ref
+    from dgraph_spark.schema import SchemaRegistry
+    from dgraph_spark.sources.rdf import graph_from_triples, parse_nquads
+
+    _dir = _os.path.join(_os.path.dirname(__file__), "golden", "graphql")
+    auth_src = open(_os.path.join(_dir, "auth_schema.graphql")).read()
+    nq = """
+    _:s1 <UserSecret.aSecret> "mine" .
+    _:s1 <UserSecret.ownedBy> "user1" .
+    _:s1 <dgraph.type> "UserSecret" .
+    _:s2 <UserSecret.aSecret> "other" .
+    _:s2 <UserSecret.ownedBy> "user2" .
+    _:s2 <dgraph.type> "UserSecret" .
+    """
+    reg = SchemaRegistry.parse("""
+    UserSecret.aSecret: string @index(term) .
+    UserSecret.ownedBy: string @index(hash) .
+    """)
+    lines = spark.createDataFrame(
+        [(ln.strip(),) for ln in nq.splitlines() if ln.strip()],
+        "value string")
+    g = graph_from_triples(spark, parse_nquads(lines), reg)
+    g.schema.define_type("UserSecret",
+                         ["UserSecret.aSecret", "UserSecret.ownedBy"])
+    out = execute_graphql_ref(
+        g, auth_src, "query { queryUserSecret { aSecret ownedBy } }",
+        jwt={"USER": "user2"})
+    assert out == {"data": {"queryUserSecret": [
+        {"aSecret": "other", "ownedBy": "user2"}]}}
+    # no JWT: auth-gated type yields the empty response shape
+    out2 = execute_graphql_ref(
+        g, auth_src, "query { queryUserSecret { aSecret } }")
+    assert out2 == {"data": {"queryUserSecret": []}}
