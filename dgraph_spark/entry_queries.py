@@ -690,6 +690,51 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.43
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: PPJoin pairs -> transitive closure ->
+    canonical representative per cluster (operators/dedup.py
+    near_dup_clusters); the keep flag is what a corpus-dedup pipeline
+    filters on."""
+    from dgraph_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_clusters(docs, threshold=0.7)
+
+
+def _sql_dedup_clusters() -> str:
+    """DuckDB twin: quadratic exact jaccard pairs + recursive-CTE
+    transitive closure, cluster = min reachable id."""
+    sh = ("list_distinct([s[1] || ' ' || s[2] for s in (SELECT "
+          "list(list_slice(w, i, i+1)) FROM (SELECT "
+          "string_split_regex(lower(text), '[^a-z0-9]+') AS ws))])")
+    return """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, (SELECT list_distinct(list_transform(
+    range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+    FROM (SELECT list_filter(string_split_regex(lower(text),
+      '[^a-z0-9]+'), x -> x != '') AS ws)) AS g
+  FROM documents
+  WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x != '')) >= 2
+),
+pairs AS (
+  SELECT a.id AS i, b.id AS j
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE len(list_intersect(a.g, b.g))::DOUBLE
+        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7
+),
+sym AS (SELECT i AS a, j AS b FROM pairs
+        UNION ALL SELECT j, i FROM pairs),
+rec AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM rec r JOIN sym s ON r.b = s.a
+)
+SELECT id, cluster, id = cluster AS keep FROM (
+  SELECT a AS id, least(a, min(b)) AS cluster FROM rec GROUP BY a)
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Per-document text analysis: token count, rule-based language ID,
     quality score, md5 fingerprint (formulas are the spec)."""
@@ -1691,6 +1736,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_frames": (q_multimodal_frames, SQL_multimodal_frames),
     "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
+    "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "cdc_diff": (q_cdc_diff, SQL_cdc_diff),
     "stateful_counts": (q_stateful_counts, SQL_stateful_counts),
     "since_math": (q_since_math, SQL_since_math),

@@ -534,3 +534,45 @@ def embedding_near_dups(
         .where(F.col("cos") >= threshold)
         .select("i", "j", F.round("cos", 4).alias("cos"))
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: the transitive closure of the exact
+    jaccard pair graph, labeled by the smallest member id — the form a
+    training-data pipeline consumes ("keep one representative per
+    cluster"). Returns (id, cluster, keep) for every document in a
+    cluster of size >= 2; `keep` marks the canonical (minimum-id)
+    member. Pair generation is the PPJoin path; the closure is
+    pointer-jumped min-label propagation (same plan as
+    graph_algos.connected_components, one job per round)."""
+    pairs = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
+    sym = pairs.select(F.col("i").alias("a"), F.col("j").alias("b")).unionByName(
+        pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "cluster", F.col("id"))
+    prev_sum = None
+    for _ in range(20):
+        neigh = sym.join(labels, sym.a == labels.id, "inner").select(
+            F.col("b").alias("id"), "cluster")
+        propagated = (labels.unionByName(neigh).groupBy("id")
+                      .agg(F.min("cluster").alias("cluster")))
+        roots = propagated.select(F.col("id").alias("cluster"),
+                                  F.col("cluster").alias("_root"))
+        labels = (propagated.join(roots, "cluster", "left")
+                  .select("id", F.least(F.coalesce(F.col("_root"),
+                                                   F.col("cluster")),
+                                        F.col("cluster")).alias("cluster"))
+                  .localCheckpoint(eager=False))
+        cur = labels.agg(F.sum(F.col("cluster").cast("decimal(38,0)"))
+                         ).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(
+        "id", "cluster", (F.col("id") == F.col("cluster")).alias("keep"))
