@@ -250,3 +250,24 @@ def test_multimodal_audio_features(spark):
     row = extract_audio_features(media).collect()[0]
     assert row["sample_rate"] == 16000 and row["channels"] == 1
     assert row["n_samples"] == 200 and abs(row["rms"] - 3000.0) < 1e-9
+
+
+def test_near_dup_clusters_planted(spark):
+    """Planted near-dup groups collapse into clusters labeled by their
+    minimum member with exactly one keep per cluster."""
+    from dgraph_spark.operators.dedup import near_dup_clusters
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (10, "completely different text about spark engines and scale"),
+        (11, "completely different text about spark engines and scale!"),
+        (20, "a singleton document with nothing else like it at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: (r["cluster"], r["keep"])
+           for r in near_dup_clusters(docs, threshold=0.6).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[10] == (10, True) and out[11] == (10, False)
+    assert 20 not in out  # singletons are not clusters
