@@ -64,3 +64,53 @@ def execute_graphql_ref(graph: Graph, sdl_src: str, query: str,
     want_typename = "__typename" in query
     return {"data": {k: _complete(v, want_typename)
                      for k, v in raw.items()}}
+
+
+def _run_existence(graph: Graph, dgquery: str) -> dict:
+    """Execute the existence-check queries and build the
+    variable -> uid map the Rewrite phase consumes."""
+    if not dgquery.strip():
+        return {}
+    from dgraph_spark.plans import Executor
+
+    raw = Executor(graph).execute(parse_dql(dgquery, allow_unused=True))
+    out = {}
+    for var, rows in raw.items():
+        if rows:
+            out[var] = rows[0]["uid"]
+    return out
+
+
+def execute_graphql_add_ref(graph: Graph, sdl_src: str, mutation: str,
+                            variables: dict | None = None):
+    """Add mutation through the byte-exact rewrite pipeline
+    (mutation_rewriter.go flow): existence queries run against the
+    graph, the setjson upserts apply via the engine's JSON mutation
+    path, and the mutated root uids return for payload queries.
+    Returns (new_graph, root_uids)."""
+    from dgraph_spark.graphql.mutation_rewriter import AddMutationRewriter
+    from dgraph_spark.mutations import set_json
+
+    schema = parse_sdl(sdl_src)
+    vars_dollar = {("$" + k): v for k, v in (variables or {}).items()}
+    rw = AddMutationRewriter(schema, vars_dollar)
+    dgq, err = rw.rewrite_queries(mutation)
+    if err:
+        raise ValueError(err)
+    idex = _run_existence(graph, dgq)
+    muts, _qsec, err2 = rw.rewrite(idex)
+    if err2:
+        raise ValueError(err2)
+    g = graph
+    roots = []
+    for m in muts:
+        if m.get("cond"):
+            continue  # upsert-conditional branches need the upsert path
+        payload = m.get("setjson")
+        if payload is None:
+            continue
+        g = set_json(g, payload)
+        uid = payload.get("uid", "")
+        if isinstance(uid, str) and uid.startswith("_:"):
+            roots.append(uid)
+    return g, roots

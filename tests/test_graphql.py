@@ -278,3 +278,51 @@ def test_execute_graphql_ref_completion(spark):
     out2 = execute_graphql_ref(
         g, auth_src, "query { queryUserSecret { aSecret } }")
     assert out2 == {"data": {"queryUserSecret": []}}
+
+
+def test_execute_graphql_add_ref(spark):
+    """Add mutations execute through the byte-exact rewrite pipeline:
+    existence queries resolve references against the live graph, the
+    setjson applies via the JSON mutation path, and inverse edges
+    land."""
+    import os as _os
+
+    from dgraph_spark.graphql.resolver import execute_graphql_add_ref
+    from dgraph_spark.plans import Executor
+    from dgraph_spark.schema import SchemaRegistry
+    from dgraph_spark.sources.rdf import graph_from_triples, parse_nquads
+
+    _dir = _os.path.join(_os.path.dirname(__file__), "golden", "graphql")
+    sdl = open(_os.path.join(_dir, "schema.graphql")).read()
+    nq = '_:c <Country.name> "India" .\n_:c <dgraph.type> "Country" .'
+    reg = SchemaRegistry.parse("""
+    Country.name: string @index(trigram, exact) .
+    Country.states: [uid] @reverse .
+    State.code: string @index(hash) @upsert .
+    State.name: string .
+    State.country: [uid] .
+    """)
+    lines = spark.createDataFrame([(ln,) for ln in nq.splitlines()],
+                                  "value string")
+    g = graph_from_triples(spark, parse_nquads(lines), reg)
+    g.schema.define_type("Country", ["Country.name", "Country.states"])
+    g.schema.define_type("State", ["State.code", "State.name",
+                                   "State.country"])
+
+    g2, roots = execute_graphql_add_ref(g, sdl, '''
+    mutation {
+      addState(input: [{code: "ka", name: "Karnataka",
+                        country: {name: "Fresh Country"}}]) {
+        state { code }
+      }
+    }''')
+    assert roots and roots[0].startswith("_:State_")
+    got = Executor(g2).execute(
+        '{ q(func: eq(State.code, "ka")) { State.name '
+        'State.country { Country.name Country.states { State.code } } } }')
+    row = got["q"][0]
+    assert row["State.name"] == "Karnataka"
+    country = row["State.country"][0]
+    assert country["Country.name"] == "Fresh Country"
+    # inverse edge Country.states -> the new state landed too
+    assert country["Country.states"][0]["State.code"] == "ka"
