@@ -25,9 +25,16 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # oracles that are INTENTIONALLY quadratic/recursive (they verify
+    # values, not throughput) would dominate the baseline wall time at
+    # sf >= 0.1; time them only at the correctness scale
+    slow_oracles = {"dedup_clusters"}
     times = {}
     for name, (_fn, sql) in QUERIES.items():
         if sql is None:
+            continue
+        if name in slow_oracles and "sf0.01" not in sf_dir \
+                and "sf0.001" not in sf_dir:
             continue
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
