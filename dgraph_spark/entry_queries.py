@@ -704,9 +704,6 @@ def q_dedup_clusters(spark, sf_dir):
 def _sql_dedup_clusters() -> str:
     """DuckDB twin: quadratic exact jaccard pairs + recursive-CTE
     transitive closure, cluster = min reachable id."""
-    sh = ("list_distinct([s[1] || ' ' || s[2] for s in (SELECT "
-          "list(list_slice(w, i, i+1)) FROM (SELECT "
-          "string_split_regex(lower(text), '[^a-z0-9]+') AS ws))])")
     return """
 WITH RECURSIVE sh AS (
   SELECT doc_id AS id, (SELECT list_distinct(list_transform(

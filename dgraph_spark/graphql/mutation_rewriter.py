@@ -27,6 +27,28 @@ from dgraph_spark.graphql.sdl import GField, GQLSchema
 
 _GEO_TYPES = ("Point", "Polygon", "MultiPolygon")
 
+# Injectable clock for @default(add/update: {value: "$now"}).  The
+# reference substitutes time.Now() in production and pins the constant
+# "2000-01-01T00:00:00.00Z" only under `go test`
+# (graphql/schema/wrappers.go:2355).  Golden-parity tests call
+# set_now_clock(GOLDEN_NOW) to pin it; production gets real UTC time.
+GOLDEN_NOW = "2000-01-01T00:00:00.00Z"
+_now_clock = None  # Callable[[], str] | None
+
+
+def set_now_clock(value) -> None:
+    """Pin (str or callable) or reset (None) the `$now` clock."""
+    global _now_clock
+    _now_clock = (lambda: value) if isinstance(value, str) else value
+
+
+def _now_rfc3339() -> str:
+    if _now_clock is not None:
+        return _now_clock()
+    import datetime
+    return (datetime.datetime.now(datetime.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-4] + "Z")
+
 
 class _Errors(Exception):
     """Accumulated rewrite errors; message already reference-formatted."""
@@ -642,7 +664,7 @@ class _MutRewriter:
                 continue
             dv = f.default_add if action == "add" else f.default_update
             if dv is not None:
-                new_obj[p] = ("2000-01-01T00:00:00.00Z" if dv == "$now" else dv)
+                new_obj[p] = (_now_rfc3339() if dv == "$now" else dv)
 
         self._delete_inverse_object(obj, src)
         self._add_inverse_link(new_obj, src, src_uid)

@@ -105,7 +105,13 @@ def execute_graphql_add_ref(graph: Graph, sdl_src: str, mutation: str,
     roots = []
     for m in muts:
         if m.get("cond"):
-            continue  # upsert-conditional branches need the upsert path
+            # Conditional (upsert: true) branches would need @if
+            # evaluation against the existence results; failing loudly
+            # beats silently dropping the caller's writes.
+            raise NotImplementedError(
+                "conditional upsert mutation branches (@if) are not "
+                "executed by execute_graphql_add; use the DQL upsert "
+                "path (dgraph_spark.mutations.upsert_block)")
         payload = m.get("setjson")
         if payload is None:
             continue

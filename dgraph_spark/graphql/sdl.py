@@ -170,13 +170,13 @@ def parse_sdl(src: str) -> GQLSchema:
                                 and not a.startswith(("metric", "exponent"))]
                 elif dname == "dgraph":
                     for j, a in enumerate(args):
-                        if a == "pred" and j + 2 < len(args) + 1:
+                        if a == "pred" and j + 2 < len(args):
                             v = args[j + 2]
                             f.dgraph_pred = v.strip('"').strip("<>") \
                                 if v.startswith('"') or v.startswith("<") else v
                 elif dname == "hasInverse":
                     for j, a in enumerate(args):
-                        if a == "field":
+                        if a == "field" and j + 2 < len(args):
                             f.inverse = args[j + 2].strip('"')
                 elif dname == "embedding":
                     f.is_embedding = True
@@ -186,7 +186,7 @@ def parse_sdl(src: str) -> GQLSchema:
                     # fields (resolve/query_rewriter.go requiredFields)
                     req = set()
                     for j, a in enumerate(args):
-                        if a in ("url", "body") and j + 2 <= len(args):
+                        if a in ("url", "body") and j + 2 < len(args):
                             req |= set(re.findall(r"\$([A-Za-z_][A-Za-z0-9_]*)",
                                                   args[j + 2]))
                     f.custom_requires = sorted(req)
@@ -198,7 +198,7 @@ def parse_sdl(src: str) -> GQLSchema:
                     for j, a in enumerate(args):
                         if a in ("add", "update"):
                             act = a
-                        elif a == "value" and j + 2 < len(args) + 1:
+                        elif a == "value" and j + 2 < len(args):
                             v = args[j + 2].strip('"')
                             if act == "add":
                                 f.default_add = v
@@ -211,17 +211,17 @@ def parse_sdl(src: str) -> GQLSchema:
                     t.has_auth = True
                 elif dname == "dgraph":
                     for j, a in enumerate(args):
-                        if a == "type":
+                        if a == "type" and j + 2 < len(args):
                             t.dgraph_name = args[j + 2].strip('"')
                 elif dname == "secret":
                     for j, a in enumerate(args):
-                        if a == "field":
+                        if a == "field" and j + 2 < len(args):
                             t.secret_field = args[j + 2].strip('"')
                 elif dname == "extends":
                     t.is_extends = True
                 elif dname == "key":
                     for j, a in enumerate(args):
-                        if a == "fields":
+                        if a == "fields" and j + 2 < len(args):
                             t.key_fields = args[j + 2].strip('"').split()
 
     def parse_field(owner: GType) -> None:

@@ -72,7 +72,16 @@ def _corpus_key(docs: DataFrame, *extra) -> tuple | None:
                 snap.append((f, _os.path.getmtime(p)))
             except OSError:
                 snap.append((f, None))
-        return (sid, docs._jdf.semanticHash(), tuple(sorted(snap))) + extra
+        key = (sid, docs._jdf.semanticHash(), tuple(sorted(snap))) + extra
+        # A rewritten parquet dir produces a new snapshot under the same
+        # (session, plan, extras); the superseded entry can never be hit
+        # again, so unpersist it now instead of waiting for session death.
+        for cache in _ALL_CACHES:
+            for k in [k for k in cache
+                      if len(k) == len(key) and k != key
+                      and k[:2] == key[:2] and k[3:] == key[3:]]:
+                _drop_entry(cache, k)
+        return key
     except Exception:
         return None
 

@@ -73,7 +73,17 @@ def _run_mutation_case(case, rewriter_cls):
     """Mirrors the reference's mutationRewriting harness
     (graphql/resolve/mutation_test.go): compare the existence-query text,
     then the upsert mutations (cond exact, payloads JSON-equal) and the
-    secondary query text."""
+    secondary query text.  Pins the `$now` clock to the reference's
+    test constant (wrappers.go:2355 uses it only under `go test`)."""
+    from dgraph_spark.graphql import mutation_rewriter as mr
+    mr.set_now_clock(mr.GOLDEN_NOW)
+    try:
+        _run_mutation_case_inner(case, rewriter_cls)
+    finally:
+        mr.set_now_clock(None)
+
+
+def _run_mutation_case_inner(case, rewriter_cls):
     rw = rewriter_cls(_SCHEMA, _vars(case))
     q, err = rw.rewrite_queries(case["gqlmutation"])
     if case.get("error"):
