@@ -657,20 +657,93 @@ SELECT i, j, round(jac, 4) AS jac FROM pairs WHERE jac >= 0.7
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash + banded LSH near-dup candidates w/ exact verification —
-    the 100 TB scale path (recall < 1 by design: rows-only check)."""
+    the 100 TB scale path. The hash family is the engine-portable
+    md5-60bit affine family (operators/dedup.py MH_A), so the DuckDB
+    oracle reproduces the exact signatures, band keys and verified
+    pairs."""
     from dgraph_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_lsh_pairs(docs, threshold=0.7, num_hashes=64, bands=16)
 
 
+def _sql_dedup_minhash_lsh() -> str:
+    """DuckDB twin of minhash_lsh_pairs(threshold=0.7, num_hashes=64,
+    bands=16): identical md5-60bit affine hash family (shared MH_A/MH_B
+    constants), band = exact equality of the 4-row signature segment,
+    then exact-jaccard verification of candidates."""
+    from dgraph_spark.operators.dedup import MH_A, MH_B, MH_P
+
+    ab = ", ".join(f"({k}, {MH_A[k]}, {MH_B[k]})" for k in range(64))
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM documents)
+), sh AS (SELECT id, sh FROM sh0 WHERE len(sh) > 0),
+post AS (SELECT id, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT % {MH_P} AS u FROM sh),
+ab(k, a, b) AS (VALUES {ab}),
+sig AS (
+  SELECT id, k, min((a * u + b) % {MH_P}) AS m
+  FROM post CROSS JOIN ab GROUP BY id, k
+),
+band AS (
+  SELECT id, k // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY k) AS key
+  FROM sig GROUP BY id, k // 4
+),
+cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+verified AS (
+  SELECT i, j,
+         len(list_intersect(x.sh, y.sh))::DOUBLE
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+  FROM cand JOIN sh x ON x.id = cand.i JOIN sh y ON y.id = cand.j
+)
+SELECT i, j, round(jac, 4) AS jac FROM verified WHERE jac >= 0.7
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash64 near-pairs within Hamming distance 3 (rows-only: the
-    hash family is engine-specific)."""
+    """SimHash near-pairs within Hamming distance 3. Token hash is the
+    engine-portable md5-60bit, so the DuckDB oracle reproduces the exact
+    simhash values and band join."""
     from dgraph_spark.operators.dedup import simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_near_pairs(docs, max_hamming=3)
+
+
+SQL_dedup_simhash = """
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS w
+  FROM documents
+),
+h AS (SELECT id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+votes AS (
+  SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS bit) bits
+  GROUP BY id, bit
+),
+sims AS (
+  SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END) AS simhash
+  FROM votes GROUP BY id
+),
+band AS (
+  SELECT id, simhash, band, (simhash >> (16 * band)::INT) & 65535 AS key
+  FROM sims CROSS JOIN (SELECT unnest(range(4)) AS band) bands
+),
+cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j, a.simhash AS ha, b.simhash AS hb
+  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT i, j, bit_count(xor(ha, hb))::INT AS dist
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -1776,8 +1849,8 @@ QUERIES: dict[str, tuple] = {
     "stream_tumbling": (q_stream_tumbling, SQL_stream_tumbling),
     "dedup_exact": (q_dedup_exact, SQL_dedup_exact),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_dedup_ngram_jaccard),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_dedup_minhash_lsh()),
+    "dedup_simhash": (q_dedup_simhash, SQL_dedup_simhash),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_dedup_embedding_cosine),
     "text_stats": (q_text_stats, _text_stats_sql()),
     "similar_to_dql": (q_similar_to_dql, SQL_similar_to_dql),

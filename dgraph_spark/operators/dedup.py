@@ -328,6 +328,26 @@ def ngram_jaccard_pairs(
     return out
 
 
+# Engine-portable hash family for MinHash/SimHash: u(g) = first 60 bits
+# of md5(g), then affine maps h_k = (A_k * u + B_k) mod P over the
+# Mersenne-31 field. md5 and base-16 parsing exist verbatim in DuckDB
+# (('0x'||substr(md5(g),1,15))::BIGINT), so the CORRECTNESS oracle can
+# reproduce signatures bit-for-bit — xxhash64 could not be mirrored.
+# A_k*u < 2^62 so the arithmetic stays in signed-64 on both engines.
+MH_P = 2147483647  # 2^31 - 1
+import random as _random
+
+_mh_rng = _random.Random(0x5EED)
+MH_A = [_mh_rng.randrange(1, MH_P) for _ in range(256)]
+MH_B = [_mh_rng.randrange(0, MH_P) for _ in range(256)]
+
+
+def _md5_60(col) -> Column:
+    """First 60 bits of md5 as a non-negative long — identical in Spark
+    (conv) and DuckDB (hex cast)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -337,17 +357,30 @@ def minhash_signatures(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures over word shingles.
-    Hash family: xxhash64(shingle, seed_k) — JVM-side, vectorized."""
+    Hash family: affine maps over md5-60bit (engine-portable; see MH_A)."""
     sh = _shingled(docs, text_col, id_col, n) if shingles is None else shingles
-    # relational min-hash: explode shingles, fan out the hash family via
+    # relational min-hash: explode shingles, hash the shingle ONCE
+    # (md5 is the expensive step), fan out the affine family via
     # posexplode, partial-min per (id, k). One pass over the shingles —
     # num_hashes separate array expressions would re-inline (and
     # re-evaluate) the shingling per hash function.
-    posting = sh.select("id", F.explode("sh").alias("g"))
+    posting = sh.select("id", F.explode("sh").alias("g")).select(
+        "id", (_md5_60(F.col("g")) % MH_P).alias("u")
+    )
+    a_arr = F.array(*[F.lit(a) for a in MH_A[:num_hashes]])
+    b_arr = F.array(*[F.lit(b) for b in MH_B[:num_hashes]])
     ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     hk = posting.select(
         "id",
-        F.posexplode(F.transform(ks, lambda k: F.xxhash64(F.col("g"), k))).alias("k", "h"),
+        F.posexplode(
+            F.transform(
+                ks,
+                lambda k: (
+                    F.element_at(a_arr, k + 1) * F.col("u")
+                    + F.element_at(b_arr, k + 1)
+                ) % MH_P,
+            )
+        ).alias("k", "h"),
     )
     per = hk.groupBy("id", "k").agg(F.min("h").alias("m"))
     return per.groupBy("id").agg(
@@ -374,12 +407,24 @@ def _minhash_band_index(
     if ck is not None and ck in _MINHASH_INDEX_CACHE:
         return _MINHASH_INDEX_CACHE[ck]
     sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col, shingles=sh)
+    # band key = xxhash64 of the comma-joined signature segment: the
+    # segment STRING is what the DuckDB oracle joins on, so candidate
+    # sets agree up to a 2^-64 band-key collision; the 8-byte hash keeps
+    # the shuffle narrow at scale.
     banded = sigs.select(
         "id",
         F.posexplode(
             F.array(
                 *[
-                    F.hash(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows + r + 1).cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                    )
                     for b in range(bands)
                 ]
             )
@@ -433,20 +478,22 @@ def minhash_lsh_pairs(
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash long): 64-bit SimHash over word tokens — per-bit
-    majority vote of token hashes.
+    """(id, simhash long): 60-bit SimHash over word tokens — per-bit
+    majority vote of token hashes. The token hash is the engine-portable
+    md5-60bit (_md5_60), so the DuckDB CORRECTNESS oracle reproduces the
+    exact simhash values; bits 60-63 are always 0.
 
-    Relational formulation: explode tokens -> posexplode the 64 sign
+    Relational formulation: explode tokens -> posexplode the 60 sign
     contributions -> groupBy(id, bit) partial-sum (map-side combine) ->
-    rebuild the bitmap. 64 single-expression aggregates would re-evaluate
+    rebuild the bitmap. 60 single-expression aggregates would re-evaluate
     the token-hash array once per bit; this shape is one pass + one
     shuffle and scales linearly."""
     words = F.filter(F.split(F.lower(F.col(text_col)), TERM_SPLIT_RE), lambda t: t != "")
     tok = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w")).select(
-        "id", F.xxhash64("w").alias("h")
+        "id", _md5_60(F.col("w")).alias("h")
     )
     signs = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
+        F.sequence(F.lit(0), F.lit(59)),
         lambda b: F.when(F.getbit(F.col("h"), b) == 1, 1).otherwise(-1),
     )
     votes = (
@@ -455,18 +502,10 @@ def simhash64(
         .agg(F.sum("s").alias("v"))
     )
     # shiftleft() only takes a literal shift — use expr for a column shift
-    bitval = F.when(
-        F.col("bit") < 63, F.expr("shiftleft(1L, CAST(bit AS INT))")
-    ).otherwise(F.lit(-(2**63)).cast("long"))
+    bitval = F.expr("shiftleft(1L, CAST(bit AS INT))")
     return (
-        votes.where(F.col("v") > 0)
-        .groupBy("id")
-        .agg(F.sum(bitval).alias("simhash"))
-        .unionByName(  # docs whose every bit-vote <= 0 still need a row
-            votes.groupBy("id").agg(F.max("v").alias("mv"))
-            .where(F.col("mv") <= 0)
-            .select("id", F.lit(0).cast("long").alias("simhash"))
-        )
+        votes.groupBy("id")
+        .agg(F.sum(F.when(F.col("v") > 0, bitval).otherwise(F.lit(0))).alias("simhash"))
     )
 
 
