@@ -763,6 +763,51 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.43
 """
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding cosine near-dups over the UNBLOCKED corpus via
+    hyperplane-LSH candidate generation (4 tables x 8 bits) + exact
+    verification — the all-pairs-free scale path. Hyperplanes are
+    deterministic (dedup.lsh_planes), so the DuckDB oracle reproduces
+    the exact buckets, candidates and verified pairs (threshold 0.43
+    matches the blocked-cosine entry's near-dup regime in this data)."""
+    from dgraph_spark.operators.dedup import embedding_near_dups_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups_lsh(emb, threshold=0.43, dim=64)
+
+
+def _sql_dedup_embedding_lsh() -> str:
+    """DuckDB twin of embedding_near_dups_lsh(threshold=0.9): identical
+    hyperplane literals (shared lsh_planes(64, 4, 8)), bucket = packed
+    sign bits + table tag, candidates = any shared bucket, verified
+    cosine >= 0.43."""
+    from dgraph_spark.operators.dedup import lsh_planes
+
+    planes = lsh_planes(64, 4, 8)
+    buckets = []
+    for t in range(4):
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+            f"[{', '.join(repr(x) for x in planes[t][i])}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(8)
+        )
+        buckets.append(f"SELECT vec_id AS id, ({bits}) + {t << 8} AS bkt "
+                       f"FROM embeddings")
+    banded = " UNION ALL ".join(buckets)
+    return f"""
+WITH banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM banded a JOIN banded b ON a.bkt = b.bkt AND a.id < b.id
+)
+SELECT i, j, round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cos
+FROM cand JOIN embeddings x ON x.vec_id = cand.i
+          JOIN embeddings y ON y.vec_id = cand.j
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.43
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: PPJoin pairs -> transitive closure ->
     canonical representative per cluster (operators/dedup.py
@@ -1852,6 +1897,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_dedup_minhash_lsh()),
     "dedup_simhash": (q_dedup_simhash, SQL_dedup_simhash),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_dedup_embedding_cosine),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, _sql_dedup_embedding_lsh()),
     "text_stats": (q_text_stats, _text_stats_sql()),
     "similar_to_dql": (q_similar_to_dql, SQL_similar_to_dql),
     "similar_to_uid": (q_similar_to_uid, SQL_similar_to_uid),

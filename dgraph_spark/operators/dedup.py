@@ -32,6 +32,11 @@ from dgraph_spark.functions.tokenizers import TERM_SPLIT_RE
 # executors at 100x the data).
 BROADCAST_ROW_CAP = 2_000_000
 
+# All-pairs (cross-join) fallbacks refuse above this row count — at
+# 100k rows that's already 5e9 comparisons; beyond it the caller must
+# provide a blocking column or use an LSH-bucketed variant.
+ALL_PAIRS_ROW_CAP = 100_000
+
 
 # (session id, plan semantic hash, data snapshot, ...) -> persisted
 # relations. One persisted shingle relation serves every dedup operator
@@ -558,8 +563,21 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Cosine near-duplicate pairs. With ``block_col`` the pair join is
     restricted to equal blocks (label, LSH bucket, ...) — the scale path;
-    without it, an all-pairs comparison (only for small relations)."""
+    without it, an all-pairs comparison guarded by ALL_PAIRS_ROW_CAP
+    (an unguarded cross join at 10^7 rows is 10^14 comparisons — fail
+    loudly instead; use embedding_near_dups_lsh for unblocked corpora)."""
     from dgraph_spark.operators.similarity import _dot, _norm
+
+    if block_col is None:
+        n = vectors.count()
+        if n > ALL_PAIRS_ROW_CAP:
+            raise ValueError(
+                f"embedding_near_dups without block_col is all-pairs "
+                f"(O(n^2)): {n} rows exceeds ALL_PAIRS_ROW_CAP="
+                f"{ALL_PAIRS_ROW_CAP}. Pass block_col= or use "
+                f"embedding_near_dups_lsh() for hyperplane-bucketed "
+                f"candidate generation."
+            )
 
     # norms are per-ROW: compute before the pair join, not per pair
     # (an O(d) aggregate twice per candidate otherwise)
@@ -579,6 +597,72 @@ def embedding_near_dups(
         pairs.select(
             F.col("a.id").alias("i"), F.col("b.id").alias("j"), cos.alias("cos")
         )
+        .where(F.col("cos") >= threshold)
+        .select("i", "j", F.round("cos", 4).alias("cos"))
+    )
+
+
+def lsh_planes(
+    dim: int, num_tables: int, bits_per_table: int, seed: int = 0x5EED
+) -> list[list[list[float]]]:
+    """Deterministic Gaussian hyperplanes [table][bit][dim] — shared by
+    the Spark operator and its DuckDB oracle twin (literal injection)."""
+    rng = _random.Random(seed)
+    return [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bits_per_table)]
+        for _ in range(num_tables)
+    ]
+
+
+def embedding_near_dups_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.98,
+    dim: int | None = None,
+    num_tables: int = 4,
+    bits_per_table: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Cosine near-dup pairs over an UNBLOCKED corpus via hyperplane-LSH
+    candidate generation: L independent k-bit signatures, pairs sharing
+    any (table, bucket) are candidates, verified with exact cosine.
+    Recall ~ 1-(1-p^k)^L where p = 1 - angle/pi — high for
+    near-duplicates (angle -> 0) by construction. Replaces the O(n^2)
+    cross join with L equi-joins on 2^k buckets — the 100 TB path."""
+    from dgraph_spark.operators.similarity import _dot, _norm, lsh_bucket
+
+    if dim is None:
+        first = vectors.select(F.size(vec_col)).limit(1).collect()
+        if not first:
+            return vectors.sparkSession.createDataFrame(
+                [], "i long, j long, cos double")
+        dim = first[0][0]
+    all_planes = lsh_planes(dim, num_tables, bits_per_table, seed)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = v.withColumn("_n", _norm(F.col("v"))).persist(StorageLevel.MEMORY_AND_DISK)
+    tables = []
+    for t in range(num_tables):
+        planes = all_planes[t]
+        tables.append(
+            lsh_bucket(v, planes, id_col="id", vec_col="v")
+            .select("id", (F.col("bucket") + F.lit(t << bits_per_table)).alias("bkt"))
+        )
+    banded = tables[0]
+    for t in tables[1:]:
+        banded = banded.unionByName(t)
+    cand = (
+        banded.alias("a").join(banded.alias("b"), "bkt")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .distinct()
+    )
+    side = lambda nm, out: v.select(  # noqa: E731
+        F.col("id").alias(nm), F.col("v").alias(f"v{out}"), F.col("_n").alias(f"n{out}"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(side("i", "a"), "i").join(side("j", "b"), "j")
+        .withColumn("cos", cos)
         .where(F.col("cos") >= threshold)
         .select("i", "j", F.round("cos", 4).alias("cos"))
     )

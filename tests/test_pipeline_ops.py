@@ -271,3 +271,34 @@ def test_near_dup_clusters_planted(spark):
     assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
     assert out[10] == (10, True) and out[11] == (10, False)
     assert 20 not in out  # singletons are not clusters
+
+
+def test_embedding_all_pairs_guard(spark, monkeypatch):
+    """Unblocked embedding_near_dups must refuse above ALL_PAIRS_ROW_CAP
+    instead of launching an O(n^2) cross join."""
+    from dgraph_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    monkeypatch.setattr(dedup, "ALL_PAIRS_ROW_CAP", 10)
+    with pytest.raises(ValueError, match="ALL_PAIRS_ROW_CAP"):
+        dedup.embedding_near_dups(emb, threshold=0.9)
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """Hyperplane-LSH candidate generation (the unblocked 100 TB path)
+    must keep recall >= 0.9 vs the exact all-pairs set at t=0.9, with
+    precision 1 (candidates are exactly verified)."""
+    from dgraph_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = {(r["i"], r["j"]): r["cos"]
+             for r in embedding_near_dups(emb, threshold=0.9).collect()}
+    lsh = {(r["i"], r["j"]): r["cos"]
+           for r in embedding_near_dups_lsh(emb, threshold=0.9).collect()}
+    assert set(lsh) <= set(exact)          # precision 1 by exact verify
+    assert len(lsh) >= 0.9 * len(exact), (len(lsh), len(exact))
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-6
