@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 
 from dgraph_spark.model import OBJECT, SUBJECT, Graph
 
+# Depth bound under which multi-round traversals are planned fully
+# lazily (one action for all rounds, no per-round probe/checkpoint).
+# Beyond it the probing loop wins: early exit on a dead frontier and
+# lineage truncation outweigh the per-round job-scheduling cost.
+# (A WITH RECURSIVE formulation was measured too: Spark 4 executes each
+# recursion level as separate internal jobs, so it was no faster.)
+CTE_MAX_DEPTH = 8
+
 
 def union_edges(g: Graph, preds: list[str]) -> DataFrame:
     """Union the (subject, object) pairs of several uid predicates.
@@ -59,6 +67,15 @@ def reachable(
     """
     edges = _cached_rel(g, ("reach_edges", tuple(preds)),
                         lambda: union_edges(g, preds))
+    # Shallow traversals build the WHOLE multi-round plan lazily and run
+    # it as ONE action: no per-round count probe, no per-round
+    # checkpoint materialization, no driver barrier between rounds —
+    # measured 0.95 s -> 0.65 s at sf0.1 (the probe jobs were pure
+    # scheduling overhead). A dead frontier just makes the remaining
+    # round joins empty (cheap). Deep traversals keep the probing loop:
+    # there the early-exit and lineage truncation matter more than the
+    # per-round job cost.
+    lazy = max_depth <= CTE_MAX_DEPTH
     frontier = starts.select(F.col(SUBJECT).alias("start"), F.col(SUBJECT).alias("node"))
     frontier = frontier.withColumn("depth", F.lit(0))
     visited = frontier
@@ -70,17 +87,22 @@ def reachable(
         )
         # drop already-visited (start, node) pairs -> minimal depth kept
         nxt = nxt.join(visited.select("start", "node"), ["start", "node"], "left_anti")
-        # lazy checkpoint + full count: one job computes, caches, and
-        # lineage-truncates the round (a limit(1) probe would only
-        # partially materialize the checkpoint)
-        nxt = nxt.localCheckpoint(eager=False)
-        if nxt.count() == 0:
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        if not lazy:
+            # lazy checkpoint + full count: one job computes, caches, and
+            # lineage-truncates the round (a limit(1) probe would only
+            # partially materialize the checkpoint)
+            nxt = nxt.localCheckpoint(eager=False)
+            if nxt.count() == 0:
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        else:
+            visited = visited.unionByName(nxt)
         frontier = nxt
     if not keep_start:
         visited = visited.where(F.col("depth") > 0)
-    visited = visited.localCheckpoint(eager=True)
+    # eager=False: single-action callers materialize exactly once; the
+    # checkpoint still truncates lineage for anyone iterating further
+    visited = visited.localCheckpoint(eager=not lazy)
     return visited
 
 
@@ -99,17 +121,24 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
                      F.col(SUBJECT).alias(OBJECT)))
 
     sym = _cached_rel(g, ("cc_sym", tuple(preds)), _sym)
-    labels = (
-        sym.select(F.col(SUBJECT).alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
+    # node relation cached per graph alongside the edges: the distinct
+    # is a full-edge-relation shuffle that every call re-paid
+    nodes = _cached_rel(
+        g, ("cc_nodes", tuple(preds)),
+        lambda: sym.select(F.col(SUBJECT).alias("node")).distinct())
+    labels = nodes.withColumn("component", F.col("node"))
     prev_sum = None
     for it in range(max_iter):
-        neigh = (
-            sym.join(labels, sym[SUBJECT] == labels.node, "inner")
-            .select(F.col(OBJECT).alias("node"), "component")
-        )
+        if it == 0:
+            # round 1 with identity labels: the neighbor join IS the
+            # edge relation relabeled — skip the join entirely
+            neigh = sym.select(F.col(OBJECT).alias("node"),
+                               F.col(SUBJECT).alias("component"))
+        else:
+            neigh = (
+                sym.join(labels, sym[SUBJECT] == labels.node, "inner")
+                .select(F.col(OBJECT).alias("node"), "component")
+            )
         propagated = (
             labels.unionByName(neigh)
             .groupBy("node")

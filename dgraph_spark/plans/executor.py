@@ -1868,6 +1868,30 @@ class Executor:
         found = spark.createDataFrame([], _schema)
         found_any = False
         num_edges = 0  # cumulative expansions (query/shortest.go:231)
+
+        # ---- destination lookahead (BFS fast path). With unit weights
+        # and numpaths=1, a frontier node adjacent to `dst` proves the
+        # minimal distance WITHOUT running the final round's full
+        # expansion job: the round's stats aggregate also counts
+        # frontier∩parents(dst), and on a hit the answer paths are
+        # assembled by extending those rows with the one m->dst edge.
+        # Saves one full round job per query — the last round is the
+        # widest. Gated off when a tight edge cap is set: the skipped
+        # final expansion would change the reference's cumulative
+        # edge-count bookkeeping (query/shortest.go:231) that the cap
+        # error reports.
+        lookahead = (
+            unit_weights and numpaths == 1 and sp.maxweight is None
+            and sp.maxfrontiersize is None
+            and self.limit_query_edge >= 1_000_000
+        )
+        if lookahead:
+            dst_in = edges.where(F.col(OBJECT) == dst).select(
+                F.col(SUBJECT).alias("node"),
+                F.col("_w").alias("_dw"), F.col("_wf").alias("_dwf"),
+                F.col("_pred").alias("_dpred"),
+            )
+
         # rounds extend simple paths one edge at a time; path-level cycle
         # avoidance bounds length by the node count, the cap is a backstop
         paths_n = 1
@@ -1902,14 +1926,27 @@ class Executor:
                 # answers, by design). orderBy().limit() compiles to
                 # TakeOrdered — per-partition top-N then merge.
                 grown = grown.orderBy(F.col("dist").asc()).limit(sp.maxfrontiersize)
+            extra_cols = []
+            if lookahead:
+                # tag frontier rows adjacent to dst (AQE broadcasts the
+                # small in-edge side; a celebrity dst degrades to a
+                # shuffle join instead of a forced broadcast)
+                grown = grown.join(
+                    dst_in.withColumn("_adj", F.lit(True)), "node", "left")
+                extra_cols = ["_adj", "_dw", "_dwf", "_dpred"]
             # lazy checkpoint: the stats action computes, caches, and
             # lineage-truncates the round in ONE job
             grown = grown.localCheckpoint(eager=False)
             # one action for both loop conditions
-            stats = grown.agg(
+            aggs = [
                 F.count("*").alias("n"),
                 F.sum(F.when(F.col("node") == dst, 1).otherwise(0)).alias("h"),
-            ).collect()[0]
+            ]
+            if lookahead:
+                aggs.append(F.sum(F.when(
+                    F.col("_adj") & ~F.array_contains(F.col("path"), F.lit(dst)),
+                    1).otherwise(0)).alias("a"))
+            stats = grown.agg(*aggs).collect()[0]
             if stats["n"] == 0:
                 break
             paths_n = stats["n"]
@@ -1918,13 +1955,30 @@ class Executor:
                 raise ResourceLimitError(
                     f"Exceeded query edge limit = {self.limit_query_edge}. "
                     f"Found {num_edges} edges.")
-            found = found.unionByName(grown.where(F.col("node") == dst))
+            found = found.unionByName(
+                grown.where(F.col("node") == dst).drop(*extra_cols))
             if unit_weights and stats["h"] > 0 and not found_any:
                 found_any = True
                 if numpaths == 1:
                     # BFS with unit weights: first hit is provably minimal
                     break
-            paths = grown
+            if lookahead and stats["a"] > 0:
+                # frontier touches parents(dst): minimal dist is this
+                # round + 1; assemble the answer paths from the cached
+                # round instead of running the final expansion job
+                found = found.unionByName(
+                    grown.where(F.col("_adj")
+                                & ~F.array_contains(F.col("path"), F.lit(dst)))
+                    .select(
+                        F.lit(dst).alias("node"),
+                        (F.col("dist") + F.col("_dw")).alias("dist"),
+                        F.concat(F.col("path"), F.array(F.lit(dst))).alias("path"),
+                        F.concat(F.col("preds"), F.array(F.col("_dpred"))).alias("preds"),
+                        F.concat(F.col("wfs"), F.array(F.col("_dwf"))).alias("wfs"),
+                    ))
+                found_any = True
+                break
+            paths = grown.drop(*extra_cols)
         w = Window.orderBy(F.col("dist").asc(), F.size("path").asc())
         result = found.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= numpaths)
         if sp.minweight is not None:
