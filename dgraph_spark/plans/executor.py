@@ -3055,6 +3055,15 @@ def _block_needs(b: Block) -> set[str]:
             for a in f.args:
                 if isinstance(a.value, str) and not str(a.value).isdigit() and not str(a.value).startswith("0x"):
                     needed.add(str(a.value))
+        if f.name == "uid_in":
+            # uid_in(pred, uid(v)): the uid-var args (everything after
+            # the pred) are scheduling dependencies exactly like uid(v)
+            # (query/query.go canExecute treats NeedsVar uniformly)
+            for a in f.args[1:]:
+                v = a.value
+                if (isinstance(v, str) and not v.isdigit()
+                        and not v.startswith("0x")):
+                    needed.add(v)
 
     def from_tree(t):
         if t is None:
