@@ -406,33 +406,34 @@ class Executor:
         if col_df is None:
             return
         dtype = dict(col_df.dtypes).get(out_col, "string")
-        elem = dtype[6:-1] if dtype.startswith("array<") else dtype
-        obj_expr = _rdf_object_expr(_qc(out_col), elem) \
-            if not dtype.startswith("array<") else None
-        if obj_expr is not None:
-            # distributed formatter: line text is a column expression
-            # (byte-identical to _rdf_object for these types), so large
-            # dumps ship finished strings instead of typed rows
-            formatted = (
-                col_df.where(_qc(out_col).isNotNull()).orderBy(SUBJECT)
-                .select(F.concat(
-                    F.format_string("<%#x> <%s> ", F.col(SUBJECT),
-                                    F.lit(out_col)),
-                    obj_expr, F.lit(" .\n")).alias("_l"))
-            )
-            lines.extend(r["_l"] for r in formatted.collect())
-            return
-        for r in col_df.select(SUBJECT, _qc(out_col).alias("_v")
-                               ).orderBy(SUBJECT).collect():
-            v = r["_v"]
-            if v is None:
-                continue
-            vals = v if isinstance(v, list) else [v]
-            for x in vals:
-                if x is None:
-                    continue
-                lines.append(
-                    f"<{r[SUBJECT]:#x}> <{out_col}> {_rdf_object(x, elem)} .\n")
+        is_array = dtype.startswith("array<")
+        elem = dtype[6:-1] if is_array else dtype
+        if elem.startswith("struct") or elem.startswith("map"):
+            # outputrdf.go:189 — geo values cannot be rendered as N-Quads
+            raise ValueError("Geo id is not supported in rdf output")
+        # distributed formatter: line text is built executor-side — a
+        # column expression for the high-volume types (byte-identical to
+        # _rdf_object), an Arrow-batched pandas UDF running _rdf_object
+        # itself for the rest (floats' Go %g, datetime offset rules,
+        # decimals). Arrays posexplode first (element order preserved);
+        # the driver only receives finished line strings.
+        base = col_df.where(_qc(out_col).isNotNull())
+        if is_array:
+            vals = base.select(
+                F.col(SUBJECT), F.posexplode(_qc(out_col)).alias("_p", "_v")
+            ).where(F.col("_v").isNotNull())
+            keys = [SUBJECT, "_p"]
+        else:
+            vals = base.select(F.col(SUBJECT), _qc(out_col).alias("_v"))
+            keys = [SUBJECT]
+        obj_expr = _rdf_object_expr(F.col("_v"), elem)
+        if obj_expr is None:
+            obj_expr = _rdf_object_udf(elem)(F.col("_v"))
+        formatted = vals.orderBy(*keys).select(
+            F.concat(
+                F.format_string("<%#x> <%s> ", F.col(SUBJECT), F.lit(out_col)),
+                obj_expr, F.lit(" .\n")).alias("_l"))
+        lines.extend(r["_l"] for r in formatted.collect())
 
     # ============================================================ scheduling
     def _schedule(self, blocks: list[Block]) -> list[Block]:
@@ -3288,6 +3289,19 @@ def _rdf_object_expr(col, dtype: str):
         j = F.to_json(F.struct(col.alias("v")))
         return F.substring(j, 6, F.length(j) - 6)
     return None
+
+
+def _rdf_object_udf(elem: str):
+    """Arrow-batched formatter for the types without a pure column
+    expression — the same _rdf_object renderer, executed on the
+    executors instead of a driver row loop."""
+    import pandas as _pd
+
+    @F.pandas_udf("string")
+    def fmt(s: "_pd.Series") -> "_pd.Series":
+        return s.map(lambda v: None if v is None else _rdf_object(v, elem))
+
+    return fmt
 
 
 def _rdf_object(v, dtype: str) -> str:
