@@ -302,6 +302,13 @@ def _suffix_stem_py(t: str, suffixes: list[str], min_stem: int) -> str:
 
 def stem_lang_py(tok: str, lang: str) -> str:
     """Python twin of the per-language analyzer for query-side literals."""
+    from dgraph_spark.functions.light_stemmers import (LIGHT_STEM_LANGS,
+                                                       light_stem_py)
+
+    if lang in LIGHT_STEM_LANGS:
+        # de/es/fr use the reference's light stemmers (tok/stemmers.go
+        # stemmer_{de,es,fr}_light) on UNFOLDED tokens
+        return light_stem_py(tok, lang)
     if lang in _LANG_TABLES:
         sufs, mn = _LANG_TABLES[lang][1]
         return _suffix_stem_py(_fold_py(tok, lang), sufs, mn)
@@ -320,9 +327,21 @@ def sql_fulltext_match(lang: str, query: str, text_expr: str = "text") -> str:
         qlist = ", ".join(f"'{t}'" for t in qtoks)
         return (f"list_has_any(regexp_extract_all(lower({text_expr}), "
                 f"'{_CJK_TOKEN_RE_RE2}'), [{qlist}])")
+    from dgraph_spark.functions.light_stemmers import (LIGHT_STEM_LANGS,
+                                                       light_stem_tokens_sql)
     stop_raw, (sufs, mn) = _LANG_TABLES.get(lang, (EN_STOPWORDS, (None, None)))
     if lang not in _LANG_TABLES:
         raise KeyError(f"sql twin only for {sorted(_LANG_TABLES)}, not {lang!r}")
+    if lang in LIGHT_STEM_LANGS:
+        stops = set(stop_raw) | {_fold_py(w, lang) for w in stop_raw}
+        stop = ", ".join(f"'{w}'" for w in sorted(stops))
+        toks = (f"list_filter(list_filter(string_split_regex("
+                f"lower({text_expr}), '[^\\pL\\pN]+'), x -> x != ''), "
+                f"x -> NOT list_contains([{stop}], x))")
+        stemmed = light_stem_tokens_sql(toks, lang)
+        qtoks = _query_text_tokens(query, lang)
+        qlist = ", ".join(f"'{t}'" for t in qtoks)
+        return f"list_has_any({stemmed}, [{qlist}])"
     src, dst = _FOLD[lang]
     folded = f"translate(lower({text_expr}), '{src}', '{dst}')"
     if lang == "de":
@@ -354,6 +373,18 @@ def fulltext_tokens(col: Column, lang: str = "en") -> Column:
     to the EN analyzer."""
     if lang in _CJK_LANGS:
         return F.regexp_extract_all(F.lower(col), F.lit(_CJK_TOKEN_RE), 0)
+    from dgraph_spark.functions.light_stemmers import (LIGHT_STEM_LANGS,
+                                                       light_stem_tokens_expr)
+    if lang in LIGHT_STEM_LANGS:
+        # de/es/fr: the reference's light stemmers fold (or don't) inside
+        # the algorithm, so tokens are split UNFOLDED; stopwords match
+        # both accented and folded spellings
+        stops = _LANG_TABLES[lang][0]
+        toks = F.filter(F.split(F.lower(col), TERM_SPLIT_RE),
+                        lambda t: t != "")
+        allstops = sorted(set(stops) | {_fold_py(w, lang) for w in stops})
+        toks = F.filter(toks, lambda t: ~t.isin(*allstops))
+        return light_stem_tokens_expr(toks, lang)
     if lang in _LANG_TABLES:
         stops, (sufs, mn) = _LANG_TABLES[lang]
         folded = _fold_expr(F.lower(col), lang)

@@ -67,12 +67,14 @@ def test_multilang_fulltext_analyzers(spark):
     de = toks("die sch\u00f6nen Tabellen und Ordnungen", "de")
     fr = toks("les donn\u00e9es \u00e9tait tri\u00e9es", "fr")
     es = toks("las tablas ordenadas y el \u00edndice", "es")
+    # light-stemmer behavior (Lucene de/fr/es light via bleve —
+    # tok/stemmers.go stemmer_de_light/fr_light/es_light)
     assert "schon" in de and "und" not in de and "tabell" in de
-    assert "donn" in fr and "les" not in fr
-    assert "tabl" in es and "el" not in es and "indic" in es
+    assert "done" in fr and "les" not in fr  # données -> done (fr light)
+    assert "tabl" in es and "el" not in es and "índic" in es
     # python twins agree with the expression-side stemmers
     assert stem_lang_py("tabellen", "de") == "tabell"
-    assert stem_lang_py("donn\u00e9es", "fr") == "donn"
+    assert stem_lang_py("donn\u00e9es", "fr") == "done"
     assert stem_lang_py("ordenadas", "es") == "ordenad"
 
 

@@ -1,0 +1,81 @@
+"""Light stemmers (de/es/fr): reference-golden and 3-backend agreement.
+
+The Spanish pairs are the reference's own filter goldens
+(tok/stemmers_test.go TestFilterStemmers); the fuzz test proves the
+Python, Spark-expression and DuckDB-SQL backends produce identical
+stems on a suffix-rich random vocabulary.
+"""
+
+import random
+
+import pytest
+
+from dgraph_spark.functions.light_stemmers import (
+    light_stem_py,
+    light_stem_tokens_expr,
+    light_stem_tokens_sql,
+)
+
+# tok/stemmers_test.go (es case) — pinned by the reference itself
+ES_GOLDEN = [
+    ("deseándoles", "deseándol"), ("muchas", "much"),
+    ("alegrías", "alegrí"), ("a", "a"), ("las", "las"),
+    ("señoritas", "señorit"), ("y", "y"), ("los", "los"),
+    ("señores", "señor"), ("programadores", "programador"), ("de", "de"),
+]
+
+# classic Lucene light-stemmer behaviors
+DE_CASES = [("häuser", "haus"), ("abhängen", "abhang"), ("hunden", "hund"),
+            ("katzen", "katz"), ("kleinste", "klein")]
+FR_CASES = [("chevaux", "cheval"), ("journaux", "journal"),
+            ("chanteuse", "chant"), ("chanteur", "chant"),
+            ("nationale", "national")]
+
+
+@pytest.mark.parametrize("word,want", ES_GOLDEN)
+def test_es_reference_goldens(word, want):
+    assert light_stem_py(word, "es") == want
+
+
+@pytest.mark.parametrize("word,want", DE_CASES)
+def test_de_light(word, want):
+    assert light_stem_py(word, "de") == want
+
+
+@pytest.mark.parametrize("word,want", FR_CASES)
+def test_fr_light(word, want):
+    assert light_stem_py(word, "fr") == want
+
+
+def _fuzz_vocab(n=800, seed=13):
+    rng = random.Random(seed)
+    alphabet = "abcdefghijklmnopqrstuvwxyzéèêàâîôûçäöüñíß"
+    sufs = ["", "s", "es", "x", "aux", "eux", "issement", "issant",
+            "ement", "ivement", "atrice", "ateur", "trice", "ième",
+            "teuse", "teur", "euse", "ère", "ive", "folle", "molle",
+            "nnelle", "nnel", "ète", "ique", "esse", "inage", "isation",
+            "ualisation", "isateur", "ation", "ition", "ern", "en", "er",
+            "em", "est", "st", "e", "o", "a", "ces", "ese", "ie", "ree"]
+    return sorted({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+        + rng.choice(sufs) for _ in range(n)})
+
+
+@pytest.mark.parametrize("lang", ["de", "es", "fr"])
+def test_three_backend_agreement(spark, lang):
+    import duckdb
+    import pyspark.sql.functions as F
+
+    vocab = _fuzz_vocab()
+    py_out = [light_stem_py(w, lang) for w in vocab]
+
+    vals = ", ".join("'" + w + "'" for w in vocab)
+    sql_out = duckdb.connect().execute(
+        "SELECT " + light_stem_tokens_sql(f"[{vals}]", lang)).fetchone()[0]
+    assert sql_out == py_out
+
+    df = spark.createDataFrame([(vocab,)], "toks array<string>")
+    sp_out = df.select(
+        light_stem_tokens_expr(F.col("toks"), lang).alias("o")
+    ).collect()[0]["o"]
+    assert sp_out == py_out
