@@ -56,6 +56,27 @@ BROADCAST_ROW_CAP = 2_000_000
 _POSTING_KEY_UDFS: dict = {}
 
 
+def _df_snapshot(df: DataFrame):
+    """Identity of a DataFrame's data for planning-metadata caches:
+    (plan semantic hash, sorted input files + mtimes). The same scheme
+    as operators/dedup._corpus_key — a swapped-in mutation result
+    changes the plan hash, an in-place parquet rewrite changes the
+    mtimes. None (no caching) when the handles aren't available."""
+    import os as _os
+
+    try:
+        snap = []
+        for f in df.inputFiles():
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                snap.append((f, _os.path.getmtime(p)))
+            except OSError:
+                snap.append((f, None))
+        return (df._jdf.semanticHash(), tuple(sorted(snap)))
+    except Exception:
+        return None
+
+
 def _posting_key_udf(typ: str):
     """Pandas UDF string-value -> signed posting sort key (see
     functions/farmhash.posting_order_key). One cached UDF per value type;
@@ -1190,14 +1211,23 @@ class Executor:
         cache = getattr(self, "_facet_type_cache", None)
         if cache is None:
             cache = self._facet_type_cache = {}
-        if key in cache:
-            s = cache[key]
+        # Snapshot-keyed like the dedup caches (_corpus_key): a mutation
+        # that swaps graph.preds[p] for a new DataFrame changes the plan
+        # hash, an in-place parquet rewrite changes the mtime snapshot —
+        # either way the stale probed type can't be served again.
+        snap = _df_snapshot(df)
+        ck = (key, snap)
+        if snap is not None and ck in cache:
+            s = cache[ck]
         else:
             row = (df.select(col.alias("_v")).where(F.col("_v").isNotNull())
                    .limit(1).collect())
             s = row[0]["_v"] if row else None
-            if s is not None:
-                cache[key] = s
+            if s is not None and snap is not None:
+                # superseded snapshots of the same facet key are dead
+                for old in [k for k in cache if k[0] == key and k != ck]:
+                    cache.pop(old, None)
+                cache[ck] = s
         import datetime as _dtm
 
         if not isinstance(s, (str, type(None))):
