@@ -295,12 +295,10 @@ def json_to_nquads(doc, op: str = "set") -> str:
                     raise ValueError(
                         f"facet value {s!r} for key {k!r} contains "
                         "unsupported characters ( ) or newline")
-                if any(ch in s for ch in ',= "\\\t'):
-                    # JSON-style quoting; the reader's quoted branch
-                    # JSON-decodes, so this round-trips exactly
-                    parts.append(f"{k}={_json.dumps(s)}")
-                else:
-                    parts.append(f"{k}={s}")
+                # ALWAYS quote: a JSON string facet stays STRING-typed
+                # even when it looks numeric ("2006") — quoting is the
+                # type marker (types/facets/utils.go valAndValType)
+                parts.append(f"{k}={_json.dumps(s)}")
         return " (" + ", ".join(parts) + ")"
 
     def _is_geo(v: dict) -> bool:

@@ -983,6 +983,80 @@ class Executor:
             if attr.name in _AGG_ATTRS:
                 self.var_agg[attr.var] = attr.name
 
+    def _count_per_parent(self, attr: Attr, nodes: DataFrame, out: str) -> DataFrame:
+        """(subject, out) per-parent count of `attr`'s edge/posting set —
+        the shared kernel for BOTH output counts and `v as count(p)` value
+        vars, so @filter / @facets / pagination / @lang rules agree
+        (worker/task.go count postings; query/query.go filtered-count
+        subgraphs apply filter+pagination before counting)."""
+        pred = attr.name
+        reverse = pred.startswith("~")
+        name = pred.lstrip("~")
+        fspec = attr.facets
+        if not reverse and not self.g.schema.get(name).is_uid:
+            # count(scalar-pred): posting-list length of a value
+            # predicate, 0 when absent (worker/task.go count postings).
+            # On a @lang pred only the UNTAGGED postings count — same
+            # rule as fetching `name` without a lang directive
+            sdf = self.g.scalar(name)
+            if "lang" in sdf.columns:
+                sdf = sdf.where(F.col("lang").isNull())
+            if fspec is not None and fspec.filter is not None:
+                # count(p) @facets(eq(...)): only postings passing the
+                # facet filter count (TestCountFacetsFiltering*)
+                sdf = (sdf.where(self._facet_cond(fspec.filter))
+                       if "facets" in sdf.columns else sdf.where(F.lit(False)))
+            per = sdf.groupBy(SUBJECT).agg(
+                F.count("*").alias("_c"))
+            return nodes.join(per, SUBJECT, "left").select(
+                SUBJECT, F.coalesce(F.col("_c"), F.lit(0)).alias(out))
+        edges = self.g.edge(name, reverse=reverse)
+        if fspec is not None and fspec.filter is not None:
+            edges = (edges.where(self._facet_cond(fspec.filter))
+                     if FACETS in edges.columns else edges.where(F.lit(False)))
+        edges = edges.select(SUBJECT, OBJECT)
+        if attr.filter is not None or attr.count_first is not None or attr.count_offset:
+            # count of a filtered/paginated edge set: restrict the edge
+            # frame first, then count per parent (the count child is a
+            # full subgraph in the reference — filter+pagination apply
+            # before counting)
+            e = (
+                nodes.select(F.col(SUBJECT).alias(SRC))
+                .join(edges.select(F.col(SUBJECT).alias(SRC),
+                                   F.col(OBJECT).alias(DST)), SRC, "inner")
+            )
+            if attr.filter is not None:
+                e = self._apply_filter(attr.filter, e)
+            if attr.count_first is not None or attr.count_offset:
+                from pyspark.sql.window import Window
+                order_cols = [F.col(DST)]
+                for o in attr.count_order or []:
+                    sdf = self.g.scalar(o.key).select(
+                        F.col(SUBJECT).alias(DST),
+                        F.col(VALUE).alias(f"_o_{o.key}"))
+                    e = e.join(sdf, DST, "left")
+                    c = F.col(f"_o_{o.key}")
+                    order_cols.insert(-1, c.desc() if o.desc else c.asc())
+                rn = F.row_number().over(
+                    Window.partitionBy(SRC).orderBy(*order_cols))
+                e = e.withColumn("_rn", rn)
+                lo = attr.count_offset or 0
+                cond = F.col("_rn") > lo
+                if attr.count_first is not None:
+                    cond = cond & (F.col("_rn") <= lo + attr.count_first)
+                e = e.where(cond)
+            per = e.groupBy(SRC).agg(F.count(DST).alias(out))
+            return (
+                nodes.select(SUBJECT)
+                .join(per.select(F.col(SRC).alias(SUBJECT), _qc(out)), SUBJECT, "left")
+                .select(SUBJECT, F.coalesce(_qc(out), F.lit(0)).alias(out))
+            )
+        return (
+            nodes.join(edges, SUBJECT, "left")
+            .groupBy(SUBJECT)
+            .agg(F.count(OBJECT).alias(out))
+        )
+
     def _attr_value_df(self, attr: Attr, nodes: DataFrame, level: Level) -> DataFrame | None:
         """DataFrame (subject, value) for a scalar-ish attr over `nodes`."""
         if attr.name == "uid" and attr.is_count:
@@ -997,22 +1071,12 @@ class Executor:
         if attr.name == "uid":
             return nodes.select(SUBJECT, F.col(SUBJECT).alias(VALUE))
         if attr.is_count:
-            pred = attr.name
-            reverse = pred.startswith("~")
-            if not self.g.has_pred(pred.lstrip("~")):
+            if not self.g.has_pred(attr.name.lstrip("~")):
                 # count of an unknown predicate as a var: 0 everywhere
                 return nodes.select(SUBJECT, F.lit(0).cast("long").alias(VALUE))
-            if not reverse and not self.g.schema.get(pred).is_uid:
-                per = self.g.scalar(pred).groupBy(SUBJECT).agg(
-                    F.count("*").alias(VALUE))
-                return nodes.join(per, SUBJECT, "left").select(
-                    SUBJECT, F.coalesce(F.col(VALUE), F.lit(0)).alias(VALUE))
-            edges = self.g.edge(pred.lstrip("~"), reverse=reverse)
-            return (
-                nodes.join(edges, SUBJECT, "left")
-                .groupBy(SUBJECT)
-                .agg(F.count(OBJECT).alias(VALUE))
-            )
+            # shared kernel with output counts: @filter / @facets /
+            # pagination / @lang all apply to `v as count(p)` too
+            return self._count_per_parent(attr, nodes, VALUE)
         if attr.val_var is not None and attr.name == "val":
             return self.env[attr.val_var]
         if attr.name in _AGG_ATTRS and attr.val_var:
@@ -1240,6 +1304,10 @@ class Executor:
             if isinstance(s, (_dtm.datetime, _dtm.date)):
                 return col, F.max, "datetime"
             return col, F.max, "string"
+        if s is not None and len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+            # quote-wrapped storage == STRING-typed facet: strip the
+            # marker for value/order/group use
+            return _facet_unquote(col), F.max, "string"
         if s in ("true", "false"):
             return col.cast("boolean"), F.max, "bool"
         if s is not None and _FACET_INT_RE.match(s):
@@ -1271,11 +1339,12 @@ class Executor:
             lits = f.literals()
             col = F.col(f"facets.{key}")
             name = f.name.lower()
+            quoted = col.rlike('^".*"$')
             if name in ("allofterms", "anyofterms"):
                 from dgraph_spark.functions.tokenizers import term_tokens
 
                 toks = [t for t in re.split(r"[^\w]+", str(lits[0]).lower()) if t]
-                arr = term_tokens(col)
+                arr = term_tokens(_facet_unquote(col))
                 conds = [F.array_contains(arr, t) for t in toks] or [F.lit(True)]
                 cond = conds[0]
                 for c in conds[1:]:
@@ -1287,18 +1356,29 @@ class Executor:
             if isinstance(l0, bool):
                 cond = _cmp(col.cast("boolean"), name, [F.lit(x) for x in lits])
             elif isinstance(l0, (int, float)):
-                cond = _cmp(col.cast("double"), name,
-                            [F.lit(float(x)) for x in lits])
+                # the literal converts to the FACET's type
+                # (worker/task.go applyFacetsTree → types.Convert): a
+                # numeric literal never matches a STRING-typed (quoted)
+                # facet
+                cond = F.when(quoted, F.lit(False)).otherwise(
+                    _cmp(col.cast("double"), name,
+                         [F.lit(float(x)) for x in lits]))
             elif isinstance(l0, str) and re.match(r"^\d{4}-\d{2}(-\d{2})?", l0):
                 from dgraph_spark.sources.rdf import _datetime_expr
 
+                # a datetime-looking literal compares lexically against a
+                # STRING-typed (quoted) facet but temporally against a
+                # DATETIME-typed one — the facet's type wins
                 # cast("string") first: typed (timestamp) facet columns
                 # round-trip through the same wide-offset-tolerant parse
-                cond = _cmp(_datetime_expr(
+                cond = F.when(
+                    quoted,
+                    _cmp(_facet_unquote(col), name, [F.lit(x) for x in lits]),
+                ).otherwise(_cmp(_datetime_expr(
                     F.regexp_replace(col.cast("string"), "Z$", "")),
-                    name, [F.lit(x).cast("timestamp") for x in lits])
+                    name, [F.lit(x).cast("timestamp") for x in lits]))
             else:
-                cond = _cmp(col, name, [F.lit(x) for x in lits])
+                cond = _cmp(_facet_unquote(col), name, [F.lit(x) for x in lits])
             return F.coalesce(cond, F.lit(False))
         if tree.op == "and":
             out = self._facet_cond(tree.children[0])
@@ -1414,7 +1494,8 @@ class Executor:
         for i, o in enumerate(block.order):
             cname = f"_ok{i}"
             if o.is_facet:
-                out = out.withColumn(cname, F.col(f"facets.{o.key}"))
+                out = out.withColumn(
+                    cname, _facet_unquote(F.col(f"facets.{o.key}")))
             elif f"_a_{o.key}" in out.columns:
                 # order key rides in-row on the edge — no join
                 out = out.withColumn(cname, F.col(f"_a_{o.key}"))
@@ -2485,73 +2566,7 @@ class Executor:
                 # (nodes with no other data drop; query1_test
                 # TestCountEmptyData3 expects [])
                 return None, "", False
-            fspec = attr.facets
-            if not reverse and not self.g.schema.get(name).is_uid:
-                # count(scalar-pred): posting-list length of a value
-                # predicate, 0 when absent (worker/task.go count postings).
-                # On a @lang pred only the UNTAGGED postings count — same
-                # rule as fetching `name` without a lang directive
-                sdf = self.g.scalar(name)
-                if "lang" in sdf.columns:
-                    sdf = sdf.where(F.col("lang").isNull())
-                if fspec is not None and fspec.filter is not None:
-                    # count(p) @facets(eq(...)): only postings passing the
-                    # facet filter count (TestCountFacetsFiltering*)
-                    sdf = (sdf.where(self._facet_cond(fspec.filter))
-                           if "facets" in sdf.columns else sdf.where(F.lit(False)))
-                per = sdf.groupBy(SUBJECT).agg(
-                    F.count("*").alias("_c"))
-                cdf = nodes.join(per, SUBJECT, "left").select(
-                    SUBJECT, F.coalesce(F.col("_c"), F.lit(0)).alias(out))
-                return cdf, out, False
-            edges = self.g.edge(name, reverse=reverse)
-            if fspec is not None and fspec.filter is not None:
-                edges = (edges.where(self._facet_cond(fspec.filter))
-                         if FACETS in edges.columns else edges.where(F.lit(False)))
-            edges = edges.select(SUBJECT, OBJECT)
-            if attr.filter is not None or attr.count_first is not None or attr.count_offset:
-                # count of a filtered/paginated edge set: restrict the edge
-                # frame first, then count per parent (the count child is a
-                # full subgraph in the reference — filter+pagination apply
-                # before counting)
-                e = (
-                    nodes.select(F.col(SUBJECT).alias(SRC))
-                    .join(edges.select(F.col(SUBJECT).alias(SRC),
-                                       F.col(OBJECT).alias(DST)), SRC, "inner")
-                )
-                if attr.filter is not None:
-                    e = self._apply_filter(attr.filter, e)
-                if attr.count_first is not None or attr.count_offset:
-                    from pyspark.sql.window import Window
-                    order_cols = [F.col(DST)]
-                    for o in attr.count_order or []:
-                        sdf = self.g.scalar(o.key).select(
-                            F.col(SUBJECT).alias(DST),
-                            F.col(VALUE).alias(f"_o_{o.key}"))
-                        e = e.join(sdf, DST, "left")
-                        c = F.col(f"_o_{o.key}")
-                        order_cols.insert(-1, c.desc() if o.desc else c.asc())
-                    rn = F.row_number().over(
-                        Window.partitionBy(SRC).orderBy(*order_cols))
-                    e = e.withColumn("_rn", rn)
-                    lo = attr.count_offset or 0
-                    cond = F.col("_rn") > lo
-                    if attr.count_first is not None:
-                        cond = cond & (F.col("_rn") <= lo + attr.count_first)
-                    e = e.where(cond)
-                per = e.groupBy(SRC).agg(F.count(DST).alias(out))
-                cdf = (
-                    nodes.select(SUBJECT)
-                    .join(per.select(F.col(SRC).alias(SUBJECT), _qc(out)), SUBJECT, "left")
-                    .select(SUBJECT, F.coalesce(_qc(out), F.lit(0)).alias(out))
-                )
-                return cdf, out, False
-            cdf = (
-                nodes.join(edges, SUBJECT, "left")
-                .groupBy(SUBJECT)
-                .agg(F.count(OBJECT).alias(out))
-            )
-            return cdf, out, False
+            return self._count_per_parent(attr, nodes, out), out, False
         if attr.name in _AGG_ATTRS and attr.val_var:
             # level aggregation: aggregate descendant-defined var per this
             # node; multi-level definitions propagate by summing along the
@@ -3273,6 +3288,16 @@ _FACET_INT_RE = re.compile(r"^-?\d+$")
 _FACET_FLOAT_RE = re.compile(r"^-?\d+\.\d+([eE][-+]?\d+)?$")
 
 
+def _facet_unquote(col):
+    """Strip the quote marker from STRING-typed facet storage (quoted ==
+    string per types/facets/utils.go valAndValType); other values pass
+    through unchanged. Pure column expr — no probe."""
+    return F.when(
+        col.rlike('^".*"$'),
+        col.substr(F.lit(2), F.length(col) - F.lit(2)),
+    ).otherwise(col)
+
+
 def _facet_value(s):
     """dgraph types facets at mutation time (types/facets/utils.go:75
     parseFacet: bool/int/float/datetime inference, else string); our
@@ -3280,6 +3305,10 @@ def _facet_value(s):
     encode time — identical output."""
     if not isinstance(s, str):
         return s
+    if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+        # quote-wrapped storage == STRING-typed facet, whatever it looks
+        # like (types/facets/utils.go valAndValType)
+        return s[1:-1]
     if s in ("true", "false"):
         return s == "true"
     if _FACET_INT_RE.match(s):

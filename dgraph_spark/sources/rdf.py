@@ -95,15 +95,24 @@ def parse_nquads(lines: DataFrame, text_col: str = "value") -> DataFrame:
                             k.alias("key"),
                             # quoted values may contain ','/'='/escapes:
                             # JSON-decode them (the escape grammar
-                            # matches); unquoted values just trim
-                            # (types/facets parseFacet)
+                            # matches), then RE-WRAP in quotes — quoted
+                            # facets are STRING-typed no matter what they
+                            # look like (types/facets/utils.go
+                            # valAndValType: `strings should be in
+                            # quotes`), so the quote marker must survive
+                            # into storage for readers to type correctly.
+                            # Unquoted values just trim.
                             F.coalesce(
                                 F.when(
                                     v.rlike(r'^".*"$'),
-                                    F.from_json(
-                                        F.concat(F.lit("["), v, F.lit("]")),
-                                        "array<string>",
-                                    )[0],
+                                    F.concat(
+                                        F.lit('"'),
+                                        F.from_json(
+                                            F.concat(F.lit("["), v, F.lit("]")),
+                                            "array<string>",
+                                        )[0],
+                                        F.lit('"'),
+                                    ),
                                 ),
                                 F.trim(v),
                             ).alias("value"),

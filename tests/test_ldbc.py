@@ -43,8 +43,8 @@ gender: string .
 content: string @index(fulltext) .
 imageFile: string .
 title: string .
-email: string .
-language: string .
+email: [string] .
+language: [string] .
 length: int .
 classYear: int .
 workFrom: int .
@@ -498,3 +498,59 @@ def test_ldbc_pinned_answers(ldbc_graph, qname):
     got = Executor(ldbc_graph).execute(c["query"])
     want = json.loads(c["resp"])
     assert got == want, f"{qname} ({c['tag']})"
+
+
+# ===================================================================
+# Per-query synthesized fixtures for the 9 IC cases whose pinned
+# answers aren't closed by the shared fixture above: each builds a
+# STANDALONE graph from the pinned resp (tests/ldbc_fixtures.py) and
+# must reproduce the reference JSON exactly.
+# ===================================================================
+
+import tests.ldbc_fixtures as _fx
+
+
+def _standalone_graph(spark, lines):
+    from dgraph_spark.schema import SchemaRegistry
+    from dgraph_spark.sources.rdf import graph_from_triples, parse_nquads
+
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    g = graph_from_triples(spark, parse_nquads(df), SchemaRegistry.parse(SCHEMA))
+    for t in ("person", "post", "comment", "forum", "tag", "tagclass",
+              "place", "organisation"):
+        g.schema.define_type(t, [])
+    return g
+
+
+def _check_synth(spark, qname):
+    from dgraph_spark.plans import Executor
+
+    c = _cases()[qname]
+    want = json.loads(c["resp"])
+    lines = getattr(_fx, f"fx_{qname}")(want)
+    g = _standalone_graph(spark, lines)
+    got = Executor(g).execute(c["query"])
+    assert got == want, f"{qname} ({c['tag']})"
+
+
+@pytest.mark.parametrize("qname", ["q9", "q14", "q15"])
+def test_ldbc_synth_message_pages(spark, qname):
+    """IC02/IC08/IC09: 20-row message pages ordered (creationDate desc,
+    id-or-fqid asc), closed under synthesized creator/message graphs."""
+    _check_synth(spark, qname)
+
+
+@pytest.mark.parametrize("qname", ["q13", "q12", "q16", "q18"])
+def test_ldbc_synth_ranked_aggregates(spark, qname):
+    """IC07/IC06/IC10/IC12: like-pages with facet rendering, co-tag
+    counts, interest scores (count-of-empty == 0), and reply-count
+    rankings — order ties pinned by uid allocation order."""
+    _check_synth(spark, qname)
+
+
+@pytest.mark.parametrize("qname", ["q8", "q17"])
+def test_ldbc_synth_friend_networks(spark, qname):
+    """IC01/IC11: 14-pattern 3-hop distance classification (fixture
+    self-checked by an independent dict-BFS in ldbc_fixtures) and
+    Sri-Lanka employer lookup with string workFrom facets."""
+    _check_synth(spark, qname)

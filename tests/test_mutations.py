@@ -237,7 +237,9 @@ def test_set_json_mutation(spark):
     # edge facets landed on the access.to edge
     edge = g2.pred("access.to").collect()
     assert len(edge) == 1 and edge[0]["object"] == 7
-    assert edge[0]["facets"]["permission"] == "WRITE"
+    # strings store quote-wrapped: the quote is the STRING type marker
+    # (types/facets/utils.go valAndValType)
+    assert edge[0]["facets"]["permission"] == '"WRITE"' 
     assert edge[0]["facets"]["inherit"] == "false"
     # facet filter over the JSON-ingested edge, reference query shape
     r = Executor(g2).execute(
@@ -246,8 +248,8 @@ def test_set_json_mutation(spark):
     assert r["q"][0]["access.to"]["name"] == "Doc7"
     # scalar + list facets, lang key
     rows = {r["value"]: r for r in g2.pred("scores").collect()}
-    assert rows["7"]["facets"]["src"] == "unit"
-    assert rows["9"]["facets"]["src"] == "final"
+    assert rows["7"]["facets"]["src"] == '"unit"'  # quote == string marker
+    assert rows["9"]["facets"]["src"] == '"final"' 
     nick = g2.pred("nick").collect()[0]
     assert nick["lang"] == "en" and nick["value"] == "Annie"
     # delete_json: null wipes the pred, concrete edge removes one posting
@@ -426,7 +428,7 @@ def test_set_json_facet_value_escaping(spark):
     g2 = set_json(g, {"uid": "0x2", "name": "Ann",
                       "name|note": "a, b = c"})
     row = g2.pred("name").where(F.col("subject") == 2).collect()[0]
-    assert row["facets"]["note"] == "a, b = c"
+    assert row["facets"]["note"] == '"a, b = c"'  # quote == string marker
     with pytest.raises(ValueError, match="unsupported characters"):
         set_json(g, {"uid": "0x3", "name": "Bob", "name|note": "bad)val"})
 
