@@ -1142,6 +1142,31 @@ def _sql_anyoftext_lang(lang: str, query: str) -> str:
             f"WHERE lang = '{lang}' AND {sql_fulltext_match(lang, query)}")
 
 
+def _q_stem_tokens(lang: str):
+    """Light-stemmer surface check over REAL text: stem every document's
+    tokens with the `lang` analyzer (tok/stemmers.go stemmer_{lang}_light)
+    and emit them space-joined — value-hashed against the DuckDB twin.
+    Exists for it/pt, whose lang has no tagged documents in the test
+    corpus (an anyoftext entry would compare empty sets)."""
+    def q(spark, sf_dir):
+        from dgraph_spark.functions.tokenizers import fulltext_tokens
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = fulltext_tokens(F.col("text"), lang)
+        return docs.select(F.col("source").alias("src"),
+                           F.array_join(toks, " ").alias("stems"))
+    q.__doc__ = f"{lang} light-stemmer token stream over documents.text."
+    return q
+
+
+def _sql_stem_tokens(lang: str) -> str:
+    from dgraph_spark.functions.tokenizers import sql_fulltext_tokens
+
+    return (f"SELECT source AS src, "
+            f"array_to_string({sql_fulltext_tokens(lang, 'text')}, ' ') "
+            f"AS stems FROM documents")
+
+
 def q_ngram_search(spark, sf_dir):
     """ngram containment search (tok/tok.go:447-551)."""
     return _flat(spark, sf_dir, '''
@@ -1251,8 +1276,10 @@ def q_q5_local_supplier(spark, sf_dir):
         .join(orders, "order", "left_semi")
         .join(line, "order")
         .join(by_supp, "li")
-        .join(supp_nation.withColumnRenamed("nation", "s_nation"), "supp")
-        .where(F.col("nation") == F.col("s_nation"))
+        # the same-nation condition rides the join KEY (supp, nation):
+        # one composite-key hash join instead of join + post-filter — no
+        # carried s_nation column, smaller build side, same semantics
+        .join(supp_nation, ["supp", "nation"])
         .join(F.broadcast(n_name), "nation")
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -1918,5 +1945,7 @@ QUERIES: dict[str, tuple] = {
                      _sql_anyoftext_lang("zh", "spark merge")),
     "ngram_search": (q_ngram_search, SQL_ngram_search),
     "stream_sliding": (q_stream_sliding, SQL_stream_sliding),
+    "stem_tokens_it": (_q_stem_tokens("it"), _sql_stem_tokens("it")),
+    "stem_tokens_pt": (_q_stem_tokens("pt"), _sql_stem_tokens("pt")),
 }
 

@@ -156,7 +156,69 @@ FR_STAGES = [
 # in my encoding but only once in Lucene. Encode Lucene's single check
 # by nesting inside one len>4 gate: handled specially for FR tail.
 
-LIGHT_STEM_LANGS = {"de": DE_STAGES, "es": ES_STAGES, "fr": FR_STAGES}
+# ItalianLightStemmer (tok/stemmers.go routes it -> stemmer_it_light,
+# bleve's port of Lucene's ItalianLightStemmer). Like the Spanish port
+# (pinned by the reference's own goldens: "alegrías" -> "alegrí", accent
+# KEPT), bleve's ports drop Lucene's in-stemmer accent-fold loop — so
+# tokens stem unfolded and accented finals (città) pass through.
+# len < 6 unchanged; one final-vowel dispatch, i/h digraphs eat 2 chars.
+IT_STAGES = [
+    ("rules", [
+        (_c(5, "e", [(2, "ih")]), _t(2)),
+        (_c(5, "e"), _t(1)),
+        (_c(5, "i", [(2, "hi")]), _t(2)),
+        (_c(5, "i"), _t(1)),
+        (_c(5, "a", [(2, "i")]), _t(2)),
+        (_c(5, "a"), _t(1)),
+        (_c(5, "o", [(2, "i")]), _t(2)),
+        (_c(5, "o"), _t(1)),
+    ]),
+]
+
+# PortugueseLightStemmer (pt -> stemmer_pt_light): three sequential
+# phases, each first-match-wins (Lucene's early returns):
+#   removeSuffix -> normFeminine (only reachable by tokens still ending
+#   'a' — every rule's own suffix enforces it) -> final vowel trim.
+# Folding dropped per the same bleve-port evidence as above; the ã/ê
+# literals below are suffix SURGERY from the algorithm, not folds.
+PT_STAGES = [
+    ("rules", [  # removeSuffix
+        (_c(4, "es", [(3, "rslz")]), _t(2)),
+        (_c(3, "ns"), _t(2, "m")),          # bons -> bom
+        (_c(4, "eis"), _t(3, "el")),        # pasteis -> pastel
+        (_c(4, "éis"), _t(3, "el")),        # papéis -> papel
+        (_c(4, "ais"), _t(3, "al")),        # normais -> normal
+        (_c(4, "óis"), _t(3, "ol")),        # lençóis -> lençol
+        (_c(4, "is"), _t(1, "l")),          # barris -> barril
+        (_c(3, "ões"), _t(3, "ão")),        # balões -> balão
+        (_c(3, "ães"), _t(3, "ão")),        # cães -> cão... (len > 3)
+        (_c(6, "mente"), _t(5)),
+        (_c(3, "s"), _t(1)),
+    ]),
+    ("rules", [  # normFeminine
+        (_c(7, "inha"), _t(1, "o")),
+        (_c(7, "iaca"), _t(1, "o")),
+        (_c(7, "eira"), _t(1, "o")),
+        (_c(6, "osa"), _t(1, "o")),
+        (_c(6, "ica"), _t(1, "o")),
+        (_c(6, "ida"), _t(1, "o")),
+        (_c(6, "ada"), _t(1, "o")),
+        (_c(6, "iva"), _t(1, "o")),
+        (_c(6, "ama"), _t(1, "o")),
+        (_c(6, "ona"), _t(3, "ão")),
+        (_c(6, "ora"), _t(1)),
+        (_c(6, "esa"), _t(3, "ês")),
+        (_c(6, "na"), _t(1, "o")),
+    ]),
+    ("rules", [  # if len > 4, drop one trailing e/a/o
+        (_c(4, "e"), _t(1)),
+        (_c(4, "a"), _t(1)),
+        (_c(4, "o"), _t(1)),
+    ]),
+]
+
+LIGHT_STEM_LANGS = {"de": DE_STAGES, "es": ES_STAGES, "fr": FR_STAGES,
+                    "it": IT_STAGES, "pt": PT_STAGES}
 
 
 # ---------------------------------------------------------------- python

@@ -319,6 +319,26 @@ def lang_stopwords(lang: str) -> list[str]:
     return _LANG_TABLES[lang][0] if lang in _LANG_TABLES else EN_STOPWORDS
 
 
+def sql_fulltext_tokens(lang: str, text_expr: str = "text") -> str:
+    """DuckDB SQL producing the light-stemmed fulltext token list for a
+    text column — the oracle twin of fulltext_tokens() for light-stemmer
+    languages (split on non-letter/digit, stopword-filter accented and
+    folded spellings, stem)."""
+    from dgraph_spark.functions.light_stemmers import (LIGHT_STEM_LANGS,
+                                                       light_stem_tokens_sql)
+
+    if lang not in LIGHT_STEM_LANGS:
+        raise KeyError(f"light-stemmer sql tokens only for "
+                       f"{sorted(LIGHT_STEM_LANGS)}, not {lang!r}")
+    stop_raw = _LANG_TABLES[lang][0]
+    stops = set(stop_raw) | {_fold_py(w, lang) for w in stop_raw}
+    stop = ", ".join(f"'{w}'" for w in sorted(stops))
+    toks = (f"list_filter(list_filter(string_split_regex("
+            f"lower({text_expr}), '[^\\pL\\pN]+'), x -> x != ''), "
+            f"x -> NOT list_contains([{stop}], x))")
+    return light_stem_tokens_sql(toks, lang)
+
+
 def sql_fulltext_match(lang: str, query: str, text_expr: str = "text") -> str:
     """DuckDB boolean SQL replicating the per-language analyzer match —
     generated from the SAME stopword/suffix tables as the Spark side."""
@@ -333,12 +353,7 @@ def sql_fulltext_match(lang: str, query: str, text_expr: str = "text") -> str:
     if lang not in _LANG_TABLES:
         raise KeyError(f"sql twin only for {sorted(_LANG_TABLES)}, not {lang!r}")
     if lang in LIGHT_STEM_LANGS:
-        stops = set(stop_raw) | {_fold_py(w, lang) for w in stop_raw}
-        stop = ", ".join(f"'{w}'" for w in sorted(stops))
-        toks = (f"list_filter(list_filter(string_split_regex("
-                f"lower({text_expr}), '[^\\pL\\pN]+'), x -> x != ''), "
-                f"x -> NOT list_contains([{stop}], x))")
-        stemmed = light_stem_tokens_sql(toks, lang)
+        stemmed = sql_fulltext_tokens(lang, text_expr)
         qtoks = _query_text_tokens(query, lang)
         qlist = ", ".join(f"'{t}'" for t in qtoks)
         return f"list_has_any({stemmed}, [{qlist}])"

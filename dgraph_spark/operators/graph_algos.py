@@ -78,16 +78,45 @@ def reachable(
     lazy = max_depth <= CTE_MAX_DEPTH
     frontier = starts.select(F.col(SUBJECT).alias("start"), F.col(SUBJECT).alias("node"))
     frontier = frontier.withColumn("depth", F.lit(0))
-    visited = frontier
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(edges, frontier.node == edges[SUBJECT], "inner")
-            .select(F.col("start"), F.col(OBJECT).alias("node"), F.lit(d).alias("depth"))
-            .distinct()
-        )
-        # drop already-visited (start, node) pairs -> minimal depth kept
-        nxt = nxt.join(visited.select("start", "node"), ["start", "node"], "left_anti")
-        if not lazy:
+    if lazy:
+        # shallow: NO per-round anti-join against the visited set — each
+        # round is join+distinct only, and one final groupBy-min collapses
+        # re-reached nodes to their minimal depth. The anti-join was a
+        # whole extra shuffle per round that only avoids re-expanding
+        # already-seen nodes — pure overhead on shallow/DAG-ish
+        # traversals (measured at 10x data: 2.13 s -> see SCALING.md).
+        # Deep traversals keep the probing loop below: there early exit
+        # and lineage truncation dominate.
+        parts = [frontier]
+        cur = frontier
+        for d in range(1, max_depth + 1):
+            cur = (
+                cur.join(edges, cur.node == edges[SUBJECT], "inner")
+                .select(F.col("start"), F.col(OBJECT).alias("node"),
+                        F.lit(d).alias("depth"))
+            )
+            if max_depth > 3:
+                # per-round dedup guards against multiplicative path
+                # blow-up on deeper traversals; at depth <= 3 the final
+                # groupBy absorbs duplicates and the per-round shuffle
+                # costs more than it saves
+                cur = cur.distinct()
+            parts.append(cur)
+        visited = parts[0]
+        for p in parts[1:]:
+            visited = visited.unionByName(p)
+        visited = visited.groupBy("start", "node").agg(
+            F.min("depth").alias("depth"))
+    else:
+        visited = frontier
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(edges, frontier.node == edges[SUBJECT], "inner")
+                .select(F.col("start"), F.col(OBJECT).alias("node"), F.lit(d).alias("depth"))
+                .distinct()
+            )
+            # drop already-visited (start, node) pairs -> minimal depth kept
+            nxt = nxt.join(visited.select("start", "node"), ["start", "node"], "left_anti")
             # lazy checkpoint + full count: one job computes, caches, and
             # lineage-truncates the round (a limit(1) probe would only
             # partially materialize the checkpoint)
@@ -95,9 +124,7 @@ def reachable(
             if nxt.count() == 0:
                 break
             visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-        else:
-            visited = visited.unionByName(nxt)
-        frontier = nxt
+            frontier = nxt
     if not keep_start:
         visited = visited.where(F.col("depth") > 0)
     # eager=False: single-action callers materialize exactly once; the
@@ -127,8 +154,8 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
         g, ("cc_nodes", tuple(preds)),
         lambda: sym.select(F.col(SUBJECT).alias("node")).distinct())
     labels = nodes.withColumn("component", F.col("node"))
-    prev_sum = None
-    for it in range(max_iter):
+
+    def _round(lbl: DataFrame, it: int) -> DataFrame:
         if it == 0:
             # round 1 with identity labels: the neighbor join IS the
             # edge relation relabeled — skip the join entirely
@@ -136,11 +163,11 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
                                F.col(SUBJECT).alias("component"))
         else:
             neigh = (
-                sym.join(labels, sym[SUBJECT] == labels.node, "inner")
+                sym.join(lbl, sym[SUBJECT] == lbl.node, "inner")
                 .select(F.col(OBJECT).alias("node"), "component")
             )
         propagated = (
-            labels.unionByName(neigh)
+            lbl.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
@@ -152,7 +179,7 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
             F.col("node").alias("component"),
             F.col("component").alias("_root"),
         )
-        labels = (
+        return (
             propagated.join(roots, "component", "left")
             .select(
                 "node",
@@ -161,20 +188,31 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
                     F.col("component"),
                 ).alias("component"),
             )
-            # lazy checkpoint: the probe action below computes the
-            # round ONCE, caching + lineage-truncating as it goes —
-            # exactly one job per round
+            # lazy checkpoint: the pair-probe action below computes the
+            # round ONCE, caching + lineage-truncating as it goes
             .localCheckpoint(eager=False)
         )
-        # labels are per-node nonincreasing under min-propagation, so the
-        # label total strictly decreases until convergence — a single
-        # 1-row aggregate replaces the old self-join change probe.
-        cur = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if cur == prev_sum:
-            break
-        prev_sum = cur
+
+    def _sum(lbl: DataFrame) -> DataFrame:
+        return lbl.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"))
+
+    # rounds run in PAIRS with a single probe action per pair: labels are
+    # per-node nonincreasing under min-propagation, so the label total
+    # strictly decreases until convergence — equal consecutive sums
+    # prove the pair's second round changed nothing. Small-diameter
+    # graphs (the common case after one pointer jump) finish in one
+    # action instead of two.
+    prev_sum = None
+    for it in range(0, max_iter, 2):
+        l1 = _round(labels, it)
+        l2 = _round(l1, it + 1)
+        s1, s2 = [r["s"] for r in _sum(l1).unionAll(_sum(l2)).collect()]
+        if s1 == prev_sum:
+            return labels
+        if s1 == s2:
+            return l2
+        labels, prev_sum = l2, s2
     # the probe action already materialized the final checkpoint; the
     # graph-cached edge relation stays persisted for the next call
     return labels

@@ -1,4 +1,4 @@
-"""Light stemmers (de/es/fr): reference-golden and 3-backend agreement.
+"""Light stemmers (de/es/fr/it/pt): reference-golden and 3-backend agreement.
 
 The Spanish pairs are the reference's own filter goldens
 (tok/stemmers_test.go TestFilterStemmers); the fuzz test proves the
@@ -31,6 +31,34 @@ FR_CASES = [("chevaux", "cheval"), ("journaux", "journal"),
             ("chanteuse", "chant"), ("chanteur", "chant"),
             ("nationale", "national")]
 
+# ItalianLightStemmer (hand-run through the published Lucene algorithm;
+# folding dropped per the bleve-port evidence in light_stemmers.py)
+IT_CASES = [("abitudine", "abitudin"), ("vecchie", "vecch"),
+            ("vecchi", "vecc"), ("pagina", "pagin"), ("ragazzo", "ragazz"),
+            ("studi", "studi"), ("città", "città"), ("mangia", "mang")]
+
+# PortugueseLightStemmer ditto (suffix surgery ã/ê preserved: it is part
+# of the algorithm, not an accent fold)
+# note: the final vowel trim applies AFTER suffix surgery, so
+# balões -> balão -> balã (Lucene then folds to "bala"; bleve keeps accents)
+PT_CASES = [("bons", "bom"), ("balões", "balã"), ("capitães", "capitã"),
+            ("normais", "normal"), ("papéis", "papel"),
+            ("lençóis", "lençol"), ("barris", "barril"),
+            ("rapidamente", "rapid"), ("famosas", "famos"),
+            ("corações", "coraçã"), ("meninas", "menin"),
+            ("mulheres", "mulher"), ("jovens", "jovem"),
+            ("felizes", "feliz"), ("pedras", "pedr"), ("gatas", "gata")]
+
+
+@pytest.mark.parametrize("word,want", IT_CASES)
+def test_it_light(word, want):
+    assert light_stem_py(word, "it") == want
+
+
+@pytest.mark.parametrize("word,want", PT_CASES)
+def test_pt_light(word, want):
+    assert light_stem_py(word, "pt") == want
+
 
 @pytest.mark.parametrize("word,want", ES_GOLDEN)
 def test_es_reference_goldens(word, want):
@@ -55,13 +83,18 @@ def _fuzz_vocab(n=800, seed=13):
             "teuse", "teur", "euse", "ère", "ive", "folle", "molle",
             "nnelle", "nnel", "ète", "ique", "esse", "inage", "isation",
             "ualisation", "isateur", "ation", "ition", "ern", "en", "er",
-            "em", "est", "st", "e", "o", "a", "ces", "ese", "ie", "ree"]
+            "em", "est", "st", "e", "o", "a", "ces", "ese", "ie", "ree",
+            # it/pt suffix families
+            "ie", "hi", "ia", "io", "che", "ghi",
+            "res", "ns", "eis", "éis", "ais", "óis", "is", "ões", "ães",
+            "mente", "inha", "iaca", "eira", "osa", "ica", "ida", "ada",
+            "iva", "ama", "ona", "ora", "esa", "na", "ça"]
     return sorted({
         "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
         + rng.choice(sufs) for _ in range(n)})
 
 
-@pytest.mark.parametrize("lang", ["de", "es", "fr"])
+@pytest.mark.parametrize("lang", ["de", "es", "fr", "it", "pt"])
 def test_three_backend_agreement(spark, lang):
     import duckdb
     import pyspark.sql.functions as F
