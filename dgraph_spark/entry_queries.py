@@ -1167,6 +1167,32 @@ def _sql_stem_tokens(lang: str) -> str:
             f"AS stems FROM documents")
 
 
+_CYR = ("abcdefghijklmnopqrstuvwxyz", "абвгдежзиклмнопрстуфхцчшщы")
+
+
+def q_stem_tokens_ru(spark, sf_dir):
+    """Russian snowball stemmer over a deterministic cyrillic
+    transliteration of documents.text (the corpus has no ru-tagged
+    documents; a latin-only column would leave RV empty and stem
+    nothing). Same translate() on both engines."""
+    from dgraph_spark.functions.tokenizers import fulltext_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cyr = F.translate(F.col("text"), _CYR[0], _CYR[1])
+    return docs.select(F.col("source").alias("src"),
+                       F.array_join(fulltext_tokens(cyr, "ru"), " ")
+                       .alias("stems"))
+
+
+def _sql_stem_tokens_ru() -> str:
+    from dgraph_spark.functions.tokenizers import sql_fulltext_tokens
+
+    cyr = f"translate(text, '{_CYR[0]}', '{_CYR[1]}')"
+    return (f"SELECT source AS src, "
+            f"array_to_string({sql_fulltext_tokens('ru', cyr)}, ' ') "
+            f"AS stems FROM documents")
+
+
 def q_ngram_search(spark, sf_dir):
     """ngram containment search (tok/tok.go:447-551)."""
     return _flat(spark, sf_dir, '''
@@ -1947,5 +1973,8 @@ QUERIES: dict[str, tuple] = {
     "stream_sliding": (q_stream_sliding, SQL_stream_sliding),
     "stem_tokens_it": (_q_stem_tokens("it"), _sql_stem_tokens("it")),
     "stem_tokens_pt": (_q_stem_tokens("pt"), _sql_stem_tokens("pt")),
+    "stem_tokens_ru": (q_stem_tokens_ru, _sql_stem_tokens_ru()),
+    "stem_tokens_sv": (_q_stem_tokens("sv"), _sql_stem_tokens("sv")),
+    "stem_tokens_da": (_q_stem_tokens("da"), _sql_stem_tokens("da")),
 }
 

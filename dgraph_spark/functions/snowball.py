@@ -1,0 +1,576 @@
+"""Snowball stemmers for da/no/sv/ru — the algorithms behind the
+reference's fulltext analyzers for those languages (tok/stemmers.go
+langStemmers routes da -> stemmer_da_snowball, no -> stemmer_no_snowball,
+sv -> stemmer_sv_snowball, ru -> stemmer_ru_snowball; bleve wraps the
+published Snowball algorithms from snowballstem.org).
+
+Each language is ONE declarative spec (vowels + region defs + a step
+program) interpreted by three backends that agree by construction
+(tests/test_snowball.py cross-checks them on real vocabulary):
+
+- a Python function (query-literal stemming),
+- a Spark Column transform (JVM-side inside F.transform),
+- a DuckDB SQL expression chain (the CORRECTNESS oracle twin).
+
+Program primitives (mirroring the Snowball source structure):
+
+  ("among", region, [(suffix, checks, action), ...])
+      longest-SUFFIX-first matching LIMITED to the region (a suffix
+      reaching before the region start does not match — Snowball's
+      `setlimit tomark p1 among(...)`); the first matching rule's
+      checks then gate its action; a failed check fails the WHOLE
+      among with no fall-through (Snowball among semantics).
+  ("or", [prog, ...])     alternatives until one CHANGES the token
+                          (every action deletes or rewrites, so
+                          changed == succeeded)
+  ("seq", [prog, ...])    run all in order, each with `try` semantics
+  ("ifchanged", A, B)     run A; only when A changed the token, also
+                          try B (Snowball `X (try Y)` / "and then
+                          repeat step 2" clauses)
+  ("undouble", region)    drop the last letter of a final double
+                          consonant whose last char lies in region
+
+  region: "r1" | "rv" | "r2" | None
+  checks: ((idx_from_end, chars), ...) — token[-idx] must be in chars;
+          a leading "!" negates (an out-of-range index PASSES a negated
+          check, fails a positive one).
+  action: ("del",) or ("repl", "replacement") — replaces the suffix.
+
+Regions recompute per step from the current token: every action only
+touches text at/after the region start, so the prefix that determines
+the region is stable (the same invariant Snowball exploits by keeping
+integer cursors).
+
+The Spark/DuckDB backends compile each language to a LIST OF STAGES
+(one F.transform / list_transform per stage) exactly like the light
+stemmers; Russian's step-1 alternation ("perfective-gerund OR
+[reflexive; adjectival OR verb OR noun]") is staged with the same
+string-marker technique so each big among appears ONCE in the generated
+expression instead of being substituted into its successors.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MARK = "!"   # or-chain satisfied: later alternatives skip
+AUX = "@"    # transient: adjective fired, participle may follow
+
+# --------------------------------------------------------------- specs
+
+_DEL = ("del",)
+
+
+def _r(suffix, *checks, repl=None):
+    return (suffix, tuple(checks), _DEL if repl is None else ("repl", repl))
+
+
+_SCAND_VOWELS = "aeiouyæåø"
+_SV_VOWELS = "aeiouyäåö"
+
+_DA_STEP2 = ("among", "r1", [
+    _r("gd", repl="g"), _r("dt", repl="d"),
+    _r("gt", repl="g"), _r("kt", repl="k"),
+])
+
+# Danish (snowballstem.org/algorithms/danish/stemmer.html)
+DA_SPEC = {
+    "vowels": _SCAND_VOWELS,
+    "min_r1": 3,
+    "prog": ("seq", [
+        ("among", "r1", [
+            _r("erendes"), _r("erende"), _r("hedens"), _r("endes"),
+            _r("erede"), _r("erens"), _r("erets"), _r("ernes"),
+            _r("heden"), _r("heder"), _r("ethed"), _r("ende"),
+            _r("enes"), _r("ered"), _r("eren"), _r("erer"), _r("eres"),
+            _r("eret"), _r("heds"), _r("ene"), _r("ens"), _r("ere"),
+            _r("erne"), _r("ers"), _r("ets"), _r("hed"), _r("en"),
+            _r("er"), _r("es"), _r("et"), _r("e"),
+            _r("s", (2, "abcdfghjklmnoprtvyzå")),
+        ]),
+        _DA_STEP2,
+        ("among", None, [_r("igst", repl="ig")]),
+        ("or", [
+            # "delete, and then repeat step 2" — step 2 reruns ONLY
+            # when the ig-group deleted (a word like *gdt must not
+            # lose two letters)
+            ("ifchanged",
+             ("among", "r1", [_r("elig"), _r("lig"), _r("els"), _r("ig")]),
+             _DA_STEP2),
+            ("among", "r1", [_r("løst", repl="løs")]),
+        ]),
+        ("undouble", "r1"),
+    ]),
+}
+
+# Norwegian (snowballstem.org/algorithms/norwegian/stemmer.html)
+NO_SPEC = {
+    "vowels": _SCAND_VOWELS,
+    "min_r1": 3,
+    "prog": ("seq", [
+        ("among", "r1", [
+            _r("hetenes"), _r("hetene"), _r("hetens"), _r("heten"),
+            _r("heter"), _r("endes"), _r("ande"), _r("ende"), _r("edes"),
+            _r("enes"), _r("erte", repl="er"), _r("ane"), _r("ene"),
+            _r("ens"), _r("ers"), _r("ets"), _r("het"), _r("ast"),
+            _r("ert", repl="er"), _r("ede"), _r("en"), _r("ar"),
+            _r("er"), _r("as"), _r("es"), _r("et"), _r("a"), _r("e"),
+            _r("s", (2, "bcdfghjlmnoprtvyz")),
+            # k counts as a valid s-ending only when NOT preceded by a
+            # vowel (an out-of-range look PASSES the negated check)
+            _r("s", (2, "k"), (3, "!" + _SCAND_VOWELS)),
+        ]),
+        ("among", "r1", [_r("dt", repl="d"), _r("vt", repl="v")]),
+        ("among", "r1", [
+            _r("hetslov"), _r("eleg"), _r("elig"), _r("elov"),
+            _r("slov"), _r("leg"), _r("eig"), _r("lig"), _r("els"),
+            _r("lov"), _r("ig"),
+        ]),
+    ]),
+}
+
+# Swedish (snowballstem.org/algorithms/swedish/stemmer.html)
+SV_SPEC = {
+    "vowels": _SV_VOWELS,
+    "min_r1": 3,
+    "prog": ("seq", [
+        ("among", "r1", [
+            _r("heterna"), _r("hetens"), _r("anden"), _r("heten"),
+            _r("heter"), _r("arnas"), _r("ernas"), _r("ornas"),
+            _r("andes"), _r("arens"), _r("andet"), _r("arna"),
+            _r("erna"), _r("orna"), _r("ande"), _r("arne"), _r("aste"),
+            _r("aren"), _r("ades"), _r("erns"), _r("ade"), _r("are"),
+            _r("ern"), _r("ens"), _r("het"), _r("ast"), _r("ad"),
+            _r("en"), _r("ar"), _r("er"), _r("or"), _r("as"), _r("es"),
+            _r("at"), _r("a"), _r("e"),
+            _r("s", (2, "bcdfghjklmnoprtvy")),
+        ]),
+        ("among", "r1", [
+            _r("dd", repl="d"), _r("gd", repl="g"), _r("nn", repl="n"),
+            _r("dt", repl="d"), _r("gt", repl="g"), _r("kt", repl="k"),
+            _r("tt", repl="t"),
+        ]),
+        ("among", "r1", [
+            _r("fullt", repl="full"), _r("löst", repl="lös"),
+            _r("lig"), _r("els"), _r("ig"),
+        ]),
+    ]),
+}
+
+# Russian (snowballstem.org/algorithms/russian/stemmer.html) — every
+# test takes place inside RV; the derivational step additionally
+# requires R2.
+_RU_V = "аеиоуыэюя"
+_AYA = "ая"
+
+_PERFECTIVE_GERUND = ("among", "rv", [
+    _r("ившись"), _r("ывшись"),
+    _r("вшись", (6, _AYA)),
+    _r("ивши"), _r("ывши"),
+    _r("вши", (4, _AYA)),
+    _r("ив"), _r("ыв"),
+    _r("в", (2, _AYA)),
+])
+
+_REFLEXIVE = ("among", "rv", [_r("ся"), _r("сь")])
+
+_ADJECTIVE = ("among", "rv", [
+    _r("ими"), _r("ыми"),
+    _r("его"), _r("ого"), _r("ему"), _r("ому"),
+    _r("ее"), _r("ие"), _r("ые"), _r("ое"), _r("ей"), _r("ий"),
+    _r("ый"), _r("ой"), _r("ем"), _r("им"), _r("ым"), _r("ом"),
+    _r("их"), _r("ых"), _r("ую"), _r("юю"), _r("ая"), _r("яя"),
+    _r("ою"), _r("ею"),
+])
+
+_PARTICIPLE = ("among", "rv", [
+    _r("ивш"), _r("ывш"), _r("ующ"),
+    _r("ем", (3, _AYA)), _r("нн", (3, _AYA)), _r("вш", (3, _AYA)),
+    _r("ющ", (3, _AYA)), _r("щ", (2, _AYA)),
+])
+
+_VERB = ("among", "rv", [
+    _r("ейте"), _r("уйте"),
+    _r("ешь", (4, _AYA)), _r("нно", (4, _AYA)),
+    _r("ете", (4, _AYA)), _r("йте", (4, _AYA)),
+    _r("ила"), _r("ыла"), _r("ена"), _r("ите"), _r("или"), _r("ыли"),
+    _r("ило"), _r("ыло"), _r("ено"), _r("ует"), _r("уют"), _r("ены"),
+    _r("ить"), _r("ыть"), _r("ишь"),
+    _r("ла", (3, _AYA)), _r("на", (3, _AYA)), _r("ли", (3, _AYA)),
+    _r("ем", (3, _AYA)), _r("ло", (3, _AYA)), _r("но", (3, _AYA)),
+    _r("ет", (3, _AYA)), _r("ют", (3, _AYA)), _r("ны", (3, _AYA)),
+    _r("ть", (3, _AYA)),
+    _r("ей"), _r("уй"), _r("ил"), _r("ыл"), _r("им"), _r("ым"),
+    _r("ен"), _r("ят"), _r("ит"), _r("ыт"), _r("ую"), _r("ю"),
+    _r("й", (2, _AYA)), _r("л", (2, _AYA)), _r("н", (2, _AYA)),
+])
+
+_NOUN = ("among", "rv", [
+    _r("иями"), _r("ями"), _r("ами"),
+    _r("ией"), _r("иям"), _r("ием"), _r("иях"),
+    _r("ев"), _r("ов"), _r("ие"), _r("ье"), _r("еи"), _r("ии"),
+    _r("ей"), _r("ой"), _r("ий"), _r("ям"), _r("ем"), _r("ам"),
+    _r("ом"), _r("ах"), _r("ях"), _r("ию"), _r("ью"), _r("ия"),
+    _r("ья"), _r("а"), _r("е"), _r("и"), _r("й"), _r("о"), _r("у"),
+    _r("ы"), _r("ь"), _r("ю"), _r("я"),
+])
+
+_RU_TIDY = ("or", [
+    # (1) undouble н, or (2) drop a superlative ending then undouble н,
+    # or (3) drop a final soft sign — first success wins
+    ("among", "rv", [_r("н", (2, "н"))]),
+    ("ifchanged",
+     ("among", "rv", [_r("ейше"), _r("ейш")]),
+     ("among", "rv", [_r("н", (2, "н"))])),
+    ("among", "rv", [_r("ь")]),
+])
+
+RU_SPEC = {
+    "vowels": _RU_V,
+    "min_r1": 0,
+    "prog": ("seq", [
+        ("or", [
+            _PERFECTIVE_GERUND,
+            ("seq", [
+                _REFLEXIVE,
+                ("or", [
+                    ("ifchanged", _ADJECTIVE, _PARTICIPLE),
+                    _VERB,
+                    _NOUN,
+                ]),
+            ]),
+        ]),
+        ("among", "rv", [_r("и")]),
+        ("among", "r2", [_r("ость"), _r("ост")]),
+        _RU_TIDY,
+    ]),
+}
+
+SNOWBALL_LANGS = {"da": DA_SPEC, "no": NO_SPEC, "sv": SV_SPEC,
+                  "ru": RU_SPEC}
+
+# Stage plans for the expression backends: each entry becomes ONE
+# F.transform / list_transform pass. kinds:
+#   ("plain", prog)  run prog on the bare token (language uses no marks)
+#   ("alt", prog)    skip when MARK'd; on change, prefix MARK
+#   ("alt_aux", A)   skip when MARK'd; on change, prefix AUX
+#   ("aux_try", B)   when AUX'd: strip AUX, try B, prefix MARK
+#   ("strip",)       drop any MARK
+_RU_STAGES = [
+    ("alt", _PERFECTIVE_GERUND),
+    # branch 2 of the step-1 alternation: reflexive is a bare `try`
+    # (it alone does not satisfy the or), then adjectival/verb/noun
+    ("plain_unmarked", _REFLEXIVE),
+    ("alt_aux", _ADJECTIVE),
+    ("aux_try", _PARTICIPLE),
+    ("alt", _VERB),
+    ("alt", _NOUN),
+    ("strip",),
+    ("plain", ("among", "rv", [_r("и")])),
+    ("plain", ("among", "r2", [_r("ость"), _r("ост")])),
+    ("plain", _RU_TIDY),
+]
+
+
+def _stage_plan(lang: str):
+    if lang == "ru":
+        return _RU_STAGES
+    # da/no/sv: the program is a flat seq of small steps
+    return [("plain", p) for p in SNOWBALL_LANGS[lang]["prog"][1]]
+
+
+def _sorted_rules(rules):
+    """Longest suffix first — Snowball among picks the longest match."""
+    return sorted(rules, key=lambda r: -len(r[0]))
+
+
+def _region_re(spec: dict, region: str) -> str:
+    v = spec["vowels"]
+    if region == "rv":
+        return f"^.*?[{v}](.*)$"
+    if region == "r1":
+        return f"^.*?[{v}][^{v}](.*)$"
+    if region == "r2":
+        return f"^.*?[{v}][^{v}].*?[{v}][^{v}](.*)$"
+    raise KeyError(region)
+
+
+# --------------------------------------------------------------- python
+
+def _py_region_len(spec, region, t):
+    m = re.match(_region_re(spec, region), t)
+    n = len(m.group(1)) if m else 0
+    if region == "r1" and spec["min_r1"]:
+        n = min(n, max(len(t) - spec["min_r1"], 0))
+    return n
+
+
+def _py_checks(t, checks):
+    for idx, chars in checks:
+        neg = chars.startswith("!")
+        cs = chars[1:] if neg else chars
+        if idx > len(t):
+            if not neg:
+                return False
+            continue
+        inside = t[-idx] in cs
+        if inside if neg else not inside:
+            return False
+    return True
+
+
+def _py_among(spec, region, rules, t):
+    limit = _py_region_len(spec, region, t) if region else len(t)
+    for suffix, checks, action in _sorted_rules(rules):
+        if len(suffix) <= limit and t.endswith(suffix):
+            if not _py_checks(t, checks):
+                return t  # matched but failed the gate: among FAILS
+            base = t[:-len(suffix)]
+            return base + (action[1] if action[0] == "repl" else "")
+    return t
+
+
+def _py_run(spec, prog, t):
+    op = prog[0]
+    if op == "among":
+        return _py_among(spec, prog[1], prog[2], t)
+    if op == "undouble":
+        limit = _py_region_len(spec, prog[1], t)
+        if (limit >= 1 and len(t) >= 2 and t[-1] == t[-2]
+                and t[-1] not in spec["vowels"]):
+            return t[:-1]
+        return t
+    if op == "seq":
+        for p in prog[1]:
+            t = _py_run(spec, p, t)
+        return t
+    if op == "or":
+        for p in prog[1]:
+            out = _py_run(spec, p, t)
+            if out != t:
+                return out
+        return t
+    if op == "ifchanged":
+        out = _py_run(spec, prog[1], t)
+        if out != t:
+            return _py_run(spec, prog[2], out)
+        return t
+    raise KeyError(op)
+
+
+def snowball_stem_py(token: str, lang: str) -> str:
+    spec = SNOWBALL_LANGS[lang]
+    return _py_run(spec, spec["prog"], token)
+
+
+# --------------------------------------------------------------- spark
+
+def _sp_region_len(spec, region, t: Column) -> Column:
+    n = F.length(F.regexp_extract(t, _region_re(spec, region), 1))
+    if region == "r1" and spec["min_r1"]:
+        n = F.least(n, F.greatest(F.length(t) - spec["min_r1"], F.lit(0)))
+    return n
+
+
+def _sp_checks(t: Column, checks) -> Column:
+    cond = F.lit(True)
+    for idx, chars in checks:
+        neg = chars.startswith("!")
+        cs = chars[1:] if neg else chars
+        inside = (F.length(t) >= idx) & \
+            t.substr(F.length(t) - (idx - 1), F.lit(1)).isin(*list(cs))
+        cond = cond & (~inside if neg else inside)
+    return cond
+
+
+def _sp_among(spec, region, rules, t: Column) -> Column:
+    limit = _sp_region_len(spec, region, t) if region else F.length(t)
+    expr = None
+    for suffix, checks, action in _sorted_rules(rules):
+        matched = t.endswith(suffix) & (limit >= len(suffix))
+        base = t.substr(F.lit(1), F.length(t) - len(suffix))
+        res = F.concat(base, F.lit(action[1])) if action[0] == "repl" \
+            else base
+        val = F.when(_sp_checks(t, checks), res).otherwise(t)
+        expr = F.when(matched, val) if expr is None else \
+            expr.when(matched, val)
+    return expr.otherwise(t)
+
+
+def _sp_run(spec, prog, t: Column) -> Column:
+    op = prog[0]
+    if op == "among":
+        return _sp_among(spec, prog[1], prog[2], t)
+    if op == "undouble":
+        limit = _sp_region_len(spec, prog[1], t)
+        last = t.substr(F.length(t), F.lit(1))
+        dbl = (limit >= 1) & (F.length(t) >= 2) \
+            & (last == t.substr(F.length(t) - 1, F.lit(1))) \
+            & ~last.isin(*list(spec["vowels"]))
+        return F.when(dbl, t.substr(F.lit(1), F.length(t) - 1)).otherwise(t)
+    if op == "seq":
+        for p in prog[1]:
+            t = _sp_run(spec, p, t)
+        return t
+    if op == "or":
+        out = None
+        for p in prog[1]:
+            attempt = _sp_run(spec, p, t)
+            changed = attempt != t
+            out = F.when(changed, attempt) if out is None else \
+                out.when(changed, attempt)
+        return out.otherwise(t)
+    if op == "ifchanged":
+        attempt = _sp_run(spec, prog[1], t)
+        return F.when(attempt != t, _sp_run(spec, prog[2], attempt)) \
+            .otherwise(t)
+    raise KeyError(op)
+
+
+def _sp_stage(spec, stage):
+    kind = stage[0]
+
+    def fn(t: Column) -> Column:
+        if kind == "strip":
+            return F.when(t.startswith(MARK),
+                          t.substr(F.lit(2), F.length(t))).otherwise(t)
+        if kind == "plain":
+            return _sp_run(spec, stage[1], t)
+        if kind == "plain_unmarked":
+            return F.when(t.startswith(MARK), t) \
+                .otherwise(_sp_run(spec, stage[1], t))
+        if kind == "alt":
+            done = t.startswith(MARK) | t.startswith(AUX)
+            attempt = _sp_run(spec, stage[1], t)
+            return F.when(done, t).otherwise(
+                F.when(attempt != t, F.concat(F.lit(MARK), attempt))
+                .otherwise(t))
+        if kind == "alt_aux":
+            done = t.startswith(MARK)
+            attempt = _sp_run(spec, stage[1], t)
+            return F.when(done, t).otherwise(
+                F.when(attempt != t, F.concat(F.lit(AUX), attempt))
+                .otherwise(t))
+        if kind == "aux_try":
+            body = t.substr(F.lit(2), F.length(t))
+            return F.when(
+                t.startswith(AUX),
+                F.concat(F.lit(MARK), _sp_run(spec, stage[1], body)),
+            ).otherwise(t)
+        raise KeyError(kind)
+
+    return fn
+
+
+def snowball_tokens_expr(tokens: Column, lang: str) -> Column:
+    """array<string> -> stemmed array<string>, pure JVM expressions
+    (one F.transform pass per stage — big amongs appear once each)."""
+    spec = SNOWBALL_LANGS[lang]
+    out = tokens
+    for stage in _stage_plan(lang):
+        out = F.transform(out, _sp_stage(spec, stage))
+    return out
+
+
+# --------------------------------------------------------------- duckdb
+
+def _sql_region_len(spec, region, v: str) -> str:
+    n = f"length(regexp_extract({v}, '{_region_re(spec, region)}', 1))"
+    if region == "r1" and spec["min_r1"]:
+        n = f"least({n}, greatest(length({v}) - {spec['min_r1']}, 0))"
+    return n
+
+
+def _sql_checks(v: str, checks) -> str:
+    parts = []
+    for idx, chars in checks:
+        neg = chars.startswith("!")
+        cs = chars[1:] if neg else chars
+        alts = " OR ".join(f"substr({v}, -{idx}, 1) = '{c}'" for c in cs)
+        clause = f"(length({v}) >= {idx} AND ({alts}))"
+        parts.append(f"NOT {clause}" if neg else clause)
+    return " AND ".join(parts) if parts else "TRUE"
+
+
+def _sql_among(spec, region, rules, v: str) -> str:
+    limit = _sql_region_len(spec, region, v) if region else f"length({v})"
+    whens = []
+    for suffix, checks, action in _sorted_rules(rules):
+        matched = f"ends_with({v}, '{suffix}') AND ({limit}) >= {len(suffix)}"
+        base = f"substr({v}, 1, length({v}) - {len(suffix)})"
+        res = f"({base} || '{action[1]}')" if action[0] == "repl" else base
+        gate = _sql_checks(v, checks)
+        whens.append(f"WHEN {matched} THEN (CASE WHEN {gate} THEN {res} "
+                     f"ELSE {v} END)")
+    return f"(CASE {' '.join(whens)} ELSE {v} END)"
+
+
+def _sql_run(spec, prog, v: str) -> str:
+    op = prog[0]
+    if op == "among":
+        return _sql_among(spec, prog[1], prog[2], v)
+    if op == "undouble":
+        limit = _sql_region_len(spec, prog[1], v)
+        vv = "".join(spec["vowels"])
+        dbl = (f"({limit}) >= 1 AND length({v}) >= 2 AND "
+               f"substr({v}, -1) = substr({v}, -2, 1) AND "
+               f"NOT regexp_matches(substr({v}, -1), '[{vv}]')")
+        return (f"(CASE WHEN {dbl} THEN substr({v}, 1, length({v}) - 1) "
+                f"ELSE {v} END)")
+    if op == "seq":
+        for p in prog[1]:
+            v = _sql_run(spec, p, v)
+        return v
+    if op == "or":
+        whens = []
+        for p in prog[1]:
+            attempt = _sql_run(spec, p, v)
+            whens.append(f"WHEN ({attempt}) != {v} THEN ({attempt})")
+        return f"(CASE {' '.join(whens)} ELSE {v} END)"
+    if op == "ifchanged":
+        attempt = _sql_run(spec, prog[1], v)
+        then = _sql_run(spec, prog[2], f"({attempt})")
+        return (f"(CASE WHEN ({attempt}) != {v} THEN {then} "
+                f"ELSE {v} END)")
+    raise KeyError(op)
+
+
+def _sql_stage(spec, stage, v: str = "x") -> str:
+    kind = stage[0]
+    marked = f"starts_with({v}, '{MARK}')"
+    auxed = f"starts_with({v}, '{AUX}')"
+    if kind == "strip":
+        return f"CASE WHEN {marked} THEN substr({v}, 2) ELSE {v} END"
+    if kind == "plain":
+        return _sql_run(spec, stage[1], v)
+    if kind == "plain_unmarked":
+        return (f"CASE WHEN {marked} THEN {v} "
+                f"ELSE {_sql_run(spec, stage[1], v)} END")
+    if kind == "alt":
+        attempt = _sql_run(spec, stage[1], v)
+        return (f"CASE WHEN {marked} OR {auxed} THEN {v} "
+                f"WHEN ({attempt}) != {v} THEN '{MARK}' || ({attempt}) "
+                f"ELSE {v} END")
+    if kind == "alt_aux":
+        attempt = _sql_run(spec, stage[1], v)
+        return (f"CASE WHEN {marked} THEN {v} "
+                f"WHEN ({attempt}) != {v} THEN '{AUX}' || ({attempt}) "
+                f"ELSE {v} END")
+    if kind == "aux_try":
+        body = f"substr({v}, 2)"
+        inner = _sql_run(spec, stage[1], f"({body})")
+        return (f"CASE WHEN {auxed} THEN '{MARK}' || ({inner}) "
+                f"ELSE {v} END")
+    raise KeyError(kind)
+
+
+def snowball_tokens_sql(list_expr: str, lang: str) -> str:
+    """DuckDB twin over a VARCHAR[] expression."""
+    spec = SNOWBALL_LANGS[lang]
+    out = list_expr
+    for stage in _stage_plan(lang):
+        out = f"list_transform({out}, x -> {_sql_stage(spec, stage)})"
+    return out

@@ -306,9 +306,15 @@ def stem_lang_py(tok: str, lang: str) -> str:
                                                        light_stem_py)
 
     if lang in LIGHT_STEM_LANGS:
-        # de/es/fr use the reference's light stemmers (tok/stemmers.go
-        # stemmer_{de,es,fr}_light) on UNFOLDED tokens
+        # de/es/fr/it/pt use the reference's light stemmers
+        # (tok/stemmers.go stemmer_{lang}_light) on UNFOLDED tokens
         return light_stem_py(tok, lang)
+    from dgraph_spark.functions.snowball import (SNOWBALL_LANGS,
+                                                 snowball_stem_py)
+    if lang in SNOWBALL_LANGS:
+        if lang == "ru":
+            tok = tok.replace("ё", "е")
+        return snowball_stem_py(tok, lang)
     if lang in _LANG_TABLES:
         sufs, mn = _LANG_TABLES[lang][1]
         return _suffix_stem_py(_fold_py(tok, lang), sufs, mn)
@@ -320,22 +326,30 @@ def lang_stopwords(lang: str) -> list[str]:
 
 
 def sql_fulltext_tokens(lang: str, text_expr: str = "text") -> str:
-    """DuckDB SQL producing the light-stemmed fulltext token list for a
-    text column — the oracle twin of fulltext_tokens() for light-stemmer
-    languages (split on non-letter/digit, stopword-filter accented and
-    folded spellings, stem)."""
+    """DuckDB SQL producing the stemmed fulltext token list for a text
+    column — the oracle twin of fulltext_tokens() for light-stemmer and
+    snowball languages (split on non-letter/digit, stopword-filter
+    accented and folded spellings, stem)."""
     from dgraph_spark.functions.light_stemmers import (LIGHT_STEM_LANGS,
                                                        light_stem_tokens_sql)
+    from dgraph_spark.functions.snowball import (SNOWBALL_LANGS,
+                                                 snowball_tokens_sql)
 
-    if lang not in LIGHT_STEM_LANGS:
-        raise KeyError(f"light-stemmer sql tokens only for "
-                       f"{sorted(LIGHT_STEM_LANGS)}, not {lang!r}")
+    if lang not in LIGHT_STEM_LANGS and lang not in SNOWBALL_LANGS:
+        raise KeyError(
+            f"stemmed sql tokens only for "
+            f"{sorted(LIGHT_STEM_LANGS) + sorted(SNOWBALL_LANGS)}, "
+            f"not {lang!r}")
     stop_raw = _LANG_TABLES[lang][0]
     stops = set(stop_raw) | {_fold_py(w, lang) for w in stop_raw}
     stop = ", ".join(f"'{w}'" for w in sorted(stops))
+    src = (f"replace(lower({text_expr}), 'ё', 'е')" if lang == "ru"
+           else f"lower({text_expr})")
     toks = (f"list_filter(list_filter(string_split_regex("
-            f"lower({text_expr}), '[^\\pL\\pN]+'), x -> x != ''), "
+            f"{src}, '[^\\pL\\pN]+'), x -> x != ''), "
             f"x -> NOT list_contains([{stop}], x))")
+    if lang in SNOWBALL_LANGS:
+        return snowball_tokens_sql(toks, lang)
     return light_stem_tokens_sql(toks, lang)
 
 
@@ -352,7 +366,8 @@ def sql_fulltext_match(lang: str, query: str, text_expr: str = "text") -> str:
     stop_raw, (sufs, mn) = _LANG_TABLES.get(lang, (EN_STOPWORDS, (None, None)))
     if lang not in _LANG_TABLES:
         raise KeyError(f"sql twin only for {sorted(_LANG_TABLES)}, not {lang!r}")
-    if lang in LIGHT_STEM_LANGS:
+    from dgraph_spark.functions.snowball import SNOWBALL_LANGS
+    if lang in LIGHT_STEM_LANGS or lang in SNOWBALL_LANGS:
         stemmed = sql_fulltext_tokens(lang, text_expr)
         qtoks = _query_text_tokens(query, lang)
         qlist = ", ".join(f"'{t}'" for t in qtoks)
@@ -400,6 +415,19 @@ def fulltext_tokens(col: Column, lang: str = "en") -> Column:
         allstops = sorted(set(stops) | {_fold_py(w, lang) for w in stops})
         toks = F.filter(toks, lambda t: ~t.isin(*allstops))
         return light_stem_tokens_expr(toks, lang)
+    from dgraph_spark.functions.snowball import (SNOWBALL_LANGS,
+                                                 snowball_tokens_expr)
+    if lang in SNOWBALL_LANGS:
+        # da/no/sv/ru: the published Snowball algorithms operate on
+        # UNFOLDED tokens (æ/ø/å and cyrillic are first-class); the one
+        # exception is Russian's prescribed ё -> е normalization
+        stops = _LANG_TABLES[lang][0]
+        src = F.regexp_replace(F.lower(col), "ё", "е") if lang == "ru" \
+            else F.lower(col)
+        toks = F.filter(F.split(src, TERM_SPLIT_RE), lambda t: t != "")
+        allstops = sorted(set(stops) | {_fold_py(w, lang) for w in stops})
+        toks = F.filter(toks, lambda t: ~t.isin(*allstops))
+        return snowball_tokens_expr(toks, lang)
     if lang in _LANG_TABLES:
         stops, (sufs, mn) = _LANG_TABLES[lang]
         folded = _fold_expr(F.lower(col), lang)
@@ -484,17 +512,27 @@ def _query_text_tokens(query: str, lang: str) -> list[str]:
             if t and t.lower() not in EN_STOPWORDS]
 
 
+# longest suffix a language's stemmer can APPEND during a replacement
+# rule (fr -ficatrice -> -fier etc.): the appended chars may be absent
+# from the document token, so the prefilter needle must drop them
+_MAX_APPEND = {"fr": 4, "es": 1, "pt": 2}
+
+
 def _stem_substring(t: str, lang: str) -> str:
     """A substring every document token stemming to ``t`` must contain.
 
     Suffix-stripping stemmers only ever REMOVE a suffix, so the stem is
-    a prefix of the (folded) token and hence a substring of the folded
-    text — except the EN ies->y rule which APPENDS 'y'; dropping that
-    'y' restores the guaranteed-prefix property ('stud' for
-    studies/study)."""
+    a prefix of the token and hence a substring of the text — MINUS any
+    replacement-appended tail (_MAX_APPEND; EN's ies->y likewise), and
+    FOLDED, because the prefilter scans fold-normalized text while
+    light/snowball stems keep accents (an unfolded needle like
+    'løs'/'alegrí' would never hit folded text: false negatives)."""
     if lang not in _LANG_TABLES and lang not in _CJK_LANGS:
         return t[:-1] if len(t) > 1 and t.endswith("y") else t
-    return t
+    k = _MAX_APPEND.get(lang, 0)
+    if k:
+        t = t[:max(len(t) - k, 0)]
+    return _fold_py(t, lang)
 
 
 def _text_prefilter(col: Column, qtoks: list[str], lang: str,

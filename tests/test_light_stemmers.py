@@ -112,3 +112,24 @@ def test_three_backend_agreement(spark, lang):
         light_stem_tokens_expr(F.col("toks"), lang).alias("o")
     ).collect()[0]["o"]
     assert sp_out == py_out
+
+
+def test_prefilter_accented_and_replacement_stems(spark):
+    """Regression: the fulltext prefilter scans FOLD-NORMALIZED text, so
+    an accented stem (es 'alegrí') or a replacement-appended stem (fr
+    'chevaux' -> 'cheval', the 'l' absent from the document token) must
+    still reach the full analyzer — the needle folds and drops the
+    appended tail instead of demanding a verbatim hit."""
+    import pyspark.sql.functions as F
+
+    from dgraph_spark.functions.tokenizers import any_of_text
+
+    df = spark.createDataFrame(
+        [("con muchas alegrías",), ("les chevaux du roi",)],
+        "text string")
+    es = df.select(any_of_text(F.col("text"), "alegrías", "es").alias("m")) \
+        .collect()
+    assert [r["m"] for r in es] == [True, False]
+    fr = df.select(any_of_text(F.col("text"), "chevaux", "fr").alias("m")) \
+        .collect()
+    assert [r["m"] for r in fr] == [False, True]
