@@ -6,9 +6,13 @@ codegen — the Spark equivalent of dgraph's index tokenization, done at
 scan time instead of write time. No Python UDFs here.
 
 - term  (tok/tok.go:369-389): unicode-word split + lowercase.
-- fulltext (tok/tok.go:558-575): term + stopwords + stemming. We apply a
-  lightweight English suffix-stemmer; full bleve/snowball parity is out
-  of scope and documented as a divergence.
+- fulltext (tok/tok.go:558-575): term + stopwords + stemming. en runs a
+  porter-lite; de/es/fr/it/pt run the reference's Lucene light stemmers
+  (functions/light_stemmers.py), da/no/sv/ru the published Snowball
+  algorithms (functions/snowball.py), zh/ja/ko the cjk_bigram filter —
+  matching tok/stemmers.go langStemmers routing. fi/hu/nl/ro/tr (and the
+  dedicated ar/ckb/hi stemmers) remain suffix-lite: a documented
+  divergence.
 - trigram (tok/tok.go:616): dgraph uses trigrams only as a lossy regex
   prefilter — Spark evaluates regexes exactly, so trigram is exposed for
   parity/tests but not needed for correctness (SURVEY.md §4).
@@ -130,10 +134,11 @@ PT_SUFFIXES = (["acoes", "acao", "amentos", "amento", "mente", "idades",
                 "idade", "eiro", "eira", "oso", "osa", "ar", "er", "ir",
                 "os", "as", "es", "o", "a", "e"], 3)
 
-# -- the remaining snowball languages of tok/stemmers.go:33-50 (da, nl,
-# fi, hu, no, ro, sv, tr), same snowball-lite shape: public snowball
-# stopword lists (abridged to the high-frequency head) + light
-# longest-first suffix strippers.
+# -- remaining languages (nl, fi, hu, ro, tr — da/no/sv/ru upgraded to
+# real Snowball in functions/snowball.py), snowball-lite shape: public
+# snowball stopword lists (abridged to the high-frequency head) + light
+# longest-first suffix strippers. The da/no/sv/ru suffix tables below
+# remain only as stopword sources.
 DA_STOPWORDS = [
     "og", "i", "jeg", "det", "at", "en", "den", "til", "er", "som", "pa",
     "på", "de", "med", "han", "af", "for", "ikke", "der", "var", "mig",
@@ -265,9 +270,29 @@ _LANG_TABLES = {
 # (tok/stemmers.go routes zh/ja/ko to cjk_bigram; divergence: per-char
 # tokens instead of overlapping bigrams, applied identically to both
 # the indexed text and the query so matching is consistent)
-_CJK_TOKEN_RE = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}]|[a-z0-9]+"
-_CJK_TOKEN_RE_RE2 = r"\p{Han}|\p{Hiragana}|\p{Katakana}|\p{Hangul}|[a-z0-9]+"  # DuckDB / RE2 spelling
+# RUNS of CJK chars (bigrammed below) or latin/digit tokens — the
+# reference's cjk_bigram filter emits OVERLAPPING bigrams per CJK run,
+# unigrams only for isolated single chars (tok/stemmers.go routes
+# zh/ja/ko -> cjk_bigram; bleve analysis/token/cjk)
+_CJK_RUNS_RE = (r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}]+"
+                r"|[a-z0-9]+")
+_CJK_RUNS_RE_RE2 = (r"(\p{Han}|\p{Hiragana}|\p{Katakana}|\p{Hangul})+"
+                    r"|[a-z0-9]+")  # DuckDB / RE2 spelling
+_CJK_RUNS_RE_PY = (r"[㐀-鿿豈-﫿ぁ-ゟ゠-ヿ가-힯ᄀ-ᇿ]+"
+                   r"|[a-z0-9]+")
 _CJK_LANGS = {"zh", "ja", "ko"}
+
+
+def _cjk_bigrams_py(text: str) -> list[str]:
+    import re as _re
+
+    out: list[str] = []
+    for run in _re.findall(_CJK_RUNS_RE_PY, text.lower()):
+        if run[0].isascii() or len(run) == 1:
+            out.append(run)
+        else:
+            out.extend(run[i:i + 2] for i in range(len(run) - 1))
+    return out
 
 
 def _fold_expr(col: Column, lang: str) -> Column:
@@ -359,8 +384,14 @@ def sql_fulltext_match(lang: str, query: str, text_expr: str = "text") -> str:
     if lang in _CJK_LANGS:
         qtoks = _query_text_tokens(query, lang)
         qlist = ", ".join(f"'{t}'" for t in qtoks)
-        return (f"list_has_any(regexp_extract_all(lower({text_expr}), "
-                f"'{_CJK_TOKEN_RE_RE2}'), [{qlist}])")
+        runs = (f"regexp_extract_all(lower({text_expr}), "
+                f"'{_CJK_RUNS_RE_RE2}')")
+        toks = (f"flatten(list_transform({runs}, r -> "
+                f"CASE WHEN regexp_matches(r, '^[a-z0-9]') "
+                f"OR length(r) = 1 THEN [r] "
+                f"ELSE list_transform(range(1, length(r)), "
+                f"i -> substr(r, i::INT, 2)) END))")
+        return f"list_has_any({toks}, [{qlist}])"
     from dgraph_spark.functions.light_stemmers import (LIGHT_STEM_LANGS,
                                                        light_stem_tokens_sql)
     stop_raw, (sufs, mn) = _LANG_TABLES.get(lang, (EN_STOPWORDS, (None, None)))
@@ -402,7 +433,12 @@ def fulltext_tokens(col: Column, lang: str = "en") -> Column:
     (tok/stemmers.go per-language analyzers); unknown langs fall back
     to the EN analyzer."""
     if lang in _CJK_LANGS:
-        return F.regexp_extract_all(F.lower(col), F.lit(_CJK_TOKEN_RE), 0)
+        runs = F.regexp_extract_all(F.lower(col), F.lit(_CJK_RUNS_RE), 0)
+        return F.flatten(F.transform(runs, lambda r: F.when(
+            r.rlike("^[a-z0-9]") | (F.length(r) == 1), F.array(r)
+        ).otherwise(F.transform(
+            F.sequence(F.lit(1), F.length(r) - 1),
+            lambda i: r.substr(i, F.lit(2))))))
     from dgraph_spark.functions.light_stemmers import (LIGHT_STEM_LANGS,
                                                        light_stem_tokens_expr)
     if lang in LIGHT_STEM_LANGS:
@@ -499,10 +535,7 @@ def all_of_terms(col: Column, query: str) -> Column:
 
 def _query_text_tokens(query: str, lang: str) -> list[str]:
     if lang in _CJK_LANGS:
-        import re as _re
-        return _re.findall(
-            r"[㐀-鿿豈-﫿ぁ-ゟ゠-ヿ가-힯ᄀ-ᇿ]"
-            r"|[a-z0-9]+", query.lower())
+        return _cjk_bigrams_py(query)
     if lang in _LANG_TABLES:
         stops = set(lang_stopwords(lang)) | {
             _fold_py(w, lang) for w in lang_stopwords(lang)}
@@ -527,7 +560,9 @@ def _stem_substring(t: str, lang: str) -> str:
     FOLDED, because the prefilter scans fold-normalized text while
     light/snowball stems keep accents (an unfolded needle like
     'løs'/'alegrí' would never hit folded text: false negatives)."""
-    if lang not in _LANG_TABLES and lang not in _CJK_LANGS:
+    if lang in _CJK_LANGS:
+        return t  # bigrams are verbatim substrings of the text
+    if lang not in _LANG_TABLES:
         return t[:-1] if len(t) > 1 and t.endswith("y") else t
     k = _MAX_APPEND.get(lang, 0)
     if k:

@@ -184,6 +184,10 @@ class Executor:
         self._blocks_run = 0
         self.var_kind = {}
         self.var_inrow = {}
+        # value vars whose lexical strings are 200-bit bigfloats: math,
+        # aggregation, ordering and rendering route through
+        # functions/bigfloat.py instead of native column arithmetic
+        self.var_bigfloat: set[str] = set()
 
     # ================================================================ public
     def execute(self, query: str | ParsedQuery, vars: dict | None = None) -> dict:
@@ -924,10 +928,14 @@ class Executor:
         if not attr.var:
             return
         base = attr.name.lstrip("~")
-        if self.g.has_pred(base) and self.g.schema.get(base).typ == "bigfloat":
-            from dgraph_spark.schema import warn_bigfloat
-
-            warn_bigfloat(base, "value-variable math/aggregation")
+        if (self.g.has_pred(base) and not attr.is_count
+                and self.g.schema.get(base).typ == "bigfloat"):
+            # `v as amount` over a bigfloat pred: tag so downstream math/
+            # agg/order/render run at 200 bits (functions/bigfloat.py)
+            self.var_bigfloat.add(attr.var)
+        if attr.val_var is not None and attr.val_var in self.var_bigfloat:
+            # aggregates/reads of a bigfloat var stay bigfloat
+            self.var_bigfloat.add(attr.var)
         if (not attr.is_count and attr.math is None and attr.val_var is None
                 and self.g.has_pred(base) and self.g.schema.get(base).is_uid):
             # `B as friend` with NO body: a UID variable holding the edge
@@ -1095,6 +1103,11 @@ class Executor:
                 raise ValueError(
                     "Invalid variable aggregation. Check the levels.")
             fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[attr.name]
+            if attr.val_var in self.var_bigfloat:
+                # 200-bit aggregation over the var's lexical strings
+                from dgraph_spark.functions.bigfloat import bigfloat_agg
+
+                fn = bigfloat_agg(attr.name)
             inrow = self.var_inrow.get(attr.val_var)
             if (def_edges is not None and SRC in def_edges.columns
                     and inrow and inrow in def_edges.columns):
@@ -1203,6 +1216,28 @@ class Executor:
     def _math_value_df(self, attr: Attr, nodes: DataFrame, level: Level | None = None) -> DataFrame:
         """Evaluate math() per uid by joining referenced vars."""
         names = sorted(math_vars(attr.math))
+        if any(v in self.var_bigfloat for v in names):
+            from dgraph_spark.functions.bigfloat import (bigfloat_math_udf,
+                                                         math_tree_supported)
+
+            if len(names) != 1 or not math_tree_supported(attr.math):
+                raise ValueError(
+                    "bigfloat math() supports a single bigfloat variable "
+                    "with + - * / % ceil floor sqrt min max "
+                    "(types/scalar_types.go 200-bit big.Float)")
+            v = names[0]
+            resolved = (self._val_for_level(v, level)
+                        if level is not None else self.env[v])
+            if resolved is None:
+                return nodes.select(
+                    SUBJECT, F.lit(None).cast("string").alias(VALUE))
+            udf = bigfloat_math_udf(attr.math)
+            out = (nodes.join(resolved.select(SUBJECT, VALUE), SUBJECT,
+                              "inner")
+                   .select(SUBJECT, udf(F.col(VALUE)).alias(VALUE)))
+            if attr.var:
+                self.var_bigfloat.add(attr.var)
+            return out
         regular = [v for v in names if v not in self.scalar_vars and v in self.env]
         if regular:
             # the math map's domain is the union of the REGULAR operand
@@ -1525,6 +1560,12 @@ class Executor:
                 sdf = self.g.scalar(o.key)
                 sdf = self._lang_select(sdf, [o.lang] if o.lang else [])
                 val = F.col(VALUE)
+                if self.g.schema.get(o.key).typ == "bigfloat":
+                    # lexical strings order wrong ("99" > "100"): sort by
+                    # the 200-bit order-preserving key (TestBigFloatSort)
+                    from dgraph_spark.functions.bigfloat import bigfloat_key
+
+                    val = bigfloat_key(val)
                 if o.lang and o.lang not in (".", "*"):
                     # lang-tagged sort keys use the tag's locale collation
                     # (worker/sort.go sorts via x/text collate for the
@@ -2189,7 +2230,57 @@ class Executor:
             # count child leads the result list (query/outputnode.go)
             n = edges.select(DST).distinct().count()
             out = [{a.alias or "count": n} for a in cnt_attrs] + out
+        bf_keys = self._bigfloat_out_keys(block)
+        if bf_keys:
+            # bigfloat output renders as the shortest decimal that
+            # round-trips the 200-bit value — a JSON NUMBER with full
+            # digits ("amount":10.0000000000000000000124,
+            # query4_test.go TestBigFloatTypeTokenizer), carried as
+            # decimal.Decimal in the result dicts
+            from dgraph_spark.functions.bigfloat import render_py
+
+            def conv(d):
+                for k, v in d.items():
+                    if isinstance(v, list):
+                        for c in v:
+                            if isinstance(c, dict):
+                                conv(c)
+                    elif k in bf_keys and isinstance(v, str):
+                        d[k] = render_py(v)
+                return d
+
+            out = [conv(d) for d in out]
         return out
+
+    def _bigfloat_out_keys(self, block: Block) -> set[str]:
+        """Output key names whose values are lexical 200-bit bigfloats:
+        reads of bigfloat predicates, val()/aggregates of bigfloat vars,
+        math() outputs tagged during evaluation."""
+        keys: set[str] = set()
+
+        def walk(b):
+            for c in b.children:
+                if isinstance(c, Block):
+                    walk(c)
+                    continue
+                if not isinstance(c, Attr) or c.is_count:
+                    continue
+                base = c.name.lstrip("~")
+                if (c.val_var is None and c.math is None
+                        and self.g.schema.has(base)
+                        and self.g.schema.get(base).typ == "bigfloat"):
+                    keys.add(c.out_name)
+                elif c.val_var and c.val_var in self.var_bigfloat:
+                    keys.add(c.out_name)
+                elif c.math is not None and c.var in self.var_bigfloat:
+                    keys.add(c.out_name)
+                elif (c.math is not None and not c.var and any(
+                        v in self.var_bigfloat
+                        for v in math_vars(c.math))):
+                    keys.add(c.out_name)
+
+        walk(block)
+        return keys
 
     def _agg_only_json(self, block: Block) -> list:
         """Empty (no-func) block of aggregates + math, e.g.
@@ -2212,6 +2303,17 @@ class Executor:
                 vdf = self.env.get(attr.val_var)
                 if vdf is None:
                     val = None  # var over an absent predicate: null result
+                elif attr.val_var in self.var_bigfloat:
+                    # 200-bit aggregate; renders as the shortest decimal
+                    # that round-trips (TestBigFloatSum/Avg/Max pin the
+                    # exact digit strings)
+                    from dgraph_spark.functions.bigfloat import (bigfloat_agg,
+                                                                 render_py)
+
+                    raw = vdf.agg(
+                        bigfloat_agg(attr.name)(F.col(VALUE)).alias("v")
+                    ).collect()[0]["v"]
+                    val = render_py(raw)
                 else:
                     val = vdf.agg(_FNS[attr.name](VALUE).alias("v")).collect()[0]["v"]
                 if attr.var:
@@ -2331,7 +2433,7 @@ class Executor:
             needed = math_vars(attr.math)
             out_col = attr.out_name if attr.alias else (
                 f"val({attr.var})" if attr.var else "math")
-            if needed <= set(local_cols):
+            if needed <= set(local_cols) and not (needed & self.var_bigfloat):
                 ddt = dict(df.dtypes)
                 expr = compile_math(
                     attr.math, lambda n: _qc(local_cols[n]),
@@ -2844,11 +2946,6 @@ class Executor:
                 else:
                     # min(pred): aggregate the predicate's value over the
                     # group (query/groupby.go:30 aggregateChild)
-                    if (self.g.has_pred(attr.agg_pred) and
-                            self.g.schema.get(attr.agg_pred).typ == "bigfloat"):
-                        from dgraph_spark.schema import warn_bigfloat
-
-                        warn_bigfloat(attr.agg_pred, "aggregation")
                     src_col = f"_p_{attr.agg_pred}"
                     if src_col not in df.columns:
                         sdf = self.g.scalar(attr.agg_pred).select(
@@ -2856,6 +2953,13 @@ class Executor:
                         df = df.join(sdf, SUBJECT, "left")
                     dflt = f"{attr.name}({attr.agg_pred})"
                 fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[attr.name]
+                if ((attr.val_var and attr.val_var in self.var_bigfloat)
+                        or (attr.agg_pred and self.g.schema.has(attr.agg_pred)
+                            and self.g.schema.get(attr.agg_pred).typ == "bigfloat")):
+                    # 200-bit aggregation (functions/bigfloat.py)
+                    from dgraph_spark.functions.bigfloat import bigfloat_agg
+
+                    fn = bigfloat_agg(attr.name)
                 out = attr.alias or dflt
                 aggs.append(fn(src_col).alias(out))
             else:
@@ -3048,7 +3152,7 @@ class Executor:
         for attr in math_attrs:
             needed = math_vars(attr.math)
             out = attr.out_name if attr.alias else "math"
-            if needed <= set(local_cols):
+            if needed <= set(local_cols) and not (needed & self.var_bigfloat):
                 # all inputs already in the frame: pure projection, no join
                 frame = frame.withColumn(
                     out, compile_math(attr.math, lambda n: _qc(local_cols[n]))

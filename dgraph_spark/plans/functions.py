@@ -83,6 +83,18 @@ class FuncCompiler:
         self.env = env if env is not None else {}
 
     # ------------------------------------------------------------- helpers
+    def _cmp_side(self, pred, col, lits):
+        """(column, literal columns) for a typed comparison; bigfloat
+        preds compare via the order-preserving 200-bit key
+        (functions/bigfloat.py) — lexical strings would order wrong and
+        equal lexemes are not the only equal values ("2.1" == "2.10")."""
+        if (pred and self.g.schema.has(pred)
+                and self.g.schema.get(pred).typ == "bigfloat"):
+            from dgraph_spark.functions.bigfloat import bigfloat_key, key_py
+
+            return bigfloat_key(col), [F.lit(key_py(str(x))) for x in lits]
+        return col, [self._typed_lit(pred, x) for x in lits]
+
     def _typed_lit(self, pred: str, v: object) -> Column:
         typ = self.g.schema.get(pred).typ
         if typ == "datetime":
@@ -233,11 +245,11 @@ class FuncCompiler:
         pred = f.pred
         lits = f.literals()
         if name in _COMPARE:
-            return _cmp(col, name, [self._typed_lit(pred, x) for x in lits])
+            c2, l2 = self._cmp_side(pred, col, lits)
+            return _cmp(c2, name, l2)
         if name == "between":
-            return col.between(
-                self._typed_lit(pred, lits[0]), self._typed_lit(pred, lits[1])
-            )
+            c2, l2 = self._cmp_side(pred, col, lits[:2])
+            return c2.between(l2[0], l2[1])
         if name == "has":
             return col.isNotNull()
         if name in _STRSEARCH:
@@ -418,8 +430,8 @@ class FuncCompiler:
         else:
             lits = _flat_lits(f.literals())
         df, col, unique = self._value_source(pred, f.pred_lang)
-        cols = [self._typed_lit(pred, x) for x in lits]
-        out = df.where(_cmp(col, name, cols)).select(SUBJECT)
+        c2, cols = self._cmp_side(pred, col, lits)
+        out = df.where(_cmp(c2, name, cols)).select(SUBJECT)
         return out if unique else out.distinct()
 
     def _count_compare(self, pred: str, op: str, lits: list,
@@ -464,7 +476,7 @@ class FuncCompiler:
         lo, hi = f.literals()[:2]
         df, col, unique = self._value_source(pred, f.pred_lang)
         out = df.where(
-            col.between(self._typed_lit(pred, lo), self._typed_lit(pred, hi))
+            _bt(*self._cmp_side(pred, col, [lo, hi]))
         ).select(SUBJECT)
         return out if unique else out.distinct()
 
@@ -711,6 +723,10 @@ def _flat_lits(lits: list) -> list:
     if len(lits) == 1 and isinstance(lits[0], list):
         return lits[0]
     return lits
+
+
+def _bt(col: Column, lits: list[Column]) -> Column:
+    return col.between(lits[0], lits[1])
 
 
 def _cmp(col: Column, op: str, lits: list[Column]) -> Column:

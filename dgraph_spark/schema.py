@@ -55,7 +55,7 @@ SPARK_TYPE = {
     "password": "string",
     "string": "string",
     "float32vector": "array<float>",
-    "bigfloat": "decimal(38,10)",
+    "bigfloat": "string",  # lexical storage; 200-bit ops in functions/bigfloat.py
 }
 
 
@@ -346,21 +346,7 @@ def _parse_pred_line(line: str) -> Predicate:
 
 # ---------------------------------------------------------------- bigfloat
 # The reference's bigfloat is 200-bit arbitrary precision
-# (types/scalar_types.go:27); this engine stores decimal(38,10).
-# Storage/comparison are documented divergences; ARITHMETIC on the
-# narrowed type can silently lose precision, so participating in
-# math/aggregation warns once per (predicate, context).
-_BIGFLOAT_WARNED: set[str] = set()
-
-
-def warn_bigfloat(pred: str, context: str) -> None:
-    import warnings
-
-    key = f"{pred}|{context}"
-    if key in _BIGFLOAT_WARNED:
-        return
-    _BIGFLOAT_WARNED.add(key)
-    warnings.warn(
-        f"predicate {pred!r} is bigfloat (200-bit in the reference) but "
-        f"stored as decimal(38,10) here; {context} may lose precision",
-        stacklevel=3)
+# (types/scalar_types.go:27 BigFloatPrecision). Values store as lexical
+# strings; comparisons/sorting use an order-preserving 200-bit key and
+# math/aggregation run through mpmath at prec=200 — see
+# functions/bigfloat.py.

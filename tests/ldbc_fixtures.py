@@ -57,7 +57,10 @@ class FixtureBuilder:
             return
         else:
             lit = f'"{_esc(str(val))}"'
-        self.lines.append(f"<{u}> <{pred}> {lit} .")
+        line = f"<{u}> <{pred}> {lit} ."
+        if line not in self._by_key:  # identical postings are idempotent
+            self._by_key[line] = line
+            self.lines.append(line)
 
     def edge(self, src: str, pred: str, dst: str,
              facets: dict | None = None) -> None:
@@ -386,7 +389,9 @@ def fx_q8(resp: dict) -> list[str]:
     root = b.person(key="root", id=PERSON_ROOT)
     want: dict[str, set[int]] = {}
     for row in resp["q"]:
-        person = b.person(row)
+        # the pinned rows don't echo firstName (every hit IS a Deepak —
+        # the nid root demands it), so write it explicitly
+        person = b.person(row, firstName="Deepak")
         for pred in ("email", "language"):
             for v in row.get(pred, []):
                 b.value(person, pred, v)

@@ -103,8 +103,9 @@ def test_ru_it_pt_fulltext_analyzers(spark):
 
 
 def test_zh_fulltext_analyzer(spark):
-    """zh: unicode segmentation \u2014 one token per Han character plus
-    latin/digit runs, no stemming (bleve unicode tokenizer shape)."""
+    """zh: the reference's cjk_bigram — OVERLAPPING bigrams per CJK run,
+    a unigram only for an isolated single char, latin/digit runs kept
+    (tok/stemmers.go routes zh/ja/ko -> cjk_bigram)."""
     import pyspark.sql.functions as F
 
     from dgraph_spark.functions.tokenizers import (
@@ -112,8 +113,10 @@ def test_zh_fulltext_analyzer(spark):
 
     df = spark.createDataFrame([("\u67e5\u8be2spark\u8868",)], "t string")
     got = df.select(fulltext_tokens(F.col("t"), "zh").alias("x")).collect()[0]["x"]
-    assert got == ["\u67e5", "\u8be2", "spark", "\u8868"]
-    assert _query_text_tokens("\u67e5\u8868 spark", "zh") == ["\u67e5", "\u8868", "spark"]
+    assert got == ["\u67e5\u8be2", "spark", "\u8868"]
+    # adjacent chars in the query bigram too; the space splits runs
+    assert _query_text_tokens("\u67e5\u8868 spark", "zh") == \
+        ["\u67e5\u8868", "spark"]
 
 
 def test_remaining_snowball_languages(spark):
@@ -129,7 +132,8 @@ def test_remaining_snowball_languages(spark):
         return df.select(fulltext_tokens(F.col("t"), lang).alias("x")).collect()[0]["x"]
 
     cases = {
-        "da": ("og hurtige tabeller sorteres", "tabell"),
+        # da now runs full Danish snowball: step-4 undoubles -ll
+        "da": ("og hurtige tabeller sorteres", "tabel"),
         "nl": ("de snelle tabellen worden gesorteerd", "tabell"),
         "fi": ("nopeat taulukot ja indeksit", "tauluko"),
         "hu": ("a gyors táblák és indexek", "tabl"),

@@ -31,32 +31,96 @@ def test_unknown_pred_defaults():
     assert reg.get("mystery").typ == "default"
 
 
-def test_bigfloat_math_warns_once(spark):
-    """bigfloat is narrowed to decimal(38,10) (documented divergence,
-    reference types/scalar_types.go:27 is 200-bit): using it in
-    value-variable math/aggregation emits ONE warning per predicate."""
-    import warnings
 
-    from dgraph_spark import schema as schema_mod
-    from dgraph_spark.plans import Executor
+def _bigfloat_graph(spark, lines, schema):
     from dgraph_spark.schema import SchemaRegistry
     from dgraph_spark.sources.rdf import graph_from_triples, parse_nquads
 
-    lines = spark.createDataFrame(
-        [('<0x1> <amount> "123.4567890123456789" .',)], "value string")
-    g = graph_from_triples(
-        spark, parse_nquads(lines),
-        SchemaRegistry.parse("amount: bigfloat ."))
-    schema_mod._BIGFLOAT_WARNED.clear()
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        Executor(g).execute('{ q(func: uid(0x1)) { a as amount } '
-                            '  s() { sum(val(a)) } }')
-        msgs = [str(x.message) for x in w if "bigfloat" in str(x.message)]
-    assert len(msgs) == 1 and "decimal(38,10)" in msgs[0]
-    # second run: already warned for this predicate — silent
-    with warnings.catch_warnings(record=True) as w2:
-        warnings.simplefilter("always")
-        Executor(g).execute('{ q(func: uid(0x1)) { a as amount } '
-                            '  s() { sum(val(a)) } }')
-        assert not [x for x in w2 if "bigfloat" in str(x.message)]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    return graph_from_triples(spark, parse_nquads(df),
+                              SchemaRegistry.parse(schema))
+
+
+_BF_FIVE = [
+    '<0x666> <amount> "100" .',
+    '<0x124> <amount> "99.1231231233" .',
+    '<0x777> <amount> "99" .',
+    '<0x888> <amount> "99.0000000000000000000001" .',
+    '<0x123> <amount> "123123.123123123132" .',
+]
+_BF_SCHEMA = "amount: bigfloat @index(bigfloat) ."
+
+
+def test_bigfloat_eq_22_digits(spark):
+    """query4_test.go TestBigFloatTypeTokenizer: eq() distinguishes
+    values differing in the 23rd significant digit, and the value
+    renders with FULL digits (a decimal, not a float64)."""
+    from decimal import Decimal
+
+    from dgraph_spark.plans import Executor
+
+    g = _bigfloat_graph(spark, [
+        '<0x666> <amount> "10.0000000000000000000123" .',
+        '<0x777> <amount> "10.0000000000000000000124" .',
+    ], _BF_SCHEMA)
+    got = Executor(g).execute(
+        '{ me(func: eq(amount, "10.0000000000000000000124")) { uid amount } }')
+    assert got == {"me": [{"uid": "0x777",
+                           "amount": Decimal("10.0000000000000000000124")}]}
+
+
+def test_bigfloat_sort_lt(spark):
+    """query4_test.go TestBigFloatSort / TestBigFloatLt: numeric (not
+    lexical) ordering and inequality over 200-bit values."""
+    from dgraph_spark.plans import Executor
+
+    g = _bigfloat_graph(spark, _BF_FIVE, _BF_SCHEMA)
+    got = Executor(g).execute(
+        '{ me(func: has(amount), orderasc: amount) { uid } }')
+    assert [r["uid"] for r in got["me"]] == \
+        ["0x777", "0x888", "0x124", "0x666", "0x123"]
+    lt = Executor(g).execute(
+        '{ me(func: has(amount)) @filter(lt(amount, 100)) { uid } }')
+    assert {r["uid"] for r in lt["me"]} == {"0x777", "0x888", "0x124"}
+
+
+def test_bigfloat_sum_avg_max_exact(spark):
+    """query4_test.go TestBigFloatSum/Avg/Max pin EXACT digit strings
+    produced by 200-bit big.Float arithmetic — far beyond
+    decimal(38,10)."""
+    from decimal import Decimal
+
+    from dgraph_spark.plans import Executor
+
+    g = _bigfloat_graph(spark, _BF_FIVE, _BF_SCHEMA)
+    q = ('{ me(func: has(amount)) { a as amount } '
+         '  q() { %s : %s(val(a)) } }')
+    s = Executor(g).execute(q % ("sum_amt", "sum"))
+    assert s["q"] == [{"sum_amt": Decimal("123520.2462462464320000000001")}]
+    a = Executor(g).execute(q % ("avg_amt", "avg"))
+    assert a["q"] == [{"avg_amt": Decimal("24704.04924924928640000000002")}]
+    m = Executor(g).execute(q % ("max_amt", "max"))
+    assert m["q"] == [{"max_amt": Decimal("123123.123123123132")}]
+
+
+def test_bigfloat_math_ceil_floor_sqrt(spark):
+    """query4_test.go TestBigFloatCeil/Floor/Sqrt: math() over a
+    bigfloat variable runs at 200 bits; sqrt(2) must agree with
+    big.Float to the shortest-round-trip digit string."""
+    from decimal import Decimal
+
+    from dgraph_spark.plans import Executor
+
+    g = _bigfloat_graph(spark, ['<0x666> <amount> "2" .'], _BF_SCHEMA)
+    got = Executor(g).execute(
+        '{ me(func: eq(amount, "2")) { uid amount as amount '
+        '   amt : math(sqrt(amount)) } }')
+    amt = got["me"][0]["amt"]
+    # 200-bit sqrt(2), shortest round-trip (61 significant digits)
+    assert str(amt).startswith("1.4142135623730950488016887242096980785696718753769480731766")
+    g2 = _bigfloat_graph(spark, ['<0x666> <amount> "2.1" .'], _BF_SCHEMA)
+    got2 = Executor(g2).execute(
+        '{ me(func: eq(amount, "2.1")) { uid amount as amount '
+        '   c : math(ceil(amount)) f : math(floor(amount)) } }')
+    assert got2["me"][0]["c"] == Decimal(3)
+    assert got2["me"][0]["f"] == Decimal(2)
