@@ -2315,7 +2315,15 @@ class Executor:
                     ).collect()[0]["v"]
                     val = render_py(raw)
                 else:
+                    import datetime as _dtm
+
                     val = vdf.agg(_FNS[attr.name](VALUE).alias("v")).collect()[0]["v"]
+                    if isinstance(val, _dtm.datetime):
+                        # aggregates render like every other datetime:
+                        # RFC3339 (the raw collected object leaked before)
+                        val = _render_datetime(val)
+                    elif isinstance(val, _dtm.date):
+                        val = val.isoformat() + "T00:00:00Z"
                 if attr.var:
                     scalars[attr.var] = val
                     self._register_scalar_var(attr.var, val)

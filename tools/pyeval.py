@@ -236,12 +236,15 @@ class PyEval:
         return [obj for _u, obj in rows]
 
     def _agg_only_block(self, b) -> list:
-        obj = {}
+        # one single-key node PER aggregate child, in query order
+        # (query/outputnode.go one fastJsonNode per aggregate)
+        out = []
         for a in b.children:
             if getattr(a, "name", None) in ("min", "max", "sum", "avg") and a.val_var:
+                key = a.alias or f"{a.name}(val({a.val_var}))"
                 vals = list(self.val_vars[a.val_var][0].values())
                 if not vals:
-                    obj[a.alias or f"{a.name}(val({a.val_var}))"] = None
+                    out.append({key: None})
                     continue
                 if a.name == "min":
                     r = min(vals)
@@ -251,8 +254,8 @@ class PyEval:
                     r = sum(vals)
                 else:
                     r = sum(vals) / len(vals)
-                obj[a.alias or f"{a.name}(val({a.val_var}))"] = _render(r)
-        return [obj] if obj else []
+                out.append({key: _render(r)})
+        return out
 
     def _root_uids(self, f) -> list[int]:
         name = f.name.lower()
@@ -457,22 +460,38 @@ class PyEval:
         pre_page = list(edges)
         if child.var:
             self.uid_vars[child.var] = {d for _u, d in pre_page}
+        sub_cascading = cascading or child.cascade is not None
         edges_by_parent: dict[int, list[int]] = {}
-        for u, d in self._page_edges(pre_page, child):
-            edges_by_parent.setdefault(u, []).append(d)
+        if sub_cascading:
+            # under @cascade, pagination DEFERS until after cascade
+            # pruning (query/query.go:3004 applyPagination ordering):
+            # descend the FULL edge set, paginate the survivors below
+            for u, d in pre_page:
+                edges_by_parent.setdefault(u, []).append(d)
+        else:
+            for u, d in self._page_edges(pre_page, child):
+                edges_by_parent.setdefault(u, []).append(d)
         sub_chain = chain + [pre_page]
         sub_frontier = [(u, d) for u, ds in edges_by_parent.items() for d in ds]
         if not sub_frontier:
             self._register_empty_vars(child)
             return
         sub_rows, _ = self._descend(
-            child, sub_frontier, sub_chain,
-            cascading or child.cascade is not None)
+            child, sub_frontier, sub_chain, sub_cascading)
         by_uid = dict(sub_rows)
         key = child.alias
+        if reverse and key == pname:
+            key = "~" + pname  # unaliased reverse edges render with ~
         for u in nodes:
-            kids = [by_uid[d] for d in edges_by_parent.get(u, [])
-                    if d in by_uid and by_uid[d]]
+            ds = edges_by_parent.get(u, [])
+            if sub_cascading:
+                survivors = [d for d in ds if d in by_uid and by_uid[d]]
+                paged = self._page_edges(
+                    [(u, d) for d in survivors], child)
+                kids = [by_uid[d] for _u, d in paged]
+            else:
+                kids = [by_uid[d] for d in ds
+                        if d in by_uid and by_uid[d]]
             if kids:
                 objs[u][key] = kids
 
