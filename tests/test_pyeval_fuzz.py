@@ -110,6 +110,30 @@ def _templates(rng: random.Random, words: list[str]):
         out.append(f'''{{ q(func: anyofterms(name@en, "{w()}"),
             first: {n(8)}) {{
             name@en ~director.film {{ name@en }} }} }}''')
+    for _ in range(4):
+        out.append(f'''{{ q(func: regexp(name@en, /^The {w()[:2]}.*$/),
+            orderasc: name@en, first: {n(10)}) {{ name@en }} }}''')
+    for _ in range(4):
+        out.append(f'''{{ q(func: has(initial_release_date),
+            orderdesc: initial_release_date, first: {n(8)},
+            offset: {rng.randint(0, 5)}) {{
+            name@en initial_release_date }} }}''')
+    for _ in range(4):
+        out.append(f'''{{ q(func: anyofterms(name@en, "{w()}"),
+            first: {n(6)}) @normalize {{
+            who: name@en director.film {{ film: name@en }} }} }}''')
+    for _ in range(4):
+        out.append(f'''{{ q(func: anyofterms(name@en, "{w()} {w()}"),
+            first: {n(8)}) {{
+            name@en directed_by {{ name@en
+                director.film (first: 2) {{ name@en }} }} }} }}''')
+    for _ in range(4):
+        out.append(f'''{{
+            f as var(func: anyofterms(name@en, "{w()}")) {{
+                director.film {{ d as initial_release_date }}
+                m as min(val(d)) }}
+            q(func: uid(f), orderasc: val(m), first: {n(8)}) {{
+                name@en first_release: val(m) }} }}''')
     return out
 
 
