@@ -137,12 +137,13 @@ def _templates(rng: random.Random, words: list[str]):
     return out
 
 
-def test_pyeval_differential_fuzz(golden, naive, words):
+@pytest.mark.parametrize("seed", [20260815, 7, 99])
+def test_pyeval_differential_fuzz(golden, naive, words, seed):
     from dgraph_spark.plans import Executor
     from tools.pyeval import PyEval
 
     g, _wh = golden
-    rng = random.Random(20260815)
+    rng = random.Random(seed)
     bad = []
     for i, dql in enumerate(_templates(rng, words)):
         got = Executor(g).execute(dql)

@@ -154,6 +154,24 @@ def _render(v):
     return v
 
 
+def _collate_en(v: str) -> tuple:
+    """Approximation of the lang-tagged sort collation (worker/sort.go
+    sorts lang-tagged strings with x/text collate): primary = base
+    letters (accents stripped, case-folded) with ICU-style category
+    weights — whitespace/controls < punctuation < symbols < digits <
+    letters (so '¿Puede…' sorts before 'A…' and TAB before SPACE, both
+    matching the engine and the reference's pinned q19 order); ties
+    break on the raw string."""
+    import unicodedata
+
+    ranks = {"Z": 0, "C": 0, "P": 1, "S": 2, "N": 3, "L": 4}
+    primary = tuple(
+        (ranks.get(unicodedata.category(c)[0], 2), c)
+        for c in unicodedata.normalize("NFKD", v).casefold()
+        if not unicodedata.combining(c))
+    return (primary, v)
+
+
 _TERM_RE = re.compile(r"[^\w]+", re.UNICODE)
 
 
@@ -567,8 +585,14 @@ class PyEval:
                 if "@" in k:
                     k, _, ltag = k.partition("@")
                     langs = ltag.split(":")
-                keys.append((lambda u, k=k, langs=langs:
-                             self.g.value(u, k, langs), o.desc))
+
+                def fn(u, k=k, langs=langs):
+                    v = self.g.value(u, k, langs)
+                    if langs and isinstance(v, str):
+                        return _collate_en(v)  # lang-tagged: collation
+                    return v
+
+                keys.append((fn, o.desc))
 
         def sort_key(u):
             parts = []
