@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 PREC = 200
-_BIAS = 1 << 24  # binary-exponent bias; decimal exponents fit easily
+# binary-exponent bias covering big.Float's full int32 exponent range
+# (math/big: MaxExp = math.MaxInt32); biased values fit 10 digits
+_BIAS = 1 << 31
+_EXP_W = 10
 _MANT_HEX = PREC // 4  # 50 hex chars hold the 200-bit mantissa
 
 
@@ -58,16 +61,21 @@ def key_py(s: str | None) -> str | None:
     except (ValueError, TypeError):
         return None
     if x == 0:
-        return "1" + "0" * (8 + _MANT_HEX)
+        return "1" + "0" * (_EXP_W + _MANT_HEX)
     sign, man, exp, bc = x._mpf_
     # normalize mantissa to exactly PREC bits, top bit set
     man_n = man << (PREC - bc)
     e_adj = exp + bc  # x = 0.man_n * 2^e_adj
+    if not -_BIAS < e_adj < _BIAS:
+        # big.Float exponents are int32; beyond that the reference
+        # panics with ErrNaN ("exponent overflow") — fail loudly rather
+        # than emit a key that would sort wrong
+        raise ValueError(f"bigfloat exponent overflow: {s!r}")
     if sign == 0:
-        return f"2{e_adj + _BIAS:08d}{man_n:0{_MANT_HEX}x}"
+        return f"2{e_adj + _BIAS:0{_EXP_W}d}{man_n:0{_MANT_HEX}x}"
     inv_e = 2 * _BIAS - (e_adj + _BIAS)
     inv_m = (1 << PREC) - 1 - man_n
-    return f"0{inv_e:08d}{inv_m:0{_MANT_HEX}x}"
+    return f"0{inv_e:0{_EXP_W}d}{inv_m:0{_MANT_HEX}x}"
 
 
 _UDF_CACHE: dict = {}

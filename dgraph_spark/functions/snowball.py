@@ -33,8 +33,18 @@ Program primitives (mirroring the Snowball source structure):
   region: "r1" | "rv" | "r2" | None
   checks: ((idx_from_end, chars), ...) — token[-idx] must be in chars;
           a leading "!" negates (an out-of-range index PASSES a negated
-          check, fails a positive one).
+          check, fails a positive one). An element may instead be
+          ("or", group, group, ...) where each group is a tuple of
+          (idx, chars) checks ANDed together — the element passes when
+          ANY group passes (Snowball's disjunctive valid-s-ending).
   action: ("del",) or ("repl", "replacement") — replaces the suffix.
+
+A spec may set "checks_in_region": True (Russian): the whole step
+program runs inside `setlimit tomark pV`, so a check character lying
+BEFORE the region start behaves as out-of-range (fails a positive
+check, passes a negated one). da/no/sv checks stay unlimited — their
+setlimit covers only the among's substring match, the rule bodies
+(valid-s-ending tests) run on the full word.
 
 Regions recompute per step from the current token: every action only
 touches text at/after the region start, so the prefix that determines
@@ -118,10 +128,13 @@ NO_SPEC = {
             _r("ens"), _r("ers"), _r("ets"), _r("het"), _r("ast"),
             _r("ert", repl="er"), _r("ede"), _r("en"), _r("ar"),
             _r("er"), _r("as"), _r("es"), _r("et"), _r("a"), _r("e"),
-            _r("s", (2, "bcdfghjlmnoprtvyz")),
-            # k counts as a valid s-ending only when NOT preceded by a
-            # vowel (an out-of-range look PASSES the negated check)
-            _r("s", (2, "k"), (3, "!" + _SCAND_VOWELS)),
+            # ONE disjunctive rule — Snowball's valid-s-ending is
+            # "b..z OR (k not preceded by a vowel)"; two separate 's'
+            # rules would never reach the second (longest-first pick,
+            # failed checks fail the whole among, no fall-through)
+            _r("s", ("or",
+                     ((2, "bcdfghjlmnoprtvyz"),),
+                     ((2, "k"), (3, "!" + _SCAND_VOWELS)))),
         ]),
         ("among", "r1", [_r("dt", repl="d"), _r("vt", repl="v")]),
         ("among", "r1", [
@@ -231,6 +244,9 @@ _RU_TIDY = ("or", [
 RU_SPEC = {
     "vowels": _RU_V,
     "min_r1": 0,
+    # every Russian step runs inside `setlimit tomark pV`: gating
+    # а/я characters must themselves lie within RV
+    "checks_in_region": True,
     "prog": ("seq", [
         ("or", [
             _PERFECTIVE_GERUND,
@@ -308,25 +324,32 @@ def _py_region_len(spec, region, t):
     return n
 
 
-def _py_checks(t, checks):
-    for idx, chars in checks:
-        neg = chars.startswith("!")
-        cs = chars[1:] if neg else chars
-        if idx > len(t):
-            if not neg:
+def _py_check_one(t, idx, chars, limit):
+    neg = chars.startswith("!")
+    cs = chars[1:] if neg else chars
+    if idx > len(t) or (limit is not None and idx > limit):
+        return neg  # out of range / before region start
+    inside = t[-idx] in cs
+    return not inside if neg else inside
+
+
+def _py_checks(t, checks, limit=None):
+    for c in checks:
+        if c[0] == "or":
+            if not any(all(_py_check_one(t, i, ch, limit) for i, ch in g)
+                       for g in c[1:]):
                 return False
-            continue
-        inside = t[-idx] in cs
-        if inside if neg else not inside:
+        elif not _py_check_one(t, c[0], c[1], limit):
             return False
     return True
 
 
 def _py_among(spec, region, rules, t):
     limit = _py_region_len(spec, region, t) if region else len(t)
+    climit = limit if spec.get("checks_in_region") else None
     for suffix, checks, action in _sorted_rules(rules):
         if len(suffix) <= limit and t.endswith(suffix):
-            if not _py_checks(t, checks):
+            if not _py_checks(t, checks, climit):
                 return t  # matched but failed the gate: among FAILS
             base = t[:-len(suffix)]
             return base + (action[1] if action[0] == "repl" else "")
@@ -375,26 +398,42 @@ def _sp_region_len(spec, region, t: Column) -> Column:
     return n
 
 
-def _sp_checks(t: Column, checks) -> Column:
+def _sp_check_one(t: Column, idx, chars, limit) -> Column:
+    neg = chars.startswith("!")
+    cs = chars[1:] if neg else chars
+    inside = (F.length(t) >= idx) & \
+        t.substr(F.length(t) - (idx - 1), F.lit(1)).isin(*list(cs))
+    if limit is not None:
+        inside = inside & (limit >= idx)
+    return ~inside if neg else inside
+
+
+def _sp_checks(t: Column, checks, limit=None) -> Column:
     cond = F.lit(True)
-    for idx, chars in checks:
-        neg = chars.startswith("!")
-        cs = chars[1:] if neg else chars
-        inside = (F.length(t) >= idx) & \
-            t.substr(F.length(t) - (idx - 1), F.lit(1)).isin(*list(cs))
-        cond = cond & (~inside if neg else inside)
+    for c in checks:
+        if c[0] == "or":
+            alt = F.lit(False)
+            for g in c[1:]:
+                gc = F.lit(True)
+                for idx, chars in g:
+                    gc = gc & _sp_check_one(t, idx, chars, limit)
+                alt = alt | gc
+            cond = cond & alt
+        else:
+            cond = cond & _sp_check_one(t, c[0], c[1], limit)
     return cond
 
 
 def _sp_among(spec, region, rules, t: Column) -> Column:
     limit = _sp_region_len(spec, region, t) if region else F.length(t)
+    climit = limit if spec.get("checks_in_region") else None
     expr = None
     for suffix, checks, action in _sorted_rules(rules):
         matched = t.endswith(suffix) & (limit >= len(suffix))
         base = t.substr(F.lit(1), F.length(t) - len(suffix))
         res = F.concat(base, F.lit(action[1])) if action[0] == "repl" \
             else base
-        val = F.when(_sp_checks(t, checks), res).otherwise(t)
+        val = F.when(_sp_checks(t, checks, climit), res).otherwise(t)
         expr = F.when(matched, val) if expr is None else \
             expr.when(matched, val)
     return expr.otherwise(t)
@@ -484,25 +523,39 @@ def _sql_region_len(spec, region, v: str) -> str:
     return n
 
 
-def _sql_checks(v: str, checks) -> str:
+def _sql_check_one(v: str, idx, chars, limit) -> str:
+    neg = chars.startswith("!")
+    cs = chars[1:] if neg else chars
+    alts = " OR ".join(f"substr({v}, -{idx}, 1) = '{c}'" for c in cs)
+    bound = f" AND ({limit}) >= {idx}" if limit is not None else ""
+    clause = f"(length({v}) >= {idx}{bound} AND ({alts}))"
+    return f"NOT {clause}" if neg else clause
+
+
+def _sql_checks(v: str, checks, limit=None) -> str:
     parts = []
-    for idx, chars in checks:
-        neg = chars.startswith("!")
-        cs = chars[1:] if neg else chars
-        alts = " OR ".join(f"substr({v}, -{idx}, 1) = '{c}'" for c in cs)
-        clause = f"(length({v}) >= {idx} AND ({alts}))"
-        parts.append(f"NOT {clause}" if neg else clause)
+    for c in checks:
+        if c[0] == "or":
+            groups = [
+                "(" + " AND ".join(_sql_check_one(v, i, ch, limit)
+                                   for i, ch in g) + ")"
+                for g in c[1:]
+            ]
+            parts.append("(" + " OR ".join(groups) + ")")
+        else:
+            parts.append(_sql_check_one(v, c[0], c[1], limit))
     return " AND ".join(parts) if parts else "TRUE"
 
 
 def _sql_among(spec, region, rules, v: str) -> str:
     limit = _sql_region_len(spec, region, v) if region else f"length({v})"
+    climit = limit if spec.get("checks_in_region") else None
     whens = []
     for suffix, checks, action in _sorted_rules(rules):
         matched = f"ends_with({v}, '{suffix}') AND ({limit}) >= {len(suffix)}"
         base = f"substr({v}, 1, length({v}) - {len(suffix)})"
         res = f"({base} || '{action[1]}')" if action[0] == "repl" else base
-        gate = _sql_checks(v, checks)
+        gate = _sql_checks(v, checks, climit)
         whens.append(f"WHEN {matched} THEN (CASE WHEN {gate} THEN {res} "
                      f"ELSE {v} END)")
     return f"(CASE {' '.join(whens)} ELSE {v} END)"

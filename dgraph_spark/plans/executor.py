@@ -2230,57 +2230,96 @@ class Executor:
             # count child leads the result list (query/outputnode.go)
             n = edges.select(DST).distinct().count()
             out = [{a.alias or "count": n} for a in cnt_attrs] + out
-        bf_keys = self._bigfloat_out_keys(block)
-        if bf_keys:
+        bf_tree = self._bigfloat_key_tree(block)
+        if bf_tree:
             # bigfloat output renders as the shortest decimal that
             # round-trips the 200-bit value — a JSON NUMBER with full
             # digits ("amount":10.0000000000000000000124,
             # query4_test.go TestBigFloatTypeTokenizer), carried as
-            # decimal.Decimal in the result dicts
+            # decimal.Decimal in the result dicts. Keys are matched
+            # per LEVEL (a same-named string field at a different
+            # nesting depth is left alone); @normalize rewrites the key
+            # structure, so flattened blocks fall back to the flat key
+            # set — there a non-bigfloat string that fails to parse
+            # stays a string instead of becoming None.
             from dgraph_spark.functions.bigfloat import render_py
 
-            def conv(d):
-                for k, v in d.items():
-                    if isinstance(v, list):
-                        for c in v:
-                            if isinstance(c, dict):
-                                conv(c)
-                    elif k in bf_keys and isinstance(v, str):
-                        d[k] = render_py(v)
-                return d
+            def leaf(v):
+                if isinstance(v, str):
+                    r = render_py(v)
+                    return v if r is None else r
+                if isinstance(v, list):  # [bigfloat] list predicate
+                    return [leaf(x) for x in v]
+                return v
+
+            if _has_normalize(block):
+                flat = _flatten_bf_tree(bf_tree)
+
+                def conv(d):
+                    for k, v in d.items():
+                        if isinstance(v, list) and not (
+                                v and isinstance(v[0], dict)):
+                            if k in flat:
+                                d[k] = leaf(v)
+                        elif isinstance(v, list):
+                            for c in v:
+                                if isinstance(c, dict):
+                                    conv(c)
+                        elif k in flat:
+                            d[k] = leaf(v)
+                    return d
+            else:
+                def conv(d, tree=bf_tree):
+                    for k, v in d.items():
+                        sub = tree.get(k)
+                        if sub is True:
+                            d[k] = leaf(v)
+                        elif isinstance(sub, dict):
+                            if isinstance(v, list):
+                                for c in v:
+                                    if isinstance(c, dict):
+                                        conv(c, sub)
+                            elif isinstance(v, dict):
+                                conv(v, sub)
+                    return d
 
             out = [conv(d) for d in out]
         return out
 
-    def _bigfloat_out_keys(self, block: Block) -> set[str]:
-        """Output key names whose values are lexical 200-bit bigfloats:
-        reads of bigfloat predicates, val()/aggregates of bigfloat vars,
-        math() outputs tagged during evaluation."""
-        keys: set[str] = set()
-
-        def walk(b):
-            for c in b.children:
-                if isinstance(c, Block):
-                    walk(c)
-                    continue
-                if not isinstance(c, Attr) or c.is_count:
-                    continue
-                base = c.name.lstrip("~")
-                if (c.val_var is None and c.math is None
-                        and self.g.schema.has(base)
-                        and self.g.schema.get(base).typ == "bigfloat"):
-                    keys.add(c.out_name)
-                elif c.val_var and c.val_var in self.var_bigfloat:
-                    keys.add(c.out_name)
-                elif c.math is not None and c.var in self.var_bigfloat:
-                    keys.add(c.out_name)
-                elif (c.math is not None and not c.var and any(
-                        v in self.var_bigfloat
-                        for v in math_vars(c.math))):
-                    keys.add(c.out_name)
-
-        walk(block)
-        return keys
+    def _bigfloat_key_tree(self, block: Block) -> dict:
+        """Per-level map of output keys whose values are lexical 200-bit
+        bigfloats: ``key -> True`` for a bigfloat leaf at THIS level
+        (reads of bigfloat predicates, val()/aggregates of bigfloat
+        vars, math() over bigfloat vars), ``key -> subtree`` for a child
+        block containing bigfloat leaves deeper down. Same-named child
+        blocks (merged into one array by _clean) share one subtree."""
+        tree: dict = {}
+        for c in block.children:
+            if isinstance(c, Block):
+                sub = self._bigfloat_key_tree(c)
+                if sub:
+                    name = c.alias if c.alias != c.attr else (
+                        ("~" if c.reverse else "") + (c.attr or ""))
+                    prev = tree.get(name)
+                    tree[name] = {**prev, **sub} if isinstance(prev, dict) \
+                        else sub
+                continue
+            if not isinstance(c, Attr) or c.is_count:
+                continue
+            base = c.name.lstrip("~")
+            if (c.val_var is None and c.math is None
+                    and self.g.schema.has(base)
+                    and self.g.schema.get(base).typ == "bigfloat"):
+                tree[c.out_name] = True
+            elif c.val_var and c.val_var in self.var_bigfloat:
+                tree[c.out_name] = True
+            elif c.math is not None and c.var in self.var_bigfloat:
+                tree[c.out_name] = True
+            elif (c.math is not None and not c.var and any(
+                    v in self.var_bigfloat
+                    for v in math_vars(c.math))):
+                tree[c.out_name] = True
+        return tree
 
     def _agg_only_json(self, block: Block) -> list:
         """Empty (no-func) block of aggregates + math, e.g.
@@ -3652,6 +3691,26 @@ def _aliased_names(b: Block) -> set[str]:
                 out.add(c.alias)
 
     walk(b)
+    return out
+
+
+def _has_normalize(block) -> bool:
+    """True when this block or any descendant block flattens with
+    @normalize (key structure rewritten — per-level key matching would
+    miss the spliced leaves)."""
+    if block.normalize:
+        return True
+    return any(_has_normalize(c) for c in block.children
+               if isinstance(c, Block))
+
+
+def _flatten_bf_tree(tree: dict) -> set[str]:
+    out: set[str] = set()
+    for k, v in tree.items():
+        if v is True:
+            out.add(k)
+        else:
+            out |= _flatten_bf_tree(v)
     return out
 
 

@@ -103,6 +103,31 @@ def test_bigfloat_sum_avg_max_exact(spark):
     assert m["q"] == [{"max_amt": Decimal("123123.123123123132")}]
 
 
+def test_bigfloat_same_name_other_level_untouched(spark):
+    """Bigfloat rendering is keyed per LEVEL: an aliased STRING field
+    that happens to share the bigfloat predicate's output name at a
+    different nesting depth must come through verbatim — neither
+    dropped (unparseable) nor coerced to Decimal (numeric-looking)."""
+    from decimal import Decimal
+
+    from dgraph_spark.plans import Executor
+
+    g = _bigfloat_graph(spark, [
+        '<0x666> <amount> "10.0000000000000000000123" .',
+        '<0x666> <friend> <0x777> .',
+        '<0x666> <friend> <0x888> .',
+        '<0x777> <name> "alice" .',
+        '<0x888> <name> "123" .',
+    ], _BF_SCHEMA + "\nfriend: [uid] .\nname: string .")
+    got = Executor(g).execute(
+        '{ me(func: has(amount)) { uid amount '
+        '   friend { uid amount: name } } }')
+    me = got["me"][0]
+    assert me["amount"] == Decimal("10.0000000000000000000123")
+    by_uid = {f["uid"]: f["amount"] for f in me["friend"]}
+    assert by_uid == {"0x777": "alice", "0x888": "123"}
+
+
 def test_bigfloat_math_ceil_floor_sqrt(spark):
     """query4_test.go TestBigFloatCeil/Floor/Sqrt: math() over a
     bigfloat variable runs at 200 bits; sqrt(2) must agree with

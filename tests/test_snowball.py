@@ -33,6 +33,11 @@ NO_CASES = [
     # s after vowel: NOT a valid s-ending -> s stays... 'hus': ends s,
     # preceded by u (vowel, not in list, k-rule needs k) -> unchanged
     ("huss", "huss"),
+    # s after k NOT preceded by a vowel IS a valid s-ending — the
+    # disjunctive branch of the valid-s-ending rule
+    ("tanks", "tank"),
+    # s after k preceded by a vowel: invalid, s stays
+    ("raks", "raks"),
 ]
 
 SV_CASES = [
@@ -53,6 +58,9 @@ RU_CASES = [
     ("большое", "больш"),      # adjective ое
     ("спасибо", "спасиб"),     # noun о
     ("ночь", "ноч"),           # step-1 noun 'ь' in RV
+    # gating 'а' lies BEFORE RV (RV = 'в'): perfective-gerund 'в'
+    # must NOT fire — every Russian test runs inside setlimit RV
+    ("тав", "тав"),
 ]
 
 
