@@ -1184,6 +1184,43 @@ def q_stem_tokens_ru(spark, sf_dir):
                        .alias("stems"))
 
 
+# a-z -> target-script letters (1:1 translate on BOTH engines) so the
+# dedicated-stemmer languages get exercised on the latin test corpus;
+# the vowel slots map to the chars the suffix rules key on (matras for
+# hi, ە/ێ for ckb, ا/ة for ar) so strips actually fire.
+_TRANSLIT = {
+    "ar": ("abcdefghijklmnopqrstuvwxyz", "ابثدةفجهيذكلمنظحقرستعغوخصز"),
+    "ckb": ("abcdefghijklmnopqrstuvwxyz", "ابچدەفگهیژکلمنۆپقرستێڤعخغز"),
+    "hi": ("abcdefghijklmnopqrstuvwxyz", "ाबचदेफगहिजकलमनोपटरसतुवधखयश"),
+}
+
+
+def _q_stem_tokens_translit(lang: str):
+    def q(spark, sf_dir):
+        from dgraph_spark.functions.tokenizers import fulltext_tokens
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src, dst = _TRANSLIT[lang]
+        t = F.translate(F.col("text"), src, dst)
+        return docs.select(F.col("source").alias("src"),
+                           F.array_join(fulltext_tokens(t, lang), " ")
+                           .alias("stems"))
+    q.__doc__ = (f"{lang} dedicated-stemmer token stream "
+                 f"(tok/stemmers.go stemmer_{lang}) over transliterated "
+                 f"documents.text.")
+    return q
+
+
+def _sql_stem_tokens_translit(lang: str) -> str:
+    from dgraph_spark.functions.tokenizers import sql_fulltext_tokens
+
+    src, dst = _TRANSLIT[lang]
+    expr = f"translate(text, '{src}', '{dst}')"
+    return (f"SELECT source AS src, "
+            f"array_to_string({sql_fulltext_tokens(lang, expr)}, ' ') "
+            f"AS stems FROM documents")
+
+
 def _sql_stem_tokens_ru() -> str:
     from dgraph_spark.functions.tokenizers import sql_fulltext_tokens
 
@@ -1976,6 +2013,13 @@ QUERIES: dict[str, tuple] = {
     "stem_tokens_ru": (q_stem_tokens_ru, _sql_stem_tokens_ru()),
     "stem_tokens_sv": (_q_stem_tokens("sv"), _sql_stem_tokens("sv")),
     "stem_tokens_da": (_q_stem_tokens("da"), _sql_stem_tokens("da")),
+    "stem_tokens_no": (_q_stem_tokens("no"), _sql_stem_tokens("no")),
+    "stem_tokens_ar": (_q_stem_tokens_translit("ar"),
+                       _sql_stem_tokens_translit("ar")),
+    "stem_tokens_ckb": (_q_stem_tokens_translit("ckb"),
+                        _sql_stem_tokens_translit("ckb")),
+    "stem_tokens_hi": (_q_stem_tokens_translit("hi"),
+                       _sql_stem_tokens_translit("hi")),
 }
 
 # Driver rotation: the per-round correctness harness runs a 50-entry

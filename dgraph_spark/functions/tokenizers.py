@@ -8,11 +8,12 @@ scan time instead of write time. No Python UDFs here.
 - term  (tok/tok.go:369-389): unicode-word split + lowercase.
 - fulltext (tok/tok.go:558-575): term + stopwords + stemming. en runs a
   porter-lite; de/es/fr/it/pt run the reference's Lucene light stemmers
-  (functions/light_stemmers.py), da/no/sv/ru the published Snowball
-  algorithms (functions/snowball.py), zh/ja/ko the cjk_bigram filter —
-  matching tok/stemmers.go langStemmers routing. fi/hu/nl/ro/tr (and the
-  dedicated ar/ckb/hi stemmers) remain suffix-lite: a documented
-  divergence.
+  (functions/light_stemmers.py), da/no/sv/ru/nl/ro the published
+  Snowball algorithms (functions/snowball.py), ar/ckb/hi the Lucene
+  Arabic/Sorani/Hindi stemmers bleve ports
+  (functions/dedicated_stemmers.py), zh/ja/ko the cjk_bigram filter —
+  matching tok/stemmers.go langStemmers routing. fi/hu/tr remain
+  suffix-lite: a documented divergence.
 - trigram (tok/tok.go:616): dgraph uses trigrams only as a lossy regex
   prefilter — Spark evaluates regexes exactly, so trigram is exposed for
   parity/tests but not needed for correctness (SURVEY.md §4).
@@ -25,7 +26,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Matches dgraph's term tokenizer: split on non-letter/digit, lowercase.
-TERM_SPLIT_RE = r"[^\p{L}\p{N}]+"
+# \p{M} keeps combining marks (Devanagari matras, Arabic diacritics)
+# attached to their word — bleve's UAX#29 unicode tokenizer never
+# breaks a word at a combining mark.
+TERM_SPLIT_RE = r"[^\p{L}\p{M}\p{N}]+"
 
 # Minimal English stopword list (subset of bleve's en stopwords,
 # tok/stopwords.go) — applied in fulltext mode.
@@ -230,6 +234,40 @@ TR_SUFFIXES = (["larindan", "lerinden", "larinda", "lerinde", "lari",
                 "da", "de", "ta", "te", "in", "un", "ün", "ın", "i", "u",
                 "ü", "ı", "a", "e"], 3)
 
+# Stopword lists for the dedicated-stemmer languages (curated subsets
+# of bleve's lang token maps, like the lists above; these scripts have
+# no accent folding). Suffix tables are empty — stemming is handled by
+# functions/dedicated_stemmers.py.
+AR_STOPWORDS = [
+    "من", "في", "على", "إلى", "الى", "عن", "أن", "ان", "إن", "كان",
+    "مع", "هذا", "هذه", "ذلك", "التي", "الذي", "ما", "لا", "لم", "لن",
+    "قد", "كل", "بعد", "قبل", "عند", "لقد", "و", "أو", "او", "ثم",
+    "بل", "حتى", "إذا", "اذا", "كما", "لكن", "منذ", "غير", "بين",
+    "أي", "اي", "هو", "هي", "هم", "أنا", "انا", "نحن", "أنت", "انت",
+    "كيف", "أين", "اين", "متى", "ليس", "فيه", "منها", "منه", "عليه",
+    "إليه", "اليه", "إلا", "الا", "فقط", "هناك", "يكون", "تكون",
+    "وكان", "قال", "وقال", "به", "له", "لها", "لهم", "فيها", "عليها",
+]
+CKB_STOPWORDS = [
+    "و", "لە", "بە", "بۆ", "کە", "ئەو", "ئەم", "لەگەڵ", "وە", "جا",
+    "هەر", "دە", "تا", "یان", "ئەوە", "ئەمە", "بەڵام", "چی", "کێ",
+    "بوو", "نە", "هیچ", "دوو", "ئێمە", "ئێوە", "ئەوان", "من", "تۆ",
+    "لەسەر", "پاش", "پێش", "ژێر", "بەر", "ناو", "بێ", "کرد", "هەیە",
+    "نییە", "دەبێت", "وەک", "ئەگەر", "چونکە", "یەک", "دیکە", "هەموو",
+]
+HI_STOPWORDS = [
+    "के", "का", "की", "को", "में", "है", "हैं", "और", "से", "पर",
+    "यह", "वह", "इस", "उस", "एक", "हो", "था", "थी", "थे", "ही",
+    "भी", "तो", "ने", "कि", "जो", "अपने", "लिए", "नहीं", "कुछ",
+    "अब", "जब", "तक", "साथ", "बाद", "या", "हम", "आप", "वे", "कर",
+    "किया", "गया", "रहा", "रही", "रहे", "करने", "वाले", "सकता",
+    "होता", "बहुत", "कई", "दो", "सभी", "इन", "उन", "इसके", "उनके",
+    "होने", "करते", "बन", "इसी", "कोई", "मगर", "फिर", "तरह",
+]
+AR_SUFFIXES = ([], 0)
+CKB_SUFFIXES = ([], 0)
+HI_SUFFIXES = ([], 0)
+
 # accent folding per language (1:1 translate table + ß handled apart)
 _FOLD = {
     "de": ("äöü", "aou"),
@@ -263,6 +301,9 @@ _LANG_TABLES = {
     "ro": (RO_STOPWORDS, RO_SUFFIXES),
     "sv": (SV_STOPWORDS, SV_SUFFIXES),
     "tr": (TR_STOPWORDS, TR_SUFFIXES),
+    "ar": (AR_STOPWORDS, AR_SUFFIXES),
+    "ckb": (CKB_STOPWORDS, CKB_SUFFIXES),
+    "hi": (HI_STOPWORDS, HI_SUFFIXES),
 }
 
 # CJK: no stemmer/stopwords — unicode segmentation yields one token per
@@ -340,6 +381,10 @@ def stem_lang_py(tok: str, lang: str) -> str:
         if lang == "ru":
             tok = tok.replace("ё", "е")
         return snowball_stem_py(tok, lang)
+    from dgraph_spark.functions.dedicated_stemmers import (
+        DEDICATED_STEM_LANGS, dedicated_stem_py)
+    if lang in DEDICATED_STEM_LANGS:
+        return dedicated_stem_py(tok, lang)
     if lang in _LANG_TABLES:
         sufs, mn = _LANG_TABLES[lang][1]
         return _suffix_stem_py(_fold_py(tok, lang), sufs, mn)
@@ -355,26 +400,33 @@ def sql_fulltext_tokens(lang: str, text_expr: str = "text") -> str:
     column — the oracle twin of fulltext_tokens() for light-stemmer and
     snowball languages (split on non-letter/digit, stopword-filter
     accented and folded spellings, stem)."""
+    from dgraph_spark.functions.dedicated_stemmers import (
+        DEDICATED_STEM_LANGS, dedicated_tokens_sql)
     from dgraph_spark.functions.light_stemmers import (LIGHT_STEM_LANGS,
                                                        light_stem_tokens_sql)
     from dgraph_spark.functions.snowball import (SNOWBALL_LANGS,
                                                  snowball_tokens_sql)
 
-    if lang not in LIGHT_STEM_LANGS and lang not in SNOWBALL_LANGS:
+    if (lang not in LIGHT_STEM_LANGS and lang not in SNOWBALL_LANGS
+            and lang not in DEDICATED_STEM_LANGS):
         raise KeyError(
             f"stemmed sql tokens only for "
-            f"{sorted(LIGHT_STEM_LANGS) + sorted(SNOWBALL_LANGS)}, "
+            f"{sorted(LIGHT_STEM_LANGS) + sorted(SNOWBALL_LANGS) + sorted(DEDICATED_STEM_LANGS)}, "
             f"not {lang!r}")
     stop_raw = _LANG_TABLES[lang][0]
-    stops = set(stop_raw) | {_fold_py(w, lang) for w in stop_raw}
+    stops = set(stop_raw)
+    if lang in _FOLD:
+        stops |= {_fold_py(w, lang) for w in stop_raw}
     stop = ", ".join(f"'{w}'" for w in sorted(stops))
     src = (f"replace(lower({text_expr}), 'ё', 'е')" if lang == "ru"
            else f"lower({text_expr})")
     toks = (f"list_filter(list_filter(string_split_regex("
-            f"{src}, '[^\\pL\\pN]+'), x -> x != ''), "
+            f"{src}, '[^\\pL\\pM\\pN]+'), x -> x != ''), "
             f"x -> NOT list_contains([{stop}], x))")
     if lang in SNOWBALL_LANGS:
         return snowball_tokens_sql(toks, lang)
+    if lang in DEDICATED_STEM_LANGS:
+        return dedicated_tokens_sql(toks, lang)
     return light_stem_tokens_sql(toks, lang)
 
 
@@ -397,8 +449,11 @@ def sql_fulltext_match(lang: str, query: str, text_expr: str = "text") -> str:
     stop_raw, (sufs, mn) = _LANG_TABLES.get(lang, (EN_STOPWORDS, (None, None)))
     if lang not in _LANG_TABLES:
         raise KeyError(f"sql twin only for {sorted(_LANG_TABLES)}, not {lang!r}")
+    from dgraph_spark.functions.dedicated_stemmers import \
+        DEDICATED_STEM_LANGS
     from dgraph_spark.functions.snowball import SNOWBALL_LANGS
-    if lang in LIGHT_STEM_LANGS or lang in SNOWBALL_LANGS:
+    if (lang in LIGHT_STEM_LANGS or lang in SNOWBALL_LANGS
+            or lang in DEDICATED_STEM_LANGS):
         stemmed = sql_fulltext_tokens(lang, text_expr)
         qtoks = _query_text_tokens(query, lang)
         qlist = ", ".join(f"'{t}'" for t in qtoks)
@@ -464,6 +519,17 @@ def fulltext_tokens(col: Column, lang: str = "en") -> Column:
         allstops = sorted(set(stops) | {_fold_py(w, lang) for w in stops})
         toks = F.filter(toks, lambda t: ~t.isin(*allstops))
         return snowball_tokens_expr(toks, lang)
+    from dgraph_spark.functions.dedicated_stemmers import (
+        DEDICATED_STEM_LANGS, dedicated_tokens_expr)
+    if lang in DEDICATED_STEM_LANGS:
+        # ar/ckb/hi: the reference's filterStemmers applies ONLY the
+        # bleve stemmer filter (no per-language normalizer), so tokens
+        # split lowercased and otherwise untouched
+        stops = sorted(set(_LANG_TABLES[lang][0]))
+        toks = F.filter(F.split(F.lower(col), TERM_SPLIT_RE),
+                        lambda t: t != "")
+        toks = F.filter(toks, lambda t: ~t.isin(*stops))
+        return dedicated_tokens_expr(toks, lang)
     if lang in _LANG_TABLES:
         stops, (sufs, mn) = _LANG_TABLES[lang]
         folded = _fold_expr(F.lower(col), lang)
@@ -537,10 +603,15 @@ def _query_text_tokens(query: str, lang: str) -> list[str]:
     if lang in _CJK_LANGS:
         return _cjk_bigrams_py(query)
     if lang in _LANG_TABLES:
-        stops = set(lang_stopwords(lang)) | {
-            _fold_py(w, lang) for w in lang_stopwords(lang)}
+        stops = set(lang_stopwords(lang))
+        if lang in _FOLD:
+            stops |= {_fold_py(w, lang) for w in lang_stopwords(lang)}
+
+        def key(t):
+            return _fold_py(t, lang) if lang in _FOLD else t
+
         return [stem_lang_py(t.lower(), lang) for t in query.split()
-                if t and _fold_py(t.lower(), lang) not in stops]
+                if t and key(t.lower()) not in stops]
     return [_stem_py(t.lower()) for t in query.split()
             if t and t.lower() not in EN_STOPWORDS]
 

@@ -172,11 +172,24 @@ def _collate_en(v: str) -> tuple:
     return (primary, v)
 
 
-_TERM_RE = re.compile(r"[^\w]+", re.UNICODE)
+def _is_term_char(c: str) -> bool:
+    # letters, digits, and combining marks (matching the engine's
+    # [^\p{L}\p{M}\p{N}]+ split — bleve's unicode tokenizer keeps
+    # combining marks attached); underscore splits, unlike \w
+    return c.isalnum() or unicodedata.category(c).startswith("M")
 
 
 def _terms(s: str) -> list[str]:
-    return [t for t in _TERM_RE.split(s.lower()) if t]
+    out, cur = [], []
+    for c in s.lower():
+        if _is_term_char(c):
+            cur.append(c)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 # ---------------------------------------------------------------- evaluator
