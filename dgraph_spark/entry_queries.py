@@ -2014,6 +2014,7 @@ QUERIES: dict[str, tuple] = {
     "stem_tokens_sv": (_q_stem_tokens("sv"), _sql_stem_tokens("sv")),
     "stem_tokens_da": (_q_stem_tokens("da"), _sql_stem_tokens("da")),
     "stem_tokens_no": (_q_stem_tokens("no"), _sql_stem_tokens("no")),
+    "stem_tokens_nl": (_q_stem_tokens("nl"), _sql_stem_tokens("nl")),
     "stem_tokens_ar": (_q_stem_tokens_translit("ar"),
                        _sql_stem_tokens_translit("ar")),
     "stem_tokens_ckb": (_q_stem_tokens_translit("ckb"),

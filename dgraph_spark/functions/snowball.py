@@ -14,12 +14,21 @@ program) interpreted by three backends that agree by construction
 
 Program primitives (mirroring the Snowball source structure):
 
-  ("among", region, [(suffix, checks, action), ...])
+  ("among", region, [(suffix, checks, action[, followup]), ...])
       longest-SUFFIX-first matching LIMITED to the region (a suffix
       reaching before the region start does not match — Snowball's
       `setlimit tomark p1 among(...)`); the first matching rule's
       checks then gate its action; a failed check fails the WHOLE
-      among with no fall-through (Snowball among semantics).
+      among with no fall-through (Snowball among semantics). An
+      optional 4th rule element is a follow-up program run on the
+      result ONLY when this rule fired (Dutch `'end' (delete ... or
+      undouble)` clauses).
+  ("among", region, rules, "check")
+      region-as-CONDITION variant (`[substring] R1 among(...)`): the
+      longest suffix matches UNLIMITED; the region test then gates
+      the action like a check — a suffix crossing the region start
+      FAILS the whole among instead of falling through to a shorter
+      entry (Dutch/Romanian style, vs the Nordic setlimit style).
   ("or", [prog, ...])     alternatives until one CHANGES the token
                           (every action deletes or rewrites, so
                           changed == succeeded)
@@ -27,8 +36,11 @@ Program primitives (mirroring the Snowball source structure):
   ("ifchanged", A, B)     run A; only when A changed the token, also
                           try B (Snowball `X (try Y)` / "and then
                           repeat step 2" clauses)
-  ("undouble", region)    drop the last letter of a final double
+  ("undouble", region[, chars])
+                          drop the last letter of a final double
                           consonant whose last char lies in region
+                          (region None = whole word); with chars,
+                          only those letters undouble (Dutch kk/dd/tt)
 
   region: "r1" | "rv" | "r2" | None
   checks: ((idx_from_end, chars), ...) — token[-idx] must be in chars;
@@ -37,7 +49,18 @@ Program primitives (mirroring the Snowball source structure):
           ("or", group, group, ...) where each group is a tuple of
           (idx, chars) checks ANDed together — the element passes when
           ANY group passes (Snowball's disjunctive valid-s-ending).
-  action: ("del",) or ("repl", "replacement") — replaces the suffix.
+  action: ("del",) or ("repl", "replacement") — replaces the suffix;
+          ("del_u",) — delete then undouble a final kk/dd/tt (Dutch
+          en/e endings); ("noop",) — the rule MATCHES (blocking
+          fall-through) but changes nothing (a Snowball rule whose
+          condition is known false, e.g. Dutch `bar` with no e_found).
+
+Languages whose step program needs cross-step state (Dutch e_found)
+define "stages" instead of "prog": a stage plan interpreted by all
+THREE backends. Stage kinds shared with the expression backends below,
+plus ("tr", src, dst) char translation, ("re", [(pat, "$1x"), ...])
+sequential regex replaces, ("flag_if_changed", prog) setting the '#'
+flag, ("branch_flag", progA, progB) choosing by flag, ("strip_flag",).
 
 A spec may set "checks_in_region": True (Russian): the whole step
 program runs inside `setlimit tomark pV`, so a check character lying
@@ -68,14 +91,18 @@ from pyspark.sql import functions as F
 
 MARK = "!"   # or-chain satisfied: later alternatives skip
 AUX = "@"    # transient: adjective fired, participle may follow
+FLAG = "#"   # cross-step boolean (Dutch e_found); tokens are split on
+             # non-letter/digit/mark so none of these occur in data
 
 # --------------------------------------------------------------- specs
 
 _DEL = ("del",)
 
 
-def _r(suffix, *checks, repl=None):
-    return (suffix, tuple(checks), _DEL if repl is None else ("repl", repl))
+def _r(suffix, *checks, repl=None, action=None, follow=None):
+    act = action or (_DEL if repl is None else ("repl", repl))
+    rule = (suffix, tuple(checks), act)
+    return rule + (follow,) if follow is not None else rule
 
 
 _SCAND_VOWELS = "aeiouyæåø"
@@ -173,6 +200,93 @@ SV_SPEC = {
     ]),
 }
 
+# Dutch (snowballstem.org/algorithms/dutch/stemmer.html) — classic
+# algorithm, the one behind bleve's stemmer_nl_snowball. Needs
+# cross-step state (e_found gates the 3b `bar` rule) and the Y/I
+# vowel-marking prelude, so it is a stage plan shared by the three
+# backends. Regions recompute per step as usual: every action touches
+# only text at/after R1 (which starts at position >= 4).
+_NL_V = "aeiouyè"
+
+_NL_UNDOUBLE = ("undouble", None, "kdt")   # "ends kk, dd or tt"
+
+
+def _nl_en_rule(suffix):
+    """en/ene: delete if in R1 and preceded by a valid en-ending (a
+    non-vowel, and not the string gem), then undouble the ending."""
+    n = len(suffix)
+    return _r(suffix,
+              (n + 1, "!" + _NL_V),
+              ("or", ((n + 1, "!m"),), ((n + 2, "!e"),), ((n + 3, "!g"),)),
+              action=("del_u",))
+
+
+_NL_STEP1 = ("among", "r1", [
+    _r("heden", repl="heid"),
+    _nl_en_rule("en"), _nl_en_rule("ene"),
+    _r("s", (2, "!" + _NL_V + "j")),
+    _r("se", (3, "!" + _NL_V + "j")),
+], "check")
+
+# step 2: delete final e if in R1 and preceded by a non-vowel, then
+# undouble; firing sets e_found (the flag stage below)
+_NL_STEP2 = ("among", "r1", [
+    _r("e", (2, "!" + _NL_V), action=("del_u",)),
+], "check")
+
+_NL_STEP3A = ("among", "r1", [
+    _r("heid", (5, "!c"),
+       follow=("among", "r1", [_nl_en_rule("en")], "check")),
+], "check")
+
+_NL_IG = ("among", "r2", [_r("ig", (3, "!e"))], "check")
+_NL_ENDING_FOLLOW = ("or", [_NL_IG, _NL_UNDOUBLE])
+
+
+def _nl_step3b(e_found: bool):
+    # one among so longest-match-then-fail applies across baar/bar etc;
+    # without e_found the matched `bar` rule blocks fall-through but
+    # changes nothing (Snowball: rule condition false -> among fails)
+    return ("among", "r2", [
+        _r("end", follow=_NL_ENDING_FOLLOW),
+        _r("ing", follow=_NL_ENDING_FOLLOW),
+        _r("ig", (3, "!e")),
+        _r("lijk", follow=_NL_STEP2),
+        _r("baar"),
+        _r("bar") if e_found else _r("bar", action=("noop",)),
+    ], "check")
+
+
+NL_SPEC = {
+    "vowels": _NL_V,
+    "min_r1": 3,
+    "uses_flag": True,
+    "stages": [
+        # prelude: drop umlauts/acutes; mark initial y, y after a
+        # vowel, and i between vowels as consonants (two passes of the
+        # i-rule cover overlapping vowel-i-vowel chains; leftovers
+        # after pass one are >= 4 apart, so two passes are exact).
+        # Known approximation: the reference marks in ONE left-to-right
+        # scan, so adjacent markables (iy/yi/aiai chains) could differ —
+        # no Dutch vocabulary contains such sequences.
+        ("tr", "äëïöüáéíóú", "aeiouaeiou"),
+        ("re", [("^y", "Y"),
+                (f"([{_NL_V}])y", "$1Y"),
+                (f"([{_NL_V}])i([{_NL_V}])", "$1I$2"),
+                (f"([{_NL_V}])i([{_NL_V}])", "$1I$2")]),
+        ("plain", _NL_STEP1),
+        ("flag_if_changed", _NL_STEP2),
+        ("plain", _NL_STEP3A),
+        ("branch_flag", _nl_step3b(True), _nl_step3b(False)),
+        ("strip_flag",),
+        # step 4, undouble vowel: word ends CVD (C non-vowel, V in
+        # {aa,ee,oo,uu}, D non-vowel other than I) -> drop one vowel
+        ("re", [(f"([^{_NL_V}]){v}{v}([^{_NL_V}I])$", f"$1{v}$2")
+                for v in "aeou"]),
+        ("tr", "YI", "yi"),   # postlude
+    ],
+}
+
 # Russian (snowballstem.org/algorithms/russian/stemmer.html) — every
 # test takes place inside RV; the derivational step additionally
 # requires R2.
@@ -266,7 +380,7 @@ RU_SPEC = {
 }
 
 SNOWBALL_LANGS = {"da": DA_SPEC, "no": NO_SPEC, "sv": SV_SPEC,
-                  "ru": RU_SPEC}
+                  "ru": RU_SPEC, "nl": NL_SPEC}
 
 # Stage plans for the expression backends: each entry becomes ONE
 # F.transform / list_transform pass. kinds:
@@ -292,10 +406,13 @@ _RU_STAGES = [
 
 
 def _stage_plan(lang: str):
+    spec = SNOWBALL_LANGS[lang]
+    if "stages" in spec:
+        return spec["stages"]
     if lang == "ru":
         return _RU_STAGES
     # da/no/sv: the program is a flat seq of small steps
-    return [("plain", p) for p in SNOWBALL_LANGS[lang]["prog"][1]]
+    return [("plain", p) for p in spec["prog"][1]]
 
 
 def _sorted_rules(rules):
@@ -344,26 +461,51 @@ def _py_checks(t, checks, limit=None):
     return True
 
 
-def _py_among(spec, region, rules, t):
-    limit = _py_region_len(spec, region, t) if region else len(t)
-    climit = limit if spec.get("checks_in_region") else None
-    for suffix, checks, action in _sorted_rules(rules):
+def _py_action(t, suffix, action):
+    if action[0] == "noop":
+        return t
+    base = t[:-len(suffix)]
+    if action[0] == "repl":
+        return base + action[1]
+    if action[0] == "del_u":
+        if len(base) >= 2 and base[-1] == base[-2] and base[-1] in "kdt":
+            return base[:-1]
+        return base
+    return base  # del
+
+
+def _py_among(spec, region, rules, t, mode="limit"):
+    rlen = _py_region_len(spec, region, t) if region else len(t)
+    limit = len(t) if mode == "check" else rlen
+    climit = rlen if spec.get("checks_in_region") else None
+    for rule in _sorted_rules(rules):
+        suffix, checks, action = rule[0], rule[1], rule[2]
+        follow = rule[3] if len(rule) > 3 else None
         if len(suffix) <= limit and t.endswith(suffix):
+            if mode == "check" and len(suffix) > rlen:
+                return t  # matched but outside region: among FAILS
             if not _py_checks(t, checks, climit):
                 return t  # matched but failed the gate: among FAILS
-            base = t[:-len(suffix)]
-            return base + (action[1] if action[0] == "repl" else "")
+            out = _py_action(t, suffix, action)
+            if follow is not None and out != t:
+                out = _py_run(spec, follow, out)
+            return out
     return t
 
 
 def _py_run(spec, prog, t):
     op = prog[0]
     if op == "among":
-        return _py_among(spec, prog[1], prog[2], t)
+        mode = prog[3] if len(prog) > 3 else "limit"
+        return _py_among(spec, prog[1], prog[2], t, mode)
     if op == "undouble":
-        limit = _py_region_len(spec, prog[1], t)
-        if (limit >= 1 and len(t) >= 2 and t[-1] == t[-2]
-                and t[-1] not in spec["vowels"]):
+        region = prog[1]
+        chars = prog[2] if len(prog) > 2 else None
+        limit = _py_region_len(spec, region, t) if region else len(t)
+        dbl = (limit >= 1 and len(t) >= 2 and t[-1] == t[-2]
+               and (t[-1] in chars if chars
+                    else t[-1] not in spec["vowels"]))
+        if dbl:
             return t[:-1]
         return t
     if op == "seq":
@@ -384,8 +526,34 @@ def _py_run(spec, prog, t):
     raise KeyError(op)
 
 
+def _py_stages(spec, stages, t):
+    flag = False
+    for st in stages:
+        k = st[0]
+        if k == "tr":
+            t = t.translate(str.maketrans(st[1], st[2]))
+        elif k == "re":
+            for pat, rep in st[1]:
+                t = re.sub(pat, rep.replace("$", "\\"), t)
+        elif k == "plain":
+            t = _py_run(spec, st[1], t)
+        elif k == "flag_if_changed":
+            out = _py_run(spec, st[1], t)
+            flag = flag or out != t
+            t = out
+        elif k == "branch_flag":
+            t = _py_run(spec, st[1] if flag else st[2], t)
+        elif k == "strip_flag":
+            flag = False
+        else:
+            raise KeyError(k)
+    return t
+
+
 def snowball_stem_py(token: str, lang: str) -> str:
     spec = SNOWBALL_LANGS[lang]
+    if "stages" in spec:
+        return _py_stages(spec, spec["stages"], token)
     return _py_run(spec, spec["prog"], token)
 
 
@@ -424,16 +592,38 @@ def _sp_checks(t: Column, checks, limit=None) -> Column:
     return cond
 
 
-def _sp_among(spec, region, rules, t: Column) -> Column:
-    limit = _sp_region_len(spec, region, t) if region else F.length(t)
-    climit = limit if spec.get("checks_in_region") else None
+def _sp_action(t: Column, suffix, action) -> Column:
+    if action[0] == "noop":
+        return t
+    base = t.substr(F.lit(1), F.length(t) - len(suffix))
+    if action[0] == "repl":
+        return F.concat(base, F.lit(action[1]))
+    if action[0] == "del_u":
+        last = base.substr(F.length(base), F.lit(1))
+        dbl = (F.length(base) >= 2) \
+            & (last == base.substr(F.length(base) - 1, F.lit(1))) \
+            & last.isin("k", "d", "t")
+        return F.when(dbl, base.substr(F.lit(1), F.length(base) - 1)) \
+            .otherwise(base)
+    return base  # del
+
+
+def _sp_among(spec, region, rules, t: Column, mode="limit") -> Column:
+    rlen = _sp_region_len(spec, region, t) if region else F.length(t)
+    climit = rlen if spec.get("checks_in_region") else None
     expr = None
-    for suffix, checks, action in _sorted_rules(rules):
-        matched = t.endswith(suffix) & (limit >= len(suffix))
-        base = t.substr(F.lit(1), F.length(t) - len(suffix))
-        res = F.concat(base, F.lit(action[1])) if action[0] == "repl" \
-            else base
-        val = F.when(_sp_checks(t, checks, climit), res).otherwise(t)
+    for rule in _sorted_rules(rules):
+        suffix, checks, action = rule[0], rule[1], rule[2]
+        follow = rule[3] if len(rule) > 3 else None
+        matched = t.endswith(suffix) if mode == "check" else \
+            (t.endswith(suffix) & (rlen >= len(suffix)))
+        gate = _sp_checks(t, checks, climit)
+        if mode == "check":
+            gate = gate & (rlen >= len(suffix))
+        res = _sp_action(t, suffix, action)
+        if follow is not None:
+            res = _sp_run(spec, follow, res)
+        val = F.when(gate, res).otherwise(t)
         expr = F.when(matched, val) if expr is None else \
             expr.when(matched, val)
     return expr.otherwise(t)
@@ -442,13 +632,18 @@ def _sp_among(spec, region, rules, t: Column) -> Column:
 def _sp_run(spec, prog, t: Column) -> Column:
     op = prog[0]
     if op == "among":
-        return _sp_among(spec, prog[1], prog[2], t)
+        mode = prog[3] if len(prog) > 3 else "limit"
+        return _sp_among(spec, prog[1], prog[2], t, mode)
     if op == "undouble":
-        limit = _sp_region_len(spec, prog[1], t)
+        region = prog[1]
+        chars = prog[2] if len(prog) > 2 else None
+        limit = _sp_region_len(spec, region, t) if region \
+            else F.length(t)
         last = t.substr(F.length(t), F.lit(1))
+        memb = last.isin(*list(chars)) if chars \
+            else ~last.isin(*list(spec["vowels"]))
         dbl = (limit >= 1) & (F.length(t) >= 2) \
-            & (last == t.substr(F.length(t) - 1, F.lit(1))) \
-            & ~last.isin(*list(spec["vowels"]))
+            & (last == t.substr(F.length(t) - 1, F.lit(1))) & memb
         return F.when(dbl, t.substr(F.lit(1), F.length(t) - 1)).otherwise(t)
     if op == "seq":
         for p in prog[1]:
@@ -476,7 +671,33 @@ def _sp_stage(spec, stage):
         if kind == "strip":
             return F.when(t.startswith(MARK),
                           t.substr(F.lit(2), F.length(t))).otherwise(t)
+        if kind == "tr":
+            return F.translate(t, stage[1], stage[2])
+        if kind == "re":
+            out = t
+            for pat, rep in stage[1]:
+                out = F.regexp_replace(out, pat, rep)  # $1 refs native
+            return out
+        if kind == "flag_if_changed":
+            attempt = _sp_run(spec, stage[1], t)
+            return F.when(attempt != t,
+                          F.concat(F.lit(FLAG), attempt)).otherwise(t)
+        if kind == "branch_flag":
+            body = t.substr(F.lit(2), F.length(t))
+            return F.when(
+                t.startswith(FLAG),
+                F.concat(F.lit(FLAG), _sp_run(spec, stage[1], body)),
+            ).otherwise(_sp_run(spec, stage[2], t))
+        if kind == "strip_flag":
+            return F.when(t.startswith(FLAG),
+                          t.substr(F.lit(2), F.length(t))).otherwise(t)
         if kind == "plain":
+            if spec.get("uses_flag"):
+                body = t.substr(F.lit(2), F.length(t))
+                return F.when(
+                    t.startswith(FLAG),
+                    F.concat(F.lit(FLAG), _sp_run(spec, stage[1], body)),
+                ).otherwise(_sp_run(spec, stage[1], t))
             return _sp_run(spec, stage[1], t)
         if kind == "plain_unmarked":
             return F.when(t.startswith(MARK), t) \
@@ -547,15 +768,38 @@ def _sql_checks(v: str, checks, limit=None) -> str:
     return " AND ".join(parts) if parts else "TRUE"
 
 
-def _sql_among(spec, region, rules, v: str) -> str:
-    limit = _sql_region_len(spec, region, v) if region else f"length({v})"
-    climit = limit if spec.get("checks_in_region") else None
+def _sql_action(v: str, suffix, action) -> str:
+    if action[0] == "noop":
+        return v
+    base = f"substr({v}, 1, length({v}) - {len(suffix)})"
+    if action[0] == "repl":
+        return f"({base} || '{action[1]}')"
+    if action[0] == "del_u":
+        dbl = (f"length({base}) >= 2 AND "
+               f"substr({base}, -1) = substr({base}, -2, 1) AND "
+               f"substr({base}, -1) IN ('k', 'd', 't')")
+        return (f"(CASE WHEN {dbl} "
+                f"THEN substr({base}, 1, length({base}) - 1) "
+                f"ELSE {base} END)")
+    return base  # del
+
+
+def _sql_among(spec, region, rules, v: str, mode="limit") -> str:
+    rlen = _sql_region_len(spec, region, v) if region else f"length({v})"
+    climit = rlen if spec.get("checks_in_region") else None
     whens = []
-    for suffix, checks, action in _sorted_rules(rules):
-        matched = f"ends_with({v}, '{suffix}') AND ({limit}) >= {len(suffix)}"
-        base = f"substr({v}, 1, length({v}) - {len(suffix)})"
-        res = f"({base} || '{action[1]}')" if action[0] == "repl" else base
+    for rule in _sorted_rules(rules):
+        suffix, checks, action = rule[0], rule[1], rule[2]
+        follow = rule[3] if len(rule) > 3 else None
+        matched = f"ends_with({v}, '{suffix}')"
+        if mode != "check":
+            matched += f" AND ({rlen}) >= {len(suffix)}"
         gate = _sql_checks(v, checks, climit)
+        if mode == "check":
+            gate = f"({rlen}) >= {len(suffix)} AND {gate}"
+        res = _sql_action(v, suffix, action)
+        if follow is not None:
+            res = _sql_run(spec, follow, f"({res})")
         whens.append(f"WHEN {matched} THEN (CASE WHEN {gate} THEN {res} "
                      f"ELSE {v} END)")
     return f"(CASE {' '.join(whens)} ELSE {v} END)"
@@ -564,13 +808,21 @@ def _sql_among(spec, region, rules, v: str) -> str:
 def _sql_run(spec, prog, v: str) -> str:
     op = prog[0]
     if op == "among":
-        return _sql_among(spec, prog[1], prog[2], v)
+        mode = prog[3] if len(prog) > 3 else "limit"
+        return _sql_among(spec, prog[1], prog[2], v, mode)
     if op == "undouble":
-        limit = _sql_region_len(spec, prog[1], v)
-        vv = "".join(spec["vowels"])
+        region = prog[1]
+        chars = prog[2] if len(prog) > 2 else None
+        limit = _sql_region_len(spec, region, v) if region \
+            else f"length({v})"
+        if chars:
+            memb = "substr({v}, -1) IN ({cs})".format(
+                v=v, cs=", ".join(f"'{c}'" for c in chars))
+        else:
+            vv = "".join(spec["vowels"])
+            memb = f"NOT regexp_matches(substr({v}, -1), '[{vv}]')"
         dbl = (f"({limit}) >= 1 AND length({v}) >= 2 AND "
-               f"substr({v}, -1) = substr({v}, -2, 1) AND "
-               f"NOT regexp_matches(substr({v}, -1), '[{vv}]')")
+               f"substr({v}, -1) = substr({v}, -2, 1) AND {memb}")
         return (f"(CASE WHEN {dbl} THEN substr({v}, 1, length({v}) - 1) "
                 f"ELSE {v} END)")
     if op == "seq":
@@ -595,9 +847,34 @@ def _sql_stage(spec, stage, v: str = "x") -> str:
     kind = stage[0]
     marked = f"starts_with({v}, '{MARK}')"
     auxed = f"starts_with({v}, '{AUX}')"
+    flagged = f"starts_with({v}, '{FLAG}')"
     if kind == "strip":
         return f"CASE WHEN {marked} THEN substr({v}, 2) ELSE {v} END"
+    if kind == "tr":
+        return f"translate({v}, '{stage[1]}', '{stage[2]}')"
+    if kind == "re":
+        out = v
+        for pat, rep in stage[1]:
+            out = (f"regexp_replace({out}, '{pat}', "
+                   f"'{rep.replace('$', chr(92))}', 'g')")
+        return out
+    if kind == "flag_if_changed":
+        attempt = _sql_run(spec, stage[1], v)
+        return (f"CASE WHEN ({attempt}) != {v} "
+                f"THEN '{FLAG}' || ({attempt}) ELSE {v} END")
+    if kind == "branch_flag":
+        body = f"(substr({v}, 2))"
+        return (f"CASE WHEN {flagged} "
+                f"THEN '{FLAG}' || ({_sql_run(spec, stage[1], body)}) "
+                f"ELSE ({_sql_run(spec, stage[2], v)}) END")
+    if kind == "strip_flag":
+        return f"CASE WHEN {flagged} THEN substr({v}, 2) ELSE {v} END"
     if kind == "plain":
+        if spec.get("uses_flag"):
+            body = f"(substr({v}, 2))"
+            return (f"CASE WHEN {flagged} "
+                    f"THEN '{FLAG}' || ({_sql_run(spec, stage[1], body)}) "
+                    f"ELSE ({_sql_run(spec, stage[1], v)}) END")
         return _sql_run(spec, stage[1], v)
     if kind == "plain_unmarked":
         return (f"CASE WHEN {marked} THEN {v} "

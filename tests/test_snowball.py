@@ -49,6 +49,28 @@ SV_CASES = [
     ("fullt", "fullt"),
 ]
 
+NL_CASES = [
+    ("katten", "kat"),          # en + kk undouble
+    ("bomen", "bom"),
+    ("bossen", "boss"),         # only kk/dd/tt undouble — ss stays
+    ("grote", "grot"),          # step 2 e
+    ("gekken", "gek"),
+    ("tabellen", "tabell"),
+    # heid deletes, then step 4 undoubles the vowel (waar ends CVD)
+    ("waarheid", "war"),
+    # heden -> heid (R1), then 3a deletes heid
+    ("mogelijkheden", "mogelijk"),
+    ("lichamelijk", "licham"),  # lijk in R2, then rerun of step 2
+    # bar deletes only when step 2 removed an e (e_found flag)
+    ("onhoudbare", "onhoud"),
+    ("onhoudbar", "onhoudbar"),
+    ("vruchtbare", "vruchtbar"),  # bar matched but outside R2
+    ("heden", "heden"),         # heden not in R1: among fails, no 'en'
+    # i between vowels is marked I (a consonant): valid en-ending
+    ("koeien", "koei"),
+    ("ogen", "ogen"),           # en starts before R1 (min 3 letters)
+]
+
 RU_CASES = [
     ("книгами", "книг"),       # noun ами
     ("важная", "важн"),        # adjective ая
@@ -79,6 +101,11 @@ def test_sv_snowball(word, want):
     assert snowball_stem_py(word, "sv") == want
 
 
+@pytest.mark.parametrize("word,want", NL_CASES)
+def test_nl_snowball(word, want):
+    assert snowball_stem_py(word, "nl") == want
+
+
 @pytest.mark.parametrize("word,want", RU_CASES)
 def test_ru_snowball(word, want):
     assert snowball_stem_py(word, "ru") == want
@@ -86,6 +113,16 @@ def test_ru_snowball(word, want):
 
 def _fuzz_vocab(lang, n=600, seed=29):
     rng = random.Random(seed)
+    if lang == "nl":
+        alphabet = "abcdefghijklmnopqrstuvwyzè"
+        sufs = ["", "heden", "ene", "en", "se", "s", "e", "heid",
+                "end", "ing", "ig", "lijk", "baar", "bar", "kken",
+                "dden", "tten", "gemen", "aars", "iy", "yi", "aa",
+                "ied", "aat", "ië", "tje"]
+        rng = random.Random(seed)
+        return sorted({
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            + rng.choice(sufs) for _ in range(n)})
     if lang == "ru":
         alphabet = "абвгдежзиклмнопрстуфхцчшщыьэюя"
         sufs = ["", "в", "вши", "вшись", "ив", "ывшись", "ся", "сь",
@@ -106,7 +143,7 @@ def _fuzz_vocab(lang, n=600, seed=29):
         + rng.choice(sufs) for _ in range(n)})
 
 
-@pytest.mark.parametrize("lang", ["da", "no", "sv", "ru"])
+@pytest.mark.parametrize("lang", ["da", "no", "sv", "ru", "nl"])
 def test_three_backend_agreement(spark, lang):
     import duckdb
     import pyspark.sql.functions as F
