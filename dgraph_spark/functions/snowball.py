@@ -234,7 +234,7 @@ _NL_STEP2 = ("among", "r1", [
     _r("e", (2, "!" + _NL_V), action=("del_u",)),
 ], "check")
 
-_NL_STEP3A = ("among", "r1", [
+_NL_STEP3A = ("among", "r2", [
     _r("heid", (5, "!c"),
        follow=("among", "r1", [_nl_en_rule("en")], "check")),
 ], "check")
@@ -260,6 +260,13 @@ def _nl_step3b(e_found: bool):
 NL_SPEC = {
     "vowels": _NL_V,
     "min_r1": 3,
+    # the Dutch source clamps with a raw cursor constant
+    # (`try($p1 < 3 $p1 = 3)`), and Snowball runtimes (C in postgres,
+    # Go in bleve) use BYTE cursors — so the 3 counts bytes, unlike
+    # Danish's char-aware `test hop 3 setmark x`. Verified against the
+    # postgres snowball oracle: èse -> ès (natural p1 = 3 bytes, no
+    # clamp) but ase -> ase (p1 = 2, clamped).
+    "units": "bytes",
     "uses_flag": True,
     "stages": [
         # prelude: drop umlauts/acutes; mark initial y, y after a
@@ -433,11 +440,18 @@ def _region_re(spec: dict, region: str) -> str:
 
 # --------------------------------------------------------------- python
 
+def _ulen(spec, s: str) -> int:
+    """Length in the spec's region units (chars, or bytes for specs
+    whose Snowball source clamps with raw byte constants)."""
+    return len(s.encode("utf-8")) if spec.get("units") == "bytes" \
+        else len(s)
+
+
 def _py_region_len(spec, region, t):
     m = re.match(_region_re(spec, region), t)
-    n = len(m.group(1)) if m else 0
+    n = _ulen(spec, m.group(1)) if m else 0
     if region == "r1" and spec["min_r1"]:
-        n = min(n, max(len(t) - spec["min_r1"], 0))
+        n = min(n, max(_ulen(spec, t) - spec["min_r1"], 0))
     return n
 
 
@@ -475,14 +489,14 @@ def _py_action(t, suffix, action):
 
 
 def _py_among(spec, region, rules, t, mode="limit"):
-    rlen = _py_region_len(spec, region, t) if region else len(t)
-    limit = len(t) if mode == "check" else rlen
+    rlen = _py_region_len(spec, region, t) if region else _ulen(spec, t)
+    limit = _ulen(spec, t) if mode == "check" else rlen
     climit = rlen if spec.get("checks_in_region") else None
     for rule in _sorted_rules(rules):
         suffix, checks, action = rule[0], rule[1], rule[2]
         follow = rule[3] if len(rule) > 3 else None
-        if len(suffix) <= limit and t.endswith(suffix):
-            if mode == "check" and len(suffix) > rlen:
+        if _ulen(spec, suffix) <= limit and t.endswith(suffix):
+            if mode == "check" and _ulen(spec, suffix) > rlen:
                 return t  # matched but outside region: among FAILS
             if not _py_checks(t, checks, climit):
                 return t  # matched but failed the gate: among FAILS
@@ -559,10 +573,16 @@ def snowball_stem_py(token: str, lang: str) -> str:
 
 # --------------------------------------------------------------- spark
 
+def _sp_len(spec, t: Column) -> Column:
+    return F.octet_length(t) if spec.get("units") == "bytes" \
+        else F.length(t)
+
+
 def _sp_region_len(spec, region, t: Column) -> Column:
-    n = F.length(F.regexp_extract(t, _region_re(spec, region), 1))
+    n = _sp_len(spec, F.regexp_extract(t, _region_re(spec, region), 1))
     if region == "r1" and spec["min_r1"]:
-        n = F.least(n, F.greatest(F.length(t) - spec["min_r1"], F.lit(0)))
+        n = F.least(n, F.greatest(_sp_len(spec, t) - spec["min_r1"],
+                                  F.lit(0)))
     return n
 
 
@@ -609,17 +629,18 @@ def _sp_action(t: Column, suffix, action) -> Column:
 
 
 def _sp_among(spec, region, rules, t: Column, mode="limit") -> Column:
-    rlen = _sp_region_len(spec, region, t) if region else F.length(t)
+    rlen = _sp_region_len(spec, region, t) if region else _sp_len(spec, t)
     climit = rlen if spec.get("checks_in_region") else None
     expr = None
     for rule in _sorted_rules(rules):
         suffix, checks, action = rule[0], rule[1], rule[2]
         follow = rule[3] if len(rule) > 3 else None
+        slen = _ulen(spec, suffix)
         matched = t.endswith(suffix) if mode == "check" else \
-            (t.endswith(suffix) & (rlen >= len(suffix)))
+            (t.endswith(suffix) & (rlen >= slen))
         gate = _sp_checks(t, checks, climit)
         if mode == "check":
-            gate = gate & (rlen >= len(suffix))
+            gate = gate & (rlen >= slen)
         res = _sp_action(t, suffix, action)
         if follow is not None:
             res = _sp_run(spec, follow, res)
@@ -737,10 +758,16 @@ def snowball_tokens_expr(tokens: Column, lang: str) -> Column:
 
 # --------------------------------------------------------------- duckdb
 
+def _sql_len(spec, v: str) -> str:
+    fn = "strlen" if spec.get("units") == "bytes" else "length"
+    return f"{fn}({v})"
+
+
 def _sql_region_len(spec, region, v: str) -> str:
-    n = f"length(regexp_extract({v}, '{_region_re(spec, region)}', 1))"
+    n = _sql_len(spec,
+                 f"regexp_extract({v}, '{_region_re(spec, region)}', 1)")
     if region == "r1" and spec["min_r1"]:
-        n = f"least({n}, greatest(length({v}) - {spec['min_r1']}, 0))"
+        n = f"least({n}, greatest({_sql_len(spec, v)} - {spec['min_r1']}, 0))"
     return n
 
 
@@ -785,18 +812,20 @@ def _sql_action(v: str, suffix, action) -> str:
 
 
 def _sql_among(spec, region, rules, v: str, mode="limit") -> str:
-    rlen = _sql_region_len(spec, region, v) if region else f"length({v})"
+    rlen = _sql_region_len(spec, region, v) if region \
+        else _sql_len(spec, v)
     climit = rlen if spec.get("checks_in_region") else None
     whens = []
     for rule in _sorted_rules(rules):
         suffix, checks, action = rule[0], rule[1], rule[2]
         follow = rule[3] if len(rule) > 3 else None
+        slen = _ulen(spec, suffix)
         matched = f"ends_with({v}, '{suffix}')"
         if mode != "check":
-            matched += f" AND ({rlen}) >= {len(suffix)}"
+            matched += f" AND ({rlen}) >= {slen}"
         gate = _sql_checks(v, checks, climit)
         if mode == "check":
-            gate = f"({rlen}) >= {len(suffix)} AND {gate}"
+            gate = f"({rlen}) >= {slen} AND {gate}"
         res = _sql_action(v, suffix, action)
         if follow is not None:
             res = _sql_run(spec, follow, f"({res})")

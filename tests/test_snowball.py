@@ -56,8 +56,9 @@ NL_CASES = [
     ("grote", "grot"),          # step 2 e
     ("gekken", "gek"),
     ("tabellen", "tabell"),
-    # heid deletes, then step 4 undoubles the vowel (waar ends CVD)
-    ("waarheid", "war"),
+    # heid needs R2 (not R1) — pinned by the postgres snowball oracle
+    ("waarheid", "waarheid"),
+    ("mogelijkheid", "mogelijk"),
     # heden -> heid (R1), then 3a deletes heid
     ("mogelijkheden", "mogelijk"),
     ("lichamelijk", "licham"),  # lijk in R2, then rerun of step 2
@@ -141,6 +142,25 @@ def _fuzz_vocab(lang, n=600, seed=29):
     return sorted({
         "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
         + rng.choice(sufs) for _ in range(n)})
+
+
+def test_pinned_snowball_vectors():
+    """~700 words per language pinned from the REAL Snowball
+    implementation (postgres 15's dict_snowball, the same generated
+    C as bleve's Go port — byte-cursor semantics included). Generated
+    once via ts_lexize; regenerate with tools documented in
+    .claude/skills/verify/SKILL.md if specs change."""
+    import json
+    import pathlib
+
+    vecs = json.loads(
+        (pathlib.Path(__file__).parent / "golden"
+         / "snowball_vectors.json").read_text())
+    for lang, pairs in vecs.items():
+        bad = {w: (snowball_stem_py(w, lang), want)
+               for w, want in pairs.items()
+               if snowball_stem_py(w, lang) != want}
+        assert not bad, (lang, dict(list(bad.items())[:5]))
 
 
 @pytest.mark.parametrize("lang", ["da", "no", "sv", "ru", "nl"])
