@@ -2015,6 +2015,7 @@ QUERIES: dict[str, tuple] = {
     "stem_tokens_da": (_q_stem_tokens("da"), _sql_stem_tokens("da")),
     "stem_tokens_no": (_q_stem_tokens("no"), _sql_stem_tokens("no")),
     "stem_tokens_nl": (_q_stem_tokens("nl"), _sql_stem_tokens("nl")),
+    "stem_tokens_ro": (_q_stem_tokens("ro"), _sql_stem_tokens("ro")),
     "stem_tokens_ar": (_q_stem_tokens_translit("ar"),
                        _sql_stem_tokens_translit("ar")),
     "stem_tokens_ckb": (_q_stem_tokens_translit("ckb"),

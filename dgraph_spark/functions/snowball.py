@@ -269,18 +269,14 @@ NL_SPEC = {
     "units": "bytes",
     "uses_flag": True,
     "stages": [
-        # prelude: drop umlauts/acutes; mark initial y, y after a
-        # vowel, and i between vowels as consonants (two passes of the
-        # i-rule cover overlapping vowel-i-vowel chains; leftovers
-        # after pass one are >= 4 apart, so two passes are exact).
-        # Known approximation: the reference marks in ONE left-to-right
-        # scan, so adjacent markables (iy/yi/aiai chains) could differ —
-        # no Dutch vocabulary contains such sequences.
+        # prelude: drop umlauts/acutes; mark initial y, then ONE exact
+        # left-to-right scan marking y after a vowel and i between
+        # vowels (a character fold in all three backends: the
+        # PROCESSED previous char governs, so overlapping chains mark
+        # exactly like the reference's single pass)
         ("tr", "äëïöüáéíóú", "aeiouaeiou"),
-        ("re", [("^y", "Y"),
-                (f"([{_NL_V}])y", "$1Y"),
-                (f"([{_NL_V}])i([{_NL_V}])", "$1I$2"),
-                (f"([{_NL_V}])i([{_NL_V}])", "$1I$2")]),
+        ("re", [("^y", "Y")]),
+        ("mark_scan", (("y", False), ("i", True))),
         ("plain", _NL_STEP1),
         ("flag_if_changed", _NL_STEP2),
         ("plain", _NL_STEP3A),
@@ -291,6 +287,154 @@ NL_SPEC = {
         ("re", [(f"([^{_NL_V}]){v}{v}([^{_NL_V}I])$", f"$1{v}$2")
                 for v in "aeou"]),
         ("tr", "YI", "yi"),   # postlude
+    ],
+}
+
+# Romanian (snowballstem.org/algorithms/romanian/stemmer.html) — the
+# classic algorithm with CEDILLA forms only (ş U+015F, ţ U+0163):
+# snowball 2.x, i.e. what postgres ships and what bleve's Go port
+# implements, does not fold the comma-below spellings (verified:
+# ts_lexize ro 'vorbeşti' -> vorb but 'vorbești' -> vorbeșt). The
+# verb-suffix entry set and its two action groups were RECOVERED
+# EMPIRICALLY against the postgres snowball oracle (classifier probes
+# with the preceded-by test character inside/outside RV), then
+# fuzz-validated; see tests/golden/snowball_vectors.json.
+_RO_S = "ş"   # ş
+_RO_T = "ţ"   # ţ
+_RO_V = "aăâeiîou"   # a ă â e i î o u
+_RO_A = "ă"   # ă
+_RO_AC = "â"  # â
+
+_RO_STEP0 = ("among", "r1", [
+    _r("ul"), _r("ului"),
+    _r("aua", repl="a"),
+    _r("ea", repl="e"), _r("ele", repl="e"), _r("elor", repl="e"),
+    _r("ii", repl="i"), _r("iua", repl="i"), _r("iei", repl="i"),
+    _r("iile", repl="i"), _r("iilor", repl="i"), _r("ilor", repl="i"),
+    # ile -> i unless preceded by the string ab
+    _r("ile", ("or", ((4, "!b"),), ((5, "!a"),)), repl="i"),
+    _r("atei", repl="at"),
+    _r(f"a{_RO_T}ie", repl=f"a{_RO_T}i"),
+    _r(f"a{_RO_T}ia", repl=f"a{_RO_T}i"),
+], "check")
+
+_RO_STEP1 = ("among", "r1", [
+    _r("abilitate", repl="abil"), _r("abilitati", repl="abil"),
+    _r(f"abilit{_RO_A}i", repl="abil"),
+    _r(f"abilit{_RO_A}{_RO_T}i", repl="abil"),
+    _r("ibilitate", repl="ibil"),
+    _r("ivitate", repl="iv"), _r("ivitati", repl="iv"),
+    _r(f"ivit{_RO_A}i", repl="iv"),
+    _r(f"ivit{_RO_A}{_RO_T}i", repl="iv"),
+    _r("icitate", repl="ic"), _r("icitati", repl="ic"),
+    _r(f"icit{_RO_A}i", repl="ic"),
+    _r(f"icit{_RO_A}{_RO_T}i", repl="ic"),
+    _r("icator", repl="ic"), _r("icatori", repl="ic"),
+    _r("iciv", repl="ic"), _r("iciva", repl="ic"),
+    _r("icive", repl="ic"), _r("icivi", repl="ic"),
+    _r(f"iciv{_RO_A}", repl="ic"),
+    _r("ical", repl="ic"), _r("icala", repl="ic"),
+    _r("icale", repl="ic"), _r("icali", repl="ic"),
+    _r(f"ical{_RO_A}", repl="ic"),
+    _r("ativ", repl="at"), _r("ativa", repl="at"),
+    _r("ative", repl="at"), _r("ativi", repl="at"),
+    _r(f"ativ{_RO_A}", repl="at"),
+    _r(f"a{_RO_T}iune", repl="at"),
+    _r("atoare", repl="at"), _r("ator", repl="at"),
+    _r("atori", repl="at"),
+    _r(f"{_RO_A}toare", repl="at"), _r(f"{_RO_A}tor", repl="at"),
+    _r(f"{_RO_A}tori", repl="at"),
+    _r("itiv", repl="it"), _r("itiva", repl="it"),
+    _r("itive", repl="it"), _r("itivi", repl="it"),
+    _r(f"itiv{_RO_A}", repl="it"),
+    _r(f"i{_RO_T}iune", repl="it"),
+    _r("itoare", repl="it"), _r("itor", repl="it"),
+    _r("itori", repl="it"),
+], "check")
+
+_RO_STEP2 = ("among", "r2", [
+    *[_r(s) for s in (
+        "at ata ati ate ut uta uti ute it ita iti ite "
+        "ic ica ice ici abil abila abile abili "
+        "ibil ibila ibile ibili oasa oase os osi "
+        "ant anta ante anti ator atori itate itati "
+        "iv iva ive ivi").split()],
+    *[_r(s + _RO_A) for s in
+      ("at", "ut", "it", "ic", "abil", "ibil", "ant", "iv")],
+    _r(f"oas{_RO_A}"), _r(f"o{_RO_S}i"),
+    _r(f"ant{_RO_A}"), _r(f"it{_RO_A}i"), _r(f"it{_RO_A}{_RO_T}i"),
+    _r(f"iv{_RO_A}"),
+    # iune/iuni delete when preceded by ţ, which becomes t
+    _r("iune", (5, _RO_T), action=("repl_ext", 1, "t")),
+    _r("iuni", (5, _RO_T), action=("repl_ext", 1, "t")),
+    _r("ism", repl="ist"), _r("isme", repl="ist"),
+    _r("ist", repl="ist"), _r("ista", repl="ist"),
+    _r("iste", repl="ist"), _r("isti", repl="ist"),
+    _r(f"ist{_RO_A}", repl="ist"), _r(f"i{_RO_S}ti", repl="ist"),
+], "check")
+
+# verb suffixes (recovered entry set): group (a) deletes only when
+# preceded WITHIN RV by a consonant or u; group (b) always deletes
+_RO_VERB_A = (
+    f"are ere ire {_RO_AC}re ind {_RO_AC}nd indu {_RO_AC}ndu "
+    f"eze eaz{_RO_A} ez ezi easc{_RO_A} esc e{_RO_S}ti e{_RO_S}te "
+    f"{_RO_A}sc {_RO_A}{_RO_S}ti {_RO_A}{_RO_S}te "
+    f"am ai au eam eai eau iam iai iau "
+    f"ea{_RO_T}i ia{_RO_T}i "
+    f"a{_RO_S}i ar{_RO_A}m ar{_RO_A}{_RO_T}i ar{_RO_A} "
+    f"{_RO_AC}i {_RO_AC}{_RO_S}i "
+    f"{_RO_AC}r{_RO_A} {_RO_AC}r{_RO_A}m {_RO_AC}r{_RO_A}{_RO_T}i "
+    f"ir{_RO_A} ir{_RO_A}m ir{_RO_A}{_RO_T}i i{_RO_S}i "
+    f"ur{_RO_A} ur{_RO_A}m ur{_RO_A}{_RO_T}i u{_RO_S}i ui "
+    f"ia ase asem aser{_RO_A} aser{_RO_A}m aser{_RO_A}{_RO_T}i "
+    f"ase{_RO_S}i ise isem iser{_RO_A} iser{_RO_A}m "
+    f"iser{_RO_A}{_RO_T}i ise{_RO_S}i "
+    f"use usem user{_RO_A} user{_RO_A}m user{_RO_A}{_RO_T}i "
+    f"use{_RO_S}i "
+    f"{_RO_AC}se {_RO_AC}sem {_RO_AC}ser{_RO_A} {_RO_AC}ser{_RO_A}m "
+    f"{_RO_AC}ser{_RO_A}{_RO_T}i {_RO_AC}se{_RO_S}i"
+).split()
+_RO_VERB_B = (
+    f"em e{_RO_T}i im i{_RO_T}i {_RO_AC}m {_RO_AC}{_RO_T}i {_RO_A}m "
+    f"a{_RO_T}i "
+    f"se sei se{_RO_S}i ser{_RO_A} ser{_RO_A}m ser{_RO_A}{_RO_T}i "
+    f"sese sesem sese{_RO_S}i seser{_RO_A} seser{_RO_A}m "
+    f"seser{_RO_A}{_RO_T}i"
+).split()
+
+_RO_STEP3 = ("among", "rv", [
+    *[_r(s, (len(s) + 1, "!aeio" + _RO_A + _RO_AC + "î"))
+      for s in _RO_VERB_A],
+    *[_r(s) for s in _RO_VERB_B],
+], "limit_cb")
+
+_RO_STEP4 = ("among", "rv", [
+    _r("a"), _r("e"), _r("i"), _r("ie"), _r(_RO_A),
+], "check")
+
+RO_SPEC = {
+    "vowels": _RO_V,
+    "min_r1": 0,
+    "rv_style": "es",
+    "uses_flag": True,
+    "stages": [
+        # prelude: ONE exact left-to-right scan marking i and u
+        # between vowels as consonants (I/U)
+        ("mark_scan", (("i", True), ("u", True))),
+        ("plain", _RO_STEP0),
+        # step 1 repeats until no replacement; five passes reach the
+        # fixpoint (every firing shortens the token by >= 2). Steps 1
+        # and 2 set the standard-suffix-removed flag; the verb step
+        # runs only when NEITHER fired (step 0 does not gate it —
+        # verified: aţia -> step 0 -> verb aţi still strips).
+        ("flag_if_changed", _RO_STEP1), ("flag_if_changed", _RO_STEP1),
+        ("flag_if_changed", _RO_STEP1), ("flag_if_changed", _RO_STEP1),
+        ("flag_if_changed", _RO_STEP1),
+        ("flag_if_changed", _RO_STEP2),
+        ("branch_flag", ("seq", []), _RO_STEP3),
+        ("plain", _RO_STEP4),
+        ("strip_flag",),
+        ("tr", "IU", "iu"),   # postlude
     ],
 }
 
@@ -387,7 +531,7 @@ RU_SPEC = {
 }
 
 SNOWBALL_LANGS = {"da": DA_SPEC, "no": NO_SPEC, "sv": SV_SPEC,
-                  "ru": RU_SPEC, "nl": NL_SPEC}
+                  "ru": RU_SPEC, "nl": NL_SPEC, "ro": RO_SPEC}
 
 # Stage plans for the expression backends: each entry becomes ONE
 # F.transform / list_transform pass. kinds:
@@ -429,6 +573,14 @@ def _sorted_rules(rules):
 
 def _region_re(spec: dict, region: str) -> str:
     v = spec["vowels"]
+    if region == "rv" and spec.get("rv_style") == "es":
+        # Spanish-family RV (Romanian): C V . -> after 3rd char;
+        # V C -> after the next vowel; V V -> after the next
+        # consonant; C C -> after the next vowel. Alternatives are
+        # mutually exclusive on the first two characters.
+        return (f"^(?:[^{v}][{v}].|[{v}][^{v}][^{v}]*[{v}]"
+                f"|[{v}][{v}][{v}]*[^{v}]|[^{v}][^{v}][^{v}]*[{v}])"
+                f"(.*)$")
     if region == "rv":
         return f"^.*?[{v}](.*)$"
     if region == "r1":
@@ -458,8 +610,13 @@ def _py_region_len(spec, region, t):
 def _py_check_one(t, idx, chars, limit):
     neg = chars.startswith("!")
     cs = chars[1:] if neg else chars
-    if idx > len(t) or (limit is not None and idx > limit):
-        return neg  # out of range / before region start
+    if limit is not None and idx > limit:
+        # bounded test: the cursor cannot move before the region
+        # start, so the test FAILS regardless of negation (Snowball
+        # setlimit semantics — ro verb step, ru)
+        return False
+    if idx > len(t):
+        return neg  # out of range: a negated check passes
     inside = t[-idx] in cs
     return not inside if neg else inside
 
@@ -481,6 +638,10 @@ def _py_action(t, suffix, action):
     base = t[:-len(suffix)]
     if action[0] == "repl":
         return base + action[1]
+    if action[0] == "repl_ext":
+        # replace the suffix AND action[1] preceding chars (Romanian
+        # 'iune' preceded by ţ -> both become 't')
+        return t[:-(len(suffix) + action[1])] + action[2]
     if action[0] == "del_u":
         if len(base) >= 2 and base[-1] == base[-2] and base[-1] in "kdt":
             return base[:-1]
@@ -490,13 +651,14 @@ def _py_action(t, suffix, action):
 
 def _py_among(spec, region, rules, t, mode="limit"):
     rlen = _py_region_len(spec, region, t) if region else _ulen(spec, t)
-    limit = _ulen(spec, t) if mode == "check" else rlen
-    climit = rlen if spec.get("checks_in_region") else None
+    bounded = spec.get("checks_in_region") or mode.endswith("_cb")
+    limit = _ulen(spec, t) if mode.startswith("check") else rlen
+    climit = rlen if bounded else None
     for rule in _sorted_rules(rules):
         suffix, checks, action = rule[0], rule[1], rule[2]
         follow = rule[3] if len(rule) > 3 else None
         if _ulen(spec, suffix) <= limit and t.endswith(suffix):
-            if mode == "check" and _ulen(spec, suffix) > rlen:
+            if mode.startswith("check") and _ulen(spec, suffix) > rlen:
                 return t  # matched but outside region: among FAILS
             if not _py_checks(t, checks, climit):
                 return t  # matched but failed the gate: among FAILS
@@ -526,6 +688,16 @@ def _py_run(spec, prog, t):
         for p in prog[1]:
             t = _py_run(spec, p, t)
         return t
+    if op == "rep":
+        # Snowball `repeat` with a bounded unroll for the expression
+        # backends; each firing shortens the token, so prog[1] passes
+        # reach the fixpoint on any real-length token
+        for _ in range(prog[1]):
+            out = _py_run(spec, prog[2], t)
+            if out == t:
+                break
+            t = out
+        return t
     if op == "or":
         for p in prog[1]:
             out = _py_run(spec, p, t)
@@ -540,11 +712,32 @@ def _py_run(spec, prog, t):
     raise KeyError(op)
 
 
+def _py_mark_scan(spec, rules, t):
+    """Exact Snowball prelude scan: one left-to-right pass; a char is
+    marked (uppercased, making it a consonant for the region logic)
+    when the PROCESSED previous char is an unmarked vowel — and, for
+    needs_next chars (i/u between vowels), the RAW next char is a
+    vowel. rules: ((char, needs_next), ...)."""
+    v = spec["vowels"]
+    need = dict(rules)
+    out = []
+    for k, c in enumerate(t):
+        if (c in need and out and out[-1] in v
+                and (not need[c]
+                     or (k + 1 < len(t) and t[k + 1] in v))):
+            out.append(c.upper())
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 def _py_stages(spec, stages, t):
     flag = False
     for st in stages:
         k = st[0]
-        if k == "tr":
+        if k == "mark_scan":
+            t = _py_mark_scan(spec, st[1], t)
+        elif k == "tr":
             t = t.translate(str.maketrans(st[1], st[2]))
         elif k == "re":
             for pat, rep in st[1]:
@@ -591,9 +784,11 @@ def _sp_check_one(t: Column, idx, chars, limit) -> Column:
     cs = chars[1:] if neg else chars
     inside = (F.length(t) >= idx) & \
         t.substr(F.length(t) - (idx - 1), F.lit(1)).isin(*list(cs))
+    out = ~inside if neg else inside
     if limit is not None:
-        inside = inside & (limit >= idx)
-    return ~inside if neg else inside
+        # bounded test fails outright before the region start
+        out = out & (limit >= idx)
+    return out
 
 
 def _sp_checks(t: Column, checks, limit=None) -> Column:
@@ -618,6 +813,9 @@ def _sp_action(t: Column, suffix, action) -> Column:
     base = t.substr(F.lit(1), F.length(t) - len(suffix))
     if action[0] == "repl":
         return F.concat(base, F.lit(action[1]))
+    if action[0] == "repl_ext":
+        cut = t.substr(F.lit(1), F.length(t) - (len(suffix) + action[1]))
+        return F.concat(cut, F.lit(action[2]))
     if action[0] == "del_u":
         last = base.substr(F.length(base), F.lit(1))
         dbl = (F.length(base) >= 2) \
@@ -630,16 +828,17 @@ def _sp_action(t: Column, suffix, action) -> Column:
 
 def _sp_among(spec, region, rules, t: Column, mode="limit") -> Column:
     rlen = _sp_region_len(spec, region, t) if region else _sp_len(spec, t)
-    climit = rlen if spec.get("checks_in_region") else None
+    bounded = spec.get("checks_in_region") or mode.endswith("_cb")
+    climit = rlen if bounded else None
     expr = None
     for rule in _sorted_rules(rules):
         suffix, checks, action = rule[0], rule[1], rule[2]
         follow = rule[3] if len(rule) > 3 else None
         slen = _ulen(spec, suffix)
-        matched = t.endswith(suffix) if mode == "check" else \
+        matched = t.endswith(suffix) if mode.startswith("check") else \
             (t.endswith(suffix) & (rlen >= slen))
         gate = _sp_checks(t, checks, climit)
-        if mode == "check":
+        if mode.startswith("check"):
             gate = gate & (rlen >= slen)
         res = _sp_action(t, suffix, action)
         if follow is not None:
@@ -692,6 +891,28 @@ def _sp_stage(spec, stage):
         if kind == "strip":
             return F.when(t.startswith(MARK),
                           t.substr(F.lit(2), F.length(t))).otherwise(t)
+        if kind == "mark_scan":
+            # exact left-to-right prelude scan as a character fold:
+            # processed prev comes off the accumulator, raw next off
+            # the (cur, next) pair array — pure JVM expressions
+            v = list(spec["vowels"])
+            pairs = F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1))),
+                lambda i: t.substr(i, F.lit(2)))
+
+            def step(acc, p):
+                cur = p.substr(F.lit(1), F.lit(1))
+                nxt = p.substr(F.lit(2), F.lit(1))
+                prev = acc.substr(F.length(acc), F.lit(1))
+                mc = cur
+                for ch, needs in stage[1]:
+                    c = (cur == ch) & prev.isin(*v)
+                    if needs:
+                        c = c & nxt.isin(*v)
+                    mc = F.when(c, F.lit(ch.upper())).otherwise(mc)
+                return F.concat(acc, mc)
+
+            return F.aggregate(pairs, F.lit(""), step)
         if kind == "tr":
             return F.translate(t, stage[1], stage[2])
         if kind == "re":
@@ -700,9 +921,13 @@ def _sp_stage(spec, stage):
                 out = F.regexp_replace(out, pat, rep)  # $1 refs native
             return out
         if kind == "flag_if_changed":
+            body = t.substr(F.lit(2), F.length(t))
+            fed = _sp_run(spec, stage[1], body)
             attempt = _sp_run(spec, stage[1], t)
-            return F.when(attempt != t,
-                          F.concat(F.lit(FLAG), attempt)).otherwise(t)
+            return F.when(t.startswith(FLAG),
+                          F.concat(F.lit(FLAG), fed)).otherwise(
+                F.when(attempt != t,
+                       F.concat(F.lit(FLAG), attempt)).otherwise(t))
         if kind == "branch_flag":
             body = t.substr(F.lit(2), F.length(t))
             return F.when(
@@ -775,9 +1000,12 @@ def _sql_check_one(v: str, idx, chars, limit) -> str:
     neg = chars.startswith("!")
     cs = chars[1:] if neg else chars
     alts = " OR ".join(f"substr({v}, -{idx}, 1) = '{c}'" for c in cs)
-    bound = f" AND ({limit}) >= {idx}" if limit is not None else ""
-    clause = f"(length({v}) >= {idx}{bound} AND ({alts}))"
-    return f"NOT {clause}" if neg else clause
+    clause = f"(length({v}) >= {idx} AND ({alts}))"
+    out = f"NOT {clause}" if neg else clause
+    if limit is not None:
+        # bounded test fails outright before the region start
+        out = f"(({limit}) >= {idx} AND {out})"
+    return out
 
 
 def _sql_checks(v: str, checks, limit=None) -> str:
@@ -801,6 +1029,10 @@ def _sql_action(v: str, suffix, action) -> str:
     base = f"substr({v}, 1, length({v}) - {len(suffix)})"
     if action[0] == "repl":
         return f"({base} || '{action[1]}')"
+    if action[0] == "repl_ext":
+        cut = (f"substr({v}, 1, length({v}) - "
+               f"{len(suffix) + action[1]})")
+        return f"({cut} || '{action[2]}')"
     if action[0] == "del_u":
         dbl = (f"length({base}) >= 2 AND "
                f"substr({base}, -1) = substr({base}, -2, 1) AND "
@@ -814,17 +1046,18 @@ def _sql_action(v: str, suffix, action) -> str:
 def _sql_among(spec, region, rules, v: str, mode="limit") -> str:
     rlen = _sql_region_len(spec, region, v) if region \
         else _sql_len(spec, v)
-    climit = rlen if spec.get("checks_in_region") else None
+    bounded = spec.get("checks_in_region") or mode.endswith("_cb")
+    climit = rlen if bounded else None
     whens = []
     for rule in _sorted_rules(rules):
         suffix, checks, action = rule[0], rule[1], rule[2]
         follow = rule[3] if len(rule) > 3 else None
         slen = _ulen(spec, suffix)
         matched = f"ends_with({v}, '{suffix}')"
-        if mode != "check":
+        if not mode.startswith("check"):
             matched += f" AND ({rlen}) >= {slen}"
         gate = _sql_checks(v, checks, climit)
-        if mode == "check":
+        if mode.startswith("check"):
             gate = f"({rlen}) >= {slen} AND {gate}"
         res = _sql_action(v, suffix, action)
         if follow is not None:
@@ -879,6 +1112,20 @@ def _sql_stage(spec, stage, v: str = "x") -> str:
     flagged = f"starts_with({v}, '{FLAG}')"
     if kind == "strip":
         return f"CASE WHEN {marked} THEN substr({v}, 2) ELSE {v} END"
+    if kind == "mark_scan":
+        vow = ", ".join(f"'{c}'" for c in spec["vowels"])
+        pairs = (f"list_transform(range(1, length({v}) + 1), "
+                 f"i -> substr({v}, i::INT, 2))")
+        whens = []
+        for ch, needs in stage[1]:
+            cond = (f"substr(p, 1, 1) = '{ch}' "
+                    f"AND substr(acc, -1, 1) IN ({vow})")
+            if needs:
+                cond += f" AND substr(p, 2, 1) IN ({vow})"
+            whens.append(f"WHEN {cond} THEN '{ch.upper()}'")
+        case = f"CASE {' '.join(whens)} ELSE substr(p, 1, 1) END"
+        return (f"list_reduce(list_prepend('', {pairs}), "
+                f"(acc, p) -> acc || ({case}))")
     if kind == "tr":
         return f"translate({v}, '{stage[1]}', '{stage[2]}')"
     if kind == "re":
@@ -888,8 +1135,11 @@ def _sql_stage(spec, stage, v: str = "x") -> str:
                    f"'{rep.replace('$', chr(92))}', 'g')")
         return out
     if kind == "flag_if_changed":
+        body = f"(substr({v}, 2))"
+        fed = _sql_run(spec, stage[1], body)
         attempt = _sql_run(spec, stage[1], v)
-        return (f"CASE WHEN ({attempt}) != {v} "
+        return (f"CASE WHEN {flagged} THEN '{FLAG}' || ({fed}) "
+                f"WHEN ({attempt}) != {v} "
                 f"THEN '{FLAG}' || ({attempt}) ELSE {v} END")
     if kind == "branch_flag":
         body = f"(substr({v}, 2))"

@@ -72,6 +72,28 @@ NL_CASES = [
     ("ogen", "ogen"),           # en starts before R1 (min 3 letters)
 ]
 
+RO_CASES = [
+    ("copilul", "copil"),       # step 0 ul
+    ("copilului", "copil"),
+    ("casele", "cas"),          # ele -> e, then final-vowel e
+    ("abilitate", "abil"),      # step 2 itate in R2
+    ("activitate", "activ"),
+    ("icitate", "icitat"),      # whole-word suffixes outside regions
+    ("vorbesc", "vorb"),        # verb esc preceded (in RV) by consonant
+    ("tonesc", "tonesc"),       # test char outside RV: among fails
+    ("lucrează", "lucr"),
+    ("mergeau", "merg"),
+    ("gogaţia", "gog"),         # step 0 aţia -> aţi, then verb aţi (B)
+    ("măinămut", "măinăm"),     # step 2 fired: verb step is GATED
+    ("toberaţie", "tober"),     # step 0 does NOT gate the verb step
+    ("turism", "turism"),       # ism not in R2
+    ("artişti", "artişt"),      # işti blocked, step 4 i
+    ("cărţile", "cărţ"),
+    ("steaua", "steau"),        # u marked U between vowels
+    ("dziea", "dzie"),          # ea is NOT a verb suffix (step 0 only)
+    ("tonaseră", "tonaser"),    # theme entry aseră blocks bare seră
+]
+
 RU_CASES = [
     ("книгами", "книг"),       # noun ами
     ("важная", "важн"),        # adjective ая
@@ -107,6 +129,11 @@ def test_nl_snowball(word, want):
     assert snowball_stem_py(word, "nl") == want
 
 
+@pytest.mark.parametrize("word,want", RO_CASES)
+def test_ro_snowball(word, want):
+    assert snowball_stem_py(word, "ro") == want
+
+
 @pytest.mark.parametrize("word,want", RU_CASES)
 def test_ru_snowball(word, want):
     assert snowball_stem_py(word, "ru") == want
@@ -120,6 +147,22 @@ def _fuzz_vocab(lang, n=600, seed=29):
                 "end", "ing", "ig", "lijk", "baar", "bar", "kken",
                 "dden", "tten", "gemen", "aars", "iy", "yi", "aa",
                 "ied", "aat", "ië", "tje"]
+        rng = random.Random(seed)
+        return sorted({
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            + rng.choice(sufs) for _ in range(n)})
+    if lang == "ro":
+        alphabet = "abcdefghijlmnoprstuvzăâîşţ"
+        sufs = ["", "ul", "ului", "aua", "ea", "ele", "elor", "ii",
+                "iua", "iei", "iile", "ilor", "ile", "atei", "aţie",
+                "aţia", "abilitate", "ivitate", "icitate", "icală",
+                "aţiune", "ătoare", "iţiune", "at", "ată", "ice",
+                "abilă", "oasă", "oşi", "ităţi", "ţiune", "iune",
+                "ism", "işti", "are", "ire", "ându", "ează", "ească",
+                "esc", "eşti", "ăşte", "eam", "iau", "aşi", "arăm",
+                "iseră", "useră", "userăm", "urăţi", "sese", "sesem",
+                "seserăţi", "em", "eţi", "iţi", "âm", "ăm", "sei",
+                "se", "a", "e", "i", "ie", "ă", "ui", "aţi", "uia"]
         rng = random.Random(seed)
         return sorted({
             "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
@@ -163,7 +206,7 @@ def test_pinned_snowball_vectors():
         assert not bad, (lang, dict(list(bad.items())[:5]))
 
 
-@pytest.mark.parametrize("lang", ["da", "no", "sv", "ru", "nl"])
+@pytest.mark.parametrize("lang", ["da", "no", "sv", "ru", "nl", "ro"])
 def test_three_backend_agreement(spark, lang):
     import duckdb
     import pyspark.sql.functions as F
