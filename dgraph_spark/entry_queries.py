@@ -2016,6 +2016,8 @@ QUERIES: dict[str, tuple] = {
     "stem_tokens_no": (_q_stem_tokens("no"), _sql_stem_tokens("no")),
     "stem_tokens_nl": (_q_stem_tokens("nl"), _sql_stem_tokens("nl")),
     "stem_tokens_ro": (_q_stem_tokens("ro"), _sql_stem_tokens("ro")),
+    "stem_tokens_fi": (_q_stem_tokens("fi"), _sql_stem_tokens("fi")),
+    "stem_tokens_hu": (_q_stem_tokens("hu"), _sql_stem_tokens("hu")),
     "stem_tokens_ar": (_q_stem_tokens_translit("ar"),
                        _sql_stem_tokens_translit("ar")),
     "stem_tokens_ckb": (_q_stem_tokens_translit("ckb"),

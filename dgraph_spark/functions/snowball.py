@@ -438,6 +438,255 @@ RO_SPEC = {
     ],
 }
 
+# Finnish (snowballstem.org/algorithms/finnish/stemmer.html) — every
+# step runs inside setlimit (R1 or R2), so ALL checks are bounded
+# (checks_in_region). Step 3 sets a flag consumed by step 5's branch.
+# Details pinned against the postgres snowball oracle and
+# fuzz-validated; see tests/golden/snowball_vectors.json.
+_FI_V = "aeiouyäö"
+_FI_LV = ["aa", "ee", "ii", "oo", "uu", "ää", "öö"]
+
+
+def _fi_pair(n, pair):
+    """check group: the two chars immediately before an n-char suffix
+    equal `pair` (e.g. preceded by 'ta' / long vowel / Vi)."""
+    return ((n + 2, pair[0]), (n + 1, pair[1]))
+
+
+_FI_V1 = "aeiouäö"   # the Vi / plural-context vowels exclude y
+
+_FI_STEP1 = ("or", [
+    ("among", "r1", [
+        _r(s, (len(s) + 1, "nt" + _FI_V))
+        for s in ["kin", "kaan", "kään", "ko", "kö", "han", "hän",
+                  "pa", "pä"]
+    ]),
+    ("among", "r2", [_r("sti")]),
+])
+
+# possessives; the an/än/en context forms re-emit their case-ending
+# context (taan -> ta), which step 3 then removes — pinned by probes
+# (tolitaan -> tol requires the step-3 flag to be set on the way)
+_FI_STEP2 = ("among", "r1", [
+    _r("si", (3, "!k")),
+    _r("ni", follow=("among", "r1", [_r("kse", repl="ksi")])),
+    _r("nsa"), _r("nsä"), _r("mme"), _r("nne"),
+    _r("taan", repl="ta"), _r("ssaan", repl="ssa"),
+    _r("staan", repl="sta"), _r("llaan", repl="lla"),
+    _r("ltaan", repl="lta"), _r("naan", repl="na"),
+    _r("tään", repl="tä"), _r("ssään", repl="ssä"),
+    _r("stään", repl="stä"), _r("llään", repl="llä"),
+    _r("ltään", repl="ltä"), _r("nään", repl="nä"),
+    _r("lleen", repl="lle"), _r("ineen", repl="ine"),
+])
+
+_FI_N_FOLLOW = ("among", "r1", [
+    *[_r(p, repl=p[0]) for p in _FI_LV],
+    _r("ie", repl="i"),
+])
+
+# case endings, in two amongs because only the DELETE rules set the
+# ending_removed flag consumed by step 5 (oracle: toliiden -> toli,
+# the re-emitted i survives; taloihin -> talo, the hin-deletion's
+# trailing i is removed by step 5). The Vi/LV families are CONTEXT
+# entries re-emitting the vowel (toloiden -> tolo; tolyiden falls
+# through to n since y is not V1); hXn carries a blocking test
+# (tolhin stays tolhin: the failed test fails the whole among, so the
+# bare n rule is unreachable).
+_FI_STEP3_CTX = ("among", "r1", [
+    *[_r(x + "iden", repl=x) for x in _FI_V1],
+    *[_r(x + "itten", repl=x) for x in _FI_V1],
+    *[_r(x + "isiin", repl=x) for x in _FI_V1],
+    *[_r(p + "seen", repl=p) for p in _FI_LV],
+])
+
+_FI_STEP3 = ("among", "r1", [
+    # only the six a/e/i/o/ä/ö illative forms — hun/hyn are not in the
+    # algorithm (oracle: atuhun -> atuhu, the bare n rule fires)
+    *[_r("h" + x + "n", (4, x)) for x in "aeioäö"],
+    _r("a", (2, _FI_V), (3, "!" + _FI_V)),
+    _r("ä", (2, _FI_V), (3, "!" + _FI_V)),
+    # tta/ttä carry a blocking test like hXn (tontta: the failed e-test
+    # blocks ta, the a goes via step 6b instead)
+    _r("tta", (4, "e")), _r("ttä", (4, "e")),
+    _r("ta"), _r("tä"), _r("ssa"), _r("ssä"), _r("sta"), _r("stä"),
+    _r("lla"), _r("llä"), _r("lta"), _r("ltä"), _r("lle"),
+    _r("na"), _r("nä"), _r("ksi"), _r("ine"),
+    _r("n", follow=_FI_N_FOLLOW),
+])
+
+_FI_NOT_PO = ("or", ((4, "!o"),), ((5, "!p"),))
+_FI_STEP4 = ("among", "r2", [
+    _r("mpi", _FI_NOT_PO), _r("mpa", _FI_NOT_PO), _r("mpä", _FI_NOT_PO),
+    _r("mmi", _FI_NOT_PO), _r("mma", _FI_NOT_PO), _r("mmä", _FI_NOT_PO),
+    _r("impi"), _r("impa"), _r("impä"),
+    _r("immi"), _r("imma"), _r("immä"),
+    _r("eja"), _r("ejä"),
+])
+
+_FI_STEP5_IJ = ("among", "r1", [_r("i"), _r("j")])
+_FI_STEP5_T = ("among", "r1", [
+    _r("t", (2, _FI_V),
+       follow=("among", "r2", [
+           _r("imma"),
+           _r("mma", _FI_NOT_PO),
+       ])),
+])
+
+# step 6 tidy substeps a-d — kept as SEPARATE stages below: a seq
+# would nest each among's expression inside the next in the Spark /
+# DuckDB backends (multi-MB generated SQL)
+_FI_STEP6A = ("among", "r1", [_r(p, repl=p[0]) for p in _FI_LV])
+# b) R1 ends cX (c consonant, X in a ä e i): delete the last letter —
+# the consonant must itself lie in R1 (tolat keeps its a)
+_FI_STEP6B = ("among", "r1", [_r(x, (2, "!" + _FI_V)) for x in "aäei"],
+              "limit_cb")
+_FI_STEP6C = ("among", "r1", [_r("j", (2, "ou"))], "limit_cb")
+_FI_STEP6D = ("among", "r1", [_r("o", (2, "j"))], "limit_cb")
+
+# e) final double consonant followed by zero or more vowels: drop one
+# (unbounded: akk -> ak even with R1 = "k")
+_FI_UNDOUBLE = ("undouble_vtail", None)
+
+FI_SPEC = {
+    "vowels": _FI_V,
+    "min_r1": 0,
+    "uses_flag": True,
+    "stages": [
+        ("plain", _FI_STEP1),
+        ("plain", _FI_STEP2),
+        # ONE among in the source: when a context entry fires, the
+        # delete rules must not fire again on the re-emitted vowel
+        # (öjmoaitten -> öjmoa, the cv rule may not eat the a); only
+        # the delete branch sets the ending_removed flag
+        ("or_flag_second", _FI_STEP3_CTX, _FI_STEP3),
+        ("plain", _FI_STEP4),
+        ("branch_flag", _FI_STEP5_IJ, _FI_STEP5_T),
+        ("plain", _FI_STEP6A), ("plain", _FI_STEP6B),
+        ("plain", _FI_STEP6C), ("plain", _FI_STEP6D),
+        ("strip_flag",),
+        ("plain", _FI_UNDOUBLE),
+    ],
+}
+
+# Hungarian (snowballstem.org/algorithms/hungarian/stemmer.html) —
+# R1-only, no cross-step state. Digraphs (cs dz dzs gy ly ny sz ty zs)
+# count as single consonants for R1 and can form doubled forms (ssz,
+# ggy, ...) for the instrumental/factive undoubling. Details pinned
+# against the postgres snowball oracle and fuzz-validated.
+_HU_V = "aáeéiíoóöőuúüű"
+_HU_PLAIN_DBL = "bcdfghjklmnprstvz"
+_HU_DIGRAPH_DBL = ["ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs"]
+
+
+def _hu_dbl_check(n):
+    """preceded by a double consonant (plain cc or doubled digraph)"""
+    groups = [((n + 1, c), (n + 2, c)) for c in _HU_PLAIN_DBL]
+    for d in _HU_DIGRAPH_DBL:
+        groups.append(tuple((n + 1 + i, d[-1 - i]) for i in range(3)))
+    return ("or", *groups)
+
+
+_HU_UNDOUBLE = ("among", None, [
+    *[_r(d, repl=d[1:]) for d in _HU_DIGRAPH_DBL],
+    *[_r(c + c, repl=c) for c in _HU_PLAIN_DBL],
+])
+
+_HU_V_ENDING = ("among", "r1", [
+    _r("á", repl="a"), _r("é", repl="e"),
+], "check")
+
+_HU_CASE = ("among", "r1", [
+    *[_r(s) for s in (
+        "ban ben ba be ra re nak nek val vel tól től ról ről ból ből "
+        "hoz hez höz nál nél ig at et ot öt ért képp képpen kor ul ül "
+        "vá vé onként enként anként ként en on an ön n t").split()],
+], "check")
+
+# owned / plural-owner / owner / plural: an or-chain — exactly one of
+# the four fires per word (oracle: tolbáéé stops after éé; bid -> bi
+# via owner d after the blocked plur-owner id; ajaink -> ajai via
+# owner nk after the blocked jaink). Each among is check-mode: the
+# longest match gates on R1 and blocks its own among on failure.
+_HU_OWNER = ("among", "r1", [
+    _r("unk"), _r("ünk"), _r("nk"),
+    _r("ánk", repl="a"), _r("énk", repl="e"),
+    _r("juk"), _r("jük"), _r("uk"), _r("ük"),
+    _r("ájuk", repl="a"), _r("éjük", repl="e"),
+    _r("em"), _r("om"), _r("am"), _r("m"),
+    _r("ám", repl="a"), _r("ém", repl="e"),
+    _r("od"), _r("ed"), _r("ad"), _r("öd"), _r("d"),
+    _r("ád", repl="a"), _r("éd", repl="e"),
+    _r("ja"), _r("je"), _r("a"), _r("e"), _r("o"),
+    _r("á", repl="a"), _r("é", repl="e"),
+], "check")
+
+# owned: é / éi and the ké-family chain into the owner step (oracle:
+# tolberáé -> tolbera via é then á -> a; tolberdoké -> tolber via oké
+# then d); éé / ééi / áéi and the j-composites do not (tolbáéé stops
+# at tolbá). Residual divergence: a handful of R1-boundary chains in
+# this corner (~1% of fuzz words) still differ from the reference —
+# see tests/test_snowball.py HU_KNOWN_EDGE.
+_HU_OWNED = ("among", "r1", [
+    _r("é", follow=_HU_OWNER), _r("éi", follow=_HU_OWNER),
+    _r("éé"), _r("ééi"), _r("áéi"), _r("jáké"), _r("jéké"),
+    _r("aké", follow=_HU_OWNER), _r("eké", follow=_HU_OWNER),
+    _r("oké", follow=_HU_OWNER), _r("öké", follow=_HU_OWNER),
+    _r("áké", follow=_HU_OWNER), _r("éké", follow=_HU_OWNER),
+    _r("ké", follow=_HU_OWNER),
+], "check")
+
+_HU_PLUR_OWNER = ("among", "r1", [
+    _r("jaim"), _r("jeim"), _r("aim"), _r("eim"), _r("im"),
+    _r("áim", repl="a"), _r("éim", repl="e"),
+    _r("jaid"), _r("jeid"), _r("aid"), _r("eid"), _r("id"),
+    _r("áid", repl="a"), _r("éid", repl="e"),
+    _r("jai"), _r("jei"), _r("ai"), _r("ei"), _r("i"),
+    _r("ái", repl="a"),
+    _r("jaink"), _r("jeink"), _r("aink"), _r("eink"), _r("ink"),
+    _r("áink", repl="a"), _r("éink", repl="e"),
+    _r("jaitok"), _r("jeitek"), _r("aitok"), _r("eitek"), _r("itek"),
+    _r("áitok", repl="a"), _r("éitek", repl="e"),
+    _r("jaik"), _r("jeik"), _r("aik"), _r("eik"), _r("ik"),
+    _r("áik", repl="a"), _r("éik", repl="e"),
+    _r("éi", repl="e"),
+], "check")
+
+_HU_PLURAL = ("among", "r1", [
+    _r("ák", repl="a"), _r("ék", repl="e"),
+    _r("ök"), _r("ok"), _r("ek"), _r("ak"), _r("k"),
+], "check")
+
+HU_SPEC = {
+    "vowels": _HU_V,
+    "min_r1": 0,
+    "r1_style": "hu",
+    "prog": ("seq", [
+        # 1. instrumental: al/el after a double consonant, undouble
+        ("among", "r1", [
+            _r("al", _hu_dbl_check(2), follow=_HU_UNDOUBLE),
+            _r("el", _hu_dbl_check(2), follow=_HU_UNDOUBLE),
+        ], "check"),
+        # 2. frequent cases; a final á/é left IN R1 then normalizes
+        # (bán -> bá: the á before R1 stays accented)
+        ("ifchanged", _HU_CASE, _HU_V_ENDING),
+        # 3. special cases
+        ("among", "r1", [_r("án", repl="a"), _r("ánként", repl="a"),
+                         _r("én", repl="e")], "check"),
+        # 5. factive á/é after a double consonant, undouble
+        ("among", "r1", [
+            _r("á", _hu_dbl_check(1), follow=_HU_UNDOUBLE),
+            _r("é", _hu_dbl_check(1), follow=_HU_UNDOUBLE),
+        ], "check"),
+        # 6-9. owned OR owner (mutually exclusive: tolbáéé stops after
+        # éé), then plural-owner, then plural — each running once and
+        # chaining (tolberekam: owner am, then plural ek)
+        ("or", [_HU_OWNED, _HU_OWNER]),
+        _HU_PLUR_OWNER,
+        _HU_PLURAL,
+    ]),
+}
+
 # Russian (snowballstem.org/algorithms/russian/stemmer.html) — every
 # test takes place inside RV; the derivational step additionally
 # requires R2.
@@ -531,7 +780,8 @@ RU_SPEC = {
 }
 
 SNOWBALL_LANGS = {"da": DA_SPEC, "no": NO_SPEC, "sv": SV_SPEC,
-                  "ru": RU_SPEC, "nl": NL_SPEC, "ro": RO_SPEC}
+                  "ru": RU_SPEC, "nl": NL_SPEC, "ro": RO_SPEC,
+                  "fi": FI_SPEC, "hu": HU_SPEC}
 
 # Stage plans for the expression backends: each entry becomes ONE
 # F.transform / list_transform pass. kinds:
@@ -573,6 +823,12 @@ def _sorted_rules(rules):
 
 def _region_re(spec: dict, region: str) -> str:
     v = spec["vowels"]
+    if region == "r1" and spec.get("r1_style") == "hu":
+        # Hungarian R1: word starts with a vowel -> after the first
+        # consonant or digraph; starts with a consonant -> after the
+        # first vowel (digraph alternatives longest-first)
+        return (f"^(?:[{v}]+(?:dzs|cs|dz|gy|ly|ny|sz|ty|zs|[^{v}])"
+                f"|[^{v}]+[{v}])(.*)$")
     if region == "rv" and spec.get("rv_style") == "es":
         # Spanish-family RV (Romanian): C V . -> after 3rd char;
         # V C -> after the next vowel; V V -> after the next
@@ -684,6 +940,19 @@ def _py_run(spec, prog, t):
         if dbl:
             return t[:-1]
         return t
+    if op == "undouble_vtail":
+        # final double consonant followed by zero or more vowels, the
+        # whole double within the region: drop its last letter
+        # (Finnish step 6e: eläkk -> eläk, aatonaatto -> aatonaato)
+        rlen = _py_region_len(spec, prog[1], t) if prog[1] else len(t)
+        k = len(t)
+        while k > 0 and t[k - 1] in spec["vowels"]:
+            k -= 1
+        if (k >= 2 and t[k - 1] == t[k - 2]
+                and t[k - 1] not in spec["vowels"]
+                and rlen >= len(t) - k + 2):
+            return t[:k - 1] + t[k:]
+        return t
     if op == "seq":
         for p in prog[1]:
             t = _py_run(spec, p, t)
@@ -747,6 +1016,12 @@ def _py_stages(spec, stages, t):
         elif k == "flag_if_changed":
             out = _py_run(spec, st[1], t)
             flag = flag or out != t
+            t = out
+        elif k == "or_flag_second":
+            out = _py_run(spec, st[1], t)
+            if out == t:
+                out = _py_run(spec, st[2], t)
+                flag = flag or out != t
             t = out
         elif k == "branch_flag":
             t = _py_run(spec, st[1] if flag else st[2], t)
@@ -865,6 +1140,18 @@ def _sp_run(spec, prog, t: Column) -> Column:
         dbl = (limit >= 1) & (F.length(t) >= 2) \
             & (last == t.substr(F.length(t) - 1, F.lit(1))) & memb
         return F.when(dbl, t.substr(F.lit(1), F.length(t) - 1)).otherwise(t)
+    if op == "undouble_vtail":
+        rlen = _sp_region_len(spec, prog[1], t) if prog[1] \
+            else F.length(t)
+        vw = list(spec["vowels"])
+        tail = F.regexp_extract(t, f"[{''.join(vw)}]*$", 0)
+        tlen = F.length(tail)
+        k = F.length(t) - tlen
+        c1 = t.substr(k, F.lit(1))
+        c0 = t.substr(k - 1, F.lit(1))
+        dbl = (k >= 2) & (c1 == c0) & (rlen >= tlen + 2)
+        cut = F.concat(t.substr(F.lit(1), k - 1), tail)
+        return F.when(dbl, cut).otherwise(t)
     if op == "seq":
         for p in prog[1]:
             t = _sp_run(spec, p, t)
@@ -934,6 +1221,11 @@ def _sp_stage(spec, stage):
                 t.startswith(FLAG),
                 F.concat(F.lit(FLAG), _sp_run(spec, stage[1], body)),
             ).otherwise(_sp_run(spec, stage[2], t))
+        if kind == "or_flag_second":
+            a = _sp_run(spec, stage[1], t)
+            b = _sp_run(spec, stage[2], t)
+            return F.when(a != t, a).otherwise(
+                F.when(b != t, F.concat(F.lit(FLAG), b)).otherwise(t))
         if kind == "strip_flag":
             return F.when(t.startswith(FLAG),
                           t.substr(F.lit(2), F.length(t))).otherwise(t)
@@ -1087,6 +1379,18 @@ def _sql_run(spec, prog, v: str) -> str:
                f"substr({v}, -1) = substr({v}, -2, 1) AND {memb}")
         return (f"(CASE WHEN {dbl} THEN substr({v}, 1, length({v}) - 1) "
                 f"ELSE {v} END)")
+    if op == "undouble_vtail":
+        rlen = _sql_region_len(spec, prog[1], v) if prog[1] \
+            else f"length({v})"
+        vw = "".join(spec["vowels"])
+        tail = f"regexp_extract({v}, '[{vw}]*$', 0)"
+        k = f"(length({v}) - length({tail}))"
+        c1 = f"substr({v}, {k}, 1)"
+        c0 = f"substr({v}, {k} - 1, 1)"
+        dbl = (f"{k} >= 2 AND {c1} = {c0} "
+               f"AND ({rlen}) >= length({tail}) + 2")
+        cut = f"(substr({v}, 1, {k} - 1) || {tail})"
+        return f"(CASE WHEN {dbl} THEN {cut} ELSE {v} END)"
     if op == "seq":
         for p in prog[1]:
             v = _sql_run(spec, p, v)
@@ -1148,6 +1452,12 @@ def _sql_stage(spec, stage, v: str = "x") -> str:
                 f"ELSE ({_sql_run(spec, stage[2], v)}) END")
     if kind == "strip_flag":
         return f"CASE WHEN {flagged} THEN substr({v}, 2) ELSE {v} END"
+    if kind == "or_flag_second":
+        a = _sql_run(spec, stage[1], v)
+        b = _sql_run(spec, stage[2], v)
+        return (f"CASE WHEN ({a}) != {v} THEN ({a}) "
+                f"WHEN ({b}) != {v} THEN '{FLAG}' || ({b}) "
+                f"ELSE {v} END")
     if kind == "plain":
         if spec.get("uses_flag"):
             body = f"(substr({v}, 2))"

@@ -8,11 +8,11 @@ scan time instead of write time. No Python UDFs here.
 - term  (tok/tok.go:369-389): unicode-word split + lowercase.
 - fulltext (tok/tok.go:558-575): term + stopwords + stemming. en runs a
   porter-lite; de/es/fr/it/pt run the reference's Lucene light stemmers
-  (functions/light_stemmers.py), da/no/sv/ru/nl/ro the published
+  (functions/light_stemmers.py), da/no/sv/ru/nl/ro/fi/hu the published
   Snowball algorithms (functions/snowball.py), ar/ckb/hi the Lucene
   Arabic/Sorani/Hindi stemmers bleve ports
   (functions/dedicated_stemmers.py), zh/ja/ko the cjk_bigram filter —
-  matching tok/stemmers.go langStemmers routing. fi/hu/tr remain
+  matching tok/stemmers.go langStemmers routing. Only tr remains
   suffix-lite: a documented divergence.
 - trigram (tok/tok.go:616): dgraph uses trigrams only as a lossy regex
   prefilter — Spark evaluates regexes exactly, so trigram is exposed for

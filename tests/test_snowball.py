@@ -72,6 +72,50 @@ NL_CASES = [
     ("ogen", "ogen"),           # en starts before R1 (min 3 letters)
 ]
 
+FI_CASES = [
+    ("taloihin", "talo"),       # hin with passing i-test, then step-5 i
+    ("tolhin", "tolhin"),       # failed hXn test blocks the bare n
+    ("atuhun", "atuhu"),        # hun is NOT an illative form
+    ("toloiden", "tolo"),       # context entry re-emits the vowel
+    ("toliiden", "toli"),       # ...and does NOT set the step-5 flag
+    ("tolyiden", "tolyid"),     # y is not V1: falls through to n
+    ("talooseen", "talo"),      # LV+seen, then 6a long-vowel trim
+    ("tolitaan", "tol"),        # step-2 taan -> ta, step-3 ta, step-5 i
+    ("tontta", "tont"),         # blocked tta, then 6b + 6e
+    ("toletta", "tole"),        # tta with passing e-test
+    ("tolenko", "tole"),        # particle ko after n, then step-3 n
+    ("tolassti", "tolas"),      # sti in R2
+    ("tolakseni", "tola"),      # ni, kse -> ksi, then step-3 ksi
+    ("öjmoaitten", "öjmoa"),    # one among: cv rule must not refire
+    ("eläkk", "eläk"),          # 6e undouble before trailing vowels
+    ("aatonaatto", "aatonaato"),
+    ("akk", "ak"),              # 6e is not region-limited
+    ("euttta", "eutt"),
+]
+
+HU_CASES = [
+    ("asztalok", "asztal"),     # plural ok
+    ("házakban", "ház"),        # case ban, then plural ak
+    ("könyvekkel", "könyv"),    # kel after kk double + undouble
+    ("busszal", "busz"),        # instrumental al after doubled digraph
+    ("meggyel", "megy"),        # ggy -> gy undouble
+    ("iskolában", "iskol"),     # ban, á -> a, then owner a
+    ("bán", "bá"),              # á before R1 stays accented
+    ("aban", "aban"),           # blocked ban (starts before R1)
+    ("pénzzé", "pénz"),         # factive é after double + undouble
+    ("boldogságát", "boldogság"),
+    ("házaim", "ház"),          # plural owner aim
+    ("munkája", "munká"),       # owner ja — no á normalization
+    ("munkánk", "munka"),       # ánk -> a
+    ("tolberoké", "tolber"),    # owned oké
+    ("tolberdoké", "tolber"),   # owned oké chains into owner d
+    ("tolbáéé", "tolbá"),       # éé does NOT chain
+    ("tolberáé", "tolbera"),    # é chains: á -> a
+    ("tolberekam", "tolber"),   # owner am then plural ek
+    ("tolberitok", "tolberit"), # itok is NOT an entry; plural ok
+    ("naponként", "nap"),
+]
+
 RO_CASES = [
     ("copilul", "copil"),       # step 0 ul
     ("copilului", "copil"),
@@ -129,6 +173,16 @@ def test_nl_snowball(word, want):
     assert snowball_stem_py(word, "nl") == want
 
 
+@pytest.mark.parametrize("word,want", FI_CASES)
+def test_fi_snowball(word, want):
+    assert snowball_stem_py(word, "fi") == want
+
+
+@pytest.mark.parametrize("word,want", HU_CASES)
+def test_hu_snowball(word, want):
+    assert snowball_stem_py(word, "hu") == want
+
+
 @pytest.mark.parametrize("word,want", RO_CASES)
 def test_ro_snowball(word, want):
     assert snowball_stem_py(word, "ro") == want
@@ -147,6 +201,41 @@ def _fuzz_vocab(lang, n=600, seed=29):
                 "end", "ing", "ig", "lijk", "baar", "bar", "kken",
                 "dden", "tten", "gemen", "aars", "iy", "yi", "aa",
                 "ied", "aat", "ië", "tje"]
+        rng = random.Random(seed)
+        return sorted({
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            + rng.choice(sufs) for _ in range(n)})
+    if lang == "fi":
+        alphabet = "adehijklmnoprstuvyäö"
+        sufs = ["", "kin", "kaan", "kään", "ko", "kö", "han", "hän",
+                "pa", "pä", "sti", "si", "ni", "nsa", "nsä", "mme",
+                "nne", "taan", "ssaan", "llaan", "naan", "tään",
+                "lleen", "ineen", "ahan", "ihin", "ohon", "uhun",
+                "yhyn", "oiden", "aitten", "eisiin", "ooseen", "siin",
+                "den", "tten", "seen", "a", "ä", "tta", "ttä", "etta",
+                "ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä",
+                "lta", "ltä", "lle", "na", "nä", "ksi", "ine", "n",
+                "an", "en", "in", "mpi", "immi", "imma", "eja", "i",
+                "j", "t", "at", "it", "kaa", "kk", "tt", "kko", "ttu",
+                "aa", "ee", "oj", "uj", "jo", "ja", "ia", "ien",
+                "iin", "isompi", "itaan", "iden", "ttta", "iiden"]
+        rng = random.Random(seed)
+        return sorted({
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            + rng.choice(sufs) for _ in range(n)})
+    if lang == "hu":
+        alphabet = "abcdefghijklmnoprstuvzáéíóöúü"
+        sufs = ["", "ban", "ben", "ra", "nak", "val", "tól", "ból",
+                "hoz", "nál", "ig", "at", "ot", "ért", "képpen", "kor",
+                "ul", "vá", "onként", "ként", "en", "on", "n", "t",
+                "án", "ánként", "al", "el", "ttal", "kkel", "sszal",
+                "ggyel", "á", "é", "zzé", "áéi", "éé", "éi", "ké",
+                "aké", "oké", "unk", "nk", "ánk", "juk", "uk", "em",
+                "om", "m", "ám", "od", "d", "ád", "ja", "je", "a",
+                "e", "o", "jaim", "aim", "im", "áim", "aid", "id",
+                "jai", "ai", "i", "ái", "aink", "ink", "eitek",
+                "itek", "aik", "ik", "ák", "ék", "ok", "ek", "k",
+                "jáké", "doké", "ekam"]
         rng = random.Random(seed)
         return sorted({
             "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
@@ -206,7 +295,7 @@ def test_pinned_snowball_vectors():
         assert not bad, (lang, dict(list(bad.items())[:5]))
 
 
-@pytest.mark.parametrize("lang", ["da", "no", "sv", "ru", "nl", "ro"])
+@pytest.mark.parametrize("lang", ["da", "no", "sv", "ru", "nl", "ro", "fi", "hu"])
 def test_three_backend_agreement(spark, lang):
     import duckdb
     import pyspark.sql.functions as F
