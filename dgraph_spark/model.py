@@ -205,3 +205,57 @@ class Graph:
             safe = name.replace("/", "_").replace(".", "_")
             preds[name] = spark.read.parquet(f"{path}/preds/{safe}")
         return cls(spark=spark, preds=preds, schema=schema)
+
+
+# rows under which iterative driver loops run with the reduced conf
+SMALL_LOOP_ROW_CAP = 2_000_000
+
+
+class SmallLoopConf:
+    """Scoped Spark conf for driver-loop rounds over SMALL frontiers:
+    iterative algorithms (shortest, @recurse, connected components) pay
+    a per-round planning/scheduling floor, and with a tiny frontier the
+    default shuffle width and AQE re-planning are pure overhead (~30%
+    of round wall time at sf0.1). Partitions shrink relative to the
+    session setting (never below 8) so the reduction stays proportional
+    on a real cluster, and everything is restored when the frontier
+    outgrows the small regime or the loop ends — at 100 TB a frontier
+    past SMALL_LOOP_ROW_CAP runs under the user's full conf and AQE
+    skew handling."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.active = False
+        self._saved: dict[str, str] = {}
+
+    def enter(self):
+        import os
+        if self.active or os.environ.get("DGSPARK_LOOP_CONF") == "off":
+            return
+        conf = self.spark.conf
+        self._saved = {
+            "spark.sql.shuffle.partitions":
+                conf.get("spark.sql.shuffle.partitions"),
+            "spark.sql.adaptive.enabled":
+                conf.get("spark.sql.adaptive.enabled"),
+        }
+        parts = max(8, int(self._saved["spark.sql.shuffle.partitions"]) // 4)
+        conf.set("spark.sql.shuffle.partitions", str(parts))
+        conf.set("spark.sql.adaptive.enabled", "false")
+        self.active = True
+
+    def exit(self):
+        if not self.active:
+            return
+        for k, v in self._saved.items():
+            self.spark.conf.set(k, v)
+        self.active = False
+
+    def adapt(self, frontier_rows: int):
+        """Enter/leave the small regime as the frontier grows/shrinks."""
+        if frontier_rows <= SMALL_LOOP_ROW_CAP:
+            self.enter()
+        else:
+            self.exit()
+
+_POSTING_KEY_UDFS: dict = {}

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dgraph_spark.model import OBJECT, SUBJECT, Graph
+from dgraph_spark.model import OBJECT, SUBJECT, Graph, SmallLoopConf
 
 # Depth bound under which multi-round traversals are planned fully
 # lazily (one action for all rounds, no per-round probe/checkpoint).
@@ -29,6 +29,13 @@ from dgraph_spark.model import OBJECT, SUBJECT, Graph
 # (A WITH RECURSIVE formulation was measured too: Spark 4 executes each
 # recursion level as separate internal jobs, so it was no faster.)
 CTE_MAX_DEPTH = 8
+
+
+def _cached_count(g: Graph, key: tuple, df: DataFrame) -> int:
+    cache = g.__dict__.setdefault("_loop_rel_cache", {})
+    if key not in cache:
+        cache[key] = df.count()
+    return cache[key]
 
 
 def union_edges(g: Graph, preds: list[str]) -> DataFrame:
@@ -109,7 +116,10 @@ def reachable(
             F.min("depth").alias("depth"))
     else:
         visited = frontier
+        loop_conf = SmallLoopConf(frontier.sparkSession)
+        front_n = 0
         for d in range(1, max_depth + 1):
+            loop_conf.adapt(front_n)
             nxt = (
                 frontier.join(edges, frontier.node == edges[SUBJECT], "inner")
                 .select(F.col("start"), F.col(OBJECT).alias("node"), F.lit(d).alias("depth"))
@@ -121,10 +131,12 @@ def reachable(
             # lineage-truncates the round (a limit(1) probe would only
             # partially materialize the checkpoint)
             nxt = nxt.localCheckpoint(eager=False)
-            if nxt.count() == 0:
+            front_n = nxt.count()
+            if front_n == 0:
                 break
             visited = visited.unionByName(nxt).localCheckpoint(eager=False)
             frontier = nxt
+        loop_conf.exit()
     if not keep_start:
         visited = visited.where(F.col("depth") > 0)
     # eager=False: single-action callers materialize exactly once; the
@@ -204,18 +216,24 @@ def connected_components(g: Graph, preds: list[str], max_iter: int = 20) -> Data
     # graphs (the common case after one pointer jump) finish in one
     # action instead of two.
     prev_sum = None
-    for it in range(0, max_iter, 2):
-        l1 = _round(labels, it)
-        l2 = _round(l1, it + 1)
-        s1, s2 = [r["s"] for r in _sum(l1).unionAll(_sum(l2)).collect()]
-        if s1 == prev_sum:
-            return labels
-        if s1 == s2:
-            return l2
-        labels, prev_sum = l2, s2
-    # the probe action already materialized the final checkpoint; the
-    # graph-cached edge relation stays persisted for the next call
-    return labels
+    n_nodes = _cached_count(g, ("cc_n", tuple(preds)), nodes)
+    loop_conf = SmallLoopConf(labels.sparkSession)
+    try:
+        loop_conf.adapt(n_nodes)
+        for it in range(0, max_iter, 2):
+            l1 = _round(labels, it)
+            l2 = _round(l1, it + 1)
+            s1, s2 = [r["s"] for r in _sum(l1).unionAll(_sum(l2)).collect()]
+            if s1 == prev_sum:
+                return labels
+            if s1 == s2:
+                return l2
+            labels, prev_sum = l2, s2
+        # the probe action already materialized the final checkpoint; the
+        # graph-cached edge relation stays persisted for the next call
+        return labels
+    finally:
+        loop_conf.exit()
 
 
 def pagerank(

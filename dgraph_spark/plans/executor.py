@@ -38,7 +38,8 @@ from dgraph_spark.dql.ast import (
     ParsedQuery,
 )
 from dgraph_spark.dql.parser import parse_dql
-from dgraph_spark.model import FACETS, OBJECT, SUBJECT, VALUE, Graph
+from dgraph_spark.model import (FACETS, OBJECT, SUBJECT, VALUE, Graph,
+                                SmallLoopConf)
 from dgraph_spark.plans.functions import FuncCompiler
 from dgraph_spark.plans.mathexpr import compile_math, math_vars
 
@@ -2048,95 +2049,111 @@ class Executor:
         # rounds extend simple paths one edge at a time; path-level cycle
         # avoidance bounds length by the node count, the cap is a backstop
         paths_n = 1
-        for _ in range(64):
-            # frontier is small relative to the edge relation: ship it to
-            # the edges (dgraph ships uid lists to tablets — same idea);
-            # size-gated so a blown-up path frontier falls back to a
-            # shuffle join instead of OOMing the executors
-            bcp = F.broadcast if paths_n <= BROADCAST_ROW_CAP else (lambda d: d)
-            grown = (
-                bcp(paths).join(edges, paths.node == edges[SUBJECT], "inner")
-                .where(~F.array_contains(F.col("path"), F.col(OBJECT)))
-                .select(
-                    F.col(OBJECT).alias("node"),
-                    (F.col("dist") + F.col("_w")).alias("dist"),
-                    F.concat(F.col("path"), F.array(F.col(OBJECT))).alias("path"),
-                    F.concat(F.col("preds"), F.array(F.col("_pred"))).alias("preds"),
-                    F.concat(F.col("wfs"), F.array(F.col("_wf"))).alias("wfs"),
-                )
-            )
-            if sp.maxweight is not None:
-                grown = grown.where(F.col("dist") <= sp.maxweight)
-            # keep top-k cheapest frontier paths per node to bound growth
-            w = Window.partitionBy("node").orderBy(F.col("dist").asc())
-            grown = grown.withColumn("_rn", F.row_number().over(w)).where(
-                F.col("_rn") <= numpaths
-            ).drop("_rn")
-            if sp.maxfrontiersize is not None:
-                # maxfrontiersize: keep only the cheapest N candidate
-                # paths globally (query/shortest.go:408 pops the queue
-                # past the cap — bounded memory, possibly suboptimal
-                # answers, by design). orderBy().limit() compiles to
-                # TakeOrdered — per-partition top-N then merge.
-                grown = grown.orderBy(F.col("dist").asc()).limit(sp.maxfrontiersize)
-            extra_cols = []
-            if lookahead:
-                # tag frontier rows adjacent to dst (AQE broadcasts the
-                # small in-edge side; a celebrity dst degrades to a
-                # shuffle join instead of a forced broadcast)
-                grown = grown.join(
-                    dst_in.withColumn("_adj", F.lit(True)), "node", "left")
-                extra_cols = ["_adj", "_dw", "_dwf", "_dpred"]
-            # lazy checkpoint: the stats action computes, caches, and
-            # lineage-truncates the round in ONE job
-            grown = grown.localCheckpoint(eager=False)
-            # one action for both loop conditions
-            aggs = [
-                F.count("*").alias("n"),
-                F.sum(F.when(F.col("node") == dst, 1).otherwise(0)).alias("h"),
-            ]
-            if lookahead:
-                aggs.append(F.sum(F.when(
-                    F.col("_adj") & ~F.array_contains(F.col("path"), F.lit(dst)),
-                    1).otherwise(0)).alias("a"))
-            stats = grown.agg(*aggs).collect()[0]
-            if stats["n"] == 0:
-                break
-            paths_n = stats["n"]
-            num_edges += stats["n"]
-            if num_edges > self.limit_query_edge:
-                raise ResourceLimitError(
-                    f"Exceeded query edge limit = {self.limit_query_edge}. "
-                    f"Found {num_edges} edges.")
-            found = found.unionByName(
-                grown.where(F.col("node") == dst).drop(*extra_cols))
-            if unit_weights and stats["h"] > 0 and not found_any:
-                found_any = True
-                if numpaths == 1:
-                    # BFS with unit weights: first hit is provably minimal
-                    break
-            if lookahead and stats["a"] > 0:
-                # frontier touches parents(dst): minimal dist is this
-                # round + 1; assemble the answer paths from the cached
-                # round instead of running the final expansion job
-                found = found.unionByName(
-                    grown.where(F.col("_adj")
-                                & ~F.array_contains(F.col("path"), F.lit(dst)))
+        loop_conf = SmallLoopConf(spark)
+        try:
+            for _ in range(64):
+                loop_conf.adapt(paths_n)
+                # frontier is small relative to the edge relation: ship it to
+                # the edges (dgraph ships uid lists to tablets — same idea);
+                # size-gated so a blown-up path frontier falls back to a
+                # shuffle join instead of OOMing the executors
+                bcp = F.broadcast if paths_n <= BROADCAST_ROW_CAP else (lambda d: d)
+                grown = (
+                    bcp(paths).join(edges, paths.node == edges[SUBJECT], "inner")
+                    .where(~F.array_contains(F.col("path"), F.col(OBJECT)))
                     .select(
-                        F.lit(dst).alias("node"),
-                        (F.col("dist") + F.col("_dw")).alias("dist"),
-                        F.concat(F.col("path"), F.array(F.lit(dst))).alias("path"),
-                        F.concat(F.col("preds"), F.array(F.col("_dpred"))).alias("preds"),
-                        F.concat(F.col("wfs"), F.array(F.col("_dwf"))).alias("wfs"),
-                    ))
-                found_any = True
-                break
-            paths = grown.drop(*extra_cols)
-        w = Window.orderBy(F.col("dist").asc(), F.size("path").asc())
-        result = found.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= numpaths)
-        if sp.minweight is not None:
-            result = result.where(F.col("dist") >= sp.minweight)
-        result = result.select("node", "dist", "path", "preds", "wfs")
+                        F.col(OBJECT).alias("node"),
+                        (F.col("dist") + F.col("_w")).alias("dist"),
+                        F.concat(F.col("path"), F.array(F.col(OBJECT))).alias("path"),
+                        F.concat(F.col("preds"), F.array(F.col("_pred"))).alias("preds"),
+                        F.concat(F.col("wfs"), F.array(F.col("_wf"))).alias("wfs"),
+                    )
+                )
+                if sp.maxweight is not None:
+                    grown = grown.where(F.col("dist") <= sp.maxweight)
+                # keep top-k cheapest frontier paths per node to bound growth;
+                # with unit weights every frontier path has equal dist, so
+                # top-1 is ANY one — dropDuplicates plans as a hash-agg
+                # instead of a window sort (smaller plan, same answer)
+                if unit_weights and numpaths == 1:
+                    grown = grown.dropDuplicates(["node"])
+                else:
+                    w = Window.partitionBy("node").orderBy(F.col("dist").asc())
+                    grown = grown.withColumn("_rn", F.row_number().over(w)).where(
+                        F.col("_rn") <= numpaths
+                    ).drop("_rn")
+                if sp.maxfrontiersize is not None:
+                    # maxfrontiersize: keep only the cheapest N candidate
+                    # paths globally (query/shortest.go:408 pops the queue
+                    # past the cap — bounded memory, possibly suboptimal
+                    # answers, by design). orderBy().limit() compiles to
+                    # TakeOrdered — per-partition top-N then merge.
+                    grown = grown.orderBy(F.col("dist").asc()).limit(sp.maxfrontiersize)
+                extra_cols = []
+                if lookahead:
+                    # tag frontier rows adjacent to dst (AQE broadcasts the
+                    # small in-edge side; a celebrity dst degrades to a
+                    # shuffle join instead of a forced broadcast)
+                    grown = grown.join(
+                        dst_in.withColumn("_adj", F.lit(True)), "node", "left")
+                    extra_cols = ["_adj", "_dw", "_dwf", "_dpred"]
+                # lazy checkpoint: the stats action computes, caches, and
+                # lineage-truncates the round in ONE job
+                grown = grown.localCheckpoint(eager=False)
+                # one action for both loop conditions
+                aggs = [
+                    F.count("*").alias("n"),
+                    F.sum(F.when(F.col("node") == dst, 1).otherwise(0)).alias("h"),
+                ]
+                if lookahead:
+                    aggs.append(F.sum(F.when(
+                        F.col("_adj") & ~F.array_contains(F.col("path"), F.lit(dst)),
+                        1).otherwise(0)).alias("a"))
+                stats = grown.agg(*aggs).collect()[0]
+                if stats["n"] == 0:
+                    break
+                paths_n = stats["n"]
+                num_edges += stats["n"]
+                if num_edges > self.limit_query_edge:
+                    raise ResourceLimitError(
+                        f"Exceeded query edge limit = {self.limit_query_edge}. "
+                        f"Found {num_edges} edges.")
+                found = found.unionByName(
+                    grown.where(F.col("node") == dst).drop(*extra_cols))
+                if unit_weights and stats["h"] > 0 and not found_any:
+                    found_any = True
+                    if numpaths == 1:
+                        # BFS with unit weights: first hit is provably minimal
+                        break
+                if lookahead and stats["a"] > 0:
+                    # frontier touches parents(dst): minimal dist is this
+                    # round + 1; assemble the answer paths from the cached
+                    # round instead of running the final expansion job
+                    found = found.unionByName(
+                        grown.where(F.col("_adj")
+                                    & ~F.array_contains(F.col("path"), F.lit(dst)))
+                        .select(
+                            F.lit(dst).alias("node"),
+                            (F.col("dist") + F.col("_dw")).alias("dist"),
+                            F.concat(F.col("path"), F.array(F.lit(dst))).alias("path"),
+                            F.concat(F.col("preds"), F.array(F.col("_dpred"))).alias("preds"),
+                            F.concat(F.col("wfs"), F.array(F.col("_dwf"))).alias("wfs"),
+                        ))
+                    found_any = True
+                    break
+                paths = grown.drop(*extra_cols)
+            # result assembly (a global top-k window over the handful of
+            # found paths) plans under the small-loop conf too — the
+            # lazy checkpoint binds the narrow plan before conf restores
+            w = Window.orderBy(F.col("dist").asc(), F.size("path").asc())
+            result = found.withColumn("_rn", F.row_number().over(w)) \
+                .where(F.col("_rn") <= numpaths)
+            if sp.minweight is not None:
+                result = result.where(F.col("dist") >= sp.minweight)
+            result = result.select("node", "dist", "path", "preds", "wfs") \
+                .localCheckpoint(eager=False)
+        finally:
+            loop_conf.exit()
         # every surviving frame (found / grown) was checkpointed, so
         # nothing downstream re-reads the per-query edge relation;
         # graph-cached relations stay persisted for the next query
