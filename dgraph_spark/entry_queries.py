@@ -1237,6 +1237,39 @@ def _sql_stem_tokens_ru() -> str:
             f"AS stems FROM documents")
 
 
+def q_bigfloat_agg(spark, sf_dir):
+    """200-bit bigfloat ordering (functions/bigfloat.py, reference
+    types/scalar_types.go:27 BigFloatPrecision): nations carry amounts
+    with >38 significant digits (beyond float64 AND decimal(38)), built
+    so numeric order needs the order-preserving 200-bit sort key. The
+    engine sorts via bigfloat_key; the twin constructs the same lexical
+    strings arithmetically."""
+    from dgraph_spark.schema import SchemaRegistry
+    from dgraph_spark.sources.rdf import graph_from_triples, parse_nquads
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nq = nation.select(F.concat(
+        F.lit("<0x"), F.lower(F.hex(F.col("n_nationkey") + 1)),
+        F.lit('> <amount> "'),
+        (F.col("n_nationkey") + 1).cast("string"),
+        F.expr("repeat('0', n_nationkey)"),
+        F.lit("." + "0" * 25 + '7" .'),
+    ).alias("value"))
+    g = graph_from_triples(spark, parse_nquads(nq),
+                           SchemaRegistry.parse("amount: bigfloat @index(bigfloat) ."))
+    ex = Executor(g)
+    df = ex.execute_flat(
+        '{ q(func: has(amount), orderdesc: amount, first: 5) { amount } }')
+    return df.select(F.col("amount").cast("string").alias("amount"))
+
+
+SQL_bigfloat_agg = """
+SELECT CAST(n_nationkey + 1 AS VARCHAR) || repeat('0', n_nationkey)
+       || '.' || repeat('0', 25) || '7' AS amount
+FROM nation ORDER BY n_nationkey DESC LIMIT 5
+"""
+
+
 def q_ngram_search(spark, sf_dir):
     """ngram containment search (tok/tok.go:447-551)."""
     return _flat(spark, sf_dir, '''
@@ -2025,6 +2058,7 @@ QUERIES: dict[str, tuple] = {
     "stem_tokens_ro": (_q_stem_tokens("ro"), _sql_stem_tokens("ro")),
     "stem_tokens_fi": (_q_stem_tokens("fi"), _sql_stem_tokens("fi")),
     "stem_tokens_hu": (_q_stem_tokens("hu"), _sql_stem_tokens("hu")),
+    "bigfloat_agg": (q_bigfloat_agg, SQL_bigfloat_agg),
     "stem_tokens_ar": (_q_stem_tokens_translit("ar"),
                        _sql_stem_tokens_translit("ar")),
     "stem_tokens_ckb": (_q_stem_tokens_translit("ckb"),
@@ -2034,61 +2068,62 @@ QUERIES: dict[str, tuple] = {
 }
 
 # Driver rotation: the per-round correctness harness runs a 50-entry
-# prefix; entries WITHOUT a fresh (round-5) driver row come first so
+# prefix; entries WITHOUT a fresh (round-6) driver row come first so
 # every registry entry gets a driver-green row no older than two
-# rounds (round-5 verdict, task 4). Stable within each group.
-_R5_DRIVER_COVERED = {
+# rounds (round-6 verdict, task 7). Stable within each group. New
+# entries (stem_tokens_*, bigfloat_agg) sort to the very front.
+_R6_DRIVER_COVERED = {
     "after_uid",
-    "agg_math_root",
-    "allofterms",
+    "alloftext",
     "ann_lsh",
     "anyof_custom",
-    "anyofterms",
-    "backup_restore",
-    "between_dates",
-    "cascade",
+    "anyoftext",
+    "anyoftext_de",
+    "anyoftext_es",
+    "anyoftext_fr",
+    "anyoftext_zh",
     "cdc_diff",
-    "count_having",
-    "count_uid_root",
+    "chain_region_revenue",
+    "connected_components",
     "dedup_clusters",
-    "eq_val_var",
-    "expand_all",
-    "export_roundtrip",
-    "facet_filter",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "facet_order",
+    "facet_output",
     "facet_var_order",
-    "fuzzy_match",
     "geo_contains",
-    "geo_intersects",
-    "geo_near_poly",
     "geo_within",
-    "graphql_query",
-    "groupby_q1",
     "groupby_uid_pred",
     "ignorereflex",
-    "json_load_roundtrip",
-    "json_mutation_roundtrip",
+    "lang_preference",
     "len_filter",
-    "level_agg_sum",
-    "math_per_uid",
     "multimodal_audio",
     "multimodal_features",
     "multimodal_frames",
-    "mutation_roundtrip",
-    "not_has",
-    "per_parent_topk",
+    "ngram_search",
+    "order_by_val",
+    "pagerank",
     "q5_local_supplier",
-    "recurse_depth5",
-    "regexp",
-    "root_eq_reverse_traversal",
-    "schema_introspect",
-    "since_math",
+    "recurse_reach",
+    "shortest_path",
+    "similar_to",
+    "similar_to_dql",
+    "similar_to_uid",
     "stateful_counts",
+    "stem_tokens_da",
+    "stem_tokens_it",
+    "stem_tokens_pt",
+    "stem_tokens_ru",
+    "stem_tokens_sv",
     "stream_session",
-    "topk_root_order",
-    "uid_in",
-    "uid_literal",
+    "stream_sliding",
+    "stream_tumbling",
+    "text_stats",
 }
 QUERIES = {k: QUERIES[k]
-           for k in sorted(QUERIES, key=lambda k: k in _R5_DRIVER_COVERED)}
+           for k in sorted(QUERIES, key=lambda k: k in _R6_DRIVER_COVERED)}
 

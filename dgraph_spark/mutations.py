@@ -507,7 +507,7 @@ def expand_template(graph: Graph, nquads: str, env: dict[str, DataFrame],
     spark = graph.spark
     const_lines: list[str] = []
     parts: list[DataFrame] = []
-    _checked_vars: set[str] = set()
+    _checked_vars: dict[str, int] = {}
     from dgraph_spark.sources.rdf import _uid_expr
 
     def _id_expr(iri, blank, var):
@@ -538,10 +538,22 @@ def expand_template(graph: Graph, nquads: str, env: dict[str, DataFrame],
                     # per-variable uid cap before the mutation fan-out
                     # (edgraph/server.go:1685: "We support maximum 1
                     # million UIDs per variable")
-                    if env[v].select(SUBJECT).limit(max_var_size + 1).count() > max_var_size:
+                    n = env[v].select(SUBJECT).limit(max_var_size + 1).count()
+                    if n > max_var_size:
                         raise ValueError(f"var [{v}] has over million UIDs")
-                    _checked_vars.add(v)
+                    _checked_vars[v] = n
                 line_vars.append(v)
+        # the per-line fan-out is the PRODUCT of its variables' sizes
+        # (the reference fans out the same way and hits the same wall);
+        # two near-cap vars would build a 10^12-row mutation — fail
+        # loudly before the cartesian instead of OOMing
+        product = 1
+        for v in line_vars:
+            product *= max(_checked_vars[v], 1)
+        if product > max_var_size:
+            raise ValueError(
+                f"upsert mutation line fans out to {product} rows "
+                f"(variables {line_vars}), over the {max_var_size} cap")
         base = spark.range(1).select()
         for v in line_vars:
             rel = env[v].select(F.col(SUBJECT).alias(f"__var_{v}")).distinct()

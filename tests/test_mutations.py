@@ -165,6 +165,27 @@ def test_upsert_relational_expansion(spark):
     assert t2.count() == 3 * 100_000
 
 
+def test_upsert_fanout_product_cap(spark):
+    """Two near-cap variables on one template line would build a
+    cartesian of their product (the reference fans out the same way) —
+    the expansion fails loudly BEFORE building it instead of OOMing.
+    Exercised with a small max_var_size so the test stays cheap."""
+    import pytest
+
+    from dgraph_spark.mutations import expand_template
+
+    g = _graph(spark, '<0x1> <name> "seed" .')
+    a = spark.range(1, 5).select(F.col("id").alias("subject"))    # 4 uids
+    b = spark.range(10, 14).select(F.col("id").alias("subject"))  # 4 uids
+    with pytest.raises(ValueError, match="fans out to 16 rows"):
+        expand_template(g, "uid(a) <linked> uid(b) .", {"a": a, "b": b},
+                        max_var_size=10)
+    # a single var under the cap still expands
+    t = expand_template(g, 'uid(a) <flag> "y" .', {"a": a},
+                        max_var_size=10)
+    assert t.count() == 4
+
+
 def test_set_preserves_facets_and_lang(spark):
     # facet update on an existing edge + lang-variant postings
     # (posting/list.go Ovr per (subject, lang); facet replacement on
