@@ -472,6 +472,25 @@ class FuncCompiler:
         return df, F.col(VALUE), False
 
     def _between(self, f: FuncCall) -> DataFrame:
+        count_arg = next((a for a in f.args if a.is_count), None)
+        if count_arg is not None:
+            # between(count(p), lo, hi): count-index range walk
+            # (worker/task.go:2508 evaluate, fn == between) — zero or
+            # negative bounds are the reference's hard error
+            lo, hi = (int(x) for x in f.literals()[:2])
+            if lo <= 0 or hi <= 0:
+                raise ValueError(
+                    "count(predicate) cannot be used to search for "
+                    "negative counts (nonsensical) or zero counts "
+                    "(not tracked).")
+            pred = str(count_arg.value)
+            if not self.g.has_pred(pred.lstrip("~")):
+                return self._empty_uids()
+            edges = self.g.edge(pred.lstrip("~"),
+                                reverse=pred.startswith("~"))
+            counts = edges.groupBy(SUBJECT).agg(F.count("*").alias("_cnt"))
+            return counts.where(
+                F.col("_cnt").between(lo, hi)).select(SUBJECT)
         pred = f.pred
         lo, hi = f.literals()[:2]
         df, col, unique = self._value_source(pred, f.pred_lang)

@@ -134,7 +134,243 @@ def _templates(rng: random.Random, words: list[str]):
                 m as min(val(d)) }}
             q(func: uid(f), orderasc: val(m), first: {n(8)}) {{
                 name@en first_release: val(m) }} }}''')
+    # --- round-7 families (the r6 engine bugs lived in exactly the
+    # shapes the fuzzer didn't generate: facets live in
+    # test_facet_differential_fuzz below; groupby/recurse/between/
+    # uid_in/lang-chain/math here)
+    for _ in range(4):
+        a, b = sorted((yr(), yr()))
+        out.append(f'''{{ q(func: between(initial_release_date,
+            "{a}", "{b}"), {desc()}: initial_release_date,
+            first: {n(10)}) {{ name@en initial_release_date }} }}''')
+    for _ in range(3):
+        a, b = sorted((n(4), n(9)))
+        out.append(f'''{{ q(func: between(count(director.film),
+            {a}, {b}), first: {n(10)}) {{
+            name@en count(director.film) }} }}''')
+    for _ in range(4):
+        out.append(f'''{{ q(func: anyofterms(name@en, "{w()} {w()}"),
+            first: {n(12)}) @groupby(genre) {{ cnt: count(uid) }} }}''')
+    for _ in range(4):
+        out.append(f'''{{ q(func: allofterms(name@en, "{w()}"),
+            first: {n(4)}) @recurse(depth: {rng.randint(2, 4)}) {{
+            name@en genre }} }}''')
+    for _ in range(3):
+        out.append(f'''{{ q(func: allofterms(name@en, "{w()}"),
+            first: {n(3)}) @recurse(depth: 3) {{
+            name@en director.film ~director.film }} }}''')
+    for _ in range(3):
+        chain = rng.choice(["ru:en", "en:.", "de:en:.", "it:en"])
+        out.append(f'''{{ q(func: anyofterms(name@en, "{w()} {w()}"),
+            first: {n(10)}, orderasc: name@en) {{
+            name@{chain} name@en }} }}''')
+    for _ in range(3):
+        k1, k2 = n(4), n(7)
+        out.append(f'''{{ q(func: anyofterms(name@en, "{w()}"),
+            first: {n(8)}) {{
+            name@en c as count(director.film)
+            score: math(c * {k1} + {k2}) }} }}''')
+    for _ in range(3):
+        out.append(f'''{{
+            g as var(func: anyofterms(name@en, "{w()} {w()}"))
+            q(func: has(director.film), first: {n(8)})
+                @filter(uid_in(director.film, uid(g))) {{
+                name@en }} }}''')
     return out
+
+
+@pytest.fixture(scope="module")
+def facet_graphs(spark, tmp_path_factory):
+    """Synthesized person graph with facet-rich friend edges (the
+    goldendata corpus carries no facets): weight float, since datetime,
+    close bool, tag quoted-string — one facet set per distinct edge."""
+    import shutil
+
+    from dgraph_spark.schema import SchemaRegistry
+    from dgraph_spark.sources.rdf import graph_from_triples, parse_nquads
+    from dgraph_spark.sources.warehouse import write_triples_partitioned
+    from tools.pyeval import NaiveGraph
+
+    schema = "name: string @index(term) .\nfriend: [uid] ."
+    rng = random.Random(4242)
+    first = ["amy", "bob", "cat", "dan", "eve",
+             "fay", "gus", "hal", "ivy", "joe"]
+    last = ["stone", "river", "hill", "marsh", "vale", "ford"]
+    lines = []
+    for i in range(1, 41):
+        lines.append(
+            f'<0x{i:x}> <name> "{rng.choice(first)} {rng.choice(last)}" .')
+    for i in range(1, 41):
+        seen: set[int] = set()
+        for _ in range(rng.randint(1, 5)):
+            j = rng.randint(1, 40)
+            if j == i or j in seen:
+                continue
+            seen.add(j)
+            w_ = round(rng.uniform(0, 10), 2)
+            y = rng.randint(2000, 2020)
+            cl = "true" if rng.random() < 0.5 else "false"
+            tag = rng.choice(["red", "blue", "green"])
+            lines.append(
+                f'<0x{i:x}> <friend> <0x{j:x}> (weight={w_}, '
+                f'since={y}-0{rng.randint(1, 9)}-10, close={cl}, '
+                f'tag="{tag}") .')
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    g = graph_from_triples(spark, parse_nquads(df),
+                           SchemaRegistry.parse(schema))
+    wh = str(tmp_path_factory.mktemp("facet_fz") / "wh")
+    shutil.rmtree(wh, ignore_errors=True)
+    write_triples_partitioned(g, wh)
+    ng = NaiveGraph.load_warehouse(wh, SchemaRegistry.parse(schema))
+    return g, ng
+
+
+def _facet_templates(rng: random.Random):
+    w = lambda: rng.choice(["amy", "bob", "cat", "dan", "eve",
+                            "fay", "gus", "hal", "ivy", "joe"])
+    tag = lambda: rng.choice(["red", "blue", "green"])
+    out = []
+    for _ in range(6):
+        out.append(f'''{{ q(func: anyofterms(name, "{w()} {w()}"),
+            first: {rng.randint(3, 8)}) {{ name
+            friend @facets(ge(weight, {rng.randint(1, 8)}.0)) {{
+                name }} }} }}''')
+    for _ in range(5):
+        out.append(f'''{{ q(func: anyofterms(name, "{w()}"),
+            first: {rng.randint(3, 6)}) {{ name
+            friend @facets(eq(close, true) AND eq(tag, "{tag()}")) {{
+                name }} }} }}''')
+    for _ in range(5):
+        k = rng.choice(["weight", "since", "tag", "close"])
+        out.append(f'''{{ q(func: anyofterms(name, "{w()} {w()}"),
+            first: {rng.randint(3, 6)}) {{ name
+            friend @facets({k}) {{ name }} }} }}''')
+    for _ in range(5):
+        k = rng.choice(["weight", "since"])
+        d = rng.choice(["orderasc", "orderdesc"])
+        out.append(f'''{{ q(func: anyofterms(name, "{w()}"),
+            first: {rng.randint(3, 6)}) {{ name
+            friend @facets({d}: {k}) (first: {rng.randint(2, 4)}) {{
+                name }} }} }}''')
+    for _ in range(4):
+        # between is NOT a legal facet-filter function in the
+        # reference — pair a comparator filter with key output instead
+        out.append(f'''{{ q(func: anyofterms(name, "{w()} {w()}"),
+            first: {rng.randint(3, 6)}) {{ name
+            friend @facets(lt(weight, {rng.randint(3, 9)}.0))
+                @facets(weight, tag) {{
+                name }} }} }}''')
+    return out
+
+
+@pytest.mark.parametrize("seed", [20260815, 7, 99])
+def test_facet_differential_fuzz(facet_graphs, seed):
+    """Facet filter / output / ordering — the family the r6 facet
+    string-typing bug lived in."""
+    from dgraph_spark.plans import Executor
+    from tools.pyeval import PyEval
+
+    g, ng = facet_graphs
+    rng = random.Random(seed)
+    bad = []
+    for i, dql in enumerate(_facet_templates(rng)):
+        got = Executor(g).execute(dql)
+        want = PyEval(ng).execute(dql)
+        if not _close(got, want):
+            bad.append((i, dql, str(got)[:300], str(want)[:300]))
+    assert not bad, "\n\n".join(
+        f"[{i}] {q}\nengine: {a}\nnaive : {b}" for i, q, a, b in bad)
+
+
+def _sql_leg_templates(rng: random.Random, words: list[str]):
+    """(dql, duckdb sql) pairs for SQL-expressible shapes. The SQL leg
+    BYPASSES the shared DQL parser entirely (the residual epistemic
+    hole of the pyeval oracle), tokenizing and comparing on its own:
+    engine JSON vs pyeval JSON vs DuckDB rows, three-way."""
+    w = lambda: rng.choice(words)
+    out = []
+    name_en = ("SELECT subject, value_str AS v FROM wh "
+               "WHERE predicate = 'name' AND lang = 'en'")
+    toks = ("list_filter(string_split_regex(lower(v), "
+            "'[^\\pL\\pM\\pN]+'), x -> x != '')")
+    for _ in range(10):
+        a, b = w(), w()
+        out.append((
+            f'{{ q(func: anyofterms(name@en, "{a} {b}")) '
+            f'{{ count(uid) }} }}',
+            f"SELECT count(DISTINCT subject) AS n FROM ({name_en}) "
+            f"WHERE list_has_any({toks}, ['{a}', '{b}'])",
+        ))
+    for _ in range(8):
+        a, b = w(), w()
+        out.append((
+            f'{{ q(func: allofterms(name@en, "{a} {b}")) '
+            f'{{ count(uid) }} }}',
+            f"SELECT count(DISTINCT subject) AS n FROM ({name_en}) "
+            f"WHERE list_has_all({toks}, ['{a}', '{b}'])",
+        ))
+    for _ in range(8):
+        k = rng.randint(2, 9)
+        op, sqlop = rng.choice([("ge", ">="), ("gt", ">"),
+                                ("le", "<="), ("eq", "=")])
+        out.append((
+            f'{{ q(func: {op}(count(director.film), {k})) '
+            f'{{ count(uid) }} }}',
+            f"SELECT count(*) AS n FROM ("
+            f"SELECT subject FROM wh WHERE predicate = 'director.film' "
+            f"GROUP BY subject HAVING count(*) {sqlop} {k})",
+        ))
+    for _ in range(8):
+        a, b = sorted((rng.randint(1940, 2010), rng.randint(1940, 2010)))
+        out.append((
+            f'{{ q(func: between(initial_release_date, "{a}", "{b}")) '
+            f'{{ count(uid) }} }}',
+            f"SELECT count(DISTINCT subject) AS n FROM wh "
+            f"WHERE predicate = 'initial_release_date' "
+            f"AND CAST(value_str AS TIMESTAMP) "
+            f"BETWEEN '{a}-01-01' AND '{b}-01-01'",
+        ))
+    for _ in range(8):
+        a = w()
+        yr = rng.randint(1950, 2005)
+        out.append((
+            f'{{ q(func: anyofterms(name@en, "{a}")) '
+            f'@filter(ge(initial_release_date, "{yr}")) '
+            f'{{ count(uid) }} }}',
+            f"SELECT count(*) AS n FROM ({name_en}) t "
+            f"JOIN (SELECT subject FROM wh "
+            f"      WHERE predicate = 'initial_release_date' "
+            f"      AND CAST(value_str AS TIMESTAMP) >= '{yr}-01-01') d "
+            f"USING (subject) "
+            f"WHERE list_has_any({toks}, ['{a}'])",
+        ))
+    return out
+
+
+@pytest.mark.parametrize("seed", [20260815, 7, 99])
+def test_three_way_sql_fuzz(golden, naive, words, seed):
+    """Engine vs pyeval vs DuckDB SQL on the same randomized params —
+    the SQL leg shares NO code with the engine (not even the parser)."""
+    import duckdb
+
+    from dgraph_spark.plans import Executor
+    from tools.pyeval import PyEval
+
+    g, wh = golden
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW wh AS SELECT * FROM read_parquet("
+                f"'{wh}/*/*.parquet', hive_partitioning=1)")
+    rng = random.Random(seed)
+    bad = []
+    for i, (dql, sql) in enumerate(_sql_leg_templates(rng, words)):
+        got = Executor(g).execute(dql)["q"][0]["count"]
+        want = PyEval(naive).execute(dql)["q"][0]["count"]
+        duck = con.execute(sql).fetchone()[0]
+        if not (got == want == duck):
+            bad.append((i, dql, got, want, duck))
+    assert not bad, "\n".join(
+        f"[{i}] {q} engine={a} pyeval={b} duckdb={c}"
+        for i, q, a, b, c in bad)
 
 
 @pytest.mark.parametrize("seed", [20260815, 7, 99])

@@ -18,6 +18,7 @@ Spark executor.
 from __future__ import annotations
 
 import re
+import unicodedata
 from datetime import datetime
 
 from dgraph_spark.dql.parser import parse_dql
@@ -33,6 +34,8 @@ class NaiveGraph:
         self.scalars: dict[str, dict[int, list]] = {}
         self.edges: dict[str, dict[int, list[int]]] = {}
         self.redges: dict[str, dict[int, list[int]]] = {}
+        # (pred, subj, obj) -> {facet key: typed value} for uid edges
+        self.efacets: dict[tuple, dict] = {}
 
     @classmethod
     def load_warehouse(cls, warehouse: str, schema) -> "NaiveGraph":
@@ -41,14 +44,22 @@ class NaiveGraph:
         g = cls(schema)
         con = duckdb.connect()
         rows = con.execute(
-            f"""SELECT predicate, subject, object_uid, value_str, lang
+            f"""SELECT predicate, subject, object_uid, value_str, lang,
+                       facets
                 FROM read_parquet('{warehouse}/*/*.parquet',
                                   hive_partitioning=1)"""
         ).fetchall()
-        for pred, subj, obj, val, lang in rows:
+        for pred, subj, obj, val, lang, facets in rows:
             if obj is not None and (not schema.has(pred) or schema.get(pred).is_uid):
                 g.edges.setdefault(pred, {}).setdefault(subj, []).append(obj)
                 g.redges.setdefault(pred, {}).setdefault(obj, []).append(subj)
+                if facets:
+                    # duckdb renders MAP as {'key': [...], 'value': [...]}
+                    items = (zip(facets["key"], facets["value"])
+                             if set(facets) == {"key", "value"}
+                             else facets.items())
+                    g.efacets[(pred, subj, obj)] = {
+                        k: _type_facet(v) for k, v in items}
             else:
                 typ = schema.get(pred).typ if schema.has(pred) else "string"
                 g.scalars.setdefault(pred, {}).setdefault(subj, []).append(
@@ -127,6 +138,32 @@ def _type_value(val: str, typ: str):
     if typ == "bool":
         return val == "true"
     return val
+
+
+def _type_facet(v: str):
+    """Facet value typing (types/facets/utils.go valAndValType): a
+    QUOTED value stays a string; otherwise int, then float, then bool,
+    then RFC3339 datetime, else string."""
+    if v is None:
+        return None
+    if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+        return v[1:-1]
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    if v in ("true", "false"):
+        return v == "true"
+    if re.match(r"^\d{4}-\d{2}-\d{2}(T|$)", v):
+        try:
+            return _parse_dt(v)
+        except ValueError:
+            pass
+    return v
 
 
 def _parse_dt(s: str) -> datetime:
@@ -216,7 +253,7 @@ class PyEval:
                 if not self._deps_ready(b):
                     continue
                 rows = self._eval_block(b)
-                if not b.is_var_block:
+                if not b.is_var_block and rows is not None:
                     out[b.alias] = rows
                 done[i] = True
                 progressed = True
@@ -243,6 +280,10 @@ class PyEval:
         if b.var:
             self.uid_vars[b.var] = set(uids)
         uids = self._sort_page(uids, b, defer_page=_has_cascade(b))
+        if b.groupby is not None:
+            return self._groupby_block(b, uids)
+        if b.recurse is not None:
+            return self._recurse_block(b, uids)
         count_uid = [a for a in b.children if not _is_block(a)
                      and getattr(a, "is_count", False) and a.name == "uid"]
         if count_uid:
@@ -265,6 +306,105 @@ class PyEval:
                 flat.extend(_normalize(obj))
             return flat
         return [obj for _u, obj in rows]
+
+    def _recurse_block(self, b, uids):
+        """@recurse (query/recurse.go expandRecurse): breadth-first
+        rounds over every uid predicate in the body; with loop=false an
+        edge (pred, from, to) is traversed at most once across the
+        WHOLE recursion, consumed round-by-round so same-round branches
+        share it (matching the engine's flat per-depth step). The node
+        payload repeats the same scalar attrs at every level."""
+        depth = b.recurse.depth or 10
+        depth = min(depth, 10)
+        g = self.g
+        scalar_attrs = [c for c in b.children if not _is_block(c)]
+        uid_preds: list[tuple[str, str]] = []   # (tag, out name)
+        for c in b.children:
+            if _is_block(c):
+                tag = ("~" + c.attr) if c.reverse else c.attr
+                uid_preds.append((tag, c.alias if c.alias != c.attr
+                                  else tag))
+            elif (g.schema.has(c.name.lstrip("~"))
+                  and g.schema.get(c.name.lstrip("~")).is_uid):
+                uid_preds.append((c.name, c.alias or c.name))
+        # BFS rounds with edge-level dedup; steps[level][(uid, tag)] =
+        # children of a level-`level` node (root = level 0)
+        seen: set = set()
+        frontier = list(dict.fromkeys(uids))
+        steps: list[dict] = []
+        for _lvl in range(depth - 1):
+            step: dict = {}
+            nxt: list[int] = []
+            for u in frontier:
+                for tag, _o in uid_preds:
+                    for o in g.neighbours(u, tag):
+                        if (tag, u, o) in seen:
+                            continue
+                        step.setdefault((u, tag), []).append(o)
+            for (u, tag), os_ in step.items():
+                for o in os_:
+                    seen.add((tag, u, o))
+                    nxt.append(o)
+            if not step:
+                break
+            steps.append(step)
+            frontier = list(dict.fromkeys(nxt))
+
+        memo: dict = {}
+
+        def node_obj(u: int, lvl: int) -> dict:
+            key = (u, lvl)
+            if key in memo:
+                return memo[key]
+            obj: dict = {}
+            memo[key] = obj
+            for a in scalar_attrs:
+                self._attr(a, b, [u], {u: obj}, [])
+            if lvl < len(steps):
+                for tag, out in uid_preds:
+                    kids = [node_obj(o, lvl + 1)
+                            for o in steps[lvl].get((u, tag), [])]
+                    kids = [k for k in kids if k]
+                    if kids:
+                        obj[out] = kids
+            return obj
+
+        rows = [node_obj(u, 0) for u in list(dict.fromkeys(uids))]
+        return [r for r in rows if r]
+
+    def _groupby_block(self, b, uids):
+        """Root-level @groupby (query/groupby.go formResult): one
+        (node, key) row per group-key posting of each frontier node,
+        grouped by key; groups ordered by (size, key, aggregates) asc
+        (groupLess); uid keys render 0x-hex. Returns None when there
+        are no groups (the block key is omitted, like the engine)."""
+        from collections import Counter
+
+        ga = b.groupby.attrs[0]
+        name, out = ga.name, (ga.alias or ga.name)
+        g = self.g
+        is_uid = name.startswith("~") or name in g.edges or (
+            g.schema.has(name) and g.schema.get(name).is_uid)
+        keys = []
+        for u in uids:
+            if is_uid:
+                keys.extend(g.neighbours(u, name))
+            else:
+                keys.extend(v for _l, v in
+                            g.scalars.get(name, {}).get(u, []))
+        cnt = Counter(keys)
+        if not cnt:
+            return None
+        aggs = [a for a in b.children if not _is_block(a)
+                and getattr(a, "is_count", False) and a.name == "uid"]
+        rows = []
+        for k, n in sorted(cnt.items(), key=lambda kv: (kv[1], kv[0])):
+            kv_out = f"0x{k:x}" if is_uid else _render(k)
+            row = {out: kv_out}
+            for a in aggs:
+                row[a.alias or "count"] = n
+            rows.append(row)
+        return [{"@groupby": rows}]
 
     def _agg_only_block(self, b) -> list:
         # one single-key node PER aggregate child, in query order
@@ -308,9 +448,18 @@ class PyEval:
             pred = f.args[0].value
             return sorted(g.subjects(pred))
         arg0 = f.args[0]
-        if arg0.is_count:  # eq(count(pred), k)
+        if arg0.is_count:  # eq(count(pred), k) / between(count(p), a, b)
             pred = arg0.value
             ks = [int(a.value) for a in f.args[1:]]
+            if name == "between":
+                lo, hi = ks[0], ks[1]
+                if lo <= 0 or hi <= 0:
+                    raise ValueError(
+                        "count(predicate) cannot be used to search for "
+                        "negative counts (nonsensical) or zero counts "
+                        "(not tracked).")
+                return sorted(u for u in self._count_universe(pred)
+                              if lo <= g.count(u, pred) <= hi)
             cmp = _CMPS[name]
             return sorted(u for u in self._count_universe(pred)
                           if any(cmp(g.count(u, pred), k) for k in ks))
@@ -351,6 +500,16 @@ class PyEval:
             if not g.scalars.get(pred) and not g.edges.get(pred):
                 return []
             raise NotImplementedError(f"geo root {name} over live data")
+        if name == "between":
+            out = []
+            for u in g.scalars.get(pred, {}):
+                v = g.value(u, pred, langs)
+                if v is None:
+                    continue
+                lo, hi = (_coerce_lit(ll, v) for ll in lits[:2])
+                if lo <= v <= hi:
+                    out.append(u)
+            return sorted(out)
         cmp = _CMPS[name]
         out = []
         for u in g.scalars.get(pred, {}):
@@ -447,6 +606,9 @@ class PyEval:
             return bool(rx.search(str(v)))
         if v is None:
             return False
+        if name == "between":
+            lo, hi = (_coerce_lit(ll, v) for ll in lits[:2])
+            return lo <= v <= hi
         return any(_CMPS[name](v, _coerce_lit(ll, v)) for ll in lits)
 
     # ------------------------------------------------------------ descent
@@ -485,6 +647,17 @@ class PyEval:
         for u in nodes:
             for d in (self.g.inc(u, pname) if reverse else self.g.out(u, pname)):
                 edges.append((u, d))
+
+        def _ef(u, d):
+            # facets live on the FORWARD edge regardless of traversal
+            # direction (worker/task.go facets fetch)
+            key = (pname, d, u) if reverse else (pname, u, d)
+            return self.g.efacets.get(key, {})
+
+        fs = child.facets
+        if fs is not None and fs.filter is not None:
+            edges = [(u, d) for u, d in edges
+                     if self._facet_ok(fs.filter, _ef(u, d))]
         if child.filter is not None:
             edges = [(u, d) for u, d in edges if self._filter_ok(child.filter, d)]
         # variables see the pre-pagination edge set
@@ -499,6 +672,20 @@ class PyEval:
             # descend the FULL edge set, paginate the survivors below
             for u, d in pre_page:
                 edges_by_parent.setdefault(u, []).append(d)
+        elif fs is not None and fs.order:
+            # @facets(orderasc: k): per-parent sort by the edge facet,
+            # then first/offset (query/query.go:2611
+            # sortAndPaginateUsingFacet)
+            o = fs.order[0]
+            by_p: dict[int, list[int]] = {}
+            for u, d in pre_page:
+                by_p.setdefault(u, []).append(d)
+            lo = child.offset or 0
+            for u, ds in by_p.items():
+                ds.sort(key=lambda d: _OrderKey(
+                    _ef(u, d).get(o.key), o.desc))
+                hi = lo + child.first if child.first is not None else None
+                edges_by_parent[u] = ds[lo:hi]
         else:
             for u, d in self._page_edges(pre_page, child):
                 edges_by_parent.setdefault(u, []).append(d)
@@ -523,7 +710,33 @@ class PyEval:
             else:
                 kids = [by_uid[d] for d in ds
                         if d in by_uid and by_uid[d]]
-            if kids:
+            if kids and fs is not None and (fs.keys or fs.all
+                                            or fs.order):
+                # @facets(k) output: each child carries `<childkey>|<k>`
+                # siblings for the facets present on ITS edge
+                out_kids = []
+                for d, kid in zip(
+                        (d for d in ds if d in by_uid and by_uid[d]),
+                        kids):
+                    fd = _ef(u, d)
+                    extra = {}
+                    if fs.keys:
+                        names = [(k, a) for k, a in fs.keys]
+                    elif fs.all:
+                        names = [(k, None) for k in sorted(fd)]
+                    else:
+                        names = []
+                    # @facets(orderasc: k) also emits the ordered key
+                    # as a sibling (golden TestOrderFacets)
+                    for o in fs.order:
+                        if all(k != o.key for k, _a in names):
+                            names.append((o.key, None))
+                    for k, a in names:
+                        if k in fd:
+                            extra[f"{key}|{a or k}"] = _render(fd[k])
+                    out_kids.append({**kid, **extra})
+                objs[u][key] = out_kids
+            elif kids:
                 objs[u][key] = kids
 
     def _descend_reflex(self, block, uid, path: set[int]) -> dict:
@@ -555,6 +768,33 @@ class PyEval:
             if kids:
                 obj[child.alias] = kids
         return obj
+
+    def _facet_ok(self, tree, fd: dict) -> bool:
+        """@facets(...) edge filter over one edge's typed facet dict."""
+        if tree.op == "and":
+            return all(self._facet_ok(c, fd) for c in tree.children)
+        if tree.op == "or":
+            return any(self._facet_ok(c, fd) for c in tree.children)
+        if tree.op == "not":
+            return not self._facet_ok(tree.children[0], fd)
+        f = tree.func
+        name = f.name.lower()
+        k = f.args[0].value
+        if name == "has":
+            return k in fd
+        if k not in fd:
+            return False
+        v = fd[k]
+        lits = _flatten([a.value for a in f.args[1:]])
+        if name in ("anyofterms", "allofterms"):
+            toks = set(_terms(str(v)))
+            want = _terms(str(lits[0]))
+            return (all(t in toks for t in want) if name == "allofterms"
+                    else any(t in toks for t in want))
+        if name == "between":
+            lo, hi = (_coerce_lit(ll, v) for ll in lits[:2])
+            return lo <= v <= hi
+        return any(_CMPS[name](v, _coerce_lit(ll, v)) for ll in lits)
 
     def _register_empty_vars(self, block) -> None:
         if block.var:
@@ -667,12 +907,13 @@ class PyEval:
                     vals[u] = g.count(u, name)
             if a.var:
                 self.val_vars[a.var] = (vals, list(chain))
-            else:
-                # `v as count(p)` is a var definition only — no output key;
-                # a plain count(p) (or alias) prints
-                key = a.alias or f"count({name})"
-                for u in nodes:
-                    objs[u][key] = vals[u]
+            # `v as count(p)` ALSO prints under count(p) — var
+            # assignment does not suppress output (reference
+            # query0_test.go TestQueryVarValAggOrderDesc: the info
+            # block emits count(friend) for `s as count(friend)`)
+            key = a.alias or f"count({name})"
+            for u in nodes:
+                objs[u][key] = vals[u]
             return
         if name in ("min", "max", "sum", "avg") and a.val_var:
             vals = self._level_agg(a, chain)
