@@ -104,6 +104,67 @@ class FixtureBuilder:
         return u
 
 
+# ---------------------------------------------------------------
+# fixture self-checks (round-7): every synthesized graph is
+# re-derived NAIVELY from its raw triples (regex parse, dict walks —
+# nothing shared with the engine OR the builders' bookkeeping) and
+# the pinned ordering/count/flag properties are re-asserted, so a
+# fixture-synthesis bug cannot silently align with an engine bug
+# (the IC01 dict-BFS pattern, extended to the other eight).
+# ---------------------------------------------------------------
+import re as _re
+
+
+def _parse_fx(lines: list[str]):
+    """raw triples -> (scalars[(uid, pred)] = [values], edges =
+    [(src, pred, dst, facets)])."""
+    scalars: dict = {}
+    edges: list = []
+    for ln in lines:
+        m = _re.match(
+            r"<([^>]+)> <([^>]+)> <([^>]+)>(?: \(([^)]*)\))? \.$", ln)
+        if m:
+            fac = {}
+            if m.group(4):
+                for kv in m.group(4).split(", "):
+                    k, v = kv.split("=", 1)
+                    fac[k] = v.strip('"')
+            edges.append((m.group(1), m.group(2), m.group(3), fac))
+            continue
+        m = _re.match(
+            r'<([^>]+)> <([^>]+)> "((?:[^"\\]|\\.)*)"'
+            r"(?:\^\^<[^>]+>)? \.$", ln)
+        if m:
+            scalars.setdefault((m.group(1), m.group(2)), []).append(
+                m.group(3))
+    return scalars, edges
+
+
+def _val(sc, uid, pred):
+    v = sc.get((uid, pred))
+    return v[0] if v else None
+
+
+def _check_recent_messages(lines, rows, hops_root, id_key="id"):
+    """Messages by root-adjacent creators sorted (creationDate desc,
+    fqid asc) must reproduce the pinned id sequence."""
+    sc, ed = _parse_fx(lines)
+    friends = {o for s, p, o, _f in ed if p == "knows" and s == hops_root}
+    msgs = [s for s, p, o, _f in ed if p == "hasCreator" and o in friends]
+    key = lambda m: (_val(sc, m, "creationDate"), _val(sc, m, "fqid"))
+    msgs.sort(key=lambda m: (_neg_str(key(m)[0]), key(m)[1]))
+    got = [_val(sc, m, id_key) for m in msgs[:len(rows)]]
+    want = [str(r[id_key]) for r in rows]
+    assert got == want, f"recent-messages order: {got} != {want}"
+
+
+class _neg_str(str):
+    """Inverted string ordering for descending sort keys."""
+
+    def __lt__(self, other):  # type: ignore[override]
+        return str.__gt__(self, other)
+
+
 # ===================================================================
 # IC02 (q9): 20 most recent messages by p1's friends before a cutoff,
 # (creationDate desc, fqid asc). Fixture: p1 knows each creator; one
@@ -116,6 +177,7 @@ def fx_q9(resp: dict) -> list[str]:
         creator = b.person(row["hasCreator"][0])
         b.edge(p1, "knows", creator)
         b.message(row, creator)
+    _check_recent_messages(b.lines, resp["q"], p1)
     return b.lines
 
 
@@ -134,6 +196,16 @@ def fx_q14(resp: dict) -> list[str]:
         creator = b.person(row["hasCreator"][0])
         m = b.message(row, creator, typ="comment")
         b.edge(m, "replyOf", root_post)
+    # self-check: replies to root's post sorted (creationDate desc,
+    # numeric id asc) reproduce the pinned sequence
+    sc, ed = _parse_fx(b.lines)
+    reps = [s_ for s_, p_, o_, _f in ed
+            if p_ == "replyOf" and o_ == root_post]
+    reps.sort(key=lambda m: (_neg_str(_val(sc, m, "creationDate")),
+                             int(_val(sc, m, "id"))))
+    got = [int(_val(sc, m, "id")) for m in reps[:len(resp["q"])]]
+    want = [int(r["id"]) for r in resp["q"]]
+    assert got == want, f"q14 reply order: {got} != {want}"
     return b.lines
 
 
@@ -149,6 +221,7 @@ def fx_q15(resp: dict) -> list[str]:
         creator = b.person(row["hasCreator"][0])
         b.edge(p1, "knows", creator)
         b.message(row, creator)
+    _check_recent_messages(b.lines, resp["q1"], p1)
     return b.lines
 
 # ===================================================================
@@ -177,6 +250,29 @@ def fx_q13(resp: dict) -> list[str]:
         like = row["likes"][0]
         b.edge(person, "likes", msgs[like["id"]],
                facets={"creationDate": like["likes|creationDate"]})
+    # self-check: every liker's like maps to a message created by the
+    # root, isFriend1 matches the knows wiring, and the pinned rows
+    # run in non-increasing like-date order
+    sc, ed = _parse_fx(b.lines)
+    root_msgs = {s_ for s_, p_, o_, _f in ed
+                 if p_ == "hasCreator" and o_ == p102}
+    friends = {o_ for s_, p_, o_, _f in ed
+               if p_ == "knows" and s_ == p102}
+    likes = {s_: (o_, f) for s_, p_, o_, f in ed if p_ == "likes"}
+    uid_of_id = {_val(sc, u, "id"): u for (u, pr) in sc
+                 if pr == "id"}
+    prev = None
+    for row in resp["q"]:
+        u = uid_of_id[str(row["id"])]
+        msg, fac = likes[u]
+        assert msg in root_msgs, f"q13: like target not root's message"
+        assert fac["creationDate"] == row["likes"][0]["likes|creationDate"]
+        assert bool(row.get("isFriend1")) == (u in friends), \
+            f"q13 isFriend1 mismatch for {row['id']}"
+        # the query orders by id DESC (orderdesc: id, first: 20)
+        d = int(row["id"])
+        assert prev is None or d <= prev, "q13 ids not descending"
+        prev = d
     return b.lines
 
 
@@ -203,6 +299,23 @@ def fx_q12(resp: dict) -> list[str]:
             b.edge(p, "hasCreator", friend)
             b.edge(p, "hasTag", rumi)
             b.edge(p, "hasTag", t)
+    # self-check: co-occurrence counts recomputed from the triples
+    # match the pinned postCounts, in non-increasing order with count
+    # ties broken by ascending tag uid (allocation order)
+    sc, ed = _parse_fx(b.lines)
+    by_post: dict = {}
+    for s_, p_, o_, _f in ed:
+        if p_ == "hasTag":
+            by_post.setdefault(s_, set()).add(o_)
+    counts: dict = {}
+    for post, ts in by_post.items():
+        if rumi in ts:
+            for t_ in ts - {rumi}:
+                counts[t_] = counts.get(t_, 0) + 1
+    order = sorted(counts, key=lambda t_: (-counts[t_], int(t_, 16)))
+    got = [(_val(sc, t_, "name"), counts[t_]) for t_ in order]
+    want = [(r["name"], r["postCount"]) for r in resp["q"]]
+    assert got == want, f"q12 tag counts: {got} != {want}"
     return b.lines
 
 
@@ -241,6 +354,29 @@ def fx_q16(resp: dict) -> list[str]:
             p = b.node(("post", person, "un", i), "post")
             b.edge(p, "hasCreator", person)
             b.edge(p, "hasTag", other)
+    # self-check: per-person common/uncommon post counts recomputed
+    # from the triples match the pinned co/un, and the pinned rows run
+    # in non-increasing interest (co - un) with ties by ascending uid
+    sc, ed = _parse_fx(b.lines)
+    by_creator: dict = {}
+    tags_of: dict = {}
+    for s_, p_, o_, _f in ed:
+        if p_ == "hasCreator":
+            by_creator.setdefault(o_, []).append(s_)
+        elif p_ == "hasTag":
+            tags_of.setdefault(s_, set()).add(o_)
+    prev = None
+    for row in resp["q"]:
+        u = next(uu for (uu, pr), vv in sc.items()
+                 if pr == "fqid" and vv[0] == row["fqid"])
+        posts = by_creator.get(u, [])
+        co_n = sum(1 for pp in posts if interest in tags_of.get(pp, ()))
+        un_n = sum(1 for pp in posts if other in tags_of.get(pp, ()))
+        assert (co_n, un_n) == (row["co"], row["un"]), \
+            f"q16 counts for {row['fqid']}: {(co_n, un_n)}"
+        score = (co_n - un_n, -int(u, 16))
+        assert prev is None or score <= prev, "q16 interest not sorted"
+        prev = score
     return b.lines
 
 
@@ -270,6 +406,32 @@ def fx_q18(resp: dict) -> list[str]:
             c = b.node(("comment", person, i), "comment")
             b.edge(c, "hasCreator", person)
             b.edge(c, "replyOf", post)
+    # self-check: per-friend reply counts to artist-tagged posts
+    # recomputed from the triples match the pinned replyCount, in
+    # non-increasing order with ties by ascending person uid
+    sc, ed = _parse_fx(b.lines)
+    tagged = {s_ for s_, p_, o_, _f in ed
+              if p_ == "hasTag" and o_ == tag}
+    assert post in tagged or any(
+        p_ == "hasTag" for s_, p_, o_, _f in ed if s_ == post), \
+        "q18 post not tagged"
+    replies_to_artist = {s_ for s_, p_, o_, _f in ed
+                         if p_ == "replyOf" and o_ == post}
+    by_creator2: dict = {}
+    for s_, p_, o_, _f in ed:
+        if p_ == "hasCreator" and s_ in replies_to_artist:
+            by_creator2[o_] = by_creator2.get(o_, 0) + 1
+    prev = None
+    for row in resp["q"]:
+        u = next(uu for (uu, pr), vv in sc.items()
+                 if pr == "id" and vv[0] == str(row["id"])
+                 and (uu, "firstName") in sc)
+        n_ = by_creator2.get(u, 0)
+        assert n_ == row["replyCount"], \
+            f"q18 replyCount for {row['id']}: {n_} != {row['replyCount']}"
+        score = (n_, -int(u, 16))
+        assert prev is None or score <= prev, "q18 replyCount not sorted"
+        prev = score
     return b.lines
 
 
@@ -312,6 +474,31 @@ def fx_q17(resp: dict) -> list[str]:
             b.edge(o, "isLocatedIn", country)
             b.edge(person, "workAt", o,
                    facets={"workFrom": f'"{org["workAt|workFrom"]}"'})
+    # self-check: per-person workAt orgs (uid order) with their
+    # workFrom facets and Sri_Lanka location match the pinned rows,
+    # and the pinned rows run in ascending person id
+    sc, ed = _parse_fx(b.lines)
+    located = {s_ for s_, p_, o_, _f in ed
+               if p_ == "isLocatedIn" and o_ == country}
+    works: dict = {}
+    for s_, p_, o_, f_ in ed:
+        if p_ == "workAt":
+            works.setdefault(s_, []).append((o_, f_))
+    prev_id = None
+    for row in resp["q"]:
+        u = next(uu for (uu, pr), vv in sc.items()
+                 if pr == "id" and vv[0] == str(row["id"])
+                 and (uu, "firstName") in sc)
+        mine = sorted(works.get(u, []), key=lambda t: int(t[0], 16))
+        got = [(_val(sc, o_, "id"), f_["workFrom"].strip('\\"'))
+               for o_, f_ in mine]
+        want = [(str(org["id"]), str(org["workAt|workFrom"]))
+                for org in row["workAt"]]
+        assert all(o_ in located for o_, _x in mine), "q17 org location"
+        assert got == want, f"q17 workAt for {row['id']}: {got} != {want}"
+        assert prev_id is None or int(row["id"]) >= prev_id, \
+            "q17 ids not ascending"
+        prev_id = int(row["id"])
     return b.lines
 
 
