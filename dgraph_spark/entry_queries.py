@@ -1064,27 +1064,6 @@ r{k} AS (SELECT n.node,
     return base + "".join(steps) + f"\nSELECT node, rank FROM r{iters}"
 
 
-def _sql_dedouble(y: str) -> str:
-    return (
-        f"(CASE WHEN regexp_matches({y}, '(bb|dd|ff|gg|mm|nn|pp|rr|tt)$') "
-        f"THEN substr({y}, 1, length({y})-1) ELSE {y} END)"
-    )
-
-
-def _sql_stem(x: str = "x") -> str:
-    """DuckDB twin of tokenizers._stem_py / stem_token."""
-    d3 = _sql_dedouble(f"substr({x}, 1, length({x})-3)")
-    d2 = _sql_dedouble(f"substr({x}, 1, length({x})-2)")
-    return f"""(CASE
- WHEN length({x}) > 4 AND ends_with({x}, 'sses') THEN substr({x}, 1, length({x})-2)
- WHEN length({x}) > 3 AND ends_with({x}, 'ies') THEN substr({x}, 1, length({x})-3) || 'y'
- WHEN length({x}) > 4 AND ends_with({x}, 'ing') THEN {d3}
- WHEN length({x}) > 3 AND ends_with({x}, 'ed') AND NOT ends_with({x}, 'eed') THEN {d2}
- WHEN length({x}) > 2 AND ends_with({x}, 's') AND NOT ends_with({x}, 'ss')
-      AND NOT ends_with({x}, 'us') THEN substr({x}, 1, length({x})-1)
- ELSE {x} END)"""
-
-
 def q_anyoftext(spark, sf_dir):
     """anyoftext — fulltext analyzer (stopwords + stemming) on both
     sides (tok/tok.go:558-575)."""
@@ -1093,19 +1072,14 @@ def q_anyoftext(spark, sf_dir):
 
 
 def _sql_anyoftext() -> str:
-    from dgraph_spark.functions.tokenizers import EN_STOPWORDS, _stem_py
+    from dgraph_spark.functions.tokenizers import (_query_text_tokens,
+                                                   sql_fulltext_tokens)
 
-    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    qtoks = ", ".join(f"'{_stem_py(t)}'" for t in ["tables", "joins"])
+    qtoks = ", ".join(
+        f"'{t}'" for t in _query_text_tokens("tables joins", "en"))
     return f"""
 SELECT source AS src, n_chars FROM documents
-WHERE list_has_any(
-  list_transform(
-    list_filter(
-      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''),
-      x -> NOT list_contains([{stop}], x)),
-    x -> {_sql_stem('x')}),
-  [{qtoks}])
+WHERE list_has_any({sql_fulltext_tokens("en", "text")}, [{qtoks}])
 """
 
 
@@ -1117,19 +1091,14 @@ def q_alloftext(spark, sf_dir):
 
 
 def _sql_alloftext() -> str:
-    from dgraph_spark.functions.tokenizers import EN_STOPWORDS, _stem_py
+    from dgraph_spark.functions.tokenizers import (_query_text_tokens,
+                                                   sql_fulltext_tokens)
 
-    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    qtoks = ", ".join(f"'{_stem_py(t)}'" for t in ["tables", "joins"])
+    qtoks = ", ".join(
+        f"'{t}'" for t in _query_text_tokens("tables joins", "en"))
     return f"""
 SELECT source AS src, n_chars FROM documents
-WHERE list_has_all(
-  list_transform(
-    list_filter(
-      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''),
-      x -> NOT list_contains([{stop}], x)),
-    x -> {_sql_stem('x')}),
-  [{qtoks}])
+WHERE list_has_all({sql_fulltext_tokens("en", "text")}, [{qtoks}])
 """
 
 
@@ -2058,6 +2027,7 @@ QUERIES: dict[str, tuple] = {
     "stem_tokens_ro": (_q_stem_tokens("ro"), _sql_stem_tokens("ro")),
     "stem_tokens_fi": (_q_stem_tokens("fi"), _sql_stem_tokens("fi")),
     "stem_tokens_hu": (_q_stem_tokens("hu"), _sql_stem_tokens("hu")),
+    "stem_tokens_en": (_q_stem_tokens("en"), _sql_stem_tokens("en")),
     "bigfloat_agg": (q_bigfloat_agg, SQL_bigfloat_agg),
     "stem_tokens_ar": (_q_stem_tokens_translit("ar"),
                        _sql_stem_tokens_translit("ar")),

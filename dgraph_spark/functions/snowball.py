@@ -779,9 +779,345 @@ RU_SPEC = {
     ]),
 }
 
+# English: the reference routes en -> stemmer_porter (tok/stemmers.go:37);
+# bleve's token/porter wraps blevesearch/go-porterstemmer v1.0.3, a rune
+# port of Martin Porter's canonical porter.c (public domain). porter.c is
+# the 1980 paper PLUS three departures the implementation documents:
+# step-2 'bli'->'ble' replaces the paper's 'abli'->'able', step-2 gains
+# 'logi'->'log', and words of length <= 2 return unchanged. Postgres
+# dict_snowball's 'porter' language implements the PAPER version (probed:
+# nobly->nobli, technology->technologi, as->a), so the fuzz gate diffs the
+# paper twin EN_SPEC_PG against it and the three departures are pinned by
+# hand vectors from porter.c (tests/test_snowball.py).
+_EN_V = "aeiouy"
+
+# step 1b follow-up after deleting ed/ing: at/bl/iz gain an e, a double
+# consonant undoubles, else m=1 + *o appends e (porter.c step1ab tail;
+# the ''-suffix among is Snowball's `atmark p1 test shortv`). porter.c
+# undoubles ANY double consonant except l/s/z (doublec()); Snowball's
+# porter.sbl only the literal pairs bb dd ff gg mm nn pp rr tt (fuzz
+# probe: efkgkked -> efkgk in porter.c terms, efkgkk per PG) — the
+# fourth behavioural departure, parameterized below.
+def _en_1b_tail(departures: bool):
+    return ("or", [
+        ("among", None, [_r("at", repl="ate"), _r("bl", repl="ble"),
+                         _r("iz", repl="ize")]),
+        ("undouble", None,
+         "bcdfghjkmnpqrtvwx" if departures else "bdfgmnprt"),
+        ("among", None, [("", (("r1len0",), ("shortv", 0)), ("app", "e"))]),
+    ])
+
+_EN_STEP1A = ("among", None, [
+    _r("sses", repl="ss"), _r("ies", repl="i"),
+    _r("ss", action=("noop",)), _r("s"),
+])
+def _en_step1b(departures: bool):
+    tail = _en_1b_tail(departures)
+    return ("among", None, [
+        ("eed", (("inr", "r1", 3),), ("repl", "ee")),
+        ("ed", (("vstem", 2),), _DEL, tail),
+        ("ing", (("vstem", 3),), _DEL, tail),
+    ])
+# (*v*) y -> i; the prelude leaves vowel-y lowercase and marks
+# consonant-y as Y, and porter.c's ends("y") is a raw char compare, so
+# both spellings rewrite
+_EN_STEP1C = ("among", None, [
+    ("y", (("vstem", 1),), ("repl", "i")),
+    ("Y", (("vstem", 1),), ("repl", "i")),
+])
+
+_EN_STEP3 = ("among", "r1", [
+    _r("icate", repl="ic"), _r("ative"), _r("alize", repl="al"),
+    _r("iciti", repl="ic"), _r("ical", repl="ic"), _r("ful"),
+    _r("ness"),
+], "check")
+_EN_STEP4 = ("among", "r2", [
+    _r("al"), _r("ance"), _r("ence"), _r("er"), _r("ic"), _r("able"),
+    _r("ible"), _r("ant"), _r("ement"), _r("ment"), _r("ent"),
+    ("ion", ((4, "st"),), _DEL), _r("ou"), _r("ism"), _r("ate"),
+    _r("iti"), _r("ous"), _r("ive"), _r("ize"),
+], "check")
+# ['e'] (R2 or (R1 not shortv)) delete — porter.c step5 m>1, or m=1
+# without *o
+_EN_STEP5A = ("or", [
+    ("among", "r2", [_r("e")]),
+    ("among", "r1", [("e", (("not_shortv", 1),), _DEL)]),
+])
+_EN_STEP5B = ("among", "r2", [("l", ((2, "l"),), _DEL)])
+
+
+def _en_spec(departures: bool) -> dict:
+    step2 = [
+        _r("ational", repl="ate"), _r("tional", repl="tion"),
+        _r("enci", repl="ence"), _r("anci", repl="ance"),
+        _r("izer", repl="ize"),
+        _r("bli", repl="ble") if departures else _r("abli", repl="able"),
+        _r("alli", repl="al"), _r("entli", repl="ent"), _r("eli", repl="e"),
+        _r("ousli", repl="ous"), _r("ization", repl="ize"),
+        _r("ation", repl="ate"), _r("ator", repl="ate"),
+        _r("alism", repl="al"), _r("iveness", repl="ive"),
+        _r("fulness", repl="ful"), _r("ousness", repl="ous"),
+        _r("aliti", repl="al"), _r("iviti", repl="ive"),
+        _r("biliti", repl="ble"),
+    ]
+    if departures:
+        step2.append(_r("logi", repl="log"))
+    steps = [_EN_STEP1A, _en_step1b(departures), _EN_STEP1C,
+             ("among", "r1", step2, "check"), _EN_STEP3, _EN_STEP4,
+             _EN_STEP5A, _EN_STEP5B]
+    stages = [
+        # prelude: initial y and y-after-vowel become consonant Y
+        # (porter.c cons(): y is a consonant iff at start or after a
+        # non-consonant; global LTR replace matches Snowball's repeat
+        # goto because a fresh Y breaks the following pair)
+        ("re", [("^y", "Y"), ("([aeiouy])y", "$1Y")]),
+    ] + [("plain_unmarked", p) for p in steps] + [
+        ("strip",),
+        ("tr", "Y", "y"),   # postlude
+    ]
+    if departures:
+        # porter.c: if (k <= k0+1) return — length<=2 words untouched
+        stages.insert(0, ("mark_short", 2))
+    return {"vowels": _EN_V, "min_r1": 0, "stages": stages}
+
+
+EN_SPEC = _en_spec(True)
+EN_SPEC_PG = _en_spec(False)   # fuzz-oracle twin only — never routed
+
+
+# Turkish (tok/stemmers.go:52 routes tr -> stemmer_tr_snowball; the
+# published algorithm is Çilden's "Stemming Turkish Words Using
+# Snowball"). Control flow recovered empirically against Postgres 15's
+# dict_snowball 'turkish' (the same generated C as bleve's port) —
+# tests/golden/snowball_vectors.json pins multi-seed fuzz to 0 diffs.
+#
+# Shape: IF the word has >= 2 vowels: (1) strip ONE nominal-verb
+# composite (a plain plural strip ABORTS further stemming — the
+# continue_stemming_noun_suffixes flag); (2) strip ONE noun-suffix
+# chain (case + possessive + plural + the recursive ki-chain);
+# (3) postlude: append the harmony vowel to stems ending d/g, then
+# devoice a final b/c/ğ (d->t is dead code after the append).
+#
+# Empirical findings the spec encodes (probe words in parentheses):
+# - check_vowel_harmony is an EXISTS scan: the last vowel v1 passes if
+#   any vowel of its harmony class occurs ANYWHERE left of it
+#   (tenaler -> tena but tonaler stays).
+# - optional-letter rules: a y/n/s buffer letter must itself follow a
+#   vowel; WITHOUT the buffer the suffix needs vowel-consonant before
+#   it (skip one char, require a vowel: tonadı stays, tonattı ->
+#   tonat); possessives invert both tests (non-vowel).
+# - mark_ken and mark_sUnUz skip the harmony check (tonalarken ->
+#   tona, tonasünüz -> to, but tonasün -> tonas via the possessive);
+#   possessives skip it too (tonamiz -> tona).
+# - the cAsInA composite of the published paper never fires in the
+#   shipped Snowball (tonamışcasına -> tonamışca).
+_TR_V = "aeıioöuü"
+_TR_HARMONY = {"a": "aıou", "e": "eiöü", "ı": "aı", "i": "ei",
+               "o": "ou", "ö": "öü", "u": "ou", "ü": "öü"}
+_TR_H = ("harmony",)
+
+
+def _tr_am(rules):
+    return ("among", None, list(rules))
+
+
+def _tr_suf(cores, *checks):
+    return [(s, tuple(checks), _DEL) for s in cores]
+
+
+def _tr_opt(cores, letter, harmony=True):
+    """Suffix family with an optional buffer letter (y/n/s): the
+    letter-variant needs a vowel before the letter; the bare variant
+    needs a vowel one char further back (the skip-one probe)."""
+    rules = []
+    for s in cores:
+        base = (_TR_H,) if harmony else ()
+        rules.append((letter + s, base + ((len(s) + 2, _TR_V),), _DEL))
+        rules.append((s, base + ((len(s) + 2, _TR_V),), _DEL))
+    return rules
+
+
+_U4 = ["ı", "i", "u", "ü"]
+_nU = ["n" + u for u in _U4]
+
+# --- verb-suffix amongs
+_TR_ymUs = _tr_am(_tr_opt(["m" + u + "ş" for u in _U4], "y"))
+_TR_yDU = _tr_am(_tr_opt([d + u for d in "dt" for u in _U4], "y"))
+_TR_ysA = _tr_am(_tr_opt(["sa", "se"], "y"))
+_TR_ken = _tr_am(_tr_opt(["ken"], "y", harmony=False))
+_TR_sUnUz = _tr_am(_tr_suf(["s" + a + "n" + a + "z" for a in _U4]))
+_TR_yUz = _tr_am(_tr_opt([u + "z" for u in _U4], "y"))
+_TR_sUn = _tr_am(_tr_suf(["s" + u + "n" for u in _U4], _TR_H))
+_TR_yUm = _tr_am(_tr_opt([u + "m" for u in _U4], "y"))
+_TR_nUz = _tr_am(_tr_suf(["n" + u + "z" for u in _U4], _TR_H))
+_TR_DUr = _tr_am(_tr_suf([d + u + "r" for d in "dt" for u in _U4], _TR_H))
+_TR_lAr = _tr_am(_tr_suf(["lar", "ler"], _TR_H))
+
+# --- noun-suffix amongs
+_TR_lArI = _tr_am(_tr_suf(["ları", "leri"]))
+_TR_ncA = _tr_am(_tr_opt(["ca", "ce"], "n"))
+_TR_nA = _tr_am(_tr_suf(["na", "ne"], _TR_H))
+_TR_DA = _tr_am(_tr_suf([d + a for d in "dt" for a in "ae"], _TR_H))
+_TR_ndA = _tr_am(_tr_suf(["nda", "nde"], _TR_H))
+_TR_DAn = _tr_am(_tr_suf([d + a + "n" for d in "dt" for a in "ae"],
+                         _TR_H))
+_TR_ndAn = _tr_am(_tr_suf(["ndan", "nden"], _TR_H))
+_TR_ylA = _tr_am(_tr_opt(["la", "le"], "y"))
+_TR_ki = _tr_am(_tr_suf(["ki"]))
+_TR_nUn = _tr_am(_tr_opt([u + "n" for u in _U4], "n"))
+_TR_nUacc = _tr_am(_tr_suf(_nU, _TR_H))
+_TR_yA = _tr_am(_tr_opt(["a", "e"], "y"))
+_TR_yU = _tr_am(_tr_opt(_U4, "y"))
+# bare-U strip used in chain tails (mark_sU: U + optional s)
+_TR_sU = _tr_am(
+    [("s" + u, ((3, _TR_V),), _DEL) for u in _U4]
+    + [(u, ((3, _TR_V),), _DEL) for u in _U4])
+
+# possessives: optional U buffer, both tests inverted (non-vowel)
+def _tr_poss_rules():
+    rules = []
+    for core in ["m", "n"] + ["m" + u + "z" for u in _U4] \
+            + ["n" + u + "z" for u in _U4]:
+        for u in _U4:
+            rules.append((u + core, ((len(core) + 2, "!" + _TR_V),), _DEL))
+        rules.append((core, ((len(core) + 1, "!ıiuü"),
+                             (len(core) + 2, "!" + _TR_V)), _DEL))
+    return rules
+
+
+_TR_poss = _tr_am(_tr_poss_rules())
+
+
+def _req(*items):
+    return ("andseq", [(p, True) for p in items])
+
+
+def _ki_chain(depth: int):
+    """[ki] + a MANDATORY continuation (bare 'tonaki' stays): the DA
+    alternative shadows ndA (tonasındaki -> tonas via da+possessive),
+    then nUn. Unrolled to a fixed depth — real Turkish rarely nests
+    ki twice, fuzz words never more than the pool allows."""
+    rec = [( _ki_chain(depth - 1), False)] if depth > 0 else []
+    da_tail = ("or", [
+        ("andseq", [(_TR_poss, True),
+                    (("andseq", [(_TR_lAr, True)] + rec), False)]),
+        ("andseq", [(_TR_lAr, True)] + rec),
+    ] + ([_ki_chain(depth - 1)] if depth > 0 else []))
+    return ("andseq", [
+        (_TR_ki, True),
+        (("or", [
+            ("andseq", [(_TR_DA, True), (da_tail, False)]),
+            ("andseq", [(_TR_nUn, True), (_TR_lArI, False)]),
+        ]), True),
+    ])
+
+
+_KI = _ki_chain(2)
+_LAR_KI = ("andseq", [(_TR_lAr, True), (_KI, False)])
+
+_TR_NOUN = ("or", [
+    # [lAr] + try(ki-chain)
+    ("andseq", [(_TR_lAr, True), (_KI, False)]),
+    # [ncA] + try(lArI | poss | lAr)
+    ("andseq", [(_TR_ncA, True),
+                (("or", [_TR_lArI,
+                         ("andseq", [(_TR_poss, True), (_LAR_KI, False)]),
+                         _TR_lAr]), False)]),
+    # [ndA|nA] + MANDATORY (lArI | sU+try(lAr ki) | ki)  (tonunda->ton)
+    ("andseq", [(("or", [_TR_ndA, _TR_nA]), True),
+                (("or", [_TR_lArI,
+                         ("andseq", [(_TR_sU, True), (_LAR_KI, False)]),
+                         _KI]), True)]),
+    # [ndAn|nU] + MANDATORY (lArI | sU+try(lAr ki))  (tonunu->ton)
+    ("andseq", [(("or", [_TR_ndAn, _TR_nUacc]), True),
+                (("or", [_TR_lArI,
+                         ("andseq", [(_TR_sU, True), (_LAR_KI, False)])]),
+                 True)]),
+    # [DAn] + try(poss+try(lAr ki) | lAr+try(ki) | ki)
+    ("andseq", [(_TR_DAn, True),
+                (("or", [("andseq", [(_TR_poss, True), (_LAR_KI, False)]),
+                         _LAR_KI, _KI]), False)]),
+    # [ylA] + try(lArI | sU.. | poss.. | lAr+try(bare U)) (tonularla->ton)
+    ("andseq", [(_TR_ylA, True),
+                (("or", [_TR_lArI,
+                         ("andseq", [(_TR_sU, True), (_LAR_KI, False)]),
+                         ("andseq", [(_TR_poss, True), (_LAR_KI, False)]),
+                         ("andseq", [(_TR_lAr, True), (_TR_sU, False)])]),
+                 False)]),
+    # [nUn] + try(lArI | ki | sU.. | poss.. | lAr+try(ki | bare U))
+    # (tonuların->ton, tonadakinin->tona, tonamızın->tona)
+    ("andseq", [(_TR_nUn, True),
+                (("or", [_TR_lArI,
+                         _KI,
+                         ("andseq", [(_TR_sU, True), (_LAR_KI, False)]),
+                         ("andseq", [(_TR_poss, True), (_LAR_KI, False)]),
+                         ("andseq", [(_TR_lAr, True),
+                                     (("or", [_KI, _TR_sU]), False)])]),
+                 False)]),
+    # [DA] + try(poss+try(lAr) | lAr)
+    ("andseq", [(_TR_DA, True),
+                (("or", [("andseq", [(_TR_poss, True), (_TR_lAr, False)]),
+                         _TR_lAr]), False)]),
+    # [yA] + try(poss+try(lAr) | lAr)
+    ("andseq", [(_TR_yA, True),
+                (("or", [("andseq", [(_TR_poss, True), (_TR_lAr, False)]),
+                         _TR_lAr]), False)]),
+    # [lArI]
+    _TR_lArI,
+    # ki-chain standalone — BEFORE yU (tenedeki -> tene)
+    _KI,
+    # [yU] + try(poss)  (tonumuzu -> ton)
+    ("andseq", [(_TR_yU, True), (_TR_poss, False)]),
+    # [poss] + try(lAr+try(ki))  (tonularımız -> tonu)
+    ("andseq", [(_TR_poss, True), (_LAR_KI, False)]),
+])
+
+_TR_VERB = [
+    # B1: simple tense suffixes
+    (("or", [_TR_ymUs, _TR_yDU, _TR_ysA, _TR_ken]), False),
+    # B3: plural + try(copula) — ABORTS noun stemming (tonudurlar->tonu)
+    (("andseq", [(_TR_lAr, True),
+                 (("or", [_TR_DUr, _TR_yDU, _TR_ysA, _TR_ymUs]), False)]),
+     True),
+    # B4: -nUz + mandatory past/conditional (geldiniz)
+    (_req(_TR_nUz, ("or", [_TR_yDU, _TR_ysA])), False),
+    # B5: person suffixes + try(-mUş)  (tonarmışsın -> tonar)
+    (("andseq", [(("or", [_TR_sUnUz, _TR_yUz, _TR_sUn, _TR_yUm]), True),
+                 (_TR_ymUs, False)]), False),
+    # B6: -DUr + try((person|plural)? -mUş)  (tonamıştır -> tona)
+    (("andseq", [(_TR_DUr, True),
+                 (("andseq", [(("or", [_TR_sUnUz, _TR_lAr, _TR_yUm,
+                                       _TR_sUn, _TR_yUz]), False),
+                              (_TR_ymUs, True)]), False)]), False),
+]
+
+_TR_APPEND_U = ("or", [
+    ("among", None, [(c, (("lastv", vs),), ("app", u))])
+    for c in "dg" for vs, u in (("aı", "ı"), ("ei", "i"),
+                                ("ou", "u"), ("öü", "ü"))
+])
+_TR_DEVOICE = ("among", None, [
+    ("b", (), ("repl", "p")), ("c", (), ("repl", "ç")),
+    ("d", (), ("repl", "t")), ("ğ", (), ("repl", "k")),
+])
+
+TR_SPEC = {
+    "vowels": _TR_V,
+    "min_r1": 0,
+    "harmony": _TR_HARMONY,
+    "stages": [
+        ("mark_few_vowels", 2),      # more_than_one_syllable_word gate
+        ("flag_or", _TR_VERB),       # one nominal-verb composite
+        ("unless_flag", _TR_NOUN),   # one noun-suffix chain
+        ("plain_skip_mark", _TR_APPEND_U),
+        ("plain_skip_mark", _TR_DEVOICE),
+        ("strip_all",),
+    ],
+}
+
 SNOWBALL_LANGS = {"da": DA_SPEC, "no": NO_SPEC, "sv": SV_SPEC,
                   "ru": RU_SPEC, "nl": NL_SPEC, "ro": RO_SPEC,
-                  "fi": FI_SPEC, "hu": HU_SPEC}
+                  "fi": FI_SPEC, "hu": HU_SPEC, "en": EN_SPEC}
 
 # Stage plans for the expression backends: each entry becomes ONE
 # F.transform / list_transform pass. kinds:
@@ -877,21 +1213,59 @@ def _py_check_one(t, idx, chars, limit):
     return not inside if neg else inside
 
 
-def _py_checks(t, checks, limit=None):
-    for c in checks:
-        if c[0] == "or":
-            if not any(all(_py_check_one(t, i, ch, limit) for i, ch in g)
-                       for g in c[1:]):
-                return False
-        elif not _py_check_one(t, c[0], c[1], limit):
+def _py_kind_check(spec, t, c):
+    """Non-positional check kinds (Porter / Turkish conditions)."""
+    v = spec["vowels"]
+    kind = c[0]
+    if kind == "harmony":
+        # Snowball goto-scan harmony: the last vowel's class must
+        # occur somewhere LEFT of it (tenaler -> tena, tonaler stays)
+        m = re.search(f"[{v}][^{v}]*$", t)
+        if not m:
             return False
-    return True
+        allowed = spec["harmony"][t[m.start()]]
+        return any(ch in allowed for ch in t[:m.start()])
+    if kind == "lastv":        # last vowel of the token is in c[1]
+        m = re.search(f"[{v}][^{v}]*$", t)
+        return bool(m) and t[m.start()] in c[1]
+    if kind == "inr":          # suffix of length c[2] lies inside region
+        return _py_region_len(spec, c[1], t) >= c[2]
+    if kind == "r1len0":       # Snowball `atmark p1` (m == 1 gate)
+        return _py_region_len(spec, "r1", t) == 0
+    if kind == "vstem":        # stem before the c[1]-char suffix has a vowel
+        stem = t[:-c[1]] if c[1] else t
+        return any(ch in v for ch in stem)
+    if kind in ("shortv", "not_shortv"):
+        # Porter *o: stem (before the c[1]-char suffix) ends
+        # consonant-vowel-consonant with the final consonant not w/x/Y
+        n = c[1]
+        ok = (len(t) >= n + 3
+              and t[-(n + 1)] not in v + "wxY"
+              and t[-(n + 2)] in v
+              and t[-(n + 3)] not in v)
+        return ok if kind == "shortv" else not ok
+    raise KeyError(kind)
+
+
+def _py_check_elem(spec, t, c, limit):
+    if c[0] == "or":
+        return any(all(_py_check_elem(spec, t, e, limit) for e in g)
+                   for g in c[1:])
+    if isinstance(c[0], str):
+        return _py_kind_check(spec, t, c)
+    return _py_check_one(t, c[0], c[1], limit)
+
+
+def _py_checks(spec, t, checks, limit=None):
+    return all(_py_check_elem(spec, t, c, limit) for c in checks)
 
 
 def _py_action(t, suffix, action):
     if action[0] == "noop":
         return t
-    base = t[:-len(suffix)]
+    if action[0] == "app":     # append without consuming (Porter <+ 'e')
+        return t + action[1]
+    base = t[:-len(suffix)] if suffix else t
     if action[0] == "repl":
         return base + action[1]
     if action[0] == "repl_ext":
@@ -916,7 +1290,7 @@ def _py_among(spec, region, rules, t, mode="limit"):
         if _ulen(spec, suffix) <= limit and t.endswith(suffix):
             if mode.startswith("check") and _ulen(spec, suffix) > rlen:
                 return t  # matched but outside region: among FAILS
-            if not _py_checks(t, checks, climit):
+            if not _py_checks(spec, t, checks, climit):
                 return t  # matched but failed the gate: among FAILS
             out = _py_action(t, suffix, action)
             if follow is not None and out != t:
@@ -973,6 +1347,17 @@ def _py_run(spec, prog, t):
             if out != t:
                 return out
         return t
+    if op == "andseq":
+        # Snowball and-sequence with restore: every REQUIRED member
+        # must change the token, else the whole thing is undone
+        # (Turkish composite suffix chains)
+        out = t
+        for p, required in prog[1]:
+            nxt = _py_run(spec, p, out)
+            if required and nxt == out:
+                return t
+            out = nxt
+        return out
     if op == "ifchanged":
         out = _py_run(spec, prog[1], t)
         if out != t:
@@ -1006,6 +1391,43 @@ def _py_stages(spec, stages, t):
         k = st[0]
         if k == "mark_scan":
             t = _py_mark_scan(spec, st[1], t)
+        elif k == "mark_short":
+            # porter.c length guard: words this short skip every step
+            # (stages that still see the mark — the `re` prelude and
+            # the final `tr` postlude — are involutory on them)
+            if len(t) <= st[1]:
+                t = MARK + t
+        elif k == "mark_few_vowels":
+            # Turkish more_than_one_syllable_word gate
+            if sum(ch in spec["vowels"] for ch in t) < st[1]:
+                t = MARK + t
+        elif k == "flag_or":
+            # or-chain whose winning branch may raise the FLAG
+            # ("stop noun stemming" — the Turkish plural branch)
+            if not t.startswith(MARK):
+                for p, raises in st[1]:
+                    out = _py_run(spec, p, t)
+                    if out != t:
+                        t = (FLAG + out) if raises else out
+                        break
+        elif k == "unless_flag":
+            if not t.startswith(MARK) and not t.startswith(FLAG):
+                t = _py_run(spec, st[1], t)
+        elif k == "plain_skip_mark":
+            if not t.startswith(MARK):
+                if t.startswith(FLAG):
+                    t = FLAG + _py_run(spec, st[1], t[1:])
+                else:
+                    t = _py_run(spec, st[1], t)
+        elif k == "strip_all":
+            if t[:1] in (MARK, FLAG):
+                t = t[1:]
+        elif k == "plain_unmarked":
+            if not t.startswith(MARK):
+                t = _py_run(spec, st[1], t)
+        elif k == "strip":
+            if t.startswith(MARK):
+                t = t[1:]
         elif k == "tr":
             t = t.translate(str.maketrans(st[1], st[2]))
         elif k == "re":
@@ -1066,25 +1488,56 @@ def _sp_check_one(t: Column, idx, chars, limit) -> Column:
     return out
 
 
-def _sp_checks(t: Column, checks, limit=None) -> Column:
+def _sp_kind_check(spec, t: Column, c) -> Column:
+    v = spec["vowels"]
+    kind = c[0]
+    if kind == "inr":
+        return _sp_region_len(spec, c[1], t) >= c[2]
+    if kind == "r1len0":
+        return _sp_region_len(spec, "r1", t) == 0
+    if kind == "vstem":
+        stem = t.substr(F.lit(1), F.length(t) - c[1]) if c[1] else t
+        return stem.rlike(f"[{v}]")
+    if kind in ("shortv", "not_shortv"):
+        n = c[1]
+
+        def at(k):
+            return t.substr(F.length(t) - (k - 1), F.lit(1))
+
+        ok = ((F.length(t) >= n + 3)
+              & ~at(n + 1).isin(*list(v + "wxY"))
+              & at(n + 2).isin(*list(v))
+              & ~at(n + 3).isin(*list(v)))
+        return ok if kind == "shortv" else ~ok
+    raise KeyError(kind)
+
+
+def _sp_check_elem(spec, t: Column, c, limit) -> Column:
+    if c[0] == "or":
+        alt = F.lit(False)
+        for g in c[1:]:
+            gc = F.lit(True)
+            for e in g:
+                gc = gc & _sp_check_elem(spec, t, e, limit)
+            alt = alt | gc
+        return alt
+    if isinstance(c[0], str):
+        return _sp_kind_check(spec, t, c)
+    return _sp_check_one(t, c[0], c[1], limit)
+
+
+def _sp_checks(spec, t: Column, checks, limit=None) -> Column:
     cond = F.lit(True)
     for c in checks:
-        if c[0] == "or":
-            alt = F.lit(False)
-            for g in c[1:]:
-                gc = F.lit(True)
-                for idx, chars in g:
-                    gc = gc & _sp_check_one(t, idx, chars, limit)
-                alt = alt | gc
-            cond = cond & alt
-        else:
-            cond = cond & _sp_check_one(t, c[0], c[1], limit)
+        cond = cond & _sp_check_elem(spec, t, c, limit)
     return cond
 
 
 def _sp_action(t: Column, suffix, action) -> Column:
     if action[0] == "noop":
         return t
+    if action[0] == "app":
+        return F.concat(t, F.lit(action[1]))
     base = t.substr(F.lit(1), F.length(t) - len(suffix))
     if action[0] == "repl":
         return F.concat(base, F.lit(action[1]))
@@ -1110,9 +1563,10 @@ def _sp_among(spec, region, rules, t: Column, mode="limit") -> Column:
         suffix, checks, action = rule[0], rule[1], rule[2]
         follow = rule[3] if len(rule) > 3 else None
         slen = _ulen(spec, suffix)
-        matched = t.endswith(suffix) if mode.startswith("check") else \
-            (t.endswith(suffix) & (rlen >= slen))
-        gate = _sp_checks(t, checks, climit)
+        ends = t.endswith(suffix) if suffix else F.lit(True)
+        matched = ends if mode.startswith("check") else \
+            (ends & (rlen >= slen))
+        gate = _sp_checks(spec, t, checks, climit)
         if mode.startswith("check"):
             gate = gate & (rlen >= slen)
         res = _sp_action(t, suffix, action)
@@ -1178,6 +1632,9 @@ def _sp_stage(spec, stage):
         if kind == "strip":
             return F.when(t.startswith(MARK),
                           t.substr(F.lit(2), F.length(t))).otherwise(t)
+        if kind == "mark_short":
+            return F.when(F.length(t) <= stage[1],
+                          F.concat(F.lit(MARK), t)).otherwise(t)
         if kind == "mark_scan":
             # exact left-to-right prelude scan as a character fold:
             # processed prev comes off the accumulator, raw next off
@@ -1300,24 +1757,53 @@ def _sql_check_one(v: str, idx, chars, limit) -> str:
     return out
 
 
-def _sql_checks(v: str, checks, limit=None) -> str:
-    parts = []
-    for c in checks:
-        if c[0] == "or":
-            groups = [
-                "(" + " AND ".join(_sql_check_one(v, i, ch, limit)
-                                   for i, ch in g) + ")"
-                for g in c[1:]
-            ]
-            parts.append("(" + " OR ".join(groups) + ")")
-        else:
-            parts.append(_sql_check_one(v, c[0], c[1], limit))
+def _sql_kind_check(spec, v: str, c) -> str:
+    vw = spec["vowels"]
+    kind = c[0]
+    if kind == "inr":
+        return f"({_sql_region_len(spec, c[1], v)}) >= {c[2]}"
+    if kind == "r1len0":
+        return f"({_sql_region_len(spec, 'r1', v)}) = 0"
+    if kind == "vstem":
+        stem = f"substr({v}, 1, length({v}) - {c[1]})" if c[1] else v
+        return f"regexp_matches({stem}, '[{vw}]')"
+    if kind in ("shortv", "not_shortv"):
+        n = c[1]
+
+        def at(k):
+            return f"substr({v}, -{k}, 1)"
+
+        ok = (f"(length({v}) >= {n + 3}"
+              f" AND NOT regexp_matches({at(n + 1)}, '[{vw}wxY]')"
+              f" AND regexp_matches({at(n + 2)}, '[{vw}]')"
+              f" AND NOT regexp_matches({at(n + 3)}, '[{vw}]'))")
+        return ok if kind == "shortv" else f"(NOT {ok})"
+    raise KeyError(kind)
+
+
+def _sql_check_elem(spec, v: str, c, limit) -> str:
+    if c[0] == "or":
+        groups = [
+            "(" + " AND ".join(_sql_check_elem(spec, v, e, limit)
+                               for e in g) + ")"
+            for g in c[1:]
+        ]
+        return "(" + " OR ".join(groups) + ")"
+    if isinstance(c[0], str):
+        return _sql_kind_check(spec, v, c)
+    return _sql_check_one(v, c[0], c[1], limit)
+
+
+def _sql_checks(spec, v: str, checks, limit=None) -> str:
+    parts = [_sql_check_elem(spec, v, c, limit) for c in checks]
     return " AND ".join(parts) if parts else "TRUE"
 
 
 def _sql_action(v: str, suffix, action) -> str:
     if action[0] == "noop":
         return v
+    if action[0] == "app":
+        return f"({v} || '{action[1]}')"
     base = f"substr({v}, 1, length({v}) - {len(suffix)})"
     if action[0] == "repl":
         return f"({base} || '{action[1]}')"
@@ -1345,10 +1831,10 @@ def _sql_among(spec, region, rules, v: str, mode="limit") -> str:
         suffix, checks, action = rule[0], rule[1], rule[2]
         follow = rule[3] if len(rule) > 3 else None
         slen = _ulen(spec, suffix)
-        matched = f"ends_with({v}, '{suffix}')"
+        matched = f"ends_with({v}, '{suffix}')" if suffix else "TRUE"
         if not mode.startswith("check"):
             matched += f" AND ({rlen}) >= {slen}"
-        gate = _sql_checks(v, checks, climit)
+        gate = _sql_checks(spec, v, checks, climit)
         if mode.startswith("check"):
             gate = f"({rlen}) >= {slen} AND {gate}"
         res = _sql_action(v, suffix, action)
@@ -1416,6 +1902,9 @@ def _sql_stage(spec, stage, v: str = "x") -> str:
     flagged = f"starts_with({v}, '{FLAG}')"
     if kind == "strip":
         return f"CASE WHEN {marked} THEN substr({v}, 2) ELSE {v} END"
+    if kind == "mark_short":
+        return (f"CASE WHEN length({v}) <= {stage[1]} "
+                f"THEN '{MARK}' || {v} ELSE {v} END")
     if kind == "mark_scan":
         vow = ", ".join(f"'{c}'" for c in spec["vowels"])
         pairs = (f"list_transform(range(1, length({v}) + 1), "

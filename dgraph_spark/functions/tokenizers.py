@@ -6,8 +6,9 @@ codegen — the Spark equivalent of dgraph's index tokenization, done at
 scan time instead of write time. No Python UDFs here.
 
 - term  (tok/tok.go:369-389): unicode-word split + lowercase.
-- fulltext (tok/tok.go:558-575): term + stopwords + stemming. en runs a
-  porter-lite; de/es/fr/it/pt run the reference's Lucene light stemmers
+- fulltext (tok/tok.go:558-575): term + stopwords + stemming. en runs
+  the full Porter algorithm (porter.c semantics, functions/snowball.py
+  EN_SPEC); de/es/fr/it/pt run the reference's Lucene light stemmers
   (functions/light_stemmers.py), da/no/sv/ru/nl/ro/fi/hu the published
   Snowball algorithms (functions/snowball.py), ar/ckb/hi the Lucene
   Arabic/Sorani/Hindi stemmers bleve ports
@@ -44,34 +45,6 @@ EN_STOPWORDS = [
 def term_tokens(col: Column) -> Column:
     """array<string> of lowercase word tokens; empty strings removed."""
     return F.filter(F.split(F.lower(col), TERM_SPLIT_RE), lambda t: t != "")
-
-
-def _dedouble(x: Column) -> Column:
-    """Porter-style double-consonant reduction after ing/ed stripping
-    (running -> runn -> run); ll/ss kept."""
-    # explicit alternation (no backreference) so the same pattern works
-    # in RE2-based engines (DuckDB oracles)
-    return F.when(
-        F.regexp_extract(x, r"(bb|dd|ff|gg|mm|nn|pp|rr|tt)$", 0) != "",
-        x.substr(F.lit(1), F.length(x) - 1),
-    ).otherwise(x)
-
-
-def stem_token(t: Column) -> Column:
-    """Cheap English suffix stemmer (porter step-1-ish), pure expression:
-    sses->ss, ies->y, ss stays, trailing s dropped, ing/ed stripped (with
-    double-consonant reduction) when a long-enough stem remains."""
-    ln = F.length(t)
-    return (
-        F.when((ln > 4) & t.endswith("sses"), t.substr(F.lit(1), ln - 2))
-        .when((ln > 3) & t.endswith("ies"), F.concat(t.substr(F.lit(1), ln - 3), F.lit("y")))
-        .when((ln > 4) & t.endswith("ing"), _dedouble(t.substr(F.lit(1), ln - 3)))
-        .when((ln > 3) & t.endswith("ed") & ~t.endswith("eed"),
-              _dedouble(t.substr(F.lit(1), ln - 2)))
-        .when((ln > 2) & t.endswith("s") & ~t.endswith("ss") & ~t.endswith("us"),
-              t.substr(F.lit(1), ln - 1))
-        .otherwise(t)
-    )
 
 
 # ---- multi-language fulltext (tok/stemmers.go, tok/stopwords.go ship
@@ -388,7 +361,8 @@ def stem_lang_py(tok: str, lang: str) -> str:
     if lang in _LANG_TABLES:
         sufs, mn = _LANG_TABLES[lang][1]
         return _suffix_stem_py(_fold_py(tok, lang), sufs, mn)
-    return _stem_py(tok)
+    # unknown langs fall back to the EN analyzer (full Porter)
+    return snowball_stem_py(tok, "en")
 
 
 def lang_stopwords(lang: str) -> list[str]:
@@ -413,7 +387,7 @@ def sql_fulltext_tokens(lang: str, text_expr: str = "text") -> str:
             f"stemmed sql tokens only for "
             f"{sorted(LIGHT_STEM_LANGS) + sorted(SNOWBALL_LANGS) + sorted(DEDICATED_STEM_LANGS)}, "
             f"not {lang!r}")
-    stop_raw = _LANG_TABLES[lang][0]
+    stop_raw = lang_stopwords(lang)
     stops = set(stop_raw)
     if lang in _FOLD:
         stops |= {_fold_py(w, lang) for w in stop_raw}
@@ -447,11 +421,13 @@ def sql_fulltext_match(lang: str, query: str, text_expr: str = "text") -> str:
     from dgraph_spark.functions.light_stemmers import (LIGHT_STEM_LANGS,
                                                        light_stem_tokens_sql)
     stop_raw, (sufs, mn) = _LANG_TABLES.get(lang, (EN_STOPWORDS, (None, None)))
-    if lang not in _LANG_TABLES:
-        raise KeyError(f"sql twin only for {sorted(_LANG_TABLES)}, not {lang!r}")
     from dgraph_spark.functions.dedicated_stemmers import \
         DEDICATED_STEM_LANGS
     from dgraph_spark.functions.snowball import SNOWBALL_LANGS
+    if lang not in _LANG_TABLES and lang not in SNOWBALL_LANGS:
+        raise KeyError(f"sql twin only for "
+                       f"{sorted(_LANG_TABLES) + sorted(SNOWBALL_LANGS)}, "
+                       f"not {lang!r}")
     if (lang in LIGHT_STEM_LANGS or lang in SNOWBALL_LANGS
             or lang in DEDICATED_STEM_LANGS):
         stemmed = sql_fulltext_tokens(lang, text_expr)
@@ -509,14 +485,15 @@ def fulltext_tokens(col: Column, lang: str = "en") -> Column:
     from dgraph_spark.functions.snowball import (SNOWBALL_LANGS,
                                                  snowball_tokens_expr)
     if lang in SNOWBALL_LANGS:
-        # da/no/sv/ru: the published Snowball algorithms operate on
+        # da/no/sv/ru/en: the published Snowball algorithms operate on
         # UNFOLDED tokens (æ/ø/å and cyrillic are first-class); the one
         # exception is Russian's prescribed ё -> е normalization
-        stops = _LANG_TABLES[lang][0]
+        stops = lang_stopwords(lang)
         src = F.regexp_replace(F.lower(col), "ё", "е") if lang == "ru" \
             else F.lower(col)
         toks = F.filter(F.split(src, TERM_SPLIT_RE), lambda t: t != "")
-        allstops = sorted(set(stops) | {_fold_py(w, lang) for w in stops})
+        allstops = sorted(set(stops) | ({_fold_py(w, lang) for w in stops}
+                                        if lang in _FOLD else set()))
         toks = F.filter(toks, lambda t: ~t.isin(*allstops))
         return snowball_tokens_expr(toks, lang)
     from dgraph_spark.functions.dedicated_stemmers import (
@@ -537,32 +514,10 @@ def fulltext_tokens(col: Column, lang: str = "en") -> Column:
         allstops = sorted(set(stops) | {_fold_py(w, lang) for w in stops})
         toks = F.filter(toks, lambda t: ~t.isin(*allstops))
         return F.transform(toks, lambda t: _suffix_stem_expr(t, sufs, mn))
+    # unknown langs fall back to the EN analyzer (now full Porter)
     toks = term_tokens(col)
     toks = F.filter(toks, lambda t: ~t.isin(*EN_STOPWORDS))
-    return F.transform(toks, stem_token)
-
-
-def _dedouble_py(t: str) -> str:
-    if len(t) >= 2 and t[-1] == t[-2] and t[-1] in "bdfgmnprt":
-        return t[:-1]
-    return t
-
-
-def _stem_py(tok: str) -> str:
-    """Python twin of stem_token for query-side literals."""
-    t = tok
-    n = len(t)
-    if n > 4 and t.endswith("sses"):
-        return t[:-2]
-    if n > 3 and t.endswith("ies"):
-        return t[:-3] + "y"
-    if n > 4 and t.endswith("ing"):
-        return _dedouble_py(t[:-3])
-    if n > 3 and t.endswith("ed") and not t.endswith("eed"):
-        return _dedouble_py(t[:-2])
-    if n > 2 and t.endswith("s") and not t.endswith("ss") and not t.endswith("us"):
-        return t[:-1]
-    return t
+    return snowball_tokens_expr(toks, "en")
 
 
 def ngrams(col: Column, n: int = 3) -> Column:
@@ -612,7 +567,8 @@ def _query_text_tokens(query: str, lang: str) -> list[str]:
 
         return [stem_lang_py(t.lower(), lang) for t in query.split()
                 if t and key(t.lower()) not in stops]
-    return [_stem_py(t.lower()) for t in query.split()
+    # en (and unknown langs): the EN analyzer — stopwords + full Porter
+    return [stem_lang_py(t.lower(), "en") for t in query.split()
             if t and t.lower() not in EN_STOPWORDS]
 
 
@@ -634,7 +590,12 @@ def _stem_substring(t: str, lang: str) -> str:
     if lang in _CJK_LANGS:
         return t  # bigrams are verbatim substrings of the text
     if lang not in _LANG_TABLES:
-        return t[:-1] if len(t) > 1 and t.endswith("y") else t
+        # en (Porter): replacements share a prefix with the replaced
+        # suffix except for at most one trailing char ('e'/'i'
+        # appends, and biliti->ble whose surviving 'l' follows the
+        # shared 'b' — e.g. stem 'sensibl' vs text 'sensibility'),
+        # so dropping one char always yields a verbatim substring
+        return t[:-1] if len(t) > 1 else t
     k = _MAX_APPEND.get(lang, 0)
     if k:
         t = t[:max(len(t) - k, 0)]

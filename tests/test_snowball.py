@@ -195,6 +195,21 @@ def test_ru_snowball(word, want):
 
 def _fuzz_vocab(lang, n=600, seed=29):
     rng = random.Random(seed)
+    if lang == "en":
+        sufs = ["", "s", "es", "sses", "ies", "ed", "ing", "eed", "y",
+                "ly", "ally", "ility", "fulness", "ousness", "ization",
+                "ational", "tional", "enci", "anci", "izer", "alli",
+                "entli", "eli", "ousli", "ation", "ator", "alism",
+                "iveness", "aliti", "iviti", "biliti", "icate",
+                "ative", "alize", "iciti", "ical", "ful", "ness",
+                "al", "ance", "ence", "er", "ic", "able", "ible",
+                "ant", "ement", "ment", "ent", "sion", "tion", "ou",
+                "ism", "ate", "iti", "ous", "ive", "ize", "e", "l",
+                "ll", "yed", "ying", "at", "bl", "iz", "logi", "bli"]
+        return sorted({
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                    for _ in range(rng.randint(1, 8)))
+            + rng.choice(sufs) for _ in range(n)})
     if lang == "nl":
         alphabet = "abcdefghijklmnopqrstuvwyzè"
         sufs = ["", "heden", "ene", "en", "se", "s", "e", "heid",
@@ -295,7 +310,34 @@ def test_pinned_snowball_vectors():
         assert not bad, (lang, dict(list(bad.items())[:5]))
 
 
-@pytest.mark.parametrize("lang", ["da", "no", "sv", "ru", "nl", "ro", "fi", "hu"])
+def test_porter_departures():
+    """porter.c's documented departures from the published paper (and
+    from PG's paper-faithful snowball 'porter'): step-2 bli->ble and
+    logi->log, the length<=2 guard, and doublec() undoubling ANY
+    double consonant but l/s/z where porter.sbl lists only
+    bb/dd/ff/gg/mm/nn/pp/rr/tt. The reference runs porter.c semantics
+    (blevesearch/go-porterstemmer via tok/stemmers.go:37), so the
+    shipped EN_SPEC pins these by hand while EN_SPEC_PG (the fuzz twin
+    diffed to 0 against ts_lexize('porter', ...)) keeps paper rules."""
+    from dgraph_spark.functions.snowball import EN_SPEC_PG, _py_stages
+
+    cc = {"terribly": "terribl", "possibly": "possibl",
+          "technology": "technolog", "psychology": "psycholog",
+          "nobly": "nobli",          # m("no")=0 blocks bli->ble
+          "geology": "geologi",      # m("geo")=0 blocks logi->log
+          "as": "as", "is": "is", "ss": "ss",
+          "trekked": "trek", "trekking": "trek"}
+    for w, want in cc.items():
+        assert snowball_stem_py(w, "en") == want, (w, want)
+    pg = {"terribly": "terribli", "possibly": "possibli",
+          "technology": "technologi", "as": "a",
+          "trekked": "trekk", "trekking": "trekk"}
+    for w, want in pg.items():
+        assert _py_stages(EN_SPEC_PG, EN_SPEC_PG["stages"], w) == want
+
+
+@pytest.mark.parametrize("lang", ["da", "no", "sv", "ru", "nl", "ro",
+                                  "fi", "hu", "en"])
 def test_three_backend_agreement(spark, lang):
     import duckdb
     import pyspark.sql.functions as F
