@@ -2028,6 +2028,7 @@ QUERIES: dict[str, tuple] = {
     "stem_tokens_fi": (_q_stem_tokens("fi"), _sql_stem_tokens("fi")),
     "stem_tokens_hu": (_q_stem_tokens("hu"), _sql_stem_tokens("hu")),
     "stem_tokens_en": (_q_stem_tokens("en"), _sql_stem_tokens("en")),
+    "stem_tokens_tr": (_q_stem_tokens("tr"), _sql_stem_tokens("tr")),
     "bigfloat_agg": (q_bigfloat_agg, SQL_bigfloat_agg),
     "stem_tokens_ar": (_q_stem_tokens_translit("ar"),
                        _sql_stem_tokens_translit("ar")),
@@ -2038,62 +2039,62 @@ QUERIES: dict[str, tuple] = {
 }
 
 # Driver rotation: the per-round correctness harness runs a 50-entry
-# prefix; entries WITHOUT a fresh (round-6) driver row come first so
+# prefix; entries WITHOUT a fresh (round-7) driver row come first so
 # every registry entry gets a driver-green row no older than two
-# rounds (round-6 verdict, task 7). Stable within each group. New
-# entries (stem_tokens_*, bigfloat_agg) sort to the very front.
-_R6_DRIVER_COVERED = {
+# rounds (round-6 verdict, task 7; rotated each round). Stable within
+# each group. New entries (stem_tokens_en/tr) sort to the very front.
+_R7_DRIVER_COVERED = {
     "after_uid",
-    "alloftext",
-    "ann_lsh",
-    "anyof_custom",
-    "anyoftext",
-    "anyoftext_de",
-    "anyoftext_es",
-    "anyoftext_fr",
-    "anyoftext_zh",
-    "cdc_diff",
-    "chain_region_revenue",
-    "connected_components",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "agg_math_root",
+    "allofterms",
+    "anyofterms",
+    "backup_restore",
+    "between_dates",
+    "bigfloat_agg",
+    "cascade",
+    "count_having",
+    "count_uid_root",
+    "eq_val_var",
+    "expand_all",
+    "export_roundtrip",
+    "facet_filter",
     "facet_order",
-    "facet_output",
     "facet_var_order",
+    "fuzzy_match",
     "geo_contains",
+    "geo_intersects",
+    "geo_near_poly",
     "geo_within",
+    "graphql_query",
+    "groupby_q1",
     "groupby_uid_pred",
-    "ignorereflex",
-    "lang_preference",
+    "json_load_roundtrip",
+    "json_mutation_roundtrip",
     "len_filter",
-    "multimodal_audio",
-    "multimodal_features",
-    "multimodal_frames",
-    "ngram_search",
-    "order_by_val",
-    "pagerank",
+    "level_agg_sum",
+    "math_per_uid",
+    "mutation_roundtrip",
+    "not_has",
+    "per_parent_topk",
     "q5_local_supplier",
-    "recurse_reach",
-    "shortest_path",
-    "similar_to",
-    "similar_to_dql",
-    "similar_to_uid",
-    "stateful_counts",
-    "stem_tokens_da",
-    "stem_tokens_it",
-    "stem_tokens_pt",
-    "stem_tokens_ru",
-    "stem_tokens_sv",
+    "recurse_depth5",
+    "regexp",
+    "root_eq_reverse_traversal",
+    "schema_introspect",
+    "since_math",
+    "stem_tokens_ar",
+    "stem_tokens_ckb",
+    "stem_tokens_fi",
+    "stem_tokens_hi",
+    "stem_tokens_hu",
+    "stem_tokens_nl",
+    "stem_tokens_no",
+    "stem_tokens_ro",
     "stream_session",
-    "stream_sliding",
-    "stream_tumbling",
-    "text_stats",
+    "topk_root_order",
+    "uid_in",
+    "uid_literal",
 }
 QUERIES = {k: QUERIES[k]
-           for k in sorted(QUERIES, key=lambda k: k in _R6_DRIVER_COVERED)}
+           for k in sorted(QUERIES, key=lambda k: k in _R7_DRIVER_COVERED)}
 

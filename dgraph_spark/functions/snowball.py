@@ -93,6 +93,13 @@ MARK = "!"   # or-chain satisfied: later alternatives skip
 AUX = "@"    # transient: adjective fired, participle may follow
 FLAG = "#"   # cross-step boolean (Dutch e_found); tokens are split on
              # non-letter/digit/mark so none of these occur in data
+KIFLAG = "+"  # Turkish: one more ki-chain round pending (see
+              # _tr_ki_level); consumed by the if_kiflag stages
+SEP = "^"     # Turkish held suffix (ndA/nA branch): the matched head
+              # is stashed BEFORE the stem as "head^stem" so the inner
+              # ki-chain keeps operating on the string tail; the
+              # "stash" region bounds every check to the stem part;
+              # the unstash stage reassembles stem+head at the end
 
 # --------------------------------------------------------------- specs
 
@@ -918,7 +925,10 @@ _TR_H = ("harmony",)
 
 
 def _tr_am(rules):
-    return ("among", None, list(rules))
+    # "stash" region = the stem part of a held token (whole token
+    # otherwise); with checks_in_region this keeps every suffix match
+    # and positional check inside the stem when a head is held
+    return ("among", "stash", list(rules))
 
 
 def _tr_suf(cores, *checks):
@@ -942,8 +952,16 @@ _nU = ["n" + u for u in _U4]
 
 # --- verb-suffix amongs
 _TR_ymUs = _tr_am(_tr_opt(["m" + u + "ş" for u in _U4], "y"))
-_TR_yDU = _tr_am(_tr_opt([d + u for d in "dt" for u in _U4], "y"))
-_TR_ysA = _tr_am(_tr_opt(["sa", "se"], "y"))
+# yDU covers the fused person forms too: -DU, -DUm, -DUn, -DUk
+# (geldim/geldin/geldik -> gel; tonadım keeps its dı via the
+# possessive because the skip-one-vowel probe fails)
+_TR_yDU = _tr_am(_tr_opt([d + u + p for d in "dt" for u in _U4
+                          for p in ("", "m", "n", "k")], "y"))
+# ysA likewise fuses persons and skips the harmony check
+# (tonayse -> to despite e-after-a/o)
+_TR_ysA = _tr_am(_tr_opt([s + p for s in ("sa", "se")
+                          for p in ("", "m", "n", "k")], "y",
+                         harmony=False))
 _TR_ken = _tr_am(_tr_opt(["ken"], "y", harmony=False))
 _TR_sUnUz = _tr_am(_tr_suf(["s" + a + "n" + a + "z" for a in _U4]))
 _TR_yUz = _tr_am(_tr_opt([u + "z" for u in _U4], "y"))
@@ -968,20 +986,22 @@ _TR_nUn = _tr_am(_tr_opt([u + "n" for u in _U4], "n"))
 _TR_nUacc = _tr_am(_tr_suf(_nU, _TR_H))
 _TR_yA = _tr_am(_tr_opt(["a", "e"], "y"))
 _TR_yU = _tr_am(_tr_opt(_U4, "y"))
-# bare-U strip used in chain tails (mark_sU: U + optional s)
+# bare-U strip used in chain tails (mark_sU: harmony + U + optional s)
 _TR_sU = _tr_am(
-    [("s" + u, ((3, _TR_V),), _DEL) for u in _U4]
-    + [(u, ((3, _TR_V),), _DEL) for u in _U4])
+    [("s" + u, (_TR_H, (3, _TR_V)), _DEL) for u in _U4]
+    + [(u, (_TR_H, (3, _TR_V)), _DEL) for u in _U4])
 
-# possessives: optional U buffer, both tests inverted (non-vowel)
+# possessives: optional U buffer, both tests inverted (non-vowel) and
+# EXISTENCE-requiring (Snowball `test non-vowel` fails at the limit:
+# 'anda' keeps its n, 'emuz' is untouched); no harmony (tonamiz->tona)
 def _tr_poss_rules():
     rules = []
     for core in ["m", "n"] + ["m" + u + "z" for u in _U4] \
             + ["n" + u + "z" for u in _U4]:
         for u in _U4:
-            rules.append((u + core, ((len(core) + 2, "!" + _TR_V),), _DEL))
+            rules.append((u + core, (("cons", len(core) + 2),), _DEL))
         rules.append((core, ((len(core) + 1, "!ıiuü"),
-                             (len(core) + 2, "!" + _TR_V)), _DEL))
+                             ("cons", len(core) + 2)), _DEL))
     return rules
 
 
@@ -992,89 +1012,160 @@ def _req(*items):
     return ("andseq", [(p, True) for p in items])
 
 
-def _ki_chain(depth: int):
-    """[ki] + a MANDATORY continuation (bare 'tonaki' stays): the DA
-    alternative shadows ndA (tonasındaki -> tonas via da+possessive),
-    then nUn. Unrolled to a fixed depth — real Turkish rarely nests
-    ki twice, fuzz words never more than the pool allows."""
-    rec = [( _ki_chain(depth - 1), False)] if depth > 0 else []
+# The ki-chain ("[ki] + a MANDATORY continuation"; bare 'tonaki'
+# stays; the DA alternative shadows ndA: tonasındaki -> tonas via
+# da+possessive, then nUn) is RECURSIVE: after ki+DA(+poss/lAr), a
+# further ki-chain may follow.  A direct unrolled expansion is
+# exponential AND each of the ~17 noun-program call sites expands it
+# again — round 7's Finnish trap at 9 MB of generated SQL.  Instead:
+# every call site is terminal in its or-branch, so a site only needs
+# (a) a DECISION — would the chain fire here? — which is the cheap
+# mandatory core [ki + (DA|nUn)], and (b) a deferred EFFECT — raise
+# KIFLAG and let dedicated if_kiflag stages run one chain LEVEL each.
+# Each level's body is then generated exactly once per backend.
+_KI_CORE = ("andseq", [
+    (_TR_ki, True),
+    (("or", [_TR_DA, _TR_nUn]), True),
+])
+# fires (raising KIFLAG, value otherwise untouched) iff the chain
+# core would fire — exactly the chain's own success condition, since
+# everything past the core is optional
+_GKI = ("guarded_setflag", _KI_CORE)
+_SETF = ("setflag",)
+_DROP = ("dropheld",)
+# lAr + a deferred ki-chain continuation (the chain recurses only
+# THROUGH lAr after DA: tondakilerdeki -> to, tondakiteki -> tondaki)
+_LAR_SETF = ("andseq", [(_TR_lAr, True), (_SETF, False)])
+# [ndA|nA] matched and HELD, not deleted (Snowball keeps the bracket
+# open): stash the head before the stem
+_TR_HOLD = ("among", "stash",
+            [(s, (_TR_H,), ("stash",)) for s in ("nda", "nde",
+                                                 "na", "ne")])
+
+
+def _tr_ki_level(emit: bool):
+    """One ki-chain round: strip ki + mandatory (DA [+poss/lAr] |
+    nUn [+lArI]); where the recursive continuation sat, raise KIFLAG
+    for the next if_kiflag stage (emit=False on the last round drops
+    the dead continuation, matching the unrolled depth)."""
+    lar_tail = ("andseq", [(_TR_lAr, True)]
+                + ([(_SETF, False)] if emit else []))
+    # after DA the chain recurses only THROUGH lAr (tondakilerdeki ->
+    # to, never bare: tondakiteki -> tondaki, PG-probed)
     da_tail = ("or", [
-        ("andseq", [(_TR_poss, True),
-                    (("andseq", [(_TR_lAr, True)] + rec), False)]),
-        ("andseq", [(_TR_lAr, True)] + rec),
-    ] + ([_ki_chain(depth - 1)] if depth > 0 else []))
+        ("andseq", [(_TR_poss, True), (lar_tail, False)]),
+        lar_tail,
+    ])
+    # after nUn: lArI | sU | poss | bare recursion (aikininki -> aik
+    # via sU, tonimizinkinin -> ton via poss, tondakininkinin -> to
+    # via the bare chain)
+    nun_tail = ("or", [
+        _TR_lArI,
+        ("andseq", [(_TR_sU, True), (lar_tail, False)]),
+        ("andseq", [(_TR_poss, True), (lar_tail, False)]),
+    ] + ([_SETF] if emit else []))
     return ("andseq", [
         (_TR_ki, True),
         (("or", [
             ("andseq", [(_TR_DA, True), (da_tail, False)]),
-            ("andseq", [(_TR_nUn, True), (_TR_lArI, False)]),
+            ("andseq", [(_TR_nUn, True), (nun_tail, False)]),
         ]), True),
     ])
 
 
-_KI = _ki_chain(2)
-_LAR_KI = ("andseq", [(_TR_lAr, True), (_KI, False)])
+_KI = _GKI
+_LAR_KI = ("andseq", [(_TR_lAr, True), (_GKI, False)])
 
 _TR_NOUN = ("or", [
     # [lAr] + try(ki-chain)
     ("andseq", [(_TR_lAr, True), (_KI, False)]),
-    # [ncA] + try(lArI | poss | lAr)
+    # [ncA] + try(lArI | sU | poss | lAr) — lArI first
+    # (kmtadalerince -> kmtada, ıztakilarınca -> ıztaki;
+    # tonasınca -> tona via sU)
     ("andseq", [(_TR_ncA, True),
                 (("or", [_TR_lArI,
-                         ("andseq", [(_TR_poss, True), (_LAR_KI, False)]),
-                         _TR_lAr]), False)]),
-    # [ndA|nA] + MANDATORY (lArI | sU+try(lAr ki) | ki)  (tonunda->ton)
-    ("andseq", [(("or", [_TR_ndA, _TR_nA]), True),
-                (("or", [_TR_lArI,
                          ("andseq", [(_TR_sU, True), (_LAR_KI, False)]),
-                         _KI]), True)]),
-    # [ndAn|nU] + MANDATORY (lArI | sU+try(lAr ki))  (tonunu->ton)
+                         ("andseq", [(_TR_poss, True), (_LAR_KI, False)]),
+                         _LAR_SETF]), False)]),
+    # [ndA|nA] HELD, not deleted + MANDATORY (lArI | sU+try(lAr ki) |
+    # ki-chain): lArI/sU extend the deletion through the head
+    # (tonlarında->ton, tonusunda->tonu) while the ki-chain runs left
+    # of the held head which then survives (audakinde->aunde,
+    # tonlardakine->tonne, tondakina->tona)
+    ("andseq", [(_TR_HOLD, True),
+                (("or", [("andseq", [(_TR_lArI, True), (_DROP, True)]),
+                         ("andseq", [(_TR_sU, True), (_DROP, True),
+                                     (_LAR_SETF, False)]),
+                         _GKI]), True)]),
+    # [ndAn|nU] + MANDATORY sU+try(lAr ki)  (tonunu->ton; no lArI:
+    # toblerini -> tobler, not tob)
     ("andseq", [(("or", [_TR_ndAn, _TR_nUacc]), True),
-                (("or", [_TR_lArI,
-                         ("andseq", [(_TR_sU, True), (_LAR_KI, False)])]),
-                 True)]),
+                (("andseq", [(_TR_sU, True), (_LAR_KI, False)]), True)]),
     # [DAn] + try(poss+try(lAr ki) | lAr+try(ki) | ki)
     ("andseq", [(_TR_DAn, True),
                 (("or", [("andseq", [(_TR_poss, True), (_LAR_KI, False)]),
                          _LAR_KI, _KI]), False)]),
-    # [ylA] + try(lArI | sU.. | poss.. | lAr+try(bare U)) (tonularla->ton)
+    # [ylA] + try(sU.. | poss.. | lAr+try(ki | bare U) | ki)
+    # (tonularla->ton; sU not lArI: bmpzücjrlarıyla keeps its lar;
+    # trailing ki-chain: tondakiyle->to, tonlardakiyle->ton)
     ("andseq", [(_TR_ylA, True),
-                (("or", [_TR_lArI,
-                         ("andseq", [(_TR_sU, True), (_LAR_KI, False)]),
-                         ("andseq", [(_TR_poss, True), (_LAR_KI, False)]),
-                         ("andseq", [(_TR_lAr, True), (_TR_sU, False)])]),
-                 False)]),
-    # [nUn] + try(lArI | ki | sU.. | poss.. | lAr+try(ki | bare U))
-    # (tonuların->ton, tonadakinin->tona, tonamızın->tona)
-    ("andseq", [(_TR_nUn, True),
-                (("or", [_TR_lArI,
-                         _KI,
-                         ("andseq", [(_TR_sU, True), (_LAR_KI, False)]),
+                (("or", [("andseq", [(_TR_sU, True), (_LAR_KI, False)]),
                          ("andseq", [(_TR_poss, True), (_LAR_KI, False)]),
                          ("andseq", [(_TR_lAr, True),
-                                     (("or", [_KI, _TR_sU]), False)])]),
+                                     (("or", [_KI, _TR_sU, _TR_poss]),
+                                      False)]),
+                         _KI]),
                  False)]),
-    # [DA] + try(poss+try(lAr) | lAr)
+    # [nUn] + try(sU.. | ki | poss.. | lAr+try(ki | bare U)) — sU
+    # BEFORE the ki-chain (aadpkindekinin -> aadpkindek, while
+    # tonadakinin -> tona still chains because sU fails harmony;
+    # tonuların->ton, tonamızın->tona; no lArI: dlarının -> dlar)
+    ("andseq", [(_TR_nUn, True),
+                (("or", [("andseq", [(_TR_sU, True), (_LAR_KI, False)]),
+                         _KI,
+                         ("andseq", [(_TR_poss, True), (_LAR_KI, False)]),
+                         ("andseq", [(_TR_lAr, True),
+                                     (("or", [_TR_lArI, _KI, _TR_sU,
+                                              _TR_poss]), False)])]),
+                 False)]),
+    # [DA] + try(poss+try(lAr ki..) | lAr+try(ki..)) — the ki-chain
+    # continues after DA+lAr (tondakilerdeymiş -> to)
     ("andseq", [(_TR_DA, True),
-                (("or", [("andseq", [(_TR_poss, True), (_TR_lAr, False)]),
-                         _TR_lAr]), False)]),
-    # [yA] + try(poss+try(lAr) | lAr)
+                (("or", [("andseq", [(_TR_poss, True),
+                                     (_LAR_SETF, False)]),
+                         _LAR_SETF]), False)]),
+    # [yA] + try(poss+try(lAr ki..) | lAr+try(ki..))
+    # (kmctpkininkilere -> kmctpki)
     ("andseq", [(_TR_yA, True),
-                (("or", [("andseq", [(_TR_poss, True), (_TR_lAr, False)]),
-                         _TR_lAr]), False)]),
+                (("or", [("andseq", [(_TR_poss, True),
+                                     (_LAR_SETF, False)]),
+                         _LAR_SETF]), False)]),
     # [lArI]
     _TR_lArI,
     # ki-chain standalone — BEFORE yU (tenedeki -> tene)
     _KI,
-    # [yU] + try(poss)  (tonumuzu -> ton)
-    ("andseq", [(_TR_yU, True), (_TR_poss, False)]),
+    # [yU] + try(poss | lAr+try(ki..))  (tonumuzu -> ton,
+    # tonlaru -> ton, ouşçtimizdekileru -> ouşçt)
+    ("andseq", [(_TR_yU, True),
+                (("or", [("andseq", [(_TR_poss, True),
+                                     (_LAR_SETF, False)]),
+                         _LAR_SETF]), False)]),
     # [poss] + try(lAr+try(ki))  (tonularımız -> tonu)
     ("andseq", [(_TR_poss, True), (_LAR_KI, False)]),
 ])
 
+_TR_cAsInA = _tr_am(_tr_suf(["casına", "cesine"]))
+
 _TR_VERB = [
     # B1: simple tense suffixes
     (("or", [_TR_ymUs, _TR_yDU, _TR_ysA, _TR_ken]), False),
+    # B2: -cAsInA + (person)? + MANDATORY -ymUş to its left
+    # (ceröılmışcasına -> ceröıl, but tonamışcasına -> tonamışca via
+    # the noun nA+sU chain because mış fails the skip-one-vowel probe)
+    (("andseq", [(_TR_cAsInA, True),
+                 (("or", [_TR_sUnUz, _TR_lAr, _TR_yUm, _TR_sUn,
+                          _TR_yUz]), False),
+                 (_TR_ymUs, True)]), False),
     # B3: plural + try(copula) — ABORTS noun stemming (tonudurlar->tonu)
     (("andseq", [(_TR_lAr, True),
                  (("or", [_TR_DUr, _TR_yDU, _TR_ysA, _TR_ymUs]), False)]),
@@ -1091,33 +1182,51 @@ _TR_VERB = [
                               (_TR_ymUs, True)]), False)]), False),
 ]
 
+# append the harmony U to d/g-final stems — except the reserved words
+# ad/soyad (adı -> ad, soyadı -> soyad, with no trailing vowel)
 _TR_APPEND_U = ("or", [
-    ("among", None, [(c, (("lastv", vs),), ("app", u))])
+    ("among", None, [(c, (("lastv", vs), ("ne", ("ad", "soyad"))),
+                      ("app", u))])
     for c in "dg" for vs, u in (("aı", "ı"), ("ei", "i"),
                                 ("ou", "u"), ("öü", "ü"))
 ])
+# final-consonant devoicing; d->t fires only when the append could
+# not (vowelless stems like 'kd' -> 'kt'), and never for the reserved
+# words ('adı' -> 'ad', not 'at')
 _TR_DEVOICE = ("among", None, [
     ("b", (), ("repl", "p")), ("c", (), ("repl", "ç")),
-    ("d", (), ("repl", "t")), ("ğ", (), ("repl", "k")),
+    ("d", (("ne", ("ad", "soyad")),), ("repl", "t")),
+    ("ğ", (), ("repl", "k")),
 ])
 
 TR_SPEC = {
     "vowels": _TR_V,
     "min_r1": 0,
     "harmony": _TR_HARMONY,
+    "restore_empty": True,
+    "checks_in_region": True,        # bound checks to the stem part
     "stages": [
         ("mark_few_vowels", 2),      # more_than_one_syllable_word gate
         ("flag_or", _TR_VERB),       # one nominal-verb composite
         ("unless_flag", _TR_NOUN),   # one noun-suffix chain
-        ("plain_skip_mark", _TR_APPEND_U),
-        ("plain_skip_mark", _TR_DEVOICE),
+        # deferred ki-chain rounds (see _tr_ki_level): depth-2 unroll
+        # = three levels, the last with no further continuation
+        ("if_kiflag", _tr_ki_level(True)),
+        ("if_kiflag", _tr_ki_level(True)),
+        ("if_kiflag", _tr_ki_level(False)),
+        ("unstash",),                # reattach a held ndA/nA head
+        # the plural-abort path skips the postlude too (csüçvibler
+        # keeps its b, sonuglar gets no appended U)
+        ("unless_flag", _TR_APPEND_U),
+        ("unless_flag", _TR_DEVOICE),
         ("strip_all",),
     ],
 }
 
 SNOWBALL_LANGS = {"da": DA_SPEC, "no": NO_SPEC, "sv": SV_SPEC,
                   "ru": RU_SPEC, "nl": NL_SPEC, "ro": RO_SPEC,
-                  "fi": FI_SPEC, "hu": HU_SPEC, "en": EN_SPEC}
+                  "fi": FI_SPEC, "hu": HU_SPEC, "en": EN_SPEC,
+                  "tr": TR_SPEC}
 
 # Stage plans for the expression backends: each entry becomes ONE
 # F.transform / list_transform pass. kinds:
@@ -1192,11 +1301,23 @@ def _ulen(spec, s: str) -> int:
 
 
 def _py_region_len(spec, region, t):
+    if region == "stash":
+        # everything after the held-suffix separator (the whole token
+        # when nothing is held): suffix matches and checks stay inside
+        # the stem part of "head^stem"
+        i = t.find(SEP)
+        return len(t) - (i + 1) if i >= 0 else len(t)
     m = re.match(_region_re(spec, region), t)
     n = _ulen(spec, m.group(1)) if m else 0
     if region == "r1" and spec["min_r1"]:
         n = min(n, max(_ulen(spec, t) - spec["min_r1"], 0))
     return n
+
+
+def _py_eff(t):
+    """The stem part of a stashed token (t unchanged when no hold)."""
+    i = t.find(SEP)
+    return t[i + 1:] if i >= 0 else t
 
 
 def _py_check_one(t, idx, chars, limit):
@@ -1219,15 +1340,25 @@ def _py_kind_check(spec, t, c):
     kind = c[0]
     if kind == "harmony":
         # Snowball goto-scan harmony: the last vowel's class must
-        # occur somewhere LEFT of it (tenaler -> tena, tonaler stays)
-        m = re.search(f"[{v}][^{v}]*$", t)
+        # occur somewhere LEFT of it (tenaler -> tena, tonaler stays);
+        # scoped to the stem part when a head suffix is stashed
+        e = _py_eff(t)
+        m = re.search(f"[{v}][^{v}]*$", e)
         if not m:
             return False
-        allowed = spec["harmony"][t[m.start()]]
-        return any(ch in allowed for ch in t[:m.start()])
+        allowed = spec["harmony"][e[m.start()]]
+        return any(ch in allowed for ch in e[:m.start()])
     if kind == "lastv":        # last vowel of the token is in c[1]
-        m = re.search(f"[{v}][^{v}]*$", t)
-        return bool(m) and t[m.start()] in c[1]
+        e = _py_eff(t)
+        m = re.search(f"[{v}][^{v}]*$", e)
+        return bool(m) and e[m.start()] in c[1]
+    if kind == "cons":
+        # char idx-from-end EXISTS and is a non-vowel (Snowball
+        # `test non-vowel` fails at the limit, unlike a negated
+        # positional check which passes out-of-range)
+        return c[1] <= len(_py_eff(t)) and t[-c[1]] not in v
+    if kind == "ne":           # token is none of the reserved words
+        return t not in c[1]
     if kind == "inr":          # suffix of length c[2] lies inside region
         return _py_region_len(spec, c[1], t) >= c[2]
     if kind == "r1len0":       # Snowball `atmark p1` (m == 1 gate)
@@ -1276,6 +1407,10 @@ def _py_action(t, suffix, action):
         if len(base) >= 2 and base[-1] == base[-2] and base[-1] in "kdt":
             return base[:-1]
         return base
+    if action[0] == "stash":
+        # hold: move the matched head in front of the stem so inner
+        # programs keep working on the string tail (Turkish ndA/nA)
+        return suffix + SEP + base
     return base  # del
 
 
@@ -1363,6 +1498,19 @@ def _py_run(spec, prog, t):
         if out != t:
             return _py_run(spec, prog[2], out)
         return t
+    if op == "setflag":
+        # terminal in its branch by construction: nothing downstream
+        # in the same stage ever sees the flagged value
+        return KIFLAG + t
+    if op == "guarded_setflag":
+        # raise KIFLAG iff the guard program would fire; the value
+        # itself is left for the if_kiflag stage to transform
+        return KIFLAG + t if _py_run(spec, prog[1], t) != t else t
+    if op == "dropheld":
+        # erase the stashed head: its deletion extends through the
+        # continuation suffix (Turkish ndA + lArI/sU compounds)
+        i = t.find(SEP)
+        return t[i + 1:] if i >= 0 else t
     raise KeyError(op)
 
 
@@ -1413,6 +1561,16 @@ def _py_stages(spec, stages, t):
         elif k == "unless_flag":
             if not t.startswith(MARK) and not t.startswith(FLAG):
                 t = _py_run(spec, st[1], t)
+        elif k == "if_kiflag":
+            # consume the pending ki-round flag; st[1] may raise a
+            # fresh one for the next if_kiflag stage
+            if t.startswith(KIFLAG):
+                t = _py_run(spec, st[1], t[1:])
+        elif k == "unstash":
+            # reattach a held head suffix: "head^stem" -> "stemhead"
+            i = t.find(SEP)
+            if i >= 0:
+                t = t[i + 1:] + t[:i]
         elif k == "plain_skip_mark":
             if not t.startswith(MARK):
                 if t.startswith(FLAG):
@@ -1457,11 +1615,24 @@ def _py_stages(spec, stages, t):
 def snowball_stem_py(token: str, lang: str) -> str:
     spec = SNOWBALL_LANGS[lang]
     if "stages" in spec:
-        return _py_stages(spec, spec["stages"], token)
+        out = _py_stages(spec, spec["stages"], token)
+        if spec.get("restore_empty") and out == "":
+            # a word that IS one of its suffixes comes back whole
+            # (Turkish: 'siniz' stays, probed against dict_snowball)
+            return token
+        return out
     return _py_run(spec, spec["prog"], token)
 
 
 # --------------------------------------------------------------- spark
+
+_FAIL = "\x1f"   # andseq failure sentinel; tokens never contain it
+
+
+def _sp_let(val: Column, body) -> Column:
+    """Bind ``val`` once: transform over a 1-element array."""
+    return F.transform(F.array(val), body).getItem(0)
+
 
 def _sp_len(spec, t: Column) -> Column:
     return F.octet_length(t) if spec.get("units") == "bytes" \
@@ -1469,11 +1640,20 @@ def _sp_len(spec, t: Column) -> Column:
 
 
 def _sp_region_len(spec, region, t: Column) -> Column:
+    if region == "stash":
+        # stem part of "head^stem" (whole token when nothing held):
+        # instr is 0 without a separator, so this is just length
+        return F.length(t) - F.instr(t, SEP)
     n = _sp_len(spec, F.regexp_extract(t, _region_re(spec, region), 1))
     if region == "r1" and spec["min_r1"]:
         n = F.least(n, F.greatest(_sp_len(spec, t) - spec["min_r1"],
                                   F.lit(0)))
     return n
+
+
+def _sp_eff(t: Column) -> Column:
+    """Stem part of a stashed token (t itself when no hold)."""
+    return t.substr(F.instr(t, SEP) + 1, F.length(t))
 
 
 def _sp_check_one(t: Column, idx, chars, limit) -> Column:
@@ -1488,9 +1668,11 @@ def _sp_check_one(t: Column, idx, chars, limit) -> Column:
     return out
 
 
-def _sp_kind_check(spec, t: Column, c) -> Column:
+def _sp_kind_check(spec, t: Column, c, env=None) -> Column:
     v = spec["vowels"]
     kind = c[0]
+    if env and kind in env:
+        return env[kind]
     if kind == "inr":
         return _sp_region_len(spec, c[1], t) >= c[2]
     if kind == "r1len0":
@@ -1509,27 +1691,46 @@ def _sp_kind_check(spec, t: Column, c) -> Column:
               & at(n + 2).isin(*list(v))
               & ~at(n + 3).isin(*list(v)))
         return ok if kind == "shortv" else ~ok
+    if kind == "harmony":
+        e = _sp_eff(t)
+        pre = F.regexp_replace(e, f"[{v}][^{v}]*$", "")
+        v1 = F.regexp_extract(e, f"([{v}])[^{v}]*$", 1)
+        cond = F.lit(False)
+        for vc, allowed in spec["harmony"].items():
+            cond = cond | ((v1 == vc) & pre.rlike(f"[{allowed}]"))
+        return cond
+    if kind == "lastv":
+        e = _sp_eff(t)
+        v1 = F.regexp_extract(e, f"([{v}])[^{v}]*$", 1)
+        return v1.isin(*list(c[1]))
+    if kind == "cons":
+        idx = c[1]
+        ch = t.substr(F.length(t) - (idx - 1), F.lit(1))
+        return (_sp_region_len(spec, "stash", t) >= idx) \
+            & ~ch.isin(*list(v))
+    if kind == "ne":
+        return ~t.isin(*c[1])
     raise KeyError(kind)
 
 
-def _sp_check_elem(spec, t: Column, c, limit) -> Column:
+def _sp_check_elem(spec, t: Column, c, limit, env=None) -> Column:
     if c[0] == "or":
         alt = F.lit(False)
         for g in c[1:]:
             gc = F.lit(True)
             for e in g:
-                gc = gc & _sp_check_elem(spec, t, e, limit)
+                gc = gc & _sp_check_elem(spec, t, e, limit, env)
             alt = alt | gc
         return alt
     if isinstance(c[0], str):
-        return _sp_kind_check(spec, t, c)
+        return _sp_kind_check(spec, t, c, env)
     return _sp_check_one(t, c[0], c[1], limit)
 
 
-def _sp_checks(spec, t: Column, checks, limit=None) -> Column:
+def _sp_checks(spec, t: Column, checks, limit=None, env=None) -> Column:
     cond = F.lit(True)
     for c in checks:
-        cond = cond & _sp_check_elem(spec, t, c, limit)
+        cond = cond & _sp_check_elem(spec, t, c, limit, env)
     return cond
 
 
@@ -1551,6 +1752,8 @@ def _sp_action(t: Column, suffix, action) -> Column:
             & last.isin("k", "d", "t")
         return F.when(dbl, base.substr(F.lit(1), F.length(base) - 1)) \
             .otherwise(base)
+    if action[0] == "stash":
+        return F.concat(F.lit(suffix + SEP), base)
     return base  # del
 
 
@@ -1558,24 +1761,33 @@ def _sp_among(spec, region, rules, t: Column, mode="limit") -> Column:
     rlen = _sp_region_len(spec, region, t) if region else _sp_len(spec, t)
     bounded = spec.get("checks_in_region") or mode.endswith("_cb")
     climit = rlen if bounded else None
-    expr = None
-    for rule in _sorted_rules(rules):
-        suffix, checks, action = rule[0], rule[1], rule[2]
-        follow = rule[3] if len(rule) > 3 else None
-        slen = _ulen(spec, suffix)
-        ends = t.endswith(suffix) if suffix else F.lit(True)
-        matched = ends if mode.startswith("check") else \
-            (ends & (rlen >= slen))
-        gate = _sp_checks(spec, t, checks, climit)
-        if mode.startswith("check"):
-            gate = gate & (rlen >= slen)
-        res = _sp_action(t, suffix, action)
-        if follow is not None:
-            res = _sp_run(spec, follow, res)
-        val = F.when(gate, res).otherwise(t)
-        expr = F.when(matched, val) if expr is None else \
-            expr.when(matched, val)
-    return expr.otherwise(t)
+
+    def body(env):
+        expr = None
+        for rule in _sorted_rules(rules):
+            suffix, checks, action = rule[0], rule[1], rule[2]
+            follow = rule[3] if len(rule) > 3 else None
+            slen = _ulen(spec, suffix)
+            ends = t.endswith(suffix) if suffix else F.lit(True)
+            matched = ends if mode.startswith("check") else \
+                (ends & (rlen >= slen))
+            gate = _sp_checks(spec, t, checks, climit, env)
+            if mode.startswith("check"):
+                gate = gate & (rlen >= slen)
+            res = _sp_action(t, suffix, action)
+            if follow is not None:
+                res = _sp_run(spec, follow, res)
+            val = F.when(gate, res).otherwise(t)
+            expr = F.when(matched, val) if expr is None else \
+                expr.when(matched, val)
+        return expr.otherwise(t)
+
+    # the harmony condition is suffix-independent: bind it once per
+    # among instead of expanding the 8-way scan inside every rule
+    if any(("harmony",) in rule[1] for rule in rules):
+        hcond = _sp_kind_check(spec, t, ("harmony",))
+        return _sp_let(hcond, lambda h: body({"harmony": h}))
+    return body(None)
 
 
 def _sp_run(spec, prog, t: Column) -> Column:
@@ -1611,17 +1823,48 @@ def _sp_run(spec, prog, t: Column) -> Column:
             t = _sp_run(spec, p, t)
         return t
     if op == "or":
-        out = None
-        for p in prog[1]:
-            attempt = _sp_run(spec, p, t)
-            changed = attempt != t
-            out = F.when(changed, attempt) if out is None else \
-                out.when(changed, attempt)
-        return out.otherwise(t)
+        # alternatives as SIBLING array elements with a first-change
+        # pick, not nested lets: binder cost in both engines grows
+        # superlinearly with nesting depth (the Turkish noun chain at
+        # 13 nested alternatives never finished binding)
+        alts = [_sp_run(spec, p, t) for p in prog[1]]
+        hit = F.filter(F.array(*alts), lambda a: a != t)
+        return F.coalesce(F.get(hit, 0), t)
+    if op == "andseq":
+        # Snowball and-sequence with restore: required members must
+        # change the token or the whole thing reverts. Failure is
+        # propagated by a sentinel char no token can contain.
+        items = prog[1]
+
+        def build(i, cur):
+            if i >= len(items):
+                return cur
+            p, required = items[i]
+            nxt = _sp_run(spec, p, cur)
+            if required:
+                return _sp_let(nxt,
+                               lambda n: F.when(n != cur,
+                                                build(i + 1, n))
+                               .otherwise(F.lit(_FAIL)))
+            return _sp_let(nxt, lambda n: build(i + 1, n))
+
+        return _sp_let(build(0, t),
+                       lambda r: F.when(r == _FAIL, t).otherwise(r))
     if op == "ifchanged":
         attempt = _sp_run(spec, prog[1], t)
         return F.when(attempt != t, _sp_run(spec, prog[2], attempt)) \
             .otherwise(t)
+    if op == "setflag":
+        return F.concat(F.lit(KIFLAG), t)
+    if op == "guarded_setflag":
+        attempt = _sp_run(spec, prog[1], t)
+        return _sp_let(attempt,
+                       lambda a: F.when(a != t,
+                                        F.concat(F.lit(KIFLAG), t))
+                       .otherwise(t))
+    if op == "dropheld":
+        i = F.instr(t, SEP)
+        return F.when(i > 0, t.substr(i + 1, F.length(t))).otherwise(t)
     raise KeyError(op)
 
 
@@ -1635,6 +1878,45 @@ def _sp_stage(spec, stage):
         if kind == "mark_short":
             return F.when(F.length(t) <= stage[1],
                           F.concat(F.lit(MARK), t)).otherwise(t)
+        if kind == "mark_few_vowels":
+            vw = spec["vowels"]
+            nv = F.length(F.regexp_replace(t, f"[^{vw}]", ""))
+            return F.when(nv < stage[1],
+                          F.concat(F.lit(MARK), t)).otherwise(t)
+        if kind == "flag_or":
+            def mk_wrap(r):
+                # single-arg lambda: F.transform passes the element
+                # index to any second parameter, even a defaulted one
+                return lambda a: F.when(
+                    a != t,
+                    F.concat(F.lit(FLAG), a) if r else a).otherwise(t)
+
+            alts = []
+            for p, raises in stage[1]:
+                attempt = _sp_run(spec, p, t)
+                alts.append(_sp_let(attempt, mk_wrap(raises)))
+            hit = F.filter(F.array(*alts), lambda a: a != t)
+            picked = F.coalesce(F.get(hit, 0), t)
+            return F.when(t.startswith(MARK), t).otherwise(picked)
+        if kind == "unless_flag":
+            skip = t.startswith(MARK) | t.startswith(FLAG)
+            return F.when(skip, t).otherwise(_sp_run(spec, stage[1], t))
+        if kind == "if_kiflag":
+            body = t.substr(F.lit(2), F.length(t))
+            return F.when(
+                t.startswith(KIFLAG),
+                _sp_let(body, lambda b: _sp_run(spec, stage[1], b)),
+            ).otherwise(t)
+        if kind == "unstash":
+            i = F.instr(t, SEP)
+            return F.when(
+                i > 0,
+                F.concat(t.substr(i + 1, F.length(t)),
+                         t.substr(F.lit(1), i - 1)),
+            ).otherwise(t)
+        if kind == "strip_all":
+            return F.when(t.startswith(MARK) | t.startswith(FLAG),
+                          t.substr(F.lit(2), F.length(t))).otherwise(t)
         if kind == "mark_scan":
             # exact left-to-right prelude scan as a character fold:
             # processed prev comes off the accumulator, raw next off
@@ -1720,24 +2002,114 @@ def _sp_stage(spec, stage):
     return fn
 
 
+# Languages whose generated column expression is correct but too big
+# for Catalyst to analyze per-query: Turkish's staged chain measures
+# ~92 s of py4j construction + analysis and an 11.5 MiB task binary
+# per query (local[32], Spark 4.1).  For these the execution path is
+# an Arrow-vectorized pandas_udf over the SAME pinned Python
+# implementation with a token memo; the column-expr and DuckDB twins
+# stay implemented and fuzz-pinned (see tests/test_snowball.py).
+SLOW_EXPR_LANGS = {"tr"}
+
+_VEC_UDFS: dict = {}
+
+
+def snowball_tokens_vec(tokens: Column, lang: str) -> Column:
+    """array<string> -> stemmed array<string> via an Arrow-batched
+    pandas_udf calling the reference Python backend (memoized — token
+    frequencies are Zipfian, so the per-batch hit rate is high)."""
+    if lang not in _VEC_UDFS:
+        from functools import partial
+
+        # explicit SCALAR form: the module-wide stringized annotations
+        # can't be resolved by the type-hint inferrer for local
+        # imports; partial over a module function pickles by reference
+        # so the worker-side memo persists across Arrow batches
+        _VEC_UDFS[lang] = F.pandas_udf(partial(_vec_stem_arrs, lang),
+                                       "array<string>",
+                                       F.PandasUDFType.SCALAR)
+    return _VEC_UDFS[lang](tokens)
+
+
+_WORKER_MEMO: dict = {}
+
+
+def _vec_stem_arrs(lang, arrs):
+    memo = _WORKER_MEMO.setdefault(lang, {})
+
+    def stem1(t):
+        r = memo.get(t)
+        if r is None:
+            r = snowball_stem_py(t, lang)
+            memo[t] = r
+        return r
+
+    return arrs.map(
+        lambda a: None if a is None else [stem1(t) for t in a])
+
+
 def snowball_tokens_expr(tokens: Column, lang: str) -> Column:
     """array<string> -> stemmed array<string>, pure JVM expressions
-    (one F.transform pass per stage — big amongs appear once each)."""
+    (one F.transform pass per stage — big amongs appear once each).
+    SLOW_EXPR_LANGS dispatch to the vectorized twin instead."""
+    if lang in SLOW_EXPR_LANGS:
+        return snowball_tokens_vec(tokens, lang)
+    return snowball_tokens_col(tokens, lang)
+
+
+def snowball_tokens_col(tokens: Column, lang: str) -> Column:
+    """The pure column-expression backend for any language, including
+    SLOW_EXPR_LANGS (tested opt-in — see test_snowball.py)."""
     spec = SNOWBALL_LANGS[lang]
+    # the Turkish chain nests enough lambda levels (10 stages plus
+    # per-among lets) that the analyzer's fixed-point Resolution
+    # batch needs more than its default 100 iterations
+    try:
+        from pyspark.sql import SparkSession
+        sess = SparkSession.getActiveSession()
+        if sess is not None:
+            cur = int(sess.conf.get("spark.sql.analyzer.maxIterations",
+                                    "100"))
+            if cur < 1000:
+                sess.conf.set("spark.sql.analyzer.maxIterations", "1000")
+    except Exception:
+        pass
     out = tokens
     for stage in _stage_plan(lang):
         out = F.transform(out, _sp_stage(spec, stage))
+    if spec.get("restore_empty"):
+        out = F.zip_with(tokens, out,
+                         lambda o, s: F.when(s == "", o).otherwise(s))
     return out
 
 
 # --------------------------------------------------------------- duckdb
+
+import itertools as _it
+
+_sql_var = _it.count()
+
+
+def _sql_let(val: str, body_fn) -> str:
+    """Bind ``val`` once as a lambda variable (1-element
+    list_transform) so big subexpressions aren't textually repeated."""
+    var = f"lv{next(_sql_var)}"
+    return f"list_transform([{val}], {var} -> {body_fn(var)})[1]"
+
 
 def _sql_len(spec, v: str) -> str:
     fn = "strlen" if spec.get("units") == "bytes" else "length"
     return f"{fn}({v})"
 
 
+def _sql_eff(v: str) -> str:
+    """Stem part of a stashed token (v itself when no hold)."""
+    return f"substr({v}, strpos({v}, '{SEP}') + 1)"
+
+
 def _sql_region_len(spec, region, v: str) -> str:
+    if region == "stash":
+        return f"(length({v}) - strpos({v}, '{SEP}'))"
     n = _sql_len(spec,
                  f"regexp_extract({v}, '{_region_re(spec, region)}', 1)")
     if region == "r1" and spec["min_r1"]:
@@ -1757,9 +2129,11 @@ def _sql_check_one(v: str, idx, chars, limit) -> str:
     return out
 
 
-def _sql_kind_check(spec, v: str, c) -> str:
+def _sql_kind_check(spec, v: str, c, env=None) -> str:
     vw = spec["vowels"]
     kind = c[0]
+    if env and kind in env:
+        return env[kind]
     if kind == "inr":
         return f"({_sql_region_len(spec, c[1], v)}) >= {c[2]}"
     if kind == "r1len0":
@@ -1778,24 +2152,45 @@ def _sql_kind_check(spec, v: str, c) -> str:
               f" AND regexp_matches({at(n + 2)}, '[{vw}]')"
               f" AND NOT regexp_matches({at(n + 3)}, '[{vw}]'))")
         return ok if kind == "shortv" else f"(NOT {ok})"
+    if kind == "harmony":
+        e = _sql_eff(v)
+        pre = f"regexp_replace({e}, '[{vw}][^{vw}]*$', '')"
+        v1 = f"regexp_extract({e}, '([{vw}])[^{vw}]*$', 1)"
+        alts = " OR ".join(
+            f"({v1} = '{vc}' AND regexp_matches({pre}, '[{allowed}]'))"
+            for vc, allowed in spec["harmony"].items())
+        return f"({alts})"
+    if kind == "lastv":
+        e = _sql_eff(v)
+        v1 = f"regexp_extract({e}, '([{vw}])[^{vw}]*$', 1)"
+        lst = ", ".join(f"'{ch}'" for ch in c[1])
+        return f"({v1} IN ({lst}))"
+    if kind == "cons":
+        idx = c[1]
+        return (f"({_sql_region_len(spec, 'stash', v)} >= {idx} "
+                f"AND NOT regexp_matches("
+                f"substr({v}, -{idx}, 1), '[{vw}]'))")
+    if kind == "ne":
+        lst = ", ".join(f"'{w}'" for w in c[1])
+        return f"({v} NOT IN ({lst}))"
     raise KeyError(kind)
 
 
-def _sql_check_elem(spec, v: str, c, limit) -> str:
+def _sql_check_elem(spec, v: str, c, limit, env=None) -> str:
     if c[0] == "or":
         groups = [
-            "(" + " AND ".join(_sql_check_elem(spec, v, e, limit)
+            "(" + " AND ".join(_sql_check_elem(spec, v, e, limit, env)
                                for e in g) + ")"
             for g in c[1:]
         ]
         return "(" + " OR ".join(groups) + ")"
     if isinstance(c[0], str):
-        return _sql_kind_check(spec, v, c)
+        return _sql_kind_check(spec, v, c, env)
     return _sql_check_one(v, c[0], c[1], limit)
 
 
-def _sql_checks(spec, v: str, checks, limit=None) -> str:
-    parts = [_sql_check_elem(spec, v, c, limit) for c in checks]
+def _sql_checks(spec, v: str, checks, limit=None, env=None) -> str:
+    parts = [_sql_check_elem(spec, v, c, limit, env) for c in checks]
     return " AND ".join(parts) if parts else "TRUE"
 
 
@@ -1818,6 +2213,8 @@ def _sql_action(v: str, suffix, action) -> str:
         return (f"(CASE WHEN {dbl} "
                 f"THEN substr({base}, 1, length({base}) - 1) "
                 f"ELSE {base} END)")
+    if action[0] == "stash":
+        return f"('{suffix}{SEP}' || {base})"
     return base  # del
 
 
@@ -1826,23 +2223,31 @@ def _sql_among(spec, region, rules, v: str, mode="limit") -> str:
         else _sql_len(spec, v)
     bounded = spec.get("checks_in_region") or mode.endswith("_cb")
     climit = rlen if bounded else None
-    whens = []
-    for rule in _sorted_rules(rules):
-        suffix, checks, action = rule[0], rule[1], rule[2]
-        follow = rule[3] if len(rule) > 3 else None
-        slen = _ulen(spec, suffix)
-        matched = f"ends_with({v}, '{suffix}')" if suffix else "TRUE"
-        if not mode.startswith("check"):
-            matched += f" AND ({rlen}) >= {slen}"
-        gate = _sql_checks(spec, v, checks, climit)
-        if mode.startswith("check"):
-            gate = f"({rlen}) >= {slen} AND {gate}"
-        res = _sql_action(v, suffix, action)
-        if follow is not None:
-            res = _sql_run(spec, follow, f"({res})")
-        whens.append(f"WHEN {matched} THEN (CASE WHEN {gate} THEN {res} "
-                     f"ELSE {v} END)")
-    return f"(CASE {' '.join(whens)} ELSE {v} END)"
+
+    def body(env):
+        whens = []
+        for rule in _sorted_rules(rules):
+            suffix, checks, action = rule[0], rule[1], rule[2]
+            follow = rule[3] if len(rule) > 3 else None
+            slen = _ulen(spec, suffix)
+            matched = f"ends_with({v}, '{suffix}')" if suffix else "TRUE"
+            if not mode.startswith("check"):
+                matched += f" AND ({rlen}) >= {slen}"
+            gate = _sql_checks(spec, v, checks, climit, env)
+            if mode.startswith("check"):
+                gate = f"({rlen}) >= {slen} AND {gate}"
+            res = _sql_action(v, suffix, action)
+            if follow is not None:
+                res = _sql_run(spec, follow, f"({res})")
+            whens.append(f"WHEN {matched} THEN (CASE WHEN {gate} "
+                         f"THEN {res} ELSE {v} END)")
+        return f"(CASE {' '.join(whens)} ELSE {v} END)"
+
+    # bind the suffix-independent harmony scan once per among
+    if any(("harmony",) in rule[1] for rule in rules):
+        hcond = _sql_kind_check(spec, v, ("harmony",))
+        return _sql_let(hcond, lambda h: body({"harmony": h}))
+    return body(None)
 
 
 def _sql_run(spec, prog, v: str) -> str:
@@ -1882,16 +2287,46 @@ def _sql_run(spec, prog, v: str) -> str:
             v = _sql_run(spec, p, v)
         return v
     if op == "or":
-        whens = []
-        for p in prog[1]:
-            attempt = _sql_run(spec, p, v)
-            whens.append(f"WHEN ({attempt}) != {v} THEN ({attempt})")
-        return f"(CASE {' '.join(whens)} ELSE {v} END)"
+        # sibling alternatives + first-change pick (see the Spark
+        # twin): nested lets made the binder superlinear
+        alts = ", ".join(_sql_run(spec, p, v) for p in prog[1])
+        var = f"oa{next(_sql_var)}"
+        return (f"coalesce(list_filter([{alts}], "
+                f"{var} -> {var} != {v})[1], {v})")
+    if op == "andseq":
+        items = prog[1]
+
+        def build(i, cur):
+            if i >= len(items):
+                return cur
+            p, required = items[i]
+            nxt = _sql_run(spec, p, cur)
+            if required:
+                return _sql_let(
+                    nxt,
+                    lambda n: f"(CASE WHEN {n} != {cur} "
+                              f"THEN {build(i + 1, n)} "
+                              f"ELSE chr(31) END)")
+            return _sql_let(nxt, lambda n: build(i + 1, n))
+
+        return _sql_let(
+            build(0, v),
+            lambda r: f"(CASE WHEN {r} = chr(31) THEN {v} ELSE {r} END)")
     if op == "ifchanged":
         attempt = _sql_run(spec, prog[1], v)
         then = _sql_run(spec, prog[2], f"({attempt})")
         return (f"(CASE WHEN ({attempt}) != {v} THEN {then} "
                 f"ELSE {v} END)")
+    if op == "setflag":
+        return f"('{KIFLAG}' || {v})"
+    if op == "guarded_setflag":
+        attempt = _sql_run(spec, prog[1], v)
+        return _sql_let(
+            attempt,
+            lambda a: f"(CASE WHEN {a} != {v} THEN '{KIFLAG}' || {v} "
+                      f"ELSE {v} END)")
+    if op == "dropheld":
+        return f"(substr({v}, strpos({v}, '{SEP}') + 1))"
     raise KeyError(op)
 
 
@@ -1905,6 +2340,41 @@ def _sql_stage(spec, stage, v: str = "x") -> str:
     if kind == "mark_short":
         return (f"CASE WHEN length({v}) <= {stage[1]} "
                 f"THEN '{MARK}' || {v} ELSE {v} END")
+    if kind == "mark_few_vowels":
+        vw = spec["vowels"]
+        nv = f"length(regexp_replace({v}, '[^{vw}]', '', 'g'))"
+        return (f"CASE WHEN {nv} < {stage[1]} "
+                f"THEN '{MARK}' || {v} ELSE {v} END")
+    if kind == "flag_or":
+        alts = []
+        for p, raises in stage[1]:
+            attempt = _sql_run(spec, p, v)
+            pre = f"'{FLAG}' || " if raises else ""
+            alts.append(_sql_let(
+                attempt,
+                lambda a, pre=pre: f"(CASE WHEN {a} != {v} "
+                                   f"THEN {pre}{a} ELSE {v} END)"))
+        var = f"oa{next(_sql_var)}"
+        picked = (f"coalesce(list_filter([{', '.join(alts)}], "
+                  f"{var} -> {var} != {v})[1], {v})")
+        return f"CASE WHEN {marked} THEN {v} ELSE {picked} END"
+    if kind == "unless_flag":
+        return (f"CASE WHEN {marked} OR {flagged} THEN {v} "
+                f"ELSE ({_sql_run(spec, stage[1], v)}) END")
+    if kind == "if_kiflag":
+        inner = _sql_let(f"substr({v}, 2)",
+                         lambda b: _sql_run(spec, stage[1], b))
+        return (f"CASE WHEN starts_with({v}, '{KIFLAG}') "
+                f"THEN {inner} ELSE {v} END")
+    if kind == "unstash":
+        return _sql_let(
+            f"strpos({v}, '{SEP}')",
+            lambda i: f"(CASE WHEN {i} > 0 "
+                      f"THEN substr({v}, {i} + 1) || "
+                      f"substr({v}, 1, {i} - 1) ELSE {v} END)")
+    if kind == "strip_all":
+        return (f"CASE WHEN {marked} OR {flagged} "
+                f"THEN substr({v}, 2) ELSE {v} END")
     if kind == "mark_scan":
         vow = ", ".join(f"'{c}'" for c in spec["vowels"])
         pairs = (f"list_transform(range(1, length({v}) + 1), "
@@ -1981,4 +2451,8 @@ def snowball_tokens_sql(list_expr: str, lang: str) -> str:
     out = list_expr
     for stage in _stage_plan(lang):
         out = f"list_transform({out}, x -> {_sql_stage(spec, stage)})"
+    if spec.get("restore_empty"):
+        out = (f"list_transform(list_zip({list_expr}, {out}), "
+               f"p -> CASE WHEN p[2] = '' THEN p[1] "
+               f"ELSE p[2] END)")
     return out

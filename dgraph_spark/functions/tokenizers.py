@@ -9,12 +9,13 @@ scan time instead of write time. No Python UDFs here.
 - fulltext (tok/tok.go:558-575): term + stopwords + stemming. en runs
   the full Porter algorithm (porter.c semantics, functions/snowball.py
   EN_SPEC); de/es/fr/it/pt run the reference's Lucene light stemmers
-  (functions/light_stemmers.py), da/no/sv/ru/nl/ro/fi/hu the published
-  Snowball algorithms (functions/snowball.py), ar/ckb/hi the Lucene
-  Arabic/Sorani/Hindi stemmers bleve ports
-  (functions/dedicated_stemmers.py), zh/ja/ko the cjk_bigram filter —
-  matching tok/stemmers.go langStemmers routing. Only tr remains
-  suffix-lite: a documented divergence.
+  (functions/light_stemmers.py), da/no/sv/ru/nl/ro/fi/hu/tr the
+  published Snowball algorithms (functions/snowball.py; tr executes
+  through a vectorized twin of the same pinned spec — see
+  snowball.SLOW_EXPR_LANGS), ar/ckb/hi the Lucene Arabic/Sorani/Hindi
+  stemmers bleve ports (functions/dedicated_stemmers.py), zh/ja/ko the
+  cjk_bigram filter — matching tok/stemmers.go langStemmers routing.
+  All 21 routed languages now match the reference's algorithms.
 - trigram (tok/tok.go:616): dgraph uses trigrams only as a lossy regex
   prefilter — Spark evaluates regexes exactly, so trigram is exposed for
   parity/tests but not needed for correctness (SURVEY.md §4).

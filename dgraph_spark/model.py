@@ -221,35 +221,69 @@ class SmallLoopConf:
     on a real cluster, and everything is restored when the frontier
     outgrows the small regime or the loop ends — at 100 TB a frontier
     past SMALL_LOOP_ROW_CAP runs under the user's full conf and AQE
-    skew handling."""
+    skew handling.
+
+    CONCURRENCY: `spark.conf` is SESSION-global, so while any loop is
+    in the small regime, OTHER queries planned concurrently on the
+    same SparkSession also see the reduced partitions / disabled AQE.
+    They stay correct, just potentially narrower than tuned; a
+    multi-tenant deployment should give each query thread its own
+    `spark.newSession()` (per-session SQLConf) or set
+    DGSPARK_LOOP_CONF=off. Concurrent LOOPS on one session are safe:
+    the regime is refcounted process-wide, so the original conf is
+    saved exactly once and restored only when the LAST loop leaves —
+    two interleaved per-instance save/restores would otherwise capture
+    the reduced conf as "original" and leave the session quartered."""
+
+    # process-wide regime state: {session_id: [refcount, saved_confs]}
+    _STATE: dict = {}
+    _LOCK = None
 
     def __init__(self, spark):
+        import threading
         self.spark = spark
         self.active = False
-        self._saved: dict[str, str] = {}
+        if SmallLoopConf._LOCK is None:
+            SmallLoopConf._LOCK = threading.Lock()
+
+    def _key(self):
+        return id(self.spark)
 
     def enter(self):
         import os
         if self.active or os.environ.get("DGSPARK_LOOP_CONF") == "off":
             return
-        conf = self.spark.conf
-        self._saved = {
-            "spark.sql.shuffle.partitions":
-                conf.get("spark.sql.shuffle.partitions"),
-            "spark.sql.adaptive.enabled":
-                conf.get("spark.sql.adaptive.enabled"),
-        }
-        parts = max(8, int(self._saved["spark.sql.shuffle.partitions"]) // 4)
-        conf.set("spark.sql.shuffle.partitions", str(parts))
-        conf.set("spark.sql.adaptive.enabled", "false")
-        self.active = True
+        with SmallLoopConf._LOCK:
+            st = SmallLoopConf._STATE.get(self._key())
+            if st is None:
+                conf = self.spark.conf
+                saved = {
+                    "spark.sql.shuffle.partitions":
+                        conf.get("spark.sql.shuffle.partitions"),
+                    "spark.sql.adaptive.enabled":
+                        conf.get("spark.sql.adaptive.enabled"),
+                }
+                parts = max(8, int(saved["spark.sql.shuffle.partitions"])
+                            // 4)
+                conf.set("spark.sql.shuffle.partitions", str(parts))
+                conf.set("spark.sql.adaptive.enabled", "false")
+                SmallLoopConf._STATE[self._key()] = [1, saved]
+            else:
+                st[0] += 1
+            self.active = True
 
     def exit(self):
         if not self.active:
             return
-        for k, v in self._saved.items():
-            self.spark.conf.set(k, v)
-        self.active = False
+        with SmallLoopConf._LOCK:
+            st = SmallLoopConf._STATE.get(self._key())
+            if st is not None:
+                st[0] -= 1
+                if st[0] <= 0:
+                    for k, v in st[1].items():
+                        self.spark.conf.set(k, v)
+                    del SmallLoopConf._STATE[self._key()]
+            self.active = False
 
     def adapt(self, frontier_rows: int):
         """Enter/leave the small regime as the frontier grows/shrinks."""

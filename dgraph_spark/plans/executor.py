@@ -2019,7 +2019,7 @@ class Executor:
         _schema = ("node long, dist double, path array<long>, "
                    "preds array<string>, wfs array<double>")
         paths = spark.createDataFrame([(src, 0.0, [src], [], [])], _schema)
-        found = spark.createDataFrame([], _schema)
+        found_rows: list[tuple] = []
         found_any = False
         num_edges = 0  # cumulative expansions (query/shortest.go:231)
 
@@ -2051,7 +2051,7 @@ class Executor:
         paths_n = 1
         loop_conf = SmallLoopConf(spark)
         try:
-            for _ in range(64):
+            for _round in range(64):
                 loop_conf.adapt(paths_n)
                 # frontier is small relative to the edge relation: ship it to
                 # the edges (dgraph ships uid lists to tablets — same idea);
@@ -2098,17 +2098,40 @@ class Executor:
                         dst_in.withColumn("_adj", F.lit(True)), "node", "left")
                     extra_cols = ["_adj", "_dw", "_dwf", "_dpred"]
                 # lazy checkpoint: the stats action computes, caches, and
-                # lineage-truncates the round in ONE job
-                grown = grown.localCheckpoint(eager=False)
-                # one action for both loop conditions
+                # lineage-truncates the round in ONE job. Skipped for
+                # the first two rounds — localCheckpoint finalizes the
+                # plan eagerly (~0.35 s of driver work per call, the
+                # single largest cost of a short query), and a 1-2-join
+                # lineage recomputes in milliseconds. BFS levels are
+                # deterministic; only which equal-distance witness path
+                # survives dropDuplicates may differ on recompute, and
+                # any witness is a valid answer (query/shortest.go
+                # returns an arbitrary one of the tied routes too).
+                if _round >= 2:
+                    grown = grown.localCheckpoint(eager=False)
+                # ONE action per round decides the loop AND carries the
+                # answer rows out: dst hits ride the same aggregate as
+                # collect_list (bounded — the per-node prune leaves at
+                # most `numpaths` rows with node == dst), the lookahead
+                # witness as any_value (lookahead implies numpaths=1,
+                # where any witness is a valid answer). No separate
+                # `found` frame, no end-of-loop job, no recompute.
+                hitcols = ["node", "dist", "path", "preds", "wfs"]
                 aggs = [
                     F.count("*").alias("n"),
                     F.sum(F.when(F.col("node") == dst, 1).otherwise(0)).alias("h"),
+                    F.collect_list(
+                        F.when(F.col("node") == dst,
+                               F.struct(*hitcols))).alias("hits"),
                 ]
                 if lookahead:
-                    aggs.append(F.sum(F.when(
-                        F.col("_adj") & ~F.array_contains(F.col("path"), F.lit(dst)),
-                        1).otherwise(0)).alias("a"))
+                    adj = (F.col("_adj")
+                           & ~F.array_contains(F.col("path"), F.lit(dst)))
+                    aggs.append(F.sum(F.when(adj, 1).otherwise(0)).alias("a"))
+                    aggs.append(F.any_value(
+                        F.when(adj, F.struct("dist", "path", "preds", "wfs",
+                                             "_dw", "_dwf", "_dpred")),
+                        True).alias("ahit"))
                 stats = grown.agg(*aggs).collect()[0]
                 if stats["n"] == 0:
                     break
@@ -2118,8 +2141,10 @@ class Executor:
                     raise ResourceLimitError(
                         f"Exceeded query edge limit = {self.limit_query_edge}. "
                         f"Found {num_edges} edges.")
-                found = found.unionByName(
-                    grown.where(F.col("node") == dst).drop(*extra_cols))
+                found_rows.extend(
+                    (r["node"], r["dist"], list(r["path"]),
+                     list(r["preds"]), list(r["wfs"]))
+                    for r in stats["hits"])
                 if unit_weights and stats["h"] > 0 and not found_any:
                     found_any = True
                     if numpaths == 1:
@@ -2127,31 +2152,29 @@ class Executor:
                         break
                 if lookahead and stats["a"] > 0:
                     # frontier touches parents(dst): minimal dist is this
-                    # round + 1; assemble the answer paths from the cached
-                    # round instead of running the final expansion job
-                    found = found.unionByName(
-                        grown.where(F.col("_adj")
-                                    & ~F.array_contains(F.col("path"), F.lit(dst)))
-                        .select(
-                            F.lit(dst).alias("node"),
-                            (F.col("dist") + F.col("_dw")).alias("dist"),
-                            F.concat(F.col("path"), F.array(F.lit(dst))).alias("path"),
-                            F.concat(F.col("preds"), F.array(F.col("_dpred"))).alias("preds"),
-                            F.concat(F.col("wfs"), F.array(F.col("_dwf"))).alias("wfs"),
-                        ))
+                    # round + 1; extend the witness row with the one
+                    # m->dst edge instead of running the final round
+                    r = stats["ahit"]
+                    found_rows.append((
+                        dst, r["dist"] + r["_dw"],
+                        list(r["path"]) + [dst],
+                        list(r["preds"]) + [r["_dpred"]],
+                        list(r["wfs"]) + [r["_dwf"]],
+                    ))
                     found_any = True
                     break
                 paths = grown.drop(*extra_cols)
-            # result assembly (a global top-k window over the handful of
-            # found paths) plans under the small-loop conf too — the
-            # lazy checkpoint binds the narrow plan before conf restores
-            w = Window.orderBy(F.col("dist").asc(), F.size("path").asc())
-            result = found.withColumn("_rn", F.row_number().over(w)) \
-                .where(F.col("_rn") <= numpaths)
+            # global top-k over the handful of found paths in Python —
+            # the local result frame makes the caller's collect free
+            found_rows.sort(key=lambda r: (r[1], len(r[2])))
+            frows = found_rows[:numpaths]
             if sp.minweight is not None:
-                result = result.where(F.col("dist") >= sp.minweight)
-            result = result.select("node", "dist", "path", "preds", "wfs") \
-                .localCheckpoint(eager=False)
+                frows = [r for r in frows if r[1] >= sp.minweight]
+            # single slice: the default parallelize would schedule 32
+            # tasks for a handful of rows on every downstream collect
+            result = spark.createDataFrame(
+                spark.sparkContext.parallelize(frows, 1)
+                if frows else [], _schema)
         finally:
             loop_conf.exit()
         # every surviving frame (found / grown) was checkpointed, so

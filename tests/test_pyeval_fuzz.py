@@ -222,7 +222,7 @@ def facet_graphs(spark, tmp_path_factory):
     shutil.rmtree(wh, ignore_errors=True)
     write_triples_partitioned(g, wh)
     ng = NaiveGraph.load_warehouse(wh, SchemaRegistry.parse(schema))
-    return g, ng
+    return g, ng, wh
 
 
 def _facet_templates(rng: random.Random):
@@ -270,7 +270,7 @@ def test_facet_differential_fuzz(facet_graphs, seed):
     from dgraph_spark.plans import Executor
     from tools.pyeval import PyEval
 
-    g, ng = facet_graphs
+    g, ng, _wh = facet_graphs
     rng = random.Random(seed)
     bad = []
     for i, dql in enumerate(_facet_templates(rng)):
@@ -388,3 +388,107 @@ def test_pyeval_differential_fuzz(golden, naive, words, seed):
             bad.append((i, dql, str(got)[:300], str(want)[:300]))
     assert not bad, "\n\n".join(
         f"[{i}] {q}\nengine: {a}\nnaive : {b}" for i, q, a, b in bad)
+
+
+@pytest.mark.parametrize("seed", [20260815, 7, 99])
+def test_facet_sql_three_way(facet_graphs, seed):
+    """Engine vs pyeval vs DuckDB on facet-filter, facet-output and
+    nested-output shapes. The SQL leg reads the warehouse parquet
+    directly (facets = map<string,string> with serialized values) and
+    shares NO code with the engine — closing the last families that
+    had only two legs through the shared DQL parser."""
+    import duckdb
+
+    from dgraph_spark.plans import Executor
+    from tools.pyeval import PyEval
+
+    g, ng, wh = facet_graphs
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW wh AS SELECT * FROM read_parquet("
+                f"'{wh}/*/*.parquet', hive_partitioning=1)")
+    rng = random.Random(seed)
+    first = ["amy", "bob", "cat", "dan", "eve",
+             "fay", "gus", "hal", "ivy", "joe"]
+    w = lambda: rng.choice(first)
+    name_sql = "SELECT subject, value_str AS v FROM wh WHERE predicate = 'name'"
+    toks = ("list_filter(string_split_regex(lower(v), "
+            "'[^\\pL\\pM\\pN]+'), x -> x != '')")
+    fweight = "CAST(map_extract(e.facets, 'weight')[1] AS DOUBLE)"
+
+    def engine_pairs(dql, fkey=None):
+        """(parent_uid, child_uid[, facet]) triples from both engines'
+        JSON — flattened so comparison is order-insensitive."""
+        outs = []
+        for ev in (Executor(g), PyEval(ng)):
+            res = ev.execute(dql)["q"]
+            pairs = []
+            for p in res:
+                for c in p.get("friend", []):
+                    row = (p["uid"], c["uid"])
+                    if fkey is not None:
+                        row += (c.get(f"friend|{fkey}"),)
+                    pairs.append(row)
+            outs.append(sorted(pairs))
+        return outs
+
+    def sql_pairs(q):
+        return sorted(tuple(r) for r in con.execute(q).fetchall())
+
+    bad = []
+    for i in range(12):
+        kind = i % 4
+        if kind == 0:
+            # facet comparator filter
+            k = rng.randint(1, 9)
+            dql = (f'{{ q(func: anyofterms(name, "{w()} {w()}")) {{ uid '
+                   f'friend @facets(ge(weight, {k}.0)) {{ uid }} }} }}')
+            sql = (f"SELECT format('0x{{:x}}', p.subject), "
+                   f"format('0x{{:x}}', e.object_uid) "
+                   f"FROM ({name_sql}) p JOIN wh e USING (subject) "
+                   f"WHERE e.predicate = 'friend' AND {fweight} >= {k} "
+                   f"AND list_has_any({toks}, "
+                   f"[{', '.join(repr(x) for x in set(dql.split(chr(34))[1].split()))}])")
+            got, want = engine_pairs(dql)
+        elif kind == 1:
+            # boolean + quoted-string facet eq (AND tree)
+            tag = rng.choice(["red", "blue", "green"])
+            cl = rng.choice(["true", "false"])
+            dql = (f'{{ q(func: anyofterms(name, "{w()} {w()}")) {{ uid '
+                   f'friend @facets(eq(close, {cl}) AND eq(tag, "{tag}")) '
+                   f'{{ uid }} }} }}')
+            sql = (f"SELECT format('0x{{:x}}', p.subject), "
+                   f"format('0x{{:x}}', e.object_uid) "
+                   f"FROM ({name_sql}) p JOIN wh e USING (subject) "
+                   f"WHERE e.predicate = 'friend' "
+                   f"AND map_extract(e.facets, 'close')[1] = '{cl}' "
+                   f"AND map_extract(e.facets, 'tag')[1] = '\"{tag}\"' "
+                   f"AND list_has_any({toks}, "
+                   f"[{', '.join(repr(x) for x in set(dql.split(chr(34))[1].split()))}])")
+            got, want = engine_pairs(dql)
+        elif kind == 2:
+            # facet VALUE output (typed float) per edge
+            dql = (f'{{ q(func: anyofterms(name, "{w()} {w()}")) {{ uid '
+                   f'friend @facets(weight) {{ uid }} }} }}')
+            sql = (f"SELECT format('0x{{:x}}', p.subject), "
+                   f"format('0x{{:x}}', e.object_uid), {fweight} "
+                   f"FROM ({name_sql}) p JOIN wh e USING (subject) "
+                   f"WHERE e.predicate = 'friend' AND list_has_any({toks}, "
+                   f"[{', '.join(repr(x) for x in set(dql.split(chr(34))[1].split()))}])")
+            got, want = engine_pairs(dql, fkey="weight")
+        else:
+            # plain nested output (no facets): parent->child uid pairs
+            dql = (f'{{ q(func: anyofterms(name, "{w()} {w()}")) {{ uid '
+                   f'friend {{ uid }} }} }}')
+            sql = (f"SELECT format('0x{{:x}}', p.subject), "
+                   f"format('0x{{:x}}', e.object_uid) "
+                   f"FROM ({name_sql}) p JOIN wh e USING (subject) "
+                   f"WHERE e.predicate = 'friend' AND list_has_any({toks}, "
+                   f"[{', '.join(repr(x) for x in set(dql.split(chr(34))[1].split()))}])")
+            got, want = engine_pairs(dql)
+        duck = sql_pairs(sql)
+        if not (got == want == duck):
+            bad.append((i, dql, str(got)[:200], str(want)[:200],
+                        str(duck)[:200]))
+    assert not bad, "\n\n".join(
+        f"[{i}] {q}\nengine: {a}\npyeval: {b}\nduckdb: {c}"
+        for i, q, a, b, c in bad)

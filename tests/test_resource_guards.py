@@ -86,3 +86,32 @@ def test_upsert_var_size_cap(spark):
     # under the cap: expands fine (3 rows, one per uid)
     out = expand_template(g, 'uid(v) <name> "X" .', env, max_var_size=3)
     assert out.count() == 3
+
+
+def test_small_loop_conf_interleaved(spark):
+    """Two interleaved loops on one session: the regime is refcounted,
+    so the ORIGINAL conf is saved once and restored only when the last
+    loop exits (a per-instance save/restore would capture the reduced
+    conf as 'original' and leave the session quartered)."""
+    from dgraph_spark.model import SmallLoopConf
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    a, b = SmallLoopConf(spark), SmallLoopConf(spark)
+    a.adapt(10)
+    reduced = spark.conf.get("spark.sql.shuffle.partitions")
+    assert int(reduced) == max(8, int(orig) // 4)
+    b.adapt(10)        # second loop joins the regime
+    a.exit()           # first leaves: regime must STAY for b
+    assert spark.conf.get("spark.sql.shuffle.partitions") == reduced
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    b.exit()           # last leaves: original conf restored
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+    # growing past the cap restores mid-loop, re-entry re-reduces
+    c = SmallLoopConf(spark)
+    c.adapt(10)
+    c.adapt(10_000_000)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+    c.adapt(10)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == reduced
+    c.exit()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig

@@ -2,6 +2,7 @@
 published algorithms (snowballstem.org) and 3-backend agreement on
 suffix-rich fuzz vocabulary."""
 
+import os
 import random
 
 import pytest
@@ -271,6 +272,21 @@ def _fuzz_vocab(lang, n=600, seed=29):
         return sorted({
             "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
             + rng.choice(sufs) for _ in range(n)})
+    if lang == "tr":
+        alphabet = "abcçdefgğhıijklmnoöprsştuüvyz"
+        sufs = ["", "ki", "deki", "daki", "teki", "ndeki", "kinde",
+                "kinin", "kiler", "ler", "lar", "i", "ı", "u", "ü",
+                "si", "sı", "in", "ın", "nin", "nın", "de", "da",
+                "nda", "nde", "leri", "ları", "im", "ım", "imiz",
+                "ımız", "ine", "ına", "den", "ndan", "le", "la",
+                "yle", "nca", "ce", "m", "n", "mız", "ya", "e", "yı",
+                "mış", "dı", "du", "tı", "ysa", "ken", "sın", "dır",
+                "casına", "lardır", "larında", "dakilerin", "b", "d",
+                "g", "ğ", "ud"]
+        rng = random.Random(seed)
+        return sorted({
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            + rng.choice(sufs) + rng.choice(sufs) for _ in range(n)})
     if lang == "ru":
         alphabet = "абвгдежзиклмнопрстуфхцчшщыьэюя"
         sufs = ["", "в", "вши", "вшись", "ив", "ывшись", "ся", "сь",
@@ -337,7 +353,7 @@ def test_porter_departures():
 
 
 @pytest.mark.parametrize("lang", ["da", "no", "sv", "ru", "nl", "ro",
-                                  "fi", "hu", "en"])
+                                  "fi", "hu", "en", "tr"])
 def test_three_backend_agreement(spark, lang):
     import duckdb
     import pyspark.sql.functions as F
@@ -350,8 +366,30 @@ def test_three_backend_agreement(spark, lang):
         "SELECT " + snowball_tokens_sql(f"[{vals}]", lang)).fetchone()[0]
     assert sql_out == py_out
 
+    # for SLOW_EXPR_LANGS (tr) this is the vectorized execution path;
+    # the pure column expression is covered by the opt-in test below
     df = spark.createDataFrame([(vocab,)], "toks array<string>")
     sp_out = df.select(
         snowball_tokens_expr(F.col("toks"), lang).alias("o")
+    ).collect()[0]["o"]
+    assert sp_out == py_out
+
+
+@pytest.mark.skipif(not os.environ.get("DGSPARK_SLOW_TESTS"),
+                    reason="tr column-expr analysis takes ~2 min in "
+                           "Catalyst; run with DGSPARK_SLOW_TESTS=1")
+def test_tr_column_expr_backend(spark):
+    """The pure-Catalyst Turkish backend agrees with the Python
+    reference (execution normally routes tr through the vectorized
+    pandas_udf — see snowball.SLOW_EXPR_LANGS)."""
+    import pyspark.sql.functions as F
+
+    from dgraph_spark.functions.snowball import snowball_tokens_col
+
+    vocab = _fuzz_vocab("tr", n=300)
+    py_out = [snowball_stem_py(w, "tr") for w in vocab]
+    df = spark.createDataFrame([(vocab,)], "toks array<string>")
+    sp_out = df.select(
+        snowball_tokens_col(F.col("toks"), "tr").alias("o")
     ).collect()[0]["o"]
     assert sp_out == py_out
