@@ -2002,14 +2002,17 @@ def _sp_stage(spec, stage):
     return fn
 
 
-# Languages whose generated column expression is correct but too big
-# for Catalyst to analyze per-query: Turkish's staged chain measures
-# ~92 s of py4j construction + analysis and an 11.5 MiB task binary
-# per query (local[32], Spark 4.1).  For these the execution path is
+# Languages whose generated column expression is correct but too
+# expensive for per-query Catalyst work: Turkish's staged chain
+# measures ~92 s of py4j construction + analysis and an 11.5 MiB task
+# binary per query; English's full-Porter chain ~4.4 s of Column
+# construction + ~2.3 s of analysis per query against 0.7 s of actual
+# execution (local[32], Spark 4.1).  For these the execution path is
 # an Arrow-vectorized pandas_udf over the SAME pinned Python
-# implementation with a token memo; the column-expr and DuckDB twins
-# stay implemented and fuzz-pinned (see tests/test_snowball.py).
-SLOW_EXPR_LANGS = {"tr"}
+# implementation with a worker-side token memo; the column-expr and
+# DuckDB twins stay implemented and fuzz-pinned (test_snowball.py —
+# en column in the regular agreement matrix, tr opt-in).
+SLOW_EXPR_LANGS = {"tr", "en"}
 
 _VEC_UDFS: dict = {}
 

@@ -459,11 +459,35 @@ def sql_fulltext_match(lang: str, query: str, text_expr: str = "text") -> str:
   [{qlist}])"""
 
 
-def fulltext_tokens(col: Column, lang: str = "en") -> Column:
+def _candidate_filter(toks: Column, qtoks: list[str], lang: str) -> Column:
+    """Per-token analogue of _text_prefilter: a token can only stem to
+    a query token if it CONTAINS the stem's verbatim-substring needle,
+    so when the caller only needs the match decision (anyoftext /
+    alloftext), all other tokens are dropped BEFORE the stem chain —
+    the expensive per-token stemmer then runs on ~the 1-2 candidate
+    tokens of a matching row instead of every token (the en full-Porter
+    chain made stemming every token 6x the whole query)."""
+    needles = sorted({_stem_substring(t, lang) for t in qtoks})
+
+    def keep(t):
+        tf = _fold_expr(t, lang) if lang in _FOLD else t
+        cond = tf.contains(needles[0])
+        for n in needles[1:]:
+            cond = cond | tf.contains(n)
+        return cond
+
+    return F.filter(toks, keep)
+
+
+def fulltext_tokens(col: Column, lang: str = "en",
+                    candidates: list[str] | None = None) -> Column:
     """term tokens minus stopwords, suffix-stemmed (expression-only).
     ``lang`` routes to that language's stopword + stemmer tables
     (tok/stemmers.go per-language analyzers); unknown langs fall back
-    to the EN analyzer."""
+    to the EN analyzer. ``candidates``: stemmed query tokens — when
+    given, tokens that cannot stem to any of them are dropped before
+    the stemmer (see _candidate_filter); only valid when the caller
+    solely compares the result against those tokens."""
     if lang in _CJK_LANGS:
         runs = F.regexp_extract_all(F.lower(col), F.lit(_CJK_RUNS_RE), 0)
         return F.flatten(F.transform(runs, lambda r: F.when(
@@ -482,6 +506,8 @@ def fulltext_tokens(col: Column, lang: str = "en") -> Column:
                         lambda t: t != "")
         allstops = sorted(set(stops) | {_fold_py(w, lang) for w in stops})
         toks = F.filter(toks, lambda t: ~t.isin(*allstops))
+        if candidates:
+            toks = _candidate_filter(toks, candidates, lang)
         return light_stem_tokens_expr(toks, lang)
     from dgraph_spark.functions.snowball import (SNOWBALL_LANGS,
                                                  snowball_tokens_expr)
@@ -496,6 +522,8 @@ def fulltext_tokens(col: Column, lang: str = "en") -> Column:
         allstops = sorted(set(stops) | ({_fold_py(w, lang) for w in stops}
                                         if lang in _FOLD else set()))
         toks = F.filter(toks, lambda t: ~t.isin(*allstops))
+        if candidates:
+            toks = _candidate_filter(toks, candidates, lang)
         return snowball_tokens_expr(toks, lang)
     from dgraph_spark.functions.dedicated_stemmers import (
         DEDICATED_STEM_LANGS, dedicated_tokens_expr)
@@ -507,6 +535,8 @@ def fulltext_tokens(col: Column, lang: str = "en") -> Column:
         toks = F.filter(F.split(F.lower(col), TERM_SPLIT_RE),
                         lambda t: t != "")
         toks = F.filter(toks, lambda t: ~t.isin(*stops))
+        if candidates:
+            toks = _candidate_filter(toks, candidates, lang)
         return dedicated_tokens_expr(toks, lang)
     if lang in _LANG_TABLES:
         stops, (sufs, mn) = _LANG_TABLES[lang]
@@ -514,10 +544,14 @@ def fulltext_tokens(col: Column, lang: str = "en") -> Column:
         toks = F.filter(F.split(folded, TERM_SPLIT_RE), lambda t: t != "")
         allstops = sorted(set(stops) | {_fold_py(w, lang) for w in stops})
         toks = F.filter(toks, lambda t: ~t.isin(*allstops))
+        if candidates:
+            toks = _candidate_filter(toks, candidates, lang)
         return F.transform(toks, lambda t: _suffix_stem_expr(t, sufs, mn))
     # unknown langs fall back to the EN analyzer (now full Porter)
     toks = term_tokens(col)
     toks = F.filter(toks, lambda t: ~t.isin(*EN_STOPWORDS))
+    if candidates:
+        toks = _candidate_filter(toks, candidates, lang)
     return snowball_tokens_expr(toks, "en")
 
 
@@ -630,7 +664,8 @@ def any_of_text(col: Column, query: str, lang: str = "en") -> Column:
     if not qtoks:
         return F.lit(False)
     exact = F.arrays_overlap(
-        fulltext_tokens(col, lang), F.array(*[F.lit(t) for t in qtoks]))
+        fulltext_tokens(col, lang, candidates=qtoks),
+        F.array(*[F.lit(t) for t in qtoks]))
     # CASE WHEN evaluates the analyzer lazily, only on prefilter hits
     return F.when(_text_prefilter(col, qtoks, lang, mode_any=True),
                   exact).otherwise(F.lit(False))
@@ -640,7 +675,7 @@ def all_of_text(col: Column, query: str, lang: str = "en") -> Column:
     qtoks = _query_text_tokens(query, lang)
     if not qtoks:
         return F.lit(True)
-    toks = fulltext_tokens(col, lang)
+    toks = fulltext_tokens(col, lang, candidates=qtoks)
     cond = F.array_contains(toks, qtoks[0])
     for t in qtoks[1:]:
         cond = cond & F.array_contains(toks, t)

@@ -366,13 +366,20 @@ def test_three_backend_agreement(spark, lang):
         "SELECT " + snowball_tokens_sql(f"[{vals}]", lang)).fetchone()[0]
     assert sql_out == py_out
 
-    # for SLOW_EXPR_LANGS (tr) this is the vectorized execution path;
-    # the pure column expression is covered by the opt-in test below
+    # for SLOW_EXPR_LANGS (tr/en) this is the vectorized execution
+    # path; the pure column expression is additionally checked for en
+    # here (cheap) and for tr by the opt-in test below (~2 min)
     df = spark.createDataFrame([(vocab,)], "toks array<string>")
     sp_out = df.select(
         snowball_tokens_expr(F.col("toks"), lang).alias("o")
     ).collect()[0]["o"]
     assert sp_out == py_out
+    if lang == "en":
+        from dgraph_spark.functions.snowball import snowball_tokens_col
+        col_out = df.select(
+            snowball_tokens_col(F.col("toks"), lang).alias("o")
+        ).collect()[0]["o"]
+        assert col_out == py_out
 
 
 @pytest.mark.skipif(not os.environ.get("DGSPARK_SLOW_TESTS"),
