@@ -93,6 +93,12 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 3)
+    # ambient context: round-7/8 showed ±20-30% machine drift between
+    # sessions; recording loadavg makes the artifact interpretable
+    try:
+        load1, load5, _ = (round(x, 2) for x in __import__("os").getloadavg())
+    except OSError:
+        load1 = load5 = None
     print(
         json.dumps(
             {
@@ -101,6 +107,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "loadavg_1m": load1,
+                "loadavg_5m": load5,
             }
         )
     )
