@@ -1931,6 +1931,106 @@ ORDER BY c_acctbal DESC, (3::BIGINT << 40) + c_custkey LIMIT 20
 """
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Fixed-size token chunking with overlap (training-data windows):
+    one row per (doc, chunk) with token count and text."""
+    from dgraph_spark.operators.pipeline_text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, window=64, overlap=16)
+
+
+SQL_chunk_docs = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents),
+b2 AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+b3 AS (SELECT doc_id, toks, n,
+       CASE WHEN n <= 64 THEN 1
+            ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END AS nch
+       FROM b2)
+SELECT doc_id,
+       CAST(s / 48 AS INT) AS chunk_id,
+       least(n - s, 64) AS n_tokens,
+       array_to_string(toks[s + 1 : s + 64], ' ') AS chunk
+FROM b3, UNNEST(range(0, nch * 48, 48)) AS t(s)
+"""
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction (emails/URLs/phone runs -> placeholders) over text
+    with synthesized PII appended so every pattern actually fires."""
+    from dgraph_spark.operators.pipeline_text import scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    withpii = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 123-4567 via "
+              "https://ex.example/a?b=1 now"))
+    return docs.select("doc_id", scrub_pii(withpii).alias("scrubbed"))
+
+
+def _sql_scrub_pii() -> str:
+    from dgraph_spark.operators.pipeline_text import PII_PATTERNS
+
+    expr = ("text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+            "'@example.com or +1 (555) 123-4567 via "
+            "https://ex.example/a?b=1 now'")
+    for pat, repl in PII_PATTERNS:
+        # duckdb single-quote strings keep backslashes verbatim — only
+        # quotes need escaping; the RE2/Java-common patterns pass as-is
+        pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS scrubbed FROM documents"
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-source balanced sample (md5-ordered cap=20):
+    the training-mix balancing primitive."""
+    from dgraph_spark.operators.pipeline_text import sample_stratified
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample_stratified(docs, stratum_col="source", cap=20)
+    return out.select("doc_id", "source")
+
+
+SQL_sample_stratified = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         AS rn
+  FROM documents) WHERE rn <= 20
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop every document sharing a word
+    3-gram with the 'benchmark' subset (doc_id % 97 == 0)."""
+    from dgraph_spark.operators.pipeline_text import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=3).select("doc_id", "source")
+
+
+SQL_decontaminate = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                      ' ') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+bad AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hit AS (SELECT DISTINCT doc_id FROM grams JOIN bad USING (g))
+SELECT d.doc_id, d.source FROM documents d ANTI JOIN hit USING (doc_id)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # Entries the driver's pinned correctness list has never
     # exercised run FIRST, so a prefix-limited driver still
@@ -2029,6 +2129,10 @@ QUERIES: dict[str, tuple] = {
     "stem_tokens_hu": (_q_stem_tokens("hu"), _sql_stem_tokens("hu")),
     "stem_tokens_en": (_q_stem_tokens("en"), _sql_stem_tokens("en")),
     "stem_tokens_tr": (_q_stem_tokens("tr"), _sql_stem_tokens("tr")),
+    "chunk_docs": (q_chunk_docs, SQL_chunk_docs),
+    "scrub_pii": (q_scrub_pii, _sql_scrub_pii()),
+    "sample_stratified": (q_sample_stratified, SQL_sample_stratified),
+    "decontaminate": (q_decontaminate, SQL_decontaminate),
     "bigfloat_agg": (q_bigfloat_agg, SQL_bigfloat_agg),
     "stem_tokens_ar": (_q_stem_tokens_translit("ar"),
                        _sql_stem_tokens_translit("ar")),
@@ -2037,6 +2141,7 @@ QUERIES: dict[str, tuple] = {
     "stem_tokens_hi": (_q_stem_tokens_translit("hi"),
                        _sql_stem_tokens_translit("hi")),
 }
+
 
 # Driver rotation: the per-round correctness harness runs a 50-entry
 # prefix; entries WITHOUT a fresh (round-7) driver row come first so
@@ -2095,6 +2200,7 @@ _R7_DRIVER_COVERED = {
     "uid_in",
     "uid_literal",
 }
+
 QUERIES = {k: QUERIES[k]
            for k in sorted(QUERIES, key=lambda k: k in _R7_DRIVER_COVERED)}
 

@@ -1,0 +1,128 @@
+"""Training-data pipeline operators: chunking, PII scrubbing,
+stratified sampling, benchmark decontamination.
+
+Like textstats.py, every operator is a deterministic pure column
+program so each has an exact DuckDB oracle twin — the formulas below
+ARE the spec. Regexes avoid lookaround so the same pattern text is
+valid in both engines (Java regex and RE2).
+
+100 TB notes: chunking and scrubbing are narrow per-row transforms
+(no shuffle); stratified sampling is one window over the stratum key
+(one shuffle, skew-bounded by the per-stratum cap); decontamination
+is a semi-join against the exploded benchmark shingle set — broadcast
+the benchmark side (it is the small side by construction) and the doc
+side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dgraph_spark.operators.dedup import normalized
+
+# fixed, engine-portable redaction patterns (no lookaround)
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\+?\d[\d()\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def _ws_tokens(col: Column) -> Column:
+    """Whitespace tokens of the original (case-preserved) text."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token windows with overlap: one output row per chunk
+    ``(doc_id, chunk_id, n_tokens, chunk)``. Chunk i covers tokens
+    [i*stride, i*stride + window); the last chunk may be short; a
+    document shorter than one window yields exactly one chunk. Pure
+    per-row transform — no shuffle at any scale."""
+    if not (0 <= overlap < window):
+        raise ValueError("need 0 <= overlap < window")
+    stride = window - overlap
+    toks = _ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk start offsets 0, stride, 2*stride, ... covering every token
+    nchunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(window)) / F.lit(stride)) + 1)
+    starts = F.sequence(F.lit(0), (nchunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_id"),
+            F.least(n - s, F.lit(window)).alias("n_tokens"),
+            F.array_join(F.slice(toks, s + 1, window), " ").alias("chunk"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_id", "c.n_tokens", "c.chunk")
+    )
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails, URLs and phone-like digit runs with fixed
+    placeholders (PII_PATTERNS is the spec, applied in order)."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def sample_stratified(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum cap: keep the ``cap`` rows whose
+    md5(id) sorts first within each stratum — a reproducible balanced
+    sample (language/source balancing for training mixes). One window
+    shuffle on the stratum key; the cap bounds any stratum's output so
+    downstream skew is impossible."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every document sharing ANY word n-gram with the benchmark
+    set (test-set decontamination). Shingles are n-grams of the
+    normalized text; the benchmark shingle set is the broadcast side
+    of a left-anti join, so the corpus side never shuffles."""
+    def shingled(df):
+        toks = F.split(normalized(F.col(text_col)), " ")
+        # guard: Spark's sequence(1, 0) is DECREASING ([1, 0]), so a
+        # doc shorter than one shingle must yield an empty gram list
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col), F.explode(grams).alias("g"))
+
+    bad = shingled(bench).select("g").distinct()
+    hit = (shingled(docs).join(F.broadcast(bad), "g", "left_semi")
+           .select(id_col).distinct())
+    return docs.join(hit, id_col, "left_anti")

@@ -302,3 +302,72 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert len(lsh) >= 0.9 * len(exact), (len(lsh), len(exact))
     for k, v in lsh.items():
         assert abs(v - exact[k]) < 1e-6
+
+
+def test_chunk_documents(spark):
+    from dgraph_spark.operators.pipeline_text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(130))),
+         (2, "short text"),
+         (3, "")],
+        "doc_id long, text string")
+    rows = chunk_documents(docs, window=64, overlap=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 130 tokens, stride 48: starts 0,48,96 -> 3 chunks of 64,64,34
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c1] == [64, 64, 34]
+    assert c1[0]["chunk"].startswith("w0 ") and c1[1]["chunk"].startswith("w48 ")
+    # every token is covered, overlaps included
+    assert c1[2]["chunk"].endswith("w129")
+    # short doc: one whole chunk; empty doc: one empty chunk
+    assert [r["n_tokens"] for r in by_doc[2]] == [2]
+    assert [r["n_tokens"] for r in by_doc[3]] == [0]
+
+
+def test_scrub_pii(spark):
+    import pyspark.sql.functions as F
+
+    from dgraph_spark.operators.pipeline_text import scrub_pii
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@ex-site.org, call +44 20 7946 0958, "
+          "see https://x.y/z?a=1 end",)], "t string")
+    out = df.select(scrub_pii(F.col("t")).alias("s")).collect()[0]["s"]
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<URL>" in out
+    assert "@" not in out and "http" not in out
+
+
+def test_sample_stratified_and_decontaminate(spark):
+    import pyspark.sql.functions as F
+
+    from dgraph_spark.operators.pipeline_text import (decontaminate,
+                                                      sample_stratified)
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", f"tok{i} x y z common tail {i}")
+         for i in range(40)],
+        "doc_id long, source string, text string")
+    samp = sample_stratified(docs, stratum_col="source", cap=5)
+    cnt = {r["source"]: r["n"] for r in
+           samp.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert cnt == {"a": 5, "b": 5}
+    # deterministic across calls
+    ids1 = sorted(r["doc_id"] for r in samp.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  sample_stratified(docs, "source", 5).collect())
+    assert ids1 == ids2
+
+    # every doc shares the 3-gram "common tail <i>"? no — tails differ
+    # by i; they DO share "x y z" -> everything is contaminated by any
+    # bench doc, so decontaminate must drop all but nothing survives
+    bench = docs.where(F.col("doc_id") == 0)
+    clean = decontaminate(docs, bench, n=3)
+    assert clean.count() == 0
+    # disjoint bench -> nothing dropped
+    bench2 = spark.createDataFrame(
+        [(999, "zz", "totally different words entirely")],
+        "doc_id long, source string, text string")
+    assert decontaminate(docs, bench2, n=3).count() == 40
