@@ -434,9 +434,19 @@ def test_facet_sql_three_way(facet_graphs, seed):
     def sql_pairs(q):
         return sorted(tuple(r) for r in con.execute(q).fetchall())
 
+    # the fixture's weights are 2-decimal uniform; the ordering family
+    # below needs tie-free weights per parent for a deterministic
+    # cross-engine compare — verified here once (fixed seed 4242)
+    dup = con.execute(
+        "SELECT count(*) FROM (SELECT subject, "
+        "map_extract(facets, 'weight')[1] w, count(*) c FROM wh "
+        "WHERE predicate = 'friend' GROUP BY 1, 2 HAVING c > 1)"
+    ).fetchone()[0]
+    assert dup == 0, "facet fixture grew tied weights; regenerate seeds"
+
     bad = []
-    for i in range(12):
-        kind = i % 4
+    for i in range(15):
+        kind = i % 5
         if kind == 0:
             # facet comparator filter
             k = rng.randint(1, 9)
@@ -475,6 +485,36 @@ def test_facet_sql_three_way(facet_graphs, seed):
                    f"WHERE e.predicate = 'friend' AND list_has_any({toks}, "
                    f"[{', '.join(repr(x) for x in set(dql.split(chr(34))[1].split()))}])")
             got, want = engine_pairs(dql, fkey="weight")
+        elif kind == 4:
+            # facet ORDERING with pagination: per-parent child uid
+            # sequence under orderasc/orderdesc: weight
+            d, sqld = rng.choice([("orderasc", "ASC"), ("orderdesc", "DESC")])
+            k = rng.randint(2, 4)
+            dql = (f'{{ q(func: anyofterms(name, "{w()} {w()}")) {{ uid '
+                   f'friend @facets({d}: weight) (first: {k}) '
+                   f'{{ uid }} }} }}')
+            sql = (f"SELECT format('0x{{:x}}', subject), seq FROM ("
+                   f"SELECT p.subject, "
+                   f"list_transform(array_agg(format('0x{{:x}}', "
+                   f"e.object_uid) ORDER BY {fweight} {sqld}), x -> x)"
+                   f"[1:{k}] AS seq "
+                   f"FROM ({name_sql}) p JOIN wh e USING (subject) "
+                   f"WHERE e.predicate = 'friend' AND list_has_any({toks}, "
+                   f"[{{qt}}]) GROUP BY p.subject)").replace(
+                       "{qt}", ", ".join(
+                           repr(x) for x in set(dql.split(chr(34))[1].split())))
+            outs = []
+            for ev in (Executor(g), PyEval(ng)):
+                res = ev.execute(dql)["q"]
+                outs.append(sorted(
+                    (parent["uid"], tuple(c["uid"] for c in parent["friend"]))
+                    for parent in res if parent.get("friend")))
+            got, want = outs
+            duck = sorted((r[0], tuple(r[1])) for r in con.execute(sql).fetchall())
+            if not (got == want == duck):
+                bad.append((i, dql, str(got)[:200], str(want)[:200],
+                            str(duck)[:200]))
+            continue
         else:
             # plain nested output (no facets): parent->child uid pairs
             dql = (f'{{ q(func: anyofterms(name, "{w()} {w()}")) {{ uid '
