@@ -2035,10 +2035,16 @@ def snowball_tokens_vec(tokens: Column, lang: str) -> Column:
 
 
 _WORKER_MEMO: dict = {}
+_WORKER_MEMO_CAP = 1 << 20  # per-language; reset past this (leak guard)
 
 
 def _vec_stem_arrs(lang, arrs):
     memo = _WORKER_MEMO.setdefault(lang, {})
+    if len(memo) > _WORKER_MEMO_CAP:
+        # web-scale vocabularies would otherwise grow the per-worker
+        # dict unboundedly across queries; a periodic reset keeps the
+        # Zipfian hot head re-cached within one batch
+        memo.clear()
 
     def stem1(t):
         r = memo.get(t)
@@ -2064,19 +2070,25 @@ def snowball_tokens_col(tokens: Column, lang: str) -> Column:
     """The pure column-expression backend for any language, including
     SLOW_EXPR_LANGS (tested opt-in — see test_snowball.py)."""
     spec = SNOWBALL_LANGS[lang]
-    # the Turkish chain nests enough lambda levels (10 stages plus
-    # per-among lets) that the analyzer's fixed-point Resolution
-    # batch needs more than its default 100 iterations
-    try:
-        from pyspark.sql import SparkSession
-        sess = SparkSession.getActiveSession()
-        if sess is not None:
-            cur = int(sess.conf.get("spark.sql.analyzer.maxIterations",
-                                    "100"))
-            if cur < 1000:
-                sess.conf.set("spark.sql.analyzer.maxIterations", "1000")
-    except Exception:
-        pass
+    # the tr/en chains nest enough lambda levels (10+ stages plus
+    # per-among lets) that the analyzer's fixed-point Resolution batch
+    # needs more than its default 100 iterations. Scoped to
+    # SLOW_EXPR_LANGS so ordinary languages don't carry a
+    # session-global conf change as a side effect; the raise must
+    # outlive this call (analysis happens at action time), which is
+    # why it cannot be try/finally-restored.
+    if lang in SLOW_EXPR_LANGS:
+        try:
+            from pyspark.sql import SparkSession
+            sess = SparkSession.getActiveSession()
+            if sess is not None:
+                cur = int(sess.conf.get(
+                    "spark.sql.analyzer.maxIterations", "100"))
+                if cur < 1000:
+                    sess.conf.set("spark.sql.analyzer.maxIterations",
+                                  "1000")
+        except Exception:
+            pass
     out = tokens
     for stage in _stage_plan(lang):
         out = F.transform(out, _sp_stage(spec, stage))

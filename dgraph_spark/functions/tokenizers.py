@@ -609,8 +609,21 @@ def _query_text_tokens(query: str, lang: str) -> list[str]:
 
 # longest suffix a language's stemmer can APPEND during a replacement
 # rule (fr -ficatrice -> -fier etc.): the appended chars may be absent
-# from the document token, so the prefilter needle must drop them
-_MAX_APPEND = {"fr": 4, "es": 1, "pt": 2}
+# from the document token, so the prefilter needle must drop them.
+# nl/fi run full Snowball with REPLACEMENTS (heden->heid) and mid-word
+# undoubling — their safe truncations were found empirically (15k-word
+# audits per language, tests/test_functions.py::test_prefilter_superset)
+_MAX_APPEND = {"fr": 4, "es": 1, "pt": 2, "nl": 2, "fi": 4}
+
+# Languages whose stems are NOT substrings of the token at any safe
+# truncation: Turkish devoices final consonants, appends harmony
+# vowels, and reattaches held ndA/nA heads mid-stem (tondakine ->
+# tonne); the Lucene French light stemmer contracts doubled letters
+# mid-word (occybtauements -> ocybtau). For these, anyoftext/alloftext
+# skip the substring prefilter and the candidate token filter entirely
+# — the analyzer (a vectorized udf for tr, a small column expr for fr)
+# runs on every row.
+PREFILTER_UNSAFE = {"tr", "fr"}
 
 
 def _stem_substring(t: str, lang: str) -> str:
@@ -624,6 +637,10 @@ def _stem_substring(t: str, lang: str) -> str:
     'løs'/'alegrí' would never hit folded text: false negatives)."""
     if lang in _CJK_LANGS:
         return t  # bigrams are verbatim substrings of the text
+    if lang in _LANG_TABLES and lang not in _FOLD:
+        # ar/ckb/hi: suffix/prefix strips only (audited 0-violation),
+        # no fold table exists for them
+        return t
     if lang not in _LANG_TABLES:
         # en (Porter): replacements share a prefix with the replaced
         # suffix except for at most one trailing char ('e'/'i'
@@ -648,7 +665,7 @@ def _text_prefilter(col: Column, qtoks: list[str], lang: str,
     reference consulting its fulltext index before touching postings
     (worker/tokens.go)."""
     lowered = F.lower(col)
-    if lang in _LANG_TABLES:
+    if lang in _LANG_TABLES and lang in _FOLD:
         lowered = _fold_expr(lowered, lang)
     conds = [lowered.contains(_stem_substring(t, lang)) for t in qtoks]
     out = conds[0]
@@ -663,10 +680,19 @@ def any_of_text(col: Column, query: str, lang: str = "en") -> Column:
     qtoks = _query_text_tokens(query, lang)
     if not qtoks:
         return F.lit(False)
+    if lang in PREFILTER_UNSAFE:
+        return F.arrays_overlap(
+            fulltext_tokens(col, lang),
+            F.array(*[F.lit(t) for t in qtoks]))
     exact = F.arrays_overlap(
         fulltext_tokens(col, lang, candidates=qtoks),
         F.array(*[F.lit(t) for t in qtoks]))
-    # CASE WHEN evaluates the analyzer lazily, only on prefilter hits
+    # the CASE WHEN gates the pure-Catalyst analyzers per row; for the
+    # vectorized en path Catalyst extracts the udf into an eager
+    # ArrowEvalPython node, but by then the candidate filter has
+    # already shrunk a non-matching row's token array to ~empty, so
+    # the per-miss cost is the JVM split/filter plus a near-empty
+    # Arrow batch
     return F.when(_text_prefilter(col, qtoks, lang, mode_any=True),
                   exact).otherwise(F.lit(False))
 
@@ -675,6 +701,12 @@ def all_of_text(col: Column, query: str, lang: str = "en") -> Column:
     qtoks = _query_text_tokens(query, lang)
     if not qtoks:
         return F.lit(True)
+    if lang in PREFILTER_UNSAFE:
+        toks = fulltext_tokens(col, lang)
+        cond = F.array_contains(toks, qtoks[0])
+        for t in qtoks[1:]:
+            cond = cond & F.array_contains(toks, t)
+        return cond
     toks = fulltext_tokens(col, lang, candidates=qtoks)
     cond = F.array_contains(toks, qtoks[0])
     for t in qtoks[1:]:

@@ -233,18 +233,22 @@ class SmallLoopConf:
     the regime is refcounted process-wide, so the original conf is
     saved exactly once and restored only when the LAST loop leaves —
     two interleaved per-instance save/restores would otherwise capture
-    the reduced conf as "original" and leave the session quartered."""
+    the reduced conf as "original" and leave the session quartered.
+    One consequence of refcounting: while ANY loop is still small, a
+    sibling loop whose frontier outgrew the cap keeps planning under
+    the reduced conf (correct, but without AQE skew handling) — the
+    same single-session trade-off as above, resolved the same way
+    (per-query sessions) when it matters."""
 
     # process-wide regime state: {session_id: [refcount, saved_confs]}
     _STATE: dict = {}
-    _LOCK = None
+    # created at class definition time: a lazy unsynchronized check
+    # could mint two different locks under concurrent construction
+    _LOCK = __import__("threading").Lock()
 
     def __init__(self, spark):
-        import threading
         self.spark = spark
         self.active = False
-        if SmallLoopConf._LOCK is None:
-            SmallLoopConf._LOCK = threading.Lock()
 
     def _key(self):
         return id(self.spark)

@@ -157,3 +157,57 @@ def test_remaining_snowball_languages(spark):
         got = toks(text, lang)
         assert "spark" in got and len(got) >= 3
         assert _query_text_tokens(text, lang) == got
+
+
+def test_prefilter_superset():
+    """The anyoftext substring prefilter must be a SUPERSET test: for
+    every language that uses it, _stem_substring(stem(w)) must be a
+    substring of the (folded) token. Audit over synthetic suffix-rich
+    vocab; PREFILTER_UNSAFE languages are exempt because they skip the
+    prefilter (tr: devoice/append/held-head reassembly; fr: mid-word
+    double-letter contraction)."""
+    import random
+
+    from dgraph_spark.functions.tokenizers import (_FOLD, _LANG_TABLES,
+                                                   PREFILTER_UNSAFE,
+                                                   _fold_py,
+                                                   _stem_substring,
+                                                   stem_lang_py)
+
+    ALPH = {"ru": "абвгдежзиклмнопрстуфхцчшщыьэюя",
+            "ar": "ابثدةفجهيذكلمنظحقرستعغوخصز",
+            "ckb": "ابچدەفگهیژکلمنۆپقرستێڤعخغز",
+            "hi": "ाबचदेफगहिजकलमनोपटरसतुवधखयश"}
+    EXTRA = {"fi": "äöå", "nl": "éëïö", "da": "åäö", "no": "åäö",
+             "sv": "åäö", "hu": "áéíóöőúüű", "ro": "ăâîșşțţ"}
+    SUF = {"nl": ["heden", "ingen", "en", "e", "heid", "lijkheden"],
+           "fi": ["issa", "illa", "inen", "aatto", "illaan", "ttaa"],
+           "hu": ["ák", "ek", "ban", "nak", "val", "unk"],
+           "ro": ["aţiune", "ele", "ilor", "ează", "uri"],
+           "ru": ["иями", "ость", "ая", "ует", "ить"],
+           "en": ["ization", "ousness", "ies", "ing", "biliti"],
+           "ar": ["ها", "ات", "ون", "ال"], "ckb": ["ەکان", "ێک", "دا"],
+           "hi": ["ों", "ाएं", "ियों"]}
+    langs = ["en", "de", "es", "it", "pt", "da", "no", "sv", "ru",
+             "nl", "ro", "fi", "hu", "ar", "ckb", "hi"]
+    for lang in langs:
+        assert lang not in PREFILTER_UNSAFE
+        rng = random.Random(13)
+        alpha = ALPH.get(lang, "abcdefghijklmnopqrstuvwxyz"
+                         + EXTRA.get(lang, ""))
+        sufs = SUF.get(lang, ["s", "en", "e", "ungen", "aciones"])
+        bad = []
+        for _ in range(1500):
+            w = ("".join(rng.choice(alpha)
+                         for _ in range(rng.randint(2, 9)))
+                 + rng.choice(sufs))
+            stem = stem_lang_py(w, lang)
+            if not stem:
+                continue
+            needle = _stem_substring(stem, lang)
+            hay = (_fold_py(w.lower(), lang)
+                   if lang in _LANG_TABLES and lang in _FOLD
+                   else w.lower())
+            if needle and needle not in hay:
+                bad.append((w, stem, needle))
+        assert not bad, (lang, bad[:5])
