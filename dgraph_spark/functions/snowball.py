@@ -974,7 +974,6 @@ _TR_lAr = _tr_am(_tr_suf(["lar", "ler"], _TR_H))
 # --- noun-suffix amongs
 _TR_lArI = _tr_am(_tr_suf(["ları", "leri"]))
 _TR_ncA = _tr_am(_tr_opt(["ca", "ce"], "n"))
-_TR_nA = _tr_am(_tr_suf(["na", "ne"], _TR_H))
 _TR_DA = _tr_am(_tr_suf([d + a for d in "dt" for a in "ae"], _TR_H))
 _TR_ndA = _tr_am(_tr_suf(["nda", "nde"], _TR_H))
 _TR_DAn = _tr_am(_tr_suf([d + a + "n" for d in "dt" for a in "ae"],
