@@ -2031,6 +2031,103 @@ SELECT d.doc_id, d.source FROM documents d ANTI JOIN hit USING (doc_id)
 """
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Exact duplicated 10-token spans across documents (word-aligned
+    Lee et al. 2021 substring dedup): span + doc/occurrence counts."""
+    from dgraph_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, n=10, min_docs=2)
+
+
+SQL_dedup_spans = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^\pL\pM\pN]+'),
+                     x -> x != '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + 9], ' ') AS span
+  FROM toks, UNNEST(range(1, greatest(len(t) - 9, 0) + 1)) AS u(i))
+SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM grams GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per document."""
+    from dgraph_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
+SQL_repetition_stats = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^\pL\pM\pN]+'),
+                     x -> x != '') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, t, len(t) AS n, len(list_distinct(t)) AS nd,
+         length(array_to_string(t, ' ')) AS nchars
+  FROM toks),
+tok_top AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, x, count(*) AS c
+    FROM toks, UNNEST(t) AS u(x) GROUP BY doc_id, x)
+  GROUP BY doc_id),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+gram_top AS (
+  SELECT doc_id, c, g FROM (
+    SELECT doc_id, g, count(*) AS c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, g DESC) AS rn
+    FROM grams GROUP BY doc_id, g) WHERE rn = 1)
+SELECT b.doc_id,
+       b.n AS n_tokens,
+       CASE WHEN b.n > 0 THEN round(1.0 - b.nd / CAST(b.n AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN b.n > 0 THEN round(tt.topc / CAST(b.n AS DOUBLE), 4)
+            ELSE 0.0 END AS top_token_frac,
+       CASE WHEN b.n >= 2 THEN
+            round(gt.c * length(gt.g) / CAST(b.nchars AS DOUBLE), 4)
+            ELSE 0.0 END AS top_bigram_char_frac
+FROM base b
+LEFT JOIN tok_top tt USING (doc_id)
+LEFT JOIN gram_top gt USING (doc_id)
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: per-source token stream cut into 512-token
+    training sequences; each doc's offset + first/last sequence."""
+    from dgraph_spark.operators.pipeline_text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, budget=512, stratum_col="source")
+
+
+SQL_pack_sequences = r"""
+WITH sized AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+         AS n_tokens
+  FROM documents),
+offs AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+         - n_tokens AS tok_offset
+  FROM sized)
+SELECT source, doc_id, n_tokens, tok_offset,
+       tok_offset // 512 AS first_seq,
+       (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS last_seq
+FROM offs
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # Entries the driver's pinned correctness list has never
     # exercised run FIRST, so a prefix-limited driver still
@@ -2129,6 +2226,9 @@ QUERIES: dict[str, tuple] = {
     "stem_tokens_hu": (_q_stem_tokens("hu"), _sql_stem_tokens("hu")),
     "stem_tokens_en": (_q_stem_tokens("en"), _sql_stem_tokens("en")),
     "stem_tokens_tr": (_q_stem_tokens("tr"), _sql_stem_tokens("tr")),
+    "dedup_spans": (q_dedup_spans, SQL_dedup_spans),
+    "repetition_stats": (q_repetition_stats, SQL_repetition_stats),
+    "pack_sequences": (q_pack_sequences, SQL_pack_sequences),
     "chunk_docs": (q_chunk_docs, SQL_chunk_docs),
     "scrub_pii": (q_scrub_pii, _sql_scrub_pii()),
     "sample_stratified": (q_sample_stratified, SQL_sample_stratified),

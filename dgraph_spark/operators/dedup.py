@@ -708,3 +708,57 @@ def near_dup_clusters(
         prev_sum = cur
     return labels.select(
         "id", "cluster", (F.col("id") == F.col("cluster")).alias("keep"))
+
+
+def ordered_windows(words: Column, n: int) -> Column:
+    """All n-token windows of a token array, in document order and WITH
+    duplicates (unlike word_shingles, which is the distinct set) —
+    occurrence counts matter for span-level dedup. Same incremental
+    zip_with construction (O(n * words), never re-tokenizes); pass a
+    bound column reference so the n-1 copies of `words` inside the
+    zip_with tree are attribute lookups, not re-evaluated expressions."""
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # zip_with pads the shorter side with null -> incomplete trailing
+    # windows become null concats; drop them
+    return F.filter(grams, lambda g: g.isNotNull())
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated n-token spans across documents — the
+    word-aligned form of the substring dedup in Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"):
+    every distinct n-token window occurring in at least ``min_docs``
+    documents, with (span, n_docs, n_occ).
+
+    Plan shape: tokenize + window per row (narrow, no shuffle), explode,
+    ONE hash aggregation keyed on the span. Map-side partial agg
+    collapses within-document repeats before the shuffle; the
+    min_docs filter runs post-agg. At 100 TB the span groupBy is the
+    only shuffle; if span width ever dominates shuffle bytes, group on
+    xxhash64(span, salt) twice (two independent 64-bit hashes ~ 128
+    bits, collision-free at any realistic corpus size) and keep
+    any_value(span) as the exemplar — the text key is kept here so the
+    DuckDB oracle compares span values directly."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), TERM_SPLIT_RE),
+                    lambda t: t != "")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    per_doc = (
+        docs.repartition(par)
+        .select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .select("id", F.explode(ordered_windows(F.col("toks"), n)).alias("span"))
+    )
+    return (
+        per_doc.groupBy("span")
+        .agg(F.count_distinct(F.col("id")).alias("n_docs"),
+             F.count("*").alias("n_occ"))
+        .where(F.col("n_docs") >= min_docs)
+    )

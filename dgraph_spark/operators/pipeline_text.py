@@ -126,3 +126,37 @@ def decontaminate(
     hit = (shingled(docs).join(F.broadcast(bad), "g", "left_semi")
            .select(id_col).distinct())
     return docs.join(hit, id_col, "left_anti")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for training batches: documents are concatenated
+    in id order within each stratum and the token stream is cut into
+    fixed-``budget`` sequences. Emits per document its token offset in
+    the stratum stream and the first/last sequence index it lands in
+    (``first_seq == last_seq`` means the document fits in one training
+    sequence; empty documents are pinned to the sequence at their
+    offset).
+
+    One shuffle: the running-sum window on the stratum key. Strata are
+    bounded categories (source/language), so at 100 TB each stratum is
+    a single sort — for a monster stratum, pre-split it with a salt
+    column and treat each salt shard as its own stream (packing does
+    not require global order, only a deterministic one)."""
+    n = F.size(_ws_tokens(F.col(text_col)))
+    w = Window.partitionBy(stratum_col).orderBy(id_col)
+    return (
+        docs.select(F.col(stratum_col), F.col(id_col), n.alias("n_tokens"))
+        .withColumn("tok_offset",
+                    F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("first_seq", F.floor(F.col("tok_offset") / budget))
+        .withColumn(
+            "last_seq",
+            F.floor((F.col("tok_offset")
+                     + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / budget))
+    )

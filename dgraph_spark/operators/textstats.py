@@ -87,3 +87,58 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fp"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1 repetition filters, re-specified deterministically):
+
+      - n_tokens          term-token count
+      - dup_token_frac    1 - distinct_tokens/tokens   (0 when empty)
+      - top_token_frac    count(most frequent token)/tokens
+      - top_bigram_char_frac  count(top 2-gram) * len(top 2-gram)
+                              / len(tokens joined by ' ')  (0 when <2)
+
+    "top 2-gram" ties break to the struct-max (count, then
+    lexicographically greatest gram) — any fixed rule works; this one
+    is expressible identically in both engines. All pure column
+    expressions over a materialized token array: per-row cost is
+    O(distinct * tokens) on short web documents (bounded by chunking
+    upstream), and the operator is a narrow projection — zero shuffle
+    at any scale."""
+    from dgraph_spark.operators.dedup import ordered_windows
+
+    toks = tokens_col(F.col(text_col))
+    # materialize tokens AND bigrams as columns: every stat below
+    # references them several times inside lambdas, and a bound
+    # attribute is a lookup where an inlined expression would re-run
+    # the tokenizer/zip_with per array element
+    base = docs.select(F.col(id_col), toks.alias("t")).select(
+        id_col, "t", ordered_windows(F.col("t"), 2).alias("g2"))
+    t, grams = F.col("t"), F.col("g2")
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    top_tok = F.array_max(
+        F.transform(F.array_distinct(t),
+                    lambda g: F.size(F.filter(t, lambda x: x == g))))
+    top_gram = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.struct(
+                F.size(F.filter(grams, lambda x: x == g)).alias("c"),
+                g.alias("g"))))
+    joined_len = F.length(F.array_join(t, " "))
+    out = base.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.when(n > 0, F.round(1.0 - nd / n, 4)).otherwise(F.lit(0.0))
+         .alias("dup_token_frac"),
+        F.when(n > 0, F.round(top_tok / n, 4)).otherwise(F.lit(0.0))
+         .alias("top_token_frac"),
+        F.when(
+            n >= 2,
+            F.round(top_gram["c"] * F.length(top_gram["g"]) / joined_len, 4),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_char_frac"),
+    )
+    return out

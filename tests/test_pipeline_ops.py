@@ -371,3 +371,79 @@ def test_sample_stratified_and_decontaminate(spark):
         [(999, "zz", "totally different words entirely")],
         "doc_id long, source string, text string")
     assert decontaminate(docs, bench2, n=3).count() == 40
+
+
+def test_duplicate_spans_planted(spark):
+    from dgraph_spark.operators.dedup import duplicate_spans
+
+    span = "a b c d e f g h i j"          # 10 shared tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"start {span} end"),
+            (2, f"other prefix {span}"),           # same span, doc 2
+            (3, f"{span} tail {span}"),            # twice within doc 3
+            (4, "nothing shared here at all with anyone else today ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["span"]: r for r in duplicate_spans(df, n=10).collect()}
+    assert span in out
+    assert out[span]["n_docs"] == 3
+    assert out[span]["n_occ"] == 4
+    # every other window occurs in exactly one document
+    assert set(out) == {span}
+    # short docs (< n tokens) contribute nothing and don't error
+    short = spark.createDataFrame([(9, "too short")],
+                                  "doc_id long, text string")
+    assert duplicate_spans(short, n=10).count() == 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    from dgraph_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam eggs"),
+            (2, "all distinct tokens here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4
+    assert r1["dup_token_frac"] == 0.5          # 1 - 2/4
+    assert r1["top_token_frac"] == 0.75         # spam x3 / 4
+    # bigrams: "spam spam" x2, "spam eggs" x1 -> top covers 2*9 chars
+    # of len("spam spam spam eggs") = 19
+    assert r1["top_bigram_char_frac"] == round(2 * 9 / 19, 4)
+    r2 = rows[2]
+    assert r2["dup_token_frac"] == 0.0
+    assert r2["top_token_frac"] == 0.25
+    r3 = rows[3]
+    assert (r3["n_tokens"], r3["dup_token_frac"],
+            r3["top_bigram_char_frac"]) == (0, 0.0, 0.0)
+
+
+def test_pack_sequences_offsets(spark):
+    from dgraph_spark.operators.pipeline_text import pack_sequences
+
+    mk = lambda n: " ".join(["w"] * n)
+    df = spark.createDataFrame(
+        [
+            (1, "a", mk(5)),
+            (2, "a", mk(6)),    # crosses the 8-token boundary: [5, 11)
+            (3, "a", ""),       # empty doc pinned at its offset
+            (4, "b", mk(3)),    # independent stream per stratum
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=8).collect()}
+    assert (out[1]["tok_offset"], out[1]["first_seq"], out[1]["last_seq"]) \
+        == (0, 0, 0)
+    assert (out[2]["tok_offset"], out[2]["first_seq"], out[2]["last_seq"]) \
+        == (5, 0, 1)
+    assert (out[3]["tok_offset"], out[3]["first_seq"], out[3]["last_seq"]) \
+        == (11, 1, 1)
+    assert (out[4]["tok_offset"], out[4]["first_seq"], out[4]["last_seq"]) \
+        == (0, 0, 0)
