@@ -2101,6 +2101,90 @@ LEFT JOIN gram_top gt USING (doc_id)
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher-rules document filter: keep flag + failed-rule reasons."""
+    from dgraph_spark.operators.textstats import gopher_quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality_filter(docs)
+
+
+SQL_quality_filter = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^\pL\pM\pN]+'),
+                     x -> x != '') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, t, len(t) AS n, len(list_distinct(t)) AS nd,
+         length(array_to_string(t, ' ')) AS nchars
+  FROM toks),
+tok_top AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, x, count(*) AS c
+    FROM toks, UNNEST(t) AS u(x) GROUP BY doc_id, x)
+  GROUP BY doc_id),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+gram_top AS (
+  SELECT doc_id, c, g FROM (
+    SELECT doc_id, g, count(*) AS c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, g DESC) AS rn
+    FROM grams GROUP BY doc_id, g) WHERE rn = 1),
+stats AS (
+  SELECT b.doc_id, b.n,
+         CASE WHEN b.n > 0 THEN round(1.0 - b.nd / CAST(b.n AS DOUBLE), 4)
+              ELSE 0.0 END AS dupf,
+         CASE WHEN b.n > 0 THEN round(tt.topc / CAST(b.n AS DOUBLE), 4)
+              ELSE 0.0 END AS topf,
+         CASE WHEN b.n >= 2 THEN
+              round(gt.c * length(gt.g) / CAST(b.nchars AS DOUBLE), 4)
+              ELSE 0.0 END AS bigf
+  FROM base b
+  LEFT JOIN tok_top tt USING (doc_id)
+  LEFT JOIN gram_top gt USING (doc_id))
+SELECT doc_id, len(reasons) = 0 AS keep, reasons FROM (
+  SELECT doc_id, list_filter([
+      CASE WHEN n < 16 THEN 'too_few_tokens' END,
+      CASE WHEN n > 100000 THEN 'too_many_tokens' END,
+      CASE WHEN dupf > 0.6 THEN 'dup_tokens' END,
+      CASE WHEN topf > 0.3 THEN 'top_token' END,
+      CASE WHEN bigf > 0.18 THEN 'top_bigram' END
+    ], x -> x IS NOT NULL) AS reasons
+  FROM stats)
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: cosine pairs within embedding
+    blocks -> transitive closure -> canonical keep flag."""
+    from dgraph_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, threshold=0.43, block_col="label")
+
+
+SQL_semantic_dedup = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS i, b.vec_id AS j
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.43
+),
+sym AS (SELECT i AS a, j AS b FROM pairs
+        UNION ALL SELECT j, i FROM pairs),
+rec AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM rec r JOIN sym s ON r.b = s.a
+)
+SELECT id, cluster, id = cluster AS keep FROM (
+  SELECT a AS id, least(a, min(b)) AS cluster FROM rec GROUP BY a)
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: per-source token stream cut into 512-token
     training sequences; each doc's offset + first/last sequence."""
@@ -2229,6 +2313,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_spans": (q_dedup_spans, SQL_dedup_spans),
     "repetition_stats": (q_repetition_stats, SQL_repetition_stats),
     "pack_sequences": (q_pack_sequences, SQL_pack_sequences),
+    "quality_filter": (q_quality_filter, SQL_quality_filter),
+    "semantic_dedup": (q_semantic_dedup, SQL_semantic_dedup),
     "chunk_docs": (q_chunk_docs, SQL_chunk_docs),
     "scrub_pii": (q_scrub_pii, _sql_scrub_pii()),
     "sample_stratified": (q_sample_stratified, SQL_sample_stratified),

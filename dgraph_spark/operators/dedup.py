@@ -684,6 +684,13 @@ def near_dup_clusters(
     pointer-jumped min-label propagation (same plan as
     graph_algos.connected_components, one job per round)."""
     pairs = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
+    return min_label_closure(pairs)
+
+
+def min_label_closure(pairs: DataFrame) -> DataFrame:
+    """Transitive closure of an (i, j) pair graph as (id, cluster,
+    keep): min-label propagation with pointer jumping, one probe action
+    per round (shared by the jaccard and embedding cluster operators)."""
     sym = pairs.select(F.col("i").alias("a"), F.col("j").alias("b")).unionByName(
         pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
@@ -762,3 +769,29 @@ def duplicate_spans(
              F.count("*").alias("n_occ"))
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.98,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cosine near-dup pairs over an embedding column (blocked by
+    ``block_col`` — cluster/LSH-bucket id — which IS SemDeDup's
+    "within k-means cluster" restriction), closed transitively and
+    labeled with a canonical minimum-id representative. Returns
+    (id, cluster, keep) for every vector in a semantic-dup group of
+    size >= 2; the pipeline keeps ``keep`` rows and drops the rest.
+
+    Scale shape: pair generation never goes all-pairs when blocked
+    (equi-join on the block key); the closure is the same pointer-
+    jumped min-label loop as connected_components. Degenerate blocks
+    (one giant cluster) bound the pair count by the cosine threshold
+    itself — at SemDeDup's operating point (eps ~ 0.02-0.05 cosine
+    distance) groups are tiny."""
+    pairs = embedding_near_dups(vectors, threshold, block_col,
+                                id_col, vec_col)
+    return min_label_closure(pairs.select("i", "j"))

@@ -107,15 +107,32 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     O(distinct * tokens) on short web documents (bounded by chunking
     upstream), and the operator is a narrow projection — zero shuffle
     at any scale."""
+    base = _rep_base(docs, text_col, id_col)
+    cols = _rep_cols()
+    return base.select(
+        id_col,
+        cols["n_tokens"].alias("n_tokens"),
+        cols["dup_token_frac"].alias("dup_token_frac"),
+        cols["top_token_frac"].alias("top_token_frac"),
+        cols["top_bigram_char_frac"].alias("top_bigram_char_frac"),
+    )
+
+
+def _rep_base(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Project materialized token (`t`) and bigram (`g2`) arrays: every
+    stat references them several times inside lambdas, and a bound
+    attribute is a lookup where an inlined expression would re-run the
+    tokenizer/zip_with per array element (SPARK-36718 keeps non-cheap
+    multi-referenced aliases un-inlined)."""
     from dgraph_spark.operators.dedup import ordered_windows
 
     toks = tokens_col(F.col(text_col))
-    # materialize tokens AND bigrams as columns: every stat below
-    # references them several times inside lambdas, and a bound
-    # attribute is a lookup where an inlined expression would re-run
-    # the tokenizer/zip_with per array element
-    base = docs.select(F.col(id_col), toks.alias("t")).select(
+    return docs.select(F.col(id_col), toks.alias("t")).select(
         id_col, "t", ordered_windows(F.col("t"), 2).alias("g2"))
+
+
+def _rep_cols() -> dict[str, Column]:
+    """Repetition-signal expressions over _rep_base's t/g2 columns."""
     t, grams = F.col("t"), F.col("g2")
     n = F.size(t)
     nd = F.size(F.array_distinct(t))
@@ -129,16 +146,69 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
                 F.size(F.filter(grams, lambda x: x == g)).alias("c"),
                 g.alias("g"))))
     joined_len = F.length(F.array_join(t, " "))
-    out = base.select(
-        id_col,
-        n.alias("n_tokens"),
-        F.when(n > 0, F.round(1.0 - nd / n, 4)).otherwise(F.lit(0.0))
-         .alias("dup_token_frac"),
-        F.when(n > 0, F.round(top_tok / n, 4)).otherwise(F.lit(0.0))
-         .alias("top_token_frac"),
-        F.when(
+    return {
+        "n_tokens": n,
+        "dup_token_frac": F.when(n > 0, F.round(1.0 - nd / n, 4))
+                           .otherwise(F.lit(0.0)),
+        "top_token_frac": F.when(n > 0, F.round(top_tok / n, 4))
+                           .otherwise(F.lit(0.0)),
+        "top_bigram_char_frac": F.when(
             n >= 2,
             F.round(top_gram["c"] * F.length(top_gram["g"]) / joined_len, 4),
-        ).otherwise(F.lit(0.0)).alias("top_bigram_char_frac"),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+# (rule name, predicate builder) in fixed evaluation order — the rule
+# list IS the spec; thresholds follow Gopher's published defaults where
+# the corpus makes them meaningful (token bounds scaled to web docs).
+GOPHER_RULES: list[tuple[str, object]] = [
+    ("too_few_tokens", lambda c, p: c["n_tokens"] < p["min_tokens"]),
+    ("too_many_tokens", lambda c, p: c["n_tokens"] > p["max_tokens"]),
+    ("dup_tokens", lambda c, p: c["dup_token_frac"] > p["max_dup_token_frac"]),
+    ("top_token", lambda c, p: c["top_token_frac"] > p["max_top_token_frac"]),
+    ("top_bigram", lambda c, p:
+        c["top_bigram_char_frac"] > p["max_top_bigram_char_frac"]),
+]
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 16,
+    max_tokens: int = 100_000,
+    max_dup_token_frac: float = 0.6,
+    max_top_token_frac: float = 0.3,
+    max_top_bigram_char_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-rules document filter (Rae et al. 2021 §A1.1): emits
+    (id, keep, reasons) where ``reasons`` lists every failed rule in
+    GOPHER_RULES order and ``keep`` is reasons == []. Pure column
+    program over the same materialized token/bigram arrays as
+    repetition_stats — zero shuffle; filter + prune push to the scan."""
+    params = {
+        "min_tokens": min_tokens,
+        "max_tokens": max_tokens,
+        "max_dup_token_frac": max_dup_token_frac,
+        "max_top_token_frac": max_top_token_frac,
+        "max_top_bigram_char_frac": max_top_bigram_char_frac,
+    }
+    base = _rep_base(docs, text_col, id_col)
+    cols = _rep_cols()
+    reasons = F.filter(
+        F.array(*[
+            F.when(pred(cols, params), F.lit(name))
+             .otherwise(F.lit(None).cast("string"))
+            for name, pred in GOPHER_RULES
+        ]),
+        lambda r: r.isNotNull(),
     )
-    return out
+    return base.select(
+        id_col,
+        reasons.alias("reasons"),
+    ).select(
+        id_col,
+        (F.size("reasons") == 0).alias("keep"),
+        F.col("reasons"),
+    )

@@ -447,3 +447,55 @@ def test_pack_sequences_offsets(spark):
         == (11, 1, 1)
     assert (out[4]["tok_offset"], out[4]["first_seq"], out[4]["last_seq"]) \
         == (0, 0, 0)
+
+
+def test_gopher_quality_filter_rules(spark):
+    from dgraph_spark.operators.textstats import gopher_quality_filter
+
+    good = "the quick brown fox jumps over one lazy dog while " \
+           "seventeen other animals watch quietly from nearby hills today"
+    df = spark.createDataFrame(
+        [
+            (1, good),                                   # passes all rules
+            (2, "short doc"),                            # too_few_tokens
+            (3, "spam " * 40),                           # dup + top token/bigram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert rows[1]["keep"] and rows[1]["reasons"] == []
+    assert not rows[2]["keep"]
+    assert "too_few_tokens" in rows[2]["reasons"]
+    assert not rows[3]["keep"]
+    assert {"dup_tokens", "top_token", "top_bigram"} <= set(rows[3]["reasons"])
+    # reasons preserve GOPHER_RULES order
+    assert rows[3]["reasons"] == sorted(
+        rows[3]["reasons"],
+        key=["too_few_tokens", "too_many_tokens", "dup_tokens",
+             "top_token", "top_bigram"].index)
+
+
+def test_semantic_dedup_clusters(spark):
+    from dgraph_spark.operators.dedup import semantic_dedup
+
+    # block 0: 1~2 and 2~3 chained (transitive cluster of 3), 4 isolated;
+    # block 1: identical pair (5, 6)
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.435, 0.0], 0),   # cos(1,2)≈0.90, cos(2,3)≈0.44
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0], 0),
+        (5, [0.5, 0.5, 0.0], 1),
+        (6, [0.5, 0.5, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["id"]: r for r in
+           semantic_dedup(df, threshold=0.8, block_col="label").collect()}
+    assert set(out) == {1, 2, 5, 6}          # 3 not within 0.8 of 2; 4 isolated
+    assert out[1]["cluster"] == 1 and out[1]["keep"]
+    assert out[2]["cluster"] == 1 and not out[2]["keep"]
+    assert out[5]["keep"] and not out[6]["keep"]
+    # lower threshold chains 3 into the cluster transitively
+    out2 = {r["id"]: r["cluster"] for r in
+            semantic_dedup(df, threshold=0.4, block_col="label").collect()}
+    assert out2[3] == 1
