@@ -2387,6 +2387,20 @@ _R7_DRIVER_COVERED = {
     "uid_literal",
 }
 
+# Entries added in round 8 — never had ANY driver row, so they outrank
+# even the r6 cohort for the 50-entry prefix (the registry grew to 102;
+# 52 entries lack an r7 row, so 2 of the r6 cohort — stem_tokens_sv/da,
+# both r6-green AND pinned by the three-backend stemmer gates — wait
+# for round 9).
+_NEW_R8 = {
+    "stem_tokens_en", "stem_tokens_tr",
+    "chunk_docs", "scrub_pii", "sample_stratified", "decontaminate",
+    "dedup_spans", "repetition_stats", "pack_sequences",
+    "quality_filter", "semantic_dedup",
+}
+
 QUERIES = {k: QUERIES[k]
-           for k in sorted(QUERIES, key=lambda k: k in _R7_DRIVER_COVERED)}
+           for k in sorted(QUERIES,
+                           key=lambda k: (k not in _NEW_R8,
+                                          k in _R7_DRIVER_COVERED))}
 
