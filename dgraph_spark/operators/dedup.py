@@ -693,6 +693,12 @@ def min_label_closure(pairs: DataFrame) -> DataFrame:
     per round (shared by the jaccard and embedding cluster operators)."""
     sym = pairs.select(F.col("i").alias("a"), F.col("j").alias("b")).unionByName(
         pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
+    # materialize the pair graph ONCE: every propagation round joins
+    # against sym, and without this each round re-executes the full
+    # candidate-pair generation (cosine block join / PPJoin) — 5x wall
+    # on the embedding path at sf0.1. The pair set is threshold-bounded
+    # and orders of magnitude smaller than the corpus.
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "cluster", F.col("id"))
     prev_sum = None
