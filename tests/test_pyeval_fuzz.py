@@ -532,3 +532,100 @@ def test_facet_sql_three_way(facet_graphs, seed):
     assert not bad, "\n\n".join(
         f"[{i}] {q}\nengine: {a}\npyeval: {b}\nduckdb: {c}"
         for i, q, a, b, c in bad)
+
+
+def _parse_dt(v):
+    """Engine datetime rendering / DuckDB datetime -> comparable naive
+    UTC datetime (handles year < 1000, which fromisoformat accepts)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None)
+    return _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00")) \
+        .replace(tzinfo=None)
+
+
+@pytest.mark.parametrize("seed", [20260815, 7, 99])
+def test_groupby_rootagg_sql_three_way(golden, naive, words, seed):
+    """@groupby(value pred) and root min/max/sum(val(v)) get their own
+    DuckDB leg: these families previously had only the two legs that
+    share the DQL parser. Keys are compared as parsed datetimes so the
+    engine's Z-rendering and DuckDB's native timestamps meet in the
+    middle without sharing any formatting code."""
+    import duckdb
+
+    from dgraph_spark.plans import Executor
+    from tools.pyeval import PyEval
+
+    g, wh = golden
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW wh AS SELECT * FROM read_parquet("
+                f"'{wh}/*/*.parquet', hive_partitioning=1)")
+    rng = random.Random(seed)
+    w = lambda: rng.choice(words)
+    name_en = ("SELECT subject, value_str AS v FROM wh "
+               "WHERE predicate = 'name' AND lang = 'en'")
+    toks = ("list_filter(string_split_regex(lower(v), "
+            "'[^\\pL\\pM\\pN]+'), x -> x != '')")
+    ird = ("SELECT subject, CAST(value_str AS TIMESTAMP) AS d FROM wh "
+           "WHERE predicate = 'initial_release_date'")
+
+    def matched(a, b):
+        return (f"SELECT DISTINCT subject FROM ({name_en}) "
+                f"WHERE list_has_any({toks}, ['{a}', '{b}'])")
+
+    bad = []
+    for i in range(12):
+        a, b = w(), w()
+        if i % 3 == 0:
+            # @groupby on a datetime value pred: {rendered date: count}
+            dql = (f'{{ q(func: anyofterms(name@en, "{a} {b}")) '
+                   f'@groupby(initial_release_date) {{ count(uid) }} }}')
+            sql = (f"SELECT d, count(DISTINCT subject) FROM ({ird}) "
+                   f"WHERE subject IN ({matched(a, b)}) GROUP BY d")
+            outs = []
+            for ev in (Executor(g), PyEval(naive)):
+                groups = ev.execute(dql).get("q") or []
+                groups = groups[0]["@groupby"] if groups else []
+                outs.append({_parse_dt(r["initial_release_date"]): r["count"]
+                             for r in groups})
+            duck = {_parse_dt(k): v for k, v in con.execute(sql).fetchall()}
+        elif i % 3 == 1:
+            # root min/max over a datetime value variable
+            dql = (f'{{ var(func: anyofterms(name@en, "{a} {b}")) '
+                   f'{{ d as initial_release_date }} '
+                   f'q() {{ min(val(d)) max(val(d)) }} }}')
+            sql = (f"SELECT min(d), max(d) FROM ({ird}) "
+                   f"WHERE subject IN ({matched(a, b)})")
+            outs = []
+            for ev in (Executor(g), PyEval(naive)):
+                res = ev.execute(dql).get("q") or []
+                flat = {k: v for r in res for k, v in r.items()}
+                outs.append((_parse_dt(flat.get("min(val(d))")),
+                             _parse_dt(flat.get("max(val(d))"))))
+            duck = tuple(_parse_dt(x) for x in con.execute(sql).fetchone())
+        else:
+            # root sum over a count variable (0 for edge-less nodes on
+            # both sides: zeros don't move the sum; empty -> 0)
+            dql = (f'{{ var(func: anyofterms(name@en, "{a} {b}")) '
+                   f'{{ c as count(director.film) }} '
+                   f'q() {{ sum(val(c)) }} }}')
+            sql = (f"SELECT coalesce(sum(cnt), 0) FROM ("
+                   f"SELECT subject, count(*) AS cnt FROM wh "
+                   f"WHERE predicate = 'director.film' "
+                   f"AND subject IN ({matched(a, b)}) GROUP BY subject)")
+            outs = []
+            for ev in (Executor(g), PyEval(naive)):
+                res = ev.execute(dql).get("q") or []
+                flat = {k: v for r in res for k, v in r.items()}
+                outs.append(int(flat.get("sum(val(c))", 0) or 0))
+            duck = int(con.execute(sql).fetchone()[0])
+        got, want = outs
+        if not (got == want == duck):
+            bad.append((i, dql, str(got)[:200], str(want)[:200],
+                        str(duck)[:200]))
+    assert not bad, "\n\n".join(
+        f"[{i}] {q}\nengine: {a}\npyeval: {b}\nduckdb: {c}"
+        for i, q, a, b, c in bad)
