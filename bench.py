@@ -39,6 +39,14 @@ HEADLINE = [
     "q5_local_supplier",
     "dedup_minhash_lsh",
     "anyoftext",
+    # round-8 continuation: the new training-pipeline operators join the
+    # headline set — totals are NOT comparable to BENCH_r07 and earlier
+    # (25-query set) without restricting to the shared per-query keys.
+    "dedup_spans",
+    "repetition_stats",
+    "quality_filter",
+    "pack_sequences",
+    "semantic_dedup",
 ]
 
 

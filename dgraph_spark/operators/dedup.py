@@ -15,8 +15,11 @@ Four families, all shuffle-conscious:
 - embedding_near_dups: cosine near-dup pairs over an embedding column,
   blocked by a coarse key (label / LSH bucket) to avoid all-pairs.
 
-Everything is built-in column expressions (xxhash64, explode, windows);
-no Python UDFs.
+Everything is built-in column expressions (xxhash64, explode, windows)
+— no row-at-a-time Python UDFs; the one Python hot path is the
+Arrow-vectorized pair-dot (similarity.pair_dot_vec), used only where
+the interpreted zip_with/aggregate lambda was measured ~10x slower on
+pair-count-bound verification.
 """
 
 from __future__ import annotations
@@ -561,13 +564,21 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Cosine near-duplicate pairs. With ``block_col`` the pair join is
-    restricted to equal blocks (label, LSH bucket, ...) — the scale path;
-    without it, an all-pairs comparison guarded by ALL_PAIRS_ROW_CAP
-    (an unguarded cross join at 10^7 rows is 10^14 comparisons — fail
-    loudly instead; use embedding_near_dups_lsh for unblocked corpora)."""
-    from dgraph_spark.operators.similarity import _dot, _norm
+    """Cosine near-duplicate pairs. With ``block_col`` the comparison is
+    restricted to equal blocks (k-means cluster, label, LSH bucket —
+    SemDeDup's within-cluster restriction); without it, an all-pairs
+    comparison guarded by ALL_PAIRS_ROW_CAP (an unguarded product at
+    10^7 rows is 10^14 comparisons — fail loudly instead; use
+    embedding_near_dups_lsh for unblocked corpora).
 
+    Execution is a within-block GEMM (applyInPandas): each block's
+    vectors cross the Arrow boundary ONCE and the pairwise cosines come
+    from chunked float64 matrix multiplies — a pair JOIN would ship two
+    d-dim vectors per candidate (O(pairs*d) bytes vs O(rows*d)),
+    measured 2x slower even with a vectorized per-pair dot. Memory is
+    bounded by CHUNK x block_rows score cells per task; a block must
+    fit one executor (blocks are corpus/n_clusters by construction —
+    re-cluster or LSH-shard a monster block)."""
     if block_col is None:
         n = vectors.count()
         if n > ALL_PAIRS_ROW_CAP:
@@ -579,27 +590,49 @@ def embedding_near_dups(
                 f"candidate generation."
             )
 
-    # norms are per-ROW: compute before the pair join, not per pair
-    # (an O(d) aggregate twice per candidate otherwise)
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                       *([F.col(block_col).alias("blk")] if block_col else []))
-    v = v.withColumn("_n", _norm(F.col("v")))
-    if block_col:
-        # spread blocks across cores: the pair compute is CPU-bound and
-        # a small parquet file otherwise runs it on one task
-        par = vectors.sparkSession.sparkContext.defaultParallelism
-        v = v.repartition(par, "blk")
-    on = ["blk"] if block_col else []
-    a, b = v.alias("a"), v.alias("b")
-    pairs = (a.join(b, on) if on else a.crossJoin(b)).where(F.col("a.id") < F.col("b.id"))
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n"))
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("blk"))
     return (
-        pairs.select(
-            F.col("a.id").alias("i"), F.col("b.id").alias("j"), cos.alias("cos")
-        )
-        .where(F.col("cos") >= threshold)
+        v.groupBy("blk")
+        .applyInPandas(_block_cosine_pairs(threshold), "i long, j long, cos double")
         .select("i", "j", F.round("cos", 4).alias("cos"))
     )
+
+
+def _block_cosine_pairs(threshold: float):
+    """Pandas grouped-map kernel: all within-block cosine pairs >=
+    threshold, i < j by id. Chunked so the score matrix stays bounded
+    regardless of block size."""
+    def emit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"i": pd.Series(dtype="int64"),
+                              "j": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        m = len(pdf)
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("id")
+        mat = np.stack(pdf["v"].to_numpy()).astype("float64", copy=False)
+        ids = pdf["id"].to_numpy()
+        nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        nrm[nrm == 0.0] = 1.0  # zero vectors match nothing either way
+        cols = np.arange(m)
+        out = [empty]
+        chunk = max(1, (4 << 20) // m)  # <= ~4M score cells in flight
+        for s in range(0, m, chunk):
+            e = min(s + chunk, m)
+            scores = (mat[s:e] @ mat.T) / np.outer(nrm[s:e], nrm)
+            mask = (scores >= threshold) & (cols[None, :] > np.arange(s, e)[:, None])
+            ii, jj = np.nonzero(mask)
+            if ii.size:
+                out.append(pd.DataFrame({"i": ids[s + ii], "j": ids[jj],
+                                         "cos": scores[ii, jj]}))
+        return pd.concat(out, ignore_index=True)
+
+    return emit
 
 
 def lsh_planes(
@@ -630,7 +663,7 @@ def embedding_near_dups_lsh(
     Recall ~ 1-(1-p^k)^L where p = 1 - angle/pi — high for
     near-duplicates (angle -> 0) by construction. Replaces the O(n^2)
     cross join with L equi-joins on 2^k buckets — the 100 TB path."""
-    from dgraph_spark.operators.similarity import _dot, _norm, lsh_bucket
+    from dgraph_spark.operators.similarity import _norm, lsh_bucket, pair_dot_vec
 
     if dim is None:
         first = vectors.select(F.size(vec_col)).limit(1).collect()
@@ -659,7 +692,7 @@ def embedding_near_dups_lsh(
     )
     side = lambda nm, out: v.select(  # noqa: E731
         F.col("id").alias(nm), F.col("v").alias(f"v{out}"), F.col("_n").alias(f"n{out}"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = pair_dot_vec(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(side("i", "a"), "i").join(side("j", "b"), "j")
         .withColumn("cos", cos)
