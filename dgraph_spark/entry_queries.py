@@ -1812,6 +1812,26 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (applyInPandasWithState shape,
+    streaming/stateful.py:47): one output row per first-seen key.
+    The batch path shares the declared semantics (first_seen_batch =
+    rows seen when the key first appears — the whole relation in one
+    batch); multi-micro-batch suppression is covered by
+    tests/test_stateful_streaming.py::test_running_dedup_emits_once."""
+    from dgraph_spark.sources.events import read_events
+    from dgraph_spark.streaming.stateful import running_dedup
+
+    ev = read_events(spark, sf_dir)
+    return running_dedup(ev, "user_id")
+
+
+SQL_stream_dedup = """
+SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS first_seen_batch
+FROM events GROUP BY user_id
+"""
+
+
 def q_since_math(spark, sf_dir):
     """math(since(t)) — seconds-since-now arithmetic on a datetime value
     var (query/aggregator.go:566-574 since). Day-floored so the Spark
@@ -2315,6 +2335,7 @@ QUERIES: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, SQL_pack_sequences),
     "quality_filter": (q_quality_filter, SQL_quality_filter),
     "semantic_dedup": (q_semantic_dedup, SQL_semantic_dedup),
+    "stream_dedup": (q_stream_dedup, SQL_stream_dedup),
     "chunk_docs": (q_chunk_docs, SQL_chunk_docs),
     "scrub_pii": (q_scrub_pii, _sql_scrub_pii()),
     "sample_stratified": (q_sample_stratified, SQL_sample_stratified),
@@ -2388,15 +2409,15 @@ _R7_DRIVER_COVERED = {
 }
 
 # Entries added in round 8 — never had ANY driver row, so they outrank
-# even the r6 cohort for the 50-entry prefix (the registry grew to 102;
-# 52 entries lack an r7 row, so 2 of the r6 cohort — stem_tokens_sv/da,
-# both r6-green AND pinned by the three-backend stemmer gates — wait
+# even the r6 cohort for the 50-entry prefix (the registry grew to 103;
+# 53 entries lack an r7 row, so 3 of the r6 cohort — stem_tokens_ru/sv/
+# da, all r6-green AND pinned by the three-backend stemmer gates — wait
 # for round 9).
 _NEW_R8 = {
     "stem_tokens_en", "stem_tokens_tr",
     "chunk_docs", "scrub_pii", "sample_stratified", "decontaminate",
     "dedup_spans", "repetition_stats", "pack_sequences",
-    "quality_filter", "semantic_dedup",
+    "quality_filter", "semantic_dedup", "stream_dedup",
 }
 
 QUERIES = {k: QUERIES[k]
