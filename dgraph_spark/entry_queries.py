@@ -2121,6 +2121,64 @@ LEFT JOIN gram_top gt USING (doc_id)
 """
 
 
+def q_contamination_scores(spark, sf_dir):
+    """Graded benchmark overlap: per-doc fraction of word 3-grams that
+    appear in the benchmark subset (doc_id % 97 == 0)."""
+    from dgraph_spark.operators.pipeline_text import contamination_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_scores(docs, bench, n=3)
+
+
+SQL_contamination_scores = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                      ' ') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+bad AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS matched
+        FROM grams JOIN bad USING (g) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(t.n_grams, 0) AS n_grams,
+       coalesce(h.matched, 0) AS matched,
+       CASE WHEN coalesce(t.n_grams, 0) > 0
+            THEN round(coalesce(h.matched, 0)
+                       / CAST(t.n_grams AS DOUBLE), 4)
+            ELSE 0.0 END AS overlap_frac
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN hit h USING (doc_id)
+"""
+
+
+def q_corpus_report(spark, sf_dir):
+    """Per-source dataset card: doc/token/char totals, mean tokens,
+    distinct languages — the mixing-weight input."""
+    from dgraph_spark.operators.pipeline_text import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_report(docs)
+
+
+SQL_corpus_report = r"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')))
+         AS n_tokens,
+       round(avg(len(list_filter(string_split_regex(text, '\s+'),
+                                 x -> x != ''))), 4) AS mean_tokens,
+       sum(length(text)) AS n_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
 def q_quality_filter(spark, sf_dir):
     """Gopher-rules document filter: keep flag + failed-rule reasons."""
     from dgraph_spark.operators.textstats import gopher_quality_filter
@@ -2336,6 +2394,8 @@ QUERIES: dict[str, tuple] = {
     "quality_filter": (q_quality_filter, SQL_quality_filter),
     "semantic_dedup": (q_semantic_dedup, SQL_semantic_dedup),
     "stream_dedup": (q_stream_dedup, SQL_stream_dedup),
+    "contamination_scores": (q_contamination_scores, SQL_contamination_scores),
+    "corpus_report": (q_corpus_report, SQL_corpus_report),
     "chunk_docs": (q_chunk_docs, SQL_chunk_docs),
     "scrub_pii": (q_scrub_pii, _sql_scrub_pii()),
     "sample_stratified": (q_sample_stratified, SQL_sample_stratified),
@@ -2409,15 +2469,16 @@ _R7_DRIVER_COVERED = {
 }
 
 # Entries added in round 8 — never had ANY driver row, so they outrank
-# even the r6 cohort for the 50-entry prefix (the registry grew to 103;
-# 53 entries lack an r7 row, so 3 of the r6 cohort — stem_tokens_ru/sv/
-# da, all r6-green AND pinned by the three-backend stemmer gates — wait
-# for round 9).
+# even the r6 cohort for the 50-entry prefix (the registry grew to 105;
+# 55 entries lack an r7 row, so 5 of the r6 cohort — the
+# stem_tokens_it/pt/ru/sv/da tail, all r6-green AND pinned by the
+# three-backend stemmer gates — wait for round 9).
 _NEW_R8 = {
     "stem_tokens_en", "stem_tokens_tr",
     "chunk_docs", "scrub_pii", "sample_stratified", "decontaminate",
     "dedup_spans", "repetition_stats", "pack_sequences",
     "quality_filter", "semantic_dedup", "stream_dedup",
+    "contamination_scores", "corpus_report",
 }
 
 QUERIES = {k: QUERIES[k]

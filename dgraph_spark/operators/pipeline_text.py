@@ -160,3 +160,83 @@ def pack_sequences(
             F.floor((F.col("tok_offset")
                      + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / budget))
     )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Graded benchmark-overlap report (the GPT-3-appendix variant of
+    decontamination): for every document, the fraction of its word
+    n-grams that appear anywhere in the benchmark set —
+    (id, n_grams, matched, overlap_frac). `decontaminate` is the
+    overlap_frac > 0 special case; pipelines threshold this instead
+    when exact-match dropping is too aggressive.
+
+    Same shape as decontaminate: benchmark shingles broadcast, corpus
+    side never shuffles (per-doc counts come from the map-side of the
+    broadcast semi-join aggregated on the already-partitioned id)."""
+    def shingles(df):
+        toks = F.split(normalized(F.col(text_col)), " ")
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col), grams.alias("grams"))
+
+    bad = (shingles(bench).select(F.explode("grams").alias("g"))
+           .distinct())
+    per_doc = shingles(docs).select(
+        F.col(id_col), F.explode_outer("grams").alias("g"))
+    hit = per_doc.join(F.broadcast(bad), "g", "left_semi") \
+                 .groupBy(id_col).agg(F.count("*").alias("matched"))
+    total = per_doc.where(F.col("g").isNotNull()) \
+                   .groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        docs.select(id_col)
+        .join(total, id_col, "left")
+        .join(hit, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("matched", F.lit(0)).alias("matched"),
+            F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                   F.round(F.coalesce("matched", F.lit(0))
+                           / F.col("n_grams"), 4))
+             .otherwise(F.lit(0.0)).alias("overlap_frac"),
+        )
+    )
+
+
+def corpus_report(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum dataset card: document count, token sum/mean, char
+    sum, distinct-language count — the mixing-weight input for a
+    training run. One hash aggregation on the stratum key (map-side
+    partials; stratum cardinality is bounded, so the reduce side is
+    trivially small at any corpus size)."""
+    ntok = F.size(_ws_tokens(F.col(text_col)))
+    return (
+        docs.select(F.col(stratum_col), F.col(id_col),
+                    ntok.alias("_nt"), F.length(text_col).alias("_nc"),
+                    F.col(lang_col).alias("_lang"))
+        .groupBy(stratum_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.round(F.avg("_nt"), 4).alias("mean_tokens"),
+            F.sum("_nc").alias("n_chars"),
+            F.count_distinct(F.col("_lang")).alias("n_langs"),
+        )
+    )

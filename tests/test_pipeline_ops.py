@@ -499,3 +499,43 @@ def test_semantic_dedup_clusters(spark):
     out2 = {r["id"]: r["cluster"] for r in
             semantic_dedup(df, threshold=0.4, block_col="label").collect()}
     assert out2[3] == 1
+
+
+def test_contamination_scores_hand_computed(spark):
+    from dgraph_spark.operators.pipeline_text import contamination_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # grams: abc bcd cde
+            (2, "x y z a b c"),      # grams: xyz yza zab abc -> 1/4 match
+            (3, "q r"),              # too short: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           contamination_scores(docs, bench, n=3).collect()}
+    assert (out[1]["n_grams"], out[1]["matched"], out[1]["overlap_frac"]) \
+        == (3, 1, round(1 / 3, 4))
+    assert (out[2]["n_grams"], out[2]["matched"], out[2]["overlap_frac"]) \
+        == (4, 1, 0.25)
+    assert (out[3]["n_grams"], out[3]["matched"], out[3]["overlap_frac"]) \
+        == (0, 0, 0.0)
+
+
+def test_corpus_report(spark):
+    from dgraph_spark.operators.pipeline_text import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "en", "one two three"),
+            (2, "web", "fr", "quatre cinq"),
+            (3, "book", "en", "six"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    out = {r["source"]: r for r in corpus_report(docs).collect()}
+    assert (out["web"]["n_docs"], out["web"]["n_tokens"],
+            out["web"]["mean_tokens"], out["web"]["n_langs"]) == (2, 5, 2.5, 2)
+    assert (out["book"]["n_docs"], out["book"]["n_tokens"],
+            out["book"]["n_langs"]) == (1, 1, 1)
