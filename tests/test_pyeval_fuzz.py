@@ -629,3 +629,67 @@ def test_groupby_rootagg_sql_three_way(golden, naive, words, seed):
     assert not bad, "\n\n".join(
         f"[{i}] {q}\nengine: {a}\npyeval: {b}\nduckdb: {c}"
         for i, q, a, b, c in bad)
+
+
+@pytest.mark.parametrize("seed", [20260815, 7, 99])
+def test_lang_chain_sql_three_way(golden, naive, words, seed):
+    """@lang fallback chains get a DuckDB leg: rank = position in the
+    chain, '.' = untagged then any tagged (alphabetical tiebreak) —
+    the documented dgraph rule re-derived in SQL, sharing no code with
+    either engine leg."""
+    import duckdb
+
+    from dgraph_spark.plans import Executor
+    from tools.pyeval import PyEval
+
+    g, wh = golden
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW wh AS SELECT * FROM read_parquet("
+                f"'{wh}/*/*.parquet', hive_partitioning=1)")
+    rng = random.Random(seed)
+    w = lambda: rng.choice(words)
+    toks = ("list_filter(string_split_regex(lower(v), "
+            "'[^\\pL\\pM\\pN]+'), x -> x != '')")
+
+    bad = []
+    for i in range(12):
+        a, b = w(), w()
+        chain = rng.choice(["ru:en", "en:.", "de:en:.", "it:en", "."])
+        langs = chain.split(":")
+        dql = (f'{{ q(func: anyofterms(name@en, "{a} {b}")) '
+               f'{{ uid name@{chain} }} }}')
+        pref = [l for l in langs if l != "."]
+        cases = " ".join(f"WHEN lang = '{l}' THEN {r}"
+                         for r, l in enumerate(pref))
+        if "." in langs:
+            cases += (f" WHEN lang IS NULL THEN {len(pref)} "
+                      f"ELSE {len(pref) + 1}")
+            rank = f"CASE {cases} END"
+        else:
+            rank = f"CASE {cases} ELSE NULL END"
+        sql = f"""
+WITH nm AS (SELECT subject, lang, value_str AS v FROM wh
+            WHERE predicate = 'name'),
+matched AS (SELECT DISTINCT subject FROM nm
+            WHERE lang = 'en' AND list_has_any({toks}, ['{a}', '{b}'])),
+ranked AS (
+  SELECT subject, v,
+         row_number() OVER (PARTITION BY subject ORDER BY
+             {rank}, coalesce(lang, '')) AS rn
+  FROM nm JOIN matched USING (subject)
+  WHERE ({rank}) IS NOT NULL)
+SELECT format('0x{{:x}}', subject), v FROM ranked WHERE rn = 1
+"""
+        outs = []
+        for ev in (Executor(g), PyEval(naive)):
+            res = ev.execute(dql).get("q") or []
+            outs.append({r["uid"]: r[f"name@{chain}"]
+                         for r in res if f"name@{chain}" in r})
+        duck = dict(con.execute(sql).fetchall())
+        got, want = outs
+        if not (got == want == duck):
+            diffs = {k: (got.get(k), want.get(k), duck.get(k))
+                     for k in set(got) | set(want) | set(duck)
+                     if not (got.get(k) == want.get(k) == duck.get(k))}
+            bad.append((i, dql, str(sorted(diffs.items())[:4])))
+    assert not bad, "\n\n".join(f"[{i}] {q}\ndiffs: {d}" for i, q, d in bad)

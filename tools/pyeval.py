@@ -83,11 +83,14 @@ class NaiveGraph:
             return None
         for want in langs:
             if want == ".":
-                # any language, preferring untagged
+                # any language, preferring untagged; deterministic
+                # alphabetical-lang tiebreak (the engine's documented
+                # rule — insertion order diverged when a node had only
+                # tagged values, caught by the lang-chain SQL fuzz leg)
                 for lang, v in postings:
                     if lang is None:
                         return v
-                return postings[0][1]
+                return min(postings, key=lambda p: p[0])[1]
             for lang, v in postings:
                 if lang == want:
                     return v
