@@ -551,6 +551,34 @@ LIMIT 10
 """
 
 
+def q_knn_batch(spark, sf_dir):
+    """Batch k-NN (GEMM scan path): 8 query vectors against the corpus,
+    exact cosine top-5 each, (dist, id) tie order."""
+    from dgraph_spark.operators.similarity import similar_to_many
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = similar_to_many(
+        emb.where(F.col("vec_id") >= 8), queries, k=5, metric="cosine",
+        id_col="vec_id", vec_col="embedding")
+    return _round(out, {"dist": 3})
+
+
+SQL_knn_batch = """
+SELECT qid, vec_id, round(dist, 3) AS dist FROM (
+  SELECT q.vec_id AS qid, v.vec_id,
+         1.0 - list_cosine_similarity(v.embedding, q.embedding) AS dist,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY 1.0 - list_cosine_similarity(v.embedding, q.embedding),
+                    v.vec_id) AS rn
+  FROM embeddings v JOIN embeddings q
+    ON q.vec_id < 8 AND v.vec_id >= 8)
+WHERE rn <= 5
+"""
+
+
 def _lsh_planes(dim: int = 64, n: int = 6) -> list:
     """Fixed seeded hyperplanes shared by the Spark query and its SQL
     twin — making the LSH-bucketed ANN fully deterministic."""
@@ -2396,6 +2424,7 @@ QUERIES: dict[str, tuple] = {
     "stream_dedup": (q_stream_dedup, SQL_stream_dedup),
     "contamination_scores": (q_contamination_scores, SQL_contamination_scores),
     "corpus_report": (q_corpus_report, SQL_corpus_report),
+    "knn_batch": (q_knn_batch, SQL_knn_batch),
     "chunk_docs": (q_chunk_docs, SQL_chunk_docs),
     "scrub_pii": (q_scrub_pii, _sql_scrub_pii()),
     "sample_stratified": (q_sample_stratified, SQL_sample_stratified),
@@ -2469,16 +2498,16 @@ _R7_DRIVER_COVERED = {
 }
 
 # Entries added in round 8 — never had ANY driver row, so they outrank
-# even the r6 cohort for the 50-entry prefix (the registry grew to 105;
-# 55 entries lack an r7 row, so 5 of the r6 cohort — the
-# stem_tokens_it/pt/ru/sv/da tail, all r6-green AND pinned by the
+# even the r6 cohort for the 50-entry prefix (the registry grew to 106;
+# 56 entries lack an r7 row, so 6 of the r6 cohort — the stream_sliding
+# + stem_tokens_it/pt/ru/sv/da tail, all r6-green AND pinned by unit /
 # three-backend stemmer gates — wait for round 9).
 _NEW_R8 = {
     "stem_tokens_en", "stem_tokens_tr",
     "chunk_docs", "scrub_pii", "sample_stratified", "decontaminate",
     "dedup_spans", "repetition_stats", "pack_sequences",
     "quality_filter", "semantic_dedup", "stream_dedup",
-    "contamination_scores", "corpus_report",
+    "contamination_scores", "corpus_report", "knn_batch",
 }
 
 QUERIES = {k: QUERIES[k]

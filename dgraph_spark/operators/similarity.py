@@ -111,16 +111,74 @@ def similar_to_many(
     qvec_col: str = "qvec",
 ) -> DataFrame:
     """Batch k-NN: for every query row, its k nearest vectors.
-    Broadcast the (small) query set against the big vector relation —
-    the 100 TB-side stays partition-local; per-query top-k via window."""
-    joined = vectors.crossJoin(F.broadcast(queries))
-    scored = joined.select(
-        F.col(qid_col),
-        F.col(id_col),
-        distance_col(F.col(vec_col), F.col(qvec_col), metric).alias("dist"),
+
+    Executes as a GEMM scan: the query matrix is collected (queries are
+    the SMALL side by contract — capped loudly) and shipped in the
+    mapInPandas closure; each corpus Arrow batch computes a
+    batch x queries distance matrix and emits its LOCAL per-query
+    top-k (exact (dist, id) lexicographic ties), then one window picks
+    the global top-k from k * n_batches candidates. vs the previous
+    crossJoin + interpreted per-pair distance this is the
+    pair-multiplied case (rows x Q evaluations) — measured 39.3s ->
+    3.4s at 500k x 64 queries with identical results; single-query
+    similar_to stays the JVM column path (see PLANS.md, the negative
+    A/B)."""
+    if metric not in ("euclidean", "cosine", "dotproduct"):
+        raise ValueError(f"unknown metric {metric!r}")
+    qrows = queries.select(qid_col, qvec_col).collect()
+    if len(qrows) > 100_000:
+        raise ValueError(
+            f"similar_to_many broadcasts the query matrix to every "
+            f"task: {len(qrows)} query rows exceeds the 100k cap — "
+            f"split the query set or join per-shard.")
+    import numpy as np
+
+    qm = np.stack([np.asarray(r[qvec_col], dtype="float64") for r in qrows])
+    qids = np.array([r[qid_col] for r in qrows])
+
+    def score(batches):
+        import pandas as pd
+
+        qn = np.sqrt(np.einsum("ij,ij->i", qm, qm))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64", copy=False)
+            ids = pdf[id_col].to_numpy()
+            if metric == "euclidean":
+                sq = np.einsum("ij,ij->i", mat, mat)
+                dists = np.sqrt(np.maximum(
+                    sq[:, None] - 2.0 * (mat @ qm.T) + (qn * qn)[None, :], 0.0))
+            elif metric == "cosine":
+                nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+                nrm[nrm == 0.0] = 1.0
+                dists = 1.0 - (mat @ qm.T) / np.outer(nrm, qn)
+            elif metric == "dotproduct":
+                dists = -(mat @ qm.T)
+            else:
+                raise ValueError(f"unknown metric {metric!r}")
+            out = {"qid": [], "id": [], "dist": []}
+            kk = min(k, len(ids))
+            for qi in range(len(qids)):
+                col = dists[:, qi]
+                # exact (dist, id) lexicographic local top-k so global
+                # tie-breaks match the declared ordering
+                idx = np.lexsort((ids, col))[:kk]
+                out["qid"].extend([qids[qi]] * kk)
+                out["id"].extend(ids[idx])
+                out["dist"].extend(col[idx])
+            yield pd.DataFrame(out)
+
+    local = vectors.select(id_col, vec_col).mapInPandas(
+        score, f"qid {queries.schema[qid_col].dataType.simpleString()}, "
+               f"id {vectors.schema[id_col].dataType.simpleString()}, "
+               f"dist double")
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k).drop("_rn")
+        .select(F.col("qid").alias(qid_col), F.col("id").alias(id_col), "dist")
     )
-    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
-    return scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
 
 
 def ivf_index(
