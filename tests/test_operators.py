@@ -25,8 +25,28 @@ def test_similar_to_many(spark):
     out = similar_to_many(emb, queries, k=3, id_col="vec_id", vec_col="embedding")
     rows = out.collect()
     assert len(rows) == 9
-    # self is always nearest with euclidean
-    firsts = {r["qid"]: r["vec_id"] for r in rows if r["_rn"] == 1} if "_rn" in out.columns else None
+    # self is always nearest with euclidean (dist 0, lowest id tie)
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["dist"], r["vec_id"])):
+        by_q.setdefault(r["qid"], r["vec_id"])
+    assert all(qid == vid for qid, vid in by_q.items())
+
+
+def test_similar_to_many_metrics_match_single(spark):
+    """Every metric of the batch GEMM path must agree with the
+    single-query JVM column path (similar_to) on ids AND distances."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 3).collect()[0]["embedding"]
+    queries = emb.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    for metric in ("euclidean", "cosine", "dotproduct"):
+        single = similar_to(emb, list(qvec), 5, metric,
+                            id_col="vec_id", vec_col="embedding").collect()
+        batch = similar_to_many(emb, queries, 5, metric,
+                                id_col="vec_id", vec_col="embedding").collect()
+        assert [r["vec_id"] for r in single] == [r["vec_id"] for r in batch]
+        for s, b in zip(single, batch):
+            assert abs(s["dist"] - b["dist"]) < 1e-9, metric
 
 
 def test_ann_lsh_contains_near(spark):
