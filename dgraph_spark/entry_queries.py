@@ -2318,6 +2318,179 @@ FROM offs
 """
 
 
+def q_word_freqs(spark, sf_dir):
+    """BPE's one full-corpus pass: distinct normalized words with
+    frequencies (operators/bpe.py word_frequencies), top-50 by
+    (freq desc, word) for a deterministic slice."""
+    from dgraph_spark.operators.bpe import word_frequencies
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (word_frequencies(docs)
+            .orderBy(F.desc("freq"), "word").limit(50))
+
+
+SQL_word_freqs = r"""
+SELECT x AS word, count(*) AS freq
+FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         w -> w != '') AS t
+      FROM documents), UNNEST(t) AS u(x)
+GROUP BY x
+ORDER BY freq DESC, word
+LIMIT 50
+"""
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE tokenize the corpus with merges trained on it: per-doc
+    (doc_id, n_words, n_bpe_tokens). Train = one distributed word-freq
+    aggregation + driver merge loop; encode = shuffle-free
+    mapInPandas (operators/bpe.py)."""
+    from dgraph_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, num_merges=60)
+    return bpe_encode(docs, merges)
+
+
+def _sql_bpe_tokens() -> str:
+    """Oracle for bpe_tokens: BPE is iterative (not SQL-expressible),
+    so the twin is tools/naive_bpe — an independently-implemented
+    from-scratch trainer + in-order encoder — run over the SAME
+    parquet and serialized as a VALUES literal. Pinned to the
+    driver's oracle scale (sf0.01; tools/check_oracle.py exports
+    DGSPARK_ORACLE_SF_DIR when run at another sf)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    sf_dir = _os.environ.get("DGSPARK_ORACLE_SF_DIR",
+                             "/root/testdata/sf0.01")
+    tbl = _pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    from tools.naive_bpe import encode_corpus, train, word_frequencies
+
+    merges = train(word_frequencies(texts), 60)
+    vals = ",".join(
+        f"({i},{nw},{nt})"
+        for i, (nw, nt) in zip(ids, encode_corpus(texts, merges)))
+    return (f"SELECT * FROM (VALUES {vals}) "
+            "AS t(doc_id, n_words, n_bpe_tokens)")
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4-style line cleaning (Raffel et al. §2.2). The synthetic
+    corpus has no line structure, so the entry builds it first —
+    8-token lines, '.' appended on even lines, a code brace injected
+    every 37th doc and 'lorem ipsum' every 41st — then runs
+    c4_line_clean; the oracle repeats the same construction in SQL."""
+    from dgraph_spark.operators.pipeline_text import c4_line_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit(""))))
+    base = F.array_join(lines, "\n")
+    text2 = (
+        F.when(F.col("doc_id") % 37 == 0,
+               F.concat(base, F.lit("\nvar x = { nope }")))
+        .when(F.col("doc_id") % 41 == 0,
+              F.concat(F.lit("Lorem ipsum dolor sit amet.\n"), base))
+        .otherwise(base))
+    return c4_line_clean(
+        docs.select("doc_id", text2.alias("text")),
+        min_words=3, min_lines=2)
+
+
+SQL_c4_clean = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w != '') AS t
+  FROM documents),
+lined AS (
+  SELECT doc_id,
+         array_to_string(
+           [array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ')
+              || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END
+            FOR i IN range(0, CAST(ceil(len(t) / 8.0) AS INT))],
+           chr(10)) AS base
+  FROM toks),
+built AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 37 = 0
+                THEN base || chr(10) || 'var x = { nope }'
+              WHEN doc_id % 41 = 0
+                THEN 'Lorem ipsum dolor sit amet.' || chr(10) || base
+              ELSE base END AS text2
+  FROM lined),
+split_lines AS (
+  SELECT doc_id, text2,
+         list_filter(string_split(text2, chr(10)),
+                     l -> trim(l) != '') AS lines
+  FROM built),
+kept AS (
+  SELECT doc_id, text2, lines,
+         list_filter(lines,
+           l -> regexp_matches(trim(l), '[.!?"]$')
+                AND len(list_filter(
+                        string_split_regex(trim(l), '\s+'),
+                        w -> w != '')) >= 3) AS keptl
+  FROM split_lines)
+SELECT doc_id,
+       keep, len(lines) AS n_lines, len(keptl) AS n_kept,
+       CASE WHEN keep THEN array_to_string(keptl, chr(10)) END
+         AS clean_text
+FROM (
+  SELECT doc_id, lines, keptl,
+         NOT (contains(lower(text2), '{') OR contains(lower(text2), '}')
+              OR contains(lower(text2), 'lorem ipsum'))
+           AND len(keptl) >= 2 AS keep
+  FROM kept)
+"""
+
+
+# the domain_mix entry's weight table (source -> training-mix weight);
+# everything else defaults to 1.0
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.75}
+
+
+def q_domain_mix(spark, sf_dir):
+    """Deterministic domain re-weighting for a training mixture:
+    md5-hash up/down-sampling to per-source weights
+    (operators/pipeline_text.py domain_mix)."""
+    from dgraph_spark.operators.pipeline_text import domain_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_mix(docs, _MIX_WEIGHTS)
+
+
+def _sql_domain_mix() -> str:
+    from dgraph_spark.operators.pipeline_text import _hex_frac_literal
+
+    whole = " ".join(
+        f"WHEN '{d}' THEN {int(w)}" for d, w in sorted(_MIX_WEIGHTS.items()))
+    frac = " ".join(
+        f"WHEN '{d}' THEN '{_hex_frac_literal(w - int(w))}'"
+        for d, w in sorted(_MIX_WEIGHTS.items()))
+    return f"""
+WITH sized AS (
+  SELECT doc_id, source AS domain,
+         CASE source {whole} ELSE 1 END
+         + CASE WHEN substr(md5(doc_id::VARCHAR || '|' || source), 1, 8)
+                     < CASE source {frac} ELSE '00000000' END
+                THEN 1 ELSE 0 END AS k
+  FROM documents)
+SELECT doc_id, domain, x AS copy
+FROM sized, UNNEST(range(0, k)) AS u(x)
+WHERE k > 0
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # Entries the driver's pinned correctness list has never
     # exercised run FIRST, so a prefix-limited driver still
@@ -2436,6 +2609,10 @@ QUERIES: dict[str, tuple] = {
                         _sql_stem_tokens_translit("ckb")),
     "stem_tokens_hi": (_q_stem_tokens_translit("hi"),
                        _sql_stem_tokens_translit("hi")),
+    "word_freqs": (q_word_freqs, SQL_word_freqs),
+    "bpe_tokens": (q_bpe_tokens, _sql_bpe_tokens()),
+    "c4_clean": (q_c4_clean, SQL_c4_clean),
+    "domain_mix": (q_domain_mix, _sql_domain_mix()),
 }
 
 
@@ -2498,11 +2675,13 @@ _R7_DRIVER_COVERED = {
 }
 
 # Entries added in round 8 — never had ANY driver row, so they outrank
-# even the r6 cohort for the 50-entry prefix (the registry grew to 106;
-# 56 entries lack an r7 row, so 6 of the r6 cohort — the stream_sliding
-# + stem_tokens_it/pt/ru/sv/da tail, all r6-green AND pinned by unit /
-# three-backend stemmer gates — wait for round 9).
+# even the r6 cohort for the 50-entry prefix (the registry grew to 110;
+# 60 entries lack an r7 row, so 10 of the r6 cohort — the
+# stream_sliding + stem_tokens_it/pt/ru/sv/da tail and four more of the
+# r6 cohort, all r6-green AND re-verified by tools/check_oracle this
+# round — wait for round 9).
 _NEW_R8 = {
+    "word_freqs", "bpe_tokens", "c4_clean", "domain_mix",
     "stem_tokens_en", "stem_tokens_tr",
     "chunk_docs", "scrub_pii", "sample_stratified", "decontaminate",
     "dedup_spans", "repetition_stats", "pack_sequences",

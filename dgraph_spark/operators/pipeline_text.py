@@ -162,6 +162,104 @@ def pack_sequences(
     )
 
 
+def c4_line_clean(
+    docs: DataFrame,
+    min_words: int = 3,
+    min_lines: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    public C4 heuristics): a LINE is retained iff it ends in terminal
+    punctuation (. ! ? ") and has at least ``min_words`` whitespace
+    words; a DOCUMENT is dropped entirely if it contains a curly
+    brace (code), the phrase "lorem ipsum", or fewer than
+    ``min_lines`` retained lines. Output one row per input document:
+    ``(doc_id, keep, n_lines, n_kept, clean_text)`` with clean_text
+    the retained lines re-joined (NULL when keep is false).
+
+    Pure per-row column program — no shuffle at any scale; the split/
+    filter/join runs inside whole-stage codegen. The line predicate
+    avoids regex lookaround so the DuckDB twin uses the same pattern
+    text.
+    """
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda l: F.trim(l) != "")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                           lambda t: t != "")) >= min_words),
+    )
+    low = F.lower(F.col(text_col))
+    doc_bad = (low.contains("{") | low.contains("}")
+               | low.contains("lorem ipsum"))
+    keep = (~doc_bad) & (F.size(kept) >= min_lines)
+    return docs.select(
+        F.col(id_col),
+        keep.alias("keep"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.when(keep, F.array_join(kept, "\n")).alias("clean_text"),
+    )
+
+
+def _hex_frac_literal(frac: float) -> str:
+    """The 8-hex-digit string h such that a uniform md5-prefix compare
+    ``substr(md5(x), 1, 8) < h`` keeps ~``frac`` of rows. Hex digits
+    sort lexicographically in numeric order, so the string compare IS
+    the numeric compare — portable to any engine with md5()."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError("frac must be in [0, 1]")
+    return format(min(int(frac * 2**32), 2**32 - 1), "08x")
+
+
+def domain_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain re-weighting for a training mix (the
+    DoReMi / data-mixture step): each domain's rows are up- or
+    down-sampled by its weight. Weight w emits floor(w) full copies
+    of every row plus one more for the ~frac(w) of rows whose
+    md5(id || domain) prefix falls under the fractional threshold —
+    reproducible (pure hash, no RNG state), and exactly w in
+    expectation. Domains absent from ``weights`` default to 1.0.
+    Output is ``(doc_id, domain, copy)`` with copy = 0..k-1.
+
+    Scale shape: a narrow per-row transform + explode — no shuffle,
+    no window, no driver state; the weight table is a literal CASE
+    expression (bounded domain cardinality). Downsampling (w < 1)
+    never materializes dropped rows.
+    """
+    copies = F.lit(None).cast("int")
+    thresh = F.lit(None).cast("string")
+    for dom, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {dom!r}")
+        copies = F.when(F.col(domain_col) == dom,
+                        F.lit(int(w))).otherwise(copies)
+        thresh = F.when(F.col(domain_col) == dom,
+                        F.lit(_hex_frac_literal(w - int(w)))
+                        ).otherwise(thresh)
+    copies = F.coalesce(copies, F.lit(1))
+    thresh = F.coalesce(thresh, F.lit("00000000"))
+    u = F.substring(
+        F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
+                          F.col(domain_col))), 1, 8)
+    total = copies + F.when(u < thresh, 1).otherwise(0)
+    return (
+        docs.select(F.col(id_col), F.col(domain_col).alias("domain"),
+                    total.alias("_k"))
+        .where(F.col("_k") > 0)
+        .select(id_col, "domain",
+                F.explode(F.sequence(F.lit(0), F.col("_k") - 1))
+                 .alias("copy"))
+    )
+
+
 def contamination_scores(
     docs: DataFrame,
     bench: DataFrame,

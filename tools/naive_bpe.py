@@ -1,0 +1,108 @@
+"""Independent naive BPE twin — the oracle leg for operators/bpe.py.
+
+Implements the SAME spec (symbols = word chars with an `·` end-of-word
+marker on the last char; train step merges the (count, pair)-max pair,
+ties to the lexicographically greatest pair; zip-counted overlapping
+pairs) with deliberately DIFFERENT mechanics, so a shared bug is
+unlikely:
+
+* the trainer recomputes the full pair count from scratch every step
+  (the engine's trainer maintains counts incrementally with an
+  occurrence index);
+* encoding applies the merges in learned ORDER, one full pass per
+  merge (the engine encodes greedy-by-rank; the two are equivalent
+  because a merge can neither create an earlier merge's symbols nor
+  make them newly adjacent — merging never deletes symbols).
+
+Pure Python, no Spark; used by the pytest differential legs and by
+the `bpe_tokens` registry oracle (entry_queries computes the expected
+counts with this module and serializes them as a VALUES literal).
+"""
+
+from __future__ import annotations
+
+EOW = "·"
+
+
+def symbols(word: str) -> list[str]:
+    syms = list(word)
+    syms[-1] += EOW
+    return syms
+
+
+def train(word_freqs: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
+    corpus = [(symbols(w), f) for w, f in word_freqs.items() if w]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in corpus:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        corpus = [(merge_pass(syms, best), f) for syms, f in corpus]
+    return merges
+
+
+def merge_pass(syms: list[str], pair: tuple[str, str]) -> list[str]:
+    """One full left-to-right, non-overlapping merge pass."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if (i + 1 < len(syms)
+                and syms[i] == pair[0] and syms[i + 1] == pair[1]):
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply every merge in learned order (not by-rank greedy)."""
+    if not word:
+        return []
+    syms = symbols(word)
+    for pair in merges:
+        if len(syms) == 1:
+            break
+        syms = merge_pass(syms, pair)
+    return syms
+
+
+def encode_corpus(texts: list[str],
+                  merges: list[tuple[str, str]]) -> list[tuple[int, int]]:
+    """Per-text (n_words, n_bpe_tokens) using ASCII-whitespace word
+    splitting of the lowercased text — the module spec's word form."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    out = []
+    memo: dict[str, int] = {}
+    for text in texts:
+        words = [w for w in ws.split((text or "").lower()) if w]
+        ntok = 0
+        for w in words:
+            n = memo.get(w)
+            if n is None:
+                n = len(encode_word(w, merges))
+                memo[w] = n
+            ntok += n
+        out.append((len(words), ntok))
+    return out
+
+
+def word_frequencies(texts: list[str]) -> dict[str, int]:
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    freqs: dict[str, int] = {}
+    for text in texts:
+        for w in ws.split((text or "").lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    return freqs
