@@ -47,6 +47,9 @@ HEADLINE = [
     "quality_filter",
     "pack_sequences",
     "semantic_dedup",
+    "bpe_tokens",
+    "c4_clean",
+    "domain_mix",
 ]
 
 

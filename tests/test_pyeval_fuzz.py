@@ -693,3 +693,144 @@ SELECT format('0x{{:x}}', subject), v FROM ranked WHERE rn = 1
                      if not (got.get(k) == want.get(k) == duck.get(k))}
             bad.append((i, dql, str(sorted(diffs.items())[:4])))
     assert not bad, "\n\n".join(f"[{i}] {q}\ndiffs: {d}" for i, q, d in bad)
+
+
+@pytest.mark.parametrize("seed", [20260816, 13, 55])
+def test_recurse_sql_three_way(facet_graphs, seed):
+    """@recurse gets a DuckDB recursive-CTE leg — the last fuzz family
+    that had only two legs (engine + pyeval, shared parser). The SQL
+    twin re-derives the reference's loop:false layering from scratch:
+    global levels are BFS min-dist from the ROOT SET (a node is
+    expanded once, at its first level), and a node appears under a
+    root iff a 'layered path' exists — every intermediate node sits
+    exactly at its global level, and expansion stops after level
+    depth-2 (children of the last expanded level appear as leaves).
+    Compared as flattened (root, descendant) uid pairs, which is
+    insensitive to tree shape but pins the reachable set exactly."""
+    import duckdb
+
+    from dgraph_spark.plans import Executor
+    from tools.pyeval import PyEval
+
+    g, ng, wh = facet_graphs
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW wh AS SELECT * FROM read_parquet("
+                f"'{wh}/*/*.parquet', hive_partitioning=1)")
+    rng = random.Random(seed)
+    first = ["amy", "bob", "cat", "dan", "eve",
+             "fay", "gus", "hal", "ivy", "joe"]
+    w = lambda: rng.choice(first)
+    toks = ("list_filter(string_split_regex(lower(v), "
+            "'[^\\pL\\pM\\pN]+'), x -> x != '')")
+
+    def flatten(node, root, acc):
+        for c in node.get("friend", []):
+            acc.add((root, c["uid"]))
+            flatten(c, root, acc)
+
+    bad = []
+    for i in range(10):
+        a, b = w(), w()
+        depth = rng.randint(2, 4)
+        dql = (f'{{ q(func: anyofterms(name, "{a} {b}")) '
+               f'@recurse(depth: {depth}) {{ uid name friend }} }}')
+        sql = f"""
+WITH RECURSIVE
+nm AS (SELECT subject, value_str AS v FROM wh WHERE predicate = 'name'),
+roots AS (SELECT DISTINCT subject AS r FROM nm
+          WHERE list_has_any({toks}, ['{a}', '{b}'])),
+edges AS (SELECT subject AS u, object_uid AS v FROM wh
+          WHERE predicate = 'friend'),
+lvl AS (
+  SELECT r AS u, 0 AS d FROM roots
+  UNION
+  SELECT e.v, l.d + 1 FROM lvl l JOIN edges e ON e.u = l.u
+  WHERE l.d < {depth - 2}
+),
+glv AS (SELECT u, min(d) AS lv FROM lvl GROUP BY u),
+reach AS (
+  SELECT r, r AS u, 0 AS d FROM roots
+  UNION
+  SELECT b.r, e.v, b.d + 1
+  FROM reach b
+  JOIN glv gl ON gl.u = b.u AND gl.lv = b.d
+  JOIN edges e ON e.u = b.u
+  WHERE b.d <= {depth - 2}
+)
+SELECT DISTINCT format('0x{{:x}}', r), format('0x{{:x}}', u)
+FROM reach WHERE d >= 1
+"""
+        outs = []
+        for ev in (Executor(g), PyEval(ng)):
+            res = ev.execute(dql).get("q") or []
+            acc = set()
+            for p in res:
+                flatten(p, p["uid"], acc)
+            outs.append(sorted(acc))
+        duck = sorted((r[0], r[1]) for r in con.execute(sql).fetchall())
+        got, want = outs
+        if not (got == want == duck):
+            bad.append((i, dql, str(got)[:200], str(want)[:200],
+                        str(duck)[:200]))
+    assert not bad, "\n\n".join(
+        f"[{i}] {q}\nengine: {a}\npyeval: {b}\nduckdb: {c}"
+        for i, q, a, b, c in bad)
+
+
+@pytest.mark.parametrize("seed", [20260816, 13, 55])
+def test_math_sql_three_way(golden, naive, words, seed):
+    """math() chains over count vars get a DuckDB leg (previously
+    engine + pyeval only): per-root integer arithmetic re-derived in
+    SQL with a LEFT JOIN so roots with zero edges still score.
+    Compared as the full {uid: score} map — no pagination, so the
+    comparison is order-insensitive and exact (integer math)."""
+    import duckdb
+
+    from dgraph_spark.plans import Executor
+    from tools.pyeval import PyEval
+
+    g, wh = golden
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW wh AS SELECT * FROM read_parquet("
+                f"'{wh}/*/*.parquet', hive_partitioning=1)")
+    rng = random.Random(seed)
+    w = lambda: rng.choice(words)
+    name_en = ("SELECT subject, value_str AS v FROM wh "
+               "WHERE predicate = 'name' AND lang = 'en'")
+    toks = ("list_filter(string_split_regex(lower(v), "
+            "'[^\\pL\\pM\\pN]+'), x -> x != '')")
+
+    bad = []
+    for i in range(12):
+        a = w()
+        k1, k2 = rng.randint(2, 7), rng.randint(1, 9)
+        expr, sqlexpr = rng.choice([
+            (f"c * {k1} + {k2}", f"c * {k1} + {k2}"),
+            (f"(c + {k1}) * {k2}", f"(c + {k1}) * {k2}"),
+            (f"c * {k1} - {k2}", f"c * {k1} - {k2}"),
+            (f"max(c, {k1}) * {k2}", f"greatest(c, {k1}) * {k2}"),
+            (f"min(c, {k1}) + {k2}", f"least(c, {k1}) + {k2}"),
+        ])
+        dql = (f'{{ q(func: anyofterms(name@en, "{a}")) {{ uid '
+               f'c as count(director.film) score: math({expr}) }} }}')
+        sql = f"""
+WITH roots AS (SELECT DISTINCT subject FROM ({name_en})
+               WHERE list_has_any({toks}, ['{a}'])),
+cnt AS (SELECT subject, count(*) AS n FROM wh
+        WHERE predicate = 'director.film' GROUP BY subject)
+SELECT format('0x{{:x}}', r.subject) AS uid,
+       {sqlexpr.replace('c', 'coalesce(cnt.n, 0)')} AS score
+FROM roots r LEFT JOIN cnt ON cnt.subject = r.subject
+"""
+        outs = []
+        for ev in (Executor(g), PyEval(naive)):
+            res = ev.execute(dql).get("q") or []
+            outs.append({r["uid"]: r["score"] for r in res})
+        duck = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+        got, want = outs
+        if not (got == want == duck):
+            diffs = {k: (got.get(k), want.get(k), duck.get(k))
+                     for k in set(got) | set(want) | set(duck)
+                     if not (got.get(k) == want.get(k) == duck.get(k))}
+            bad.append((i, dql, str(sorted(diffs.items())[:5])))
+    assert not bad, "\n\n".join(f"[{i}] {q}\ndiffs: {d}" for i, q, d in bad)

@@ -1009,6 +1009,40 @@ class PyEval:
             return args[0] / args[1]
         if op == "%":
             return args[0] % args[1]
+        if op == "min":
+            return min(args)
+        if op == "max":
+            return max(args)
+        if op == "floor":
+            import math as _m
+            return _m.floor(args[0])
+        if op == "ceil":
+            import math as _m
+            return _m.ceil(args[0])
+        if op == "sqrt":
+            import math as _m
+            return _m.sqrt(args[0])
+        if op == "exp":
+            import math as _m
+            return _m.exp(args[0])
+        if op == "ln":
+            import math as _m
+            # Go math.Log(0) = -Inf rendered as -MaxFloat64 (matches
+            # the engine's mathexpr.py special case)
+            if args[0] == 0:
+                return -1.7976931348623157e308
+            return _m.log(args[0])
+        if op == "pow":
+            return float(args[0]) ** float(args[1])
+        if op == "logbase":
+            import math as _m
+            return _m.log(args[0]) / _m.log(args[1])
+        if op == "cond":
+            return args[1] if args[0] else args[2]
+        if op in ("<", ">", "<=", ">=", "==", "!="):
+            a, b = args
+            return {"<": a < b, ">": a > b, "<=": a <= b,
+                    ">=": a >= b, "==": a == b, "!=": a != b}[op]
         raise NotImplementedError(f"math op {op}")
 
     def _propagated(self, vals, src_chain, chain, uid):
