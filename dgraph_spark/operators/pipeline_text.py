@@ -185,22 +185,30 @@ def c4_line_clean(
     """
     lines = F.filter(F.split(F.col(text_col), r"\n"),
                      lambda l: F.trim(l) != "")
+    low = F.lower(F.col(text_col))
+    doc_bad = (low.contains("{") | low.contains("}")
+               | low.contains("lorem ipsum"))
+    # materialize the line arrays once: _kept derives from the bound
+    # _lines attribute and keep/n_kept/clean_text reference both, and
+    # higher-order filters run interpreted (no codegen subexpression
+    # elimination) — SPARK-36718 keeps these non-cheap
+    # multi-referenced aliases un-inlined across the projections
     kept = F.filter(
-        lines,
+        F.col("_lines"),
         lambda l: F.trim(l).rlike(r'[.!?"]$')
         & (F.size(F.filter(F.split(F.trim(l), r"\s+"),
                            lambda t: t != "")) >= min_words),
     )
-    low = F.lower(F.col(text_col))
-    doc_bad = (low.contains("{") | low.contains("}")
-               | low.contains("lorem ipsum"))
-    keep = (~doc_bad) & (F.size(kept) >= min_lines)
-    return docs.select(
+    base = (docs.select(F.col(id_col), lines.alias("_lines"),
+                        doc_bad.alias("_bad"))
+            .select(id_col, "_lines", "_bad", kept.alias("_kept")))
+    keep = (~F.col("_bad")) & (F.size("_kept") >= min_lines)
+    return base.select(
         F.col(id_col),
         keep.alias("keep"),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept"),
-        F.when(keep, F.array_join(kept, "\n")).alias("clean_text"),
+        F.size("_lines").alias("n_lines"),
+        F.size("_kept").alias("n_kept"),
+        F.when(keep, F.array_join("_kept", "\n")).alias("clean_text"),
     )
 
 
