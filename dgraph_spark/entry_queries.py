@@ -2375,8 +2375,12 @@ def _sql_bpe_tokens() -> str:
     vals = ",".join(
         f"({i},{nw},{nt})"
         for i, (nw, nt) in zip(ids, encode_corpus(texts, merges)))
-    return (f"SELECT * FROM (VALUES {vals}) "
-            "AS t(doc_id, n_words, n_bpe_tokens)")
+    # BIGINT casts: the Spark side emits longs and DuckDB would
+    # otherwise infer INTEGER for small VALUES literals
+    return ("SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(n_words AS BIGINT) AS n_words, "
+            "CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens "
+            f"FROM (VALUES {vals}) AS t(doc_id, n_words, n_bpe_tokens)")
 
 
 def q_c4_clean(spark, sf_dir):
@@ -2442,7 +2446,8 @@ kept AS (
                         w -> w != '')) >= 3) AS keptl
   FROM split_lines)
 SELECT doc_id,
-       keep, len(lines) AS n_lines, len(keptl) AS n_kept,
+       keep, CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(keptl) AS INT) AS n_kept,
        CASE WHEN keep THEN array_to_string(keptl, chr(10)) END
          AS clean_text
 FROM (
@@ -2485,7 +2490,7 @@ WITH sized AS (
                      < CASE source {frac} ELSE '00000000' END
                 THEN 1 ELSE 0 END AS k
   FROM documents)
-SELECT doc_id, domain, x AS copy
+SELECT doc_id, domain, CAST(x AS INT) AS copy
 FROM sized, UNNEST(range(0, k)) AS u(x)
 WHERE k > 0
 """
