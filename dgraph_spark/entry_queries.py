@@ -2496,6 +2496,34 @@ WHERE k > 0
 """
 
 
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic md5-interval train/val/test split
+    (operators/pipeline_text.py hash_split)."""
+    from dgraph_spark.operators.pipeline_text import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs, _SPLIT_FRACS).select("doc_id", "split")
+
+
+def _sql_hash_split() -> str:
+    from dgraph_spark.operators.pipeline_text import _hex_frac_literal
+
+    whens, acc = [], 0.0
+    names = list(_SPLIT_FRACS)
+    for name in names[:-1]:
+        # identical float accumulation to hash_split so the hex
+        # literals match bit-for-bit
+        acc += _SPLIT_FRACS[name]
+        whens.append(
+            f"WHEN substr(md5('split|' || doc_id::VARCHAR), 1, 8) "
+            f"< '{_hex_frac_literal(min(acc, 1.0))}' THEN '{name}'")
+    return (f"SELECT doc_id, CASE {' '.join(whens)} "
+            f"ELSE '{names[-1]}' END AS split FROM documents")
+
+
 QUERIES: dict[str, tuple] = {
     # Entries the driver's pinned correctness list has never
     # exercised run FIRST, so a prefix-limited driver still
@@ -2618,6 +2646,7 @@ QUERIES: dict[str, tuple] = {
     "bpe_tokens": (q_bpe_tokens, _sql_bpe_tokens()),
     "c4_clean": (q_c4_clean, SQL_c4_clean),
     "domain_mix": (q_domain_mix, _sql_domain_mix()),
+    "hash_split": (q_hash_split, _sql_hash_split()),
 }
 
 
@@ -2686,7 +2715,7 @@ _R7_DRIVER_COVERED = {
 # r6 cohort, all r6-green AND re-verified by tools/check_oracle this
 # round — wait for round 9).
 _NEW_R8 = {
-    "word_freqs", "bpe_tokens", "c4_clean", "domain_mix",
+    "word_freqs", "bpe_tokens", "c4_clean", "domain_mix", "hash_split",
     "stem_tokens_en", "stem_tokens_tr",
     "chunk_docs", "scrub_pii", "sample_stratified", "decontaminate",
     "dedup_spans", "repetition_stats", "pack_sequences",

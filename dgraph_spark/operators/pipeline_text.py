@@ -268,6 +268,41 @@ def domain_mix(
     )
 
 
+def hash_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in the
+    split whose cumulative md5-prefix interval contains its hash —
+    reproducible across runs/engines (no RNG state, no sampleBy
+    seed), stable under corpus growth (a document's split never
+    changes when other documents are added), and disjoint+exhaustive
+    by construction. ``fractions`` must sum to 1 (±1e-9); iteration
+    order of the dict sets interval order. Output adds a ``split``
+    column. Narrow per-row transform — no shuffle at any scale.
+    """
+    tot = sum(fractions.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {tot}, expected 1.0")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("negative fraction")
+    u = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt),
+                          F.col(id_col).cast("string"))), 1, 8)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(_hex_frac_literal(min(acc, 1.0)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)
+
+
 def contamination_scores(
     docs: DataFrame,
     bench: DataFrame,

@@ -268,3 +268,49 @@ def test_domain_mix_rejects_negative(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, source string")
     with pytest.raises(ValueError, match="negative"):
         domain_mix(docs, {"x": -1.0})
+
+
+# --------------------------------------------------------- hash_split
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    from dgraph_spark.operators.pipeline_text import (
+        _hex_frac_literal, hash_split)
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r["doc_id"]: r["split"]
+           for r in hash_split(docs, fr).collect()}
+    assert len(out) == 300
+    # independent recomputation of every assignment
+    acc, bounds = 0.0, []
+    for name in ["train", "val"]:
+        acc += fr[name]
+        bounds.append((name, _hex_frac_literal(acc)))
+    for i in range(300):
+        h = hashlib.md5(f"split|{i}".encode()).hexdigest()[:8]
+        want = next((n for n, b in bounds if h < b), "test")
+        assert out[i] == want, (i, h, out[i], want)
+    # roughly proportional
+    ntr = sum(1 for v in out.values() if v == "train")
+    assert 200 <= ntr <= 280
+
+
+def test_hash_split_stable_under_growth(spark):
+    """A document's split does not change when the corpus grows."""
+    from dgraph_spark.operators.pipeline_text import hash_split
+
+    fr = {"train": 0.5, "test": 0.5}
+    small = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in hash_split(small, fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big, fr).collect()}
+    assert all(b[i] == a[i] for i in a)
+
+
+def test_hash_split_validates_fractions(spark):
+    from dgraph_spark.operators.pipeline_text import hash_split
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(docs, {"a": 0.5, "b": 0.2})
