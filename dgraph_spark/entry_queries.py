@@ -2728,3 +2728,10 @@ QUERIES = {k: QUERIES[k]
                            key=lambda k: (k not in _NEW_R8,
                                           k in _R7_DRIVER_COVERED))}
 
+# Oracles COMPUTED from the parquet at registry-import time (VALUES
+# literals) are pinned to $DGSPARK_ORACLE_SF_DIR (default sf0.01, the
+# driver's oracle scale). Harnesses that check another sf must rebuild
+# them with the env var set — tools/check_oracle.py and tests/
+# test_oracle.py both do, through this table.
+COMPUTED_ORACLES = {"bpe_tokens": _sql_bpe_tokens}
+

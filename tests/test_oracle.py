@@ -25,6 +25,18 @@ def _entries():
 @pytest.mark.parametrize("name,entry", _entries(), ids=[n for n, _ in _entries()])
 def test_oracle(spark, con, name, entry):
     fn, sql = entry
+    # computed-VALUES oracles are pinned to the driver's sf0.01 at
+    # registry import; rebuild them for the sf under test here
+    from dgraph_spark.entry_queries import COMPUTED_ORACLES
+
+    if name in COMPUTED_ORACLES:
+        import os
+
+        os.environ["DGSPARK_ORACLE_SF_DIR"] = SF_SMALL
+        try:
+            sql = COMPUTED_ORACLES[name]()
+        finally:
+            os.environ.pop("DGSPARK_ORACLE_SF_DIR", None)
     sdf = fn(spark, SF_SMALL)
     srows = [tuple(r) for r in sdf.collect()]
     if sql is None:
