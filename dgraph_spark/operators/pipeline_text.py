@@ -134,6 +134,7 @@ def pack_sequences(
     stratum_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing for training batches: documents are concatenated
     in id order within each stratum and the token stream is cut into
@@ -147,8 +148,13 @@ def pack_sequences(
     bounded categories (source/language), so at 100 TB each stratum is
     a single sort — for a monster stratum, pre-split it with a salt
     column and treat each salt shard as its own stream (packing does
-    not require global order, only a deterministic one)."""
-    n = F.size(_ws_tokens(F.col(text_col)))
+    not require global order, only a deterministic one).
+
+    ``tokens_col`` packs by a precomputed token-count column instead
+    of whitespace counts — e.g. join in ``bpe_encode``'s
+    ``n_bpe_tokens`` to pack by real subword lengths."""
+    n = (F.col(tokens_col) if tokens_col is not None
+         else F.size(_ws_tokens(F.col(text_col))))
     w = Window.partitionBy(stratum_col).orderBy(id_col)
     return (
         docs.select(F.col(stratum_col), F.col(id_col), n.alias("n_tokens"))

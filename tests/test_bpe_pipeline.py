@@ -314,3 +314,28 @@ def test_hash_split_validates_fractions(spark):
     docs = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="sum"):
         hash_split(docs, {"a": 0.5, "b": 0.2})
+
+
+def test_pack_sequences_by_bpe_counts(spark):
+    """pack_sequences(tokens_col=...) packs by joined-in subword
+    counts; offsets are the running sum of n_bpe_tokens in id order."""
+    from dgraph_spark.operators.bpe import bpe_encode, bpe_train
+    from dgraph_spark.operators.pipeline_text import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(60)
+    merges = bpe_train(docs, num_merges=20)
+    counts = bpe_encode(docs, merges)
+    joined = docs.select("doc_id", "source", "text").join(
+        counts.select("doc_id", "n_bpe_tokens"), "doc_id")
+    out = pack_sequences(joined, budget=256, stratum_col="source",
+                         tokens_col="n_bpe_tokens").collect()
+    rows = sorted(((r["source"], r["doc_id"], r["n_tokens"],
+                    r["tok_offset"]) for r in out))
+    acc = {}
+    for src, _id, n, off in rows:
+        assert off == acc.get(src, 0), (src, _id)
+        acc[src] = acc.get(src, 0) + n
+    got = {r["doc_id"]: r["n_tokens"] for r in out}
+    want = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in counts.collect() if r["doc_id"] in got}
+    assert got == want
