@@ -71,6 +71,22 @@ def word_frequencies(
             .groupBy("word").agg(F.count("*").alias("freq")))
 
 
+def merges_to_df(spark, merges: list[tuple[str, str]]) -> "DataFrame":
+    """Persistable form of a trained merge list: (rank, left, right).
+    Write it as parquet next to the corpus so encode jobs load the
+    vocabulary without retraining."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string")
+
+
+def merges_from_df(df: DataFrame) -> list[tuple[str, str]]:
+    """Inverse of merges_to_df (rank order restored)."""
+    rows = df.select("rank", "left", "right").collect()
+    return [(r["left"], r["right"])
+            for r in sorted(rows, key=lambda r: r["rank"])]
+
+
 def _word_symbols(word: str) -> tuple[str, ...]:
     syms = list(word)
     syms[-1] = syms[-1] + EOW

@@ -339,3 +339,11 @@ def test_pack_sequences_by_bpe_counts(spark):
     want = {r["doc_id"]: r["n_bpe_tokens"]
             for r in counts.collect() if r["doc_id"] in got}
     assert got == want
+
+
+def test_bpe_merges_roundtrip(spark):
+    from dgraph_spark.operators.bpe import merges_from_df, merges_to_df
+    from tools import naive_bpe as naive
+
+    merges = naive.train({"banana": 3, "cabana": 2}, 12)
+    assert merges_from_df(merges_to_df(spark, merges)) == merges
