@@ -1,0 +1,138 @@
+"""Randomized differential tests for the round-8 pipeline additions:
+each operator's Spark column program vs an independently-written
+pure-Python reimplementation of the same spec (the python leg shares
+no Spark expression code, so a bug must be in the spec to escape).
+"""
+
+import hashlib
+import random
+
+import pytest
+
+
+def _py_c4(text: str, min_words: int, min_lines: int):
+    """Independent reimplementation of the C4 rules (string ops, no
+    regex except the terminal-punct test)."""
+    import re
+
+    lines = [l for l in text.split("\n") if l.strip() != ""]
+    kept = []
+    for l in lines:
+        t = l.strip()
+        words = [w for w in re.split(r"[ \t\n\x0b\f\r]+", t) if w]
+        if re.search(r'[.!?"]$', t) and len(words) >= min_words:
+            kept.append(l)  # the operator keeps the line as written
+    low = text.lower()
+    bad = "{" in low or "}" in low or "lorem ipsum" in low
+    keep = (not bad) and len(kept) >= min_lines
+    return {
+        "keep": keep,
+        "n_lines": len(lines),
+        "n_kept": len(kept),
+        "clean_text": "\n".join(kept) if keep else None,
+    }
+
+
+@pytest.mark.parametrize("seed", [20260816, 31, 77])
+def test_c4_line_clean_fuzz(spark, seed):
+    from dgraph_spark.operators.pipeline_text import c4_line_clean
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "lorem", "ipsum",
+             "code", "word", "line"]
+    ends = [".", "!", "?", '"', "", " ", ";"]
+    docs = []
+    for i in range(60):
+        nlines = rng.randint(0, 6)
+        lines = []
+        for _ in range(nlines):
+            n = rng.randint(0, 6)
+            line = (" " * rng.randint(0, 2)
+                    + " ".join(rng.choice(vocab) for _ in range(n))
+                    + rng.choice(ends) + " " * rng.randint(0, 2))
+            lines.append(line)
+        text = "\n".join(lines)
+        if rng.random() < 0.15:
+            text += "\n{ }"
+        docs.append((i, text))
+    mw, ml = rng.randint(1, 4), rng.randint(1, 3)
+    out = {r["doc_id"]: r for r in c4_line_clean(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        min_words=mw, min_lines=ml).collect()}
+    for i, text in docs:
+        want = _py_c4(text, mw, ml)
+        got = out[i]
+        for k, v in want.items():
+            assert got[k] == v, (i, k, repr(text), got[k], v)
+
+
+def _hex_frac(frac: float) -> str:
+    return format(min(int(frac * 2**32), 2**32 - 1), "08x")
+
+
+@pytest.mark.parametrize("seed", [20260816, 31, 77])
+def test_domain_mix_fuzz(spark, seed):
+    from dgraph_spark.operators.pipeline_text import domain_mix
+
+    rng = random.Random(seed)
+    doms = [f"d{k}" for k in range(rng.randint(2, 5))]
+    weights = {d: rng.choice([0.0, 0.3, 1.0, 1.5, 2.25, 3.0])
+               for d in doms[:-1]}  # last domain takes the 1.0 default
+    rows = [(i, rng.choice(doms)) for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {}
+    for r in domain_mix(docs, weights).collect():
+        got.setdefault((r["doc_id"], r["domain"]), []).append(r["copy"])
+    for i, dom in rows:
+        w = weights.get(dom, 1.0)
+        u = hashlib.md5(f"{i}|{dom}".encode()).hexdigest()[:8]
+        k = int(w) + (1 if u < _hex_frac(w - int(w)) else 0)
+        assert sorted(got.get((i, dom), [])) == list(range(k)), (i, dom)
+
+
+@pytest.mark.parametrize("seed", [20260816, 31, 77])
+def test_hash_split_fuzz(spark, seed):
+    from dgraph_spark.operators.pipeline_text import hash_split
+
+    rng = random.Random(seed)
+    n = rng.randint(2, 5)
+    cuts = sorted(rng.random() for _ in range(n - 1))
+    fracs = {}
+    prev = 0.0
+    for j, c in enumerate(cuts):
+        fracs[f"s{j}"] = c - prev
+        prev = c
+    fracs[f"s{n-1}"] = 1.0 - prev
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = {r["doc_id"]: r["split"]
+           for r in hash_split(docs, fracs).collect()}
+    bounds, acc = [], 0.0
+    names = list(fracs)
+    for name in names[:-1]:
+        acc += fracs[name]
+        bounds.append((name, _hex_frac(min(acc, 1.0))))
+    for i in range(200):
+        h = hashlib.md5(f"split|{i}".encode()).hexdigest()[:8]
+        want = next((nm for nm, b in bounds if h < b), names[-1])
+        assert out[i] == want, (i, h)
+
+
+def test_bpe_unicode_punct_fuzz():
+    """rank-greedy == in-order on words with accents, CJK, digits and
+    punctuation glued on (the normalized-text token shapes)."""
+    from dgraph_spark.operators.bpe import encode_word
+    from tools import naive_bpe as naive
+
+    rng = random.Random(9)
+    chars = "abcéüñ漢字99.,!-"
+    wf = {}
+    for _ in range(120):
+        w = "".join(rng.choice(chars) for _ in range(rng.randint(1, 9)))
+        wf[w] = wf.get(w, 0) + rng.randint(1, 4)
+    merges = naive.train(wf, 60)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for _ in range(400):
+        w = "".join(rng.choice(chars) for _ in range(rng.randint(1, 12)))
+        got = encode_word(w, ranks)
+        assert got == naive.encode_word(w, merges), w
+        assert "".join(got) == w + naive.EOW
