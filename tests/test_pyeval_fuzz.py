@@ -729,9 +729,45 @@ def test_recurse_sql_three_way(facet_graphs, seed):
             flatten(c, root, acc)
 
     bad = []
-    for i in range(10):
+    for i in range(14):
         a, b = w(), w()
         depth = rng.randint(2, 4)
+        if i >= 10:
+            # loop: true — no edge dedup, so the appearing set is just
+            # min-dist <= depth-1 from each root (any walk revisits)
+            dql = (f'{{ q(func: anyofterms(name, "{a} {b}")) '
+                   f'@recurse(depth: {depth}, loop: true) '
+                   f'{{ uid name friend }} }}')
+            sql = f"""
+WITH RECURSIVE
+nm AS (SELECT subject, value_str AS v FROM wh WHERE predicate = 'name'),
+roots AS (SELECT DISTINCT subject AS r FROM nm
+          WHERE list_has_any({toks}, ['{a}', '{b}'])),
+edges AS (SELECT subject AS u, object_uid AS v FROM wh
+          WHERE predicate = 'friend'),
+reach AS (
+  SELECT r, r AS u, 0 AS d FROM roots
+  UNION
+  SELECT b.r, e.v, b.d + 1 FROM reach b JOIN edges e ON e.u = b.u
+  WHERE b.d < {depth - 1}
+)
+SELECT DISTINCT format('0x{{:x}}', r), format('0x{{:x}}', u)
+FROM reach WHERE d >= 1
+"""
+            outs = []
+            for ev in (Executor(g), PyEval(ng)):
+                res = ev.execute(dql).get("q") or []
+                acc = set()
+                for p in res:
+                    flatten(p, p["uid"], acc)
+                outs.append(sorted(acc))
+            duck = sorted((r[0], r[1])
+                          for r in con.execute(sql).fetchall())
+            got, want = outs
+            if not (got == want == duck):
+                bad.append((i, dql, str(got)[:200], str(want)[:200],
+                            str(duck)[:200]))
+            continue
         dql = (f'{{ q(func: anyofterms(name, "{a} {b}")) '
                f'@recurse(depth: {depth}) {{ uid name friend }} }}')
         sql = f"""

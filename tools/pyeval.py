@@ -330,8 +330,11 @@ class PyEval:
             elif (g.schema.has(c.name.lstrip("~"))
                   and g.schema.get(c.name.lstrip("~")).is_uid):
                 uid_preds.append((c.name, c.alias or c.name))
-        # BFS rounds with edge-level dedup; steps[level][(uid, tag)] =
-        # children of a level-`level` node (root = level 0)
+        # BFS rounds with edge-level dedup (loop=false only — loop=true
+        # re-traverses edges every round, bounded by depth);
+        # steps[level][(uid, tag)] = children of a level-`level` node
+        # (root = level 0)
+        loop = bool(b.recurse.loop)
         seen: set = set()
         frontier = list(dict.fromkeys(uids))
         steps: list[dict] = []
@@ -341,7 +344,7 @@ class PyEval:
             for u in frontier:
                 for tag, _o in uid_preds:
                     for o in g.neighbours(u, tag):
-                        if (tag, u, o) in seen:
+                        if not loop and (tag, u, o) in seen:
                             continue
                         step.setdefault((u, tag), []).append(o)
             for (u, tag), os_ in step.items():
