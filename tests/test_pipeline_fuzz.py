@@ -136,3 +136,34 @@ def test_bpe_unicode_punct_fuzz():
         got = encode_word(w, ranks)
         assert got == naive.encode_word(w, merges), w
         assert "".join(got) == w + naive.EOW
+
+
+def test_prepare_corpus_recipe(spark):
+    """End-to-end recipe: stages compose without re-deriving semantics
+    — survivors pass the quality filter, exact-dup losers and
+    benchmark-contaminated docs are gone, every survivor has a split
+    and consistent pack offsets."""
+    from tests.conftest import SF_SMALL
+
+    from dgraph_spark.operators.recipes import prepare_corpus
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    bench = docs.orderBy("doc_id").limit(3).select("doc_id", "text")
+    out = prepare_corpus(docs, bench, pack_budget=256,
+                         split_fracs={"train": 0.9, "test": 0.1})
+    corpus = out["corpus"].collect()
+    report = out["report"].collect()
+    assert corpus and report
+    ids = {r["doc_id"] for r in corpus}
+    # the benchmark docs themselves share all their n-grams -> dropped
+    assert not ids & {0, 1, 2}
+    assert {r["split"] for r in corpus} <= {"train", "test"}
+    # offsets form a consistent stream per (source, split)
+    seen = {}
+    for r in sorted(corpus, key=lambda r: (r["source"], r["split"],
+                                           r["doc_id"])):
+        k = (r["source"], r["split"])
+        assert r["tok_offset"] == seen.get(k, 0)
+        seen[k] = r["tok_offset"] + r["n_tokens"]
+    # report covers every surviving stratum
+    assert {r["source"] for r in report} >= {r["source"] for r in corpus}
