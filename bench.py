@@ -50,6 +50,7 @@ HEADLINE = [
     "bpe_tokens",
     "c4_clean",
     "domain_mix",
+    "lm_perplexity",
 ]
 
 

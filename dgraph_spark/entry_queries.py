@@ -2496,6 +2496,44 @@ WHERE k > 0
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity scoring (self-perplexity:
+    model trained on the scored corpus; operators/ngram_lm.py)."""
+    from dgraph_spark.operators.ngram_lm import perplexity_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perplexity_report(docs)
+
+
+SQL_lm_perplexity = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> w != '') AS t
+  FROM documents),
+uni AS (SELECT x AS w1, count(*) AS cu
+        FROM toks, UNNEST(t) AS u(x) GROUP BY x),
+vocab AS (SELECT count(*) AS v FROM uni),
+bigr AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+  WHERE len(t) >= 2),
+bc AS (SELECT w1, w2, count(*) AS cb FROM bigr GROUP BY 1, 2),
+scored AS (
+  SELECT b.doc_id,
+         ln((coalesce(bc.cb, 0) + 0.4)
+            / (coalesce(u.cu, 0) + 0.4 * (SELECT v FROM vocab))) AS logp
+  FROM bigr b
+  LEFT JOIN bc USING (w1, w2)
+  LEFT JOIN uni u USING (w1))
+SELECT d.doc_id, coalesce(s.n, 0) AS n_bigrams, s.avg_logp, s.ppl
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n, round(avg(logp), 4) AS avg_logp,
+         round(exp(-avg(logp)), 4) AS ppl
+  FROM scored GROUP BY doc_id) s USING (doc_id)
+"""
+
+
 _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -2647,6 +2685,7 @@ QUERIES: dict[str, tuple] = {
     "c4_clean": (q_c4_clean, SQL_c4_clean),
     "domain_mix": (q_domain_mix, _sql_domain_mix()),
     "hash_split": (q_hash_split, _sql_hash_split()),
+    "lm_perplexity": (q_lm_perplexity, SQL_lm_perplexity),
 }
 
 
@@ -2716,6 +2755,7 @@ _R7_DRIVER_COVERED = {
 # round — wait for round 9).
 _NEW_R8 = {
     "word_freqs", "bpe_tokens", "c4_clean", "domain_mix", "hash_split",
+    "lm_perplexity",
     "stem_tokens_en", "stem_tokens_tr",
     "chunk_docs", "scrub_pii", "sample_stratified", "decontaminate",
     "dedup_spans", "repetition_stats", "pack_sequences",

@@ -167,3 +167,70 @@ def test_prepare_corpus_recipe(spark):
         seen[k] = r["tok_offset"] + r["n_tokens"]
     # report covers every surviving stratum
     assert {r["source"] for r in report} >= {r["source"] for r in corpus}
+
+
+def _py_perplexity(texts_by_id: dict, alpha=0.4):
+    """Independent bigram-LM reimplementation (pure dicts)."""
+    import math
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    toks = {i: [w for w in ws.split(t.lower()) if w]
+            for i, t in texts_by_id.items()}
+    uni, big = {}, {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = len(uni)
+    out = {}
+    for i, t in toks.items():
+        lps = [math.log((big.get((a, b), 0) + alpha)
+                        / (uni.get(a, 0) + alpha * v))
+               for a, b in zip(t, t[1:])]
+        if not lps:
+            out[i] = (0, None, None)
+        else:
+            m = sum(lps) / len(lps)
+            out[i] = (len(lps), round(m, 4), round(math.exp(-m), 4))
+    return out
+
+
+@pytest.mark.parametrize("seed", [20260816, 31])
+def test_lm_perplexity_fuzz(spark, seed):
+    from dgraph_spark.operators.ngram_lm import perplexity_report
+
+    rng = random.Random(seed)
+    vocab = ["the", "cat", "sat", "mat", "dog", "ran", "far", "zip"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 20))))
+            for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["ppl"])
+           for r in perplexity_report(docs).collect()}
+    want = _py_perplexity(dict(rows))
+    assert len(got) == len(want)
+    for i in want:
+        gn, ga, gp = got[i]
+        wn, wa, wp = want[i]
+        assert gn == wn, i
+        if wa is None:
+            assert ga is None and gp is None, i
+        else:
+            assert abs(ga - wa) < 2e-4 and abs(gp - wp) < 2e-3, (
+                i, got[i], want[i])
+
+
+def test_lm_perplexity_repetition_scores_lower_ppl(spark):
+    """Self-perplexity intuition check: a highly repetitive doc is
+    MORE predictable under the corpus model than a shuffled one."""
+    from dgraph_spark.operators.ngram_lm import perplexity_report
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam spam spam"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["ppl"]
+           for r in perplexity_report(docs).collect()}
+    assert out[1] < out[2]
