@@ -53,6 +53,8 @@ def train_bigram_lm(
     ``min_count`` floors the bigram table (the standard lever that
     keeps the model broadcastable at crawl scale; the smoothing
     formula absorbs floored bigrams as unseen)."""
+    from pyspark import StorageLevel
+
     toks = docs.select(_tokens(text_col).alias("t"))
     uni = (toks.select(F.explode("t").alias("w1"))
            .groupBy("w1").agg(F.count("*").alias("cu")))
@@ -61,6 +63,11 @@ def train_bigram_lm(
            .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
     if min_count > 1:
         big = big.where(F.col("cb") >= min_count)
+    # the model tables are re-read by every scoring join and the
+    # vocab count materializes uni anyway — persist both so training
+    # runs the corpus scan once, not once per consumer
+    uni = uni.persist(StorageLevel.MEMORY_AND_DISK)
+    big = big.persist(StorageLevel.MEMORY_AND_DISK)
     vocab = uni.count()
     return uni, big, vocab
 
