@@ -2534,6 +2534,46 @@ FROM documents d LEFT JOIN (
 """
 
 
+_BM25_QUERY = "spark merge join scan"
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked fulltext top-k (operators/bm25.py) — the ranked
+    counterpart of anyoftext's unranked match set."""
+    from dgraph_spark.operators.bm25 import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_search(docs, _BM25_QUERY, k=10)
+
+
+def _sql_bm25_search() -> str:
+    terms = sorted(set(_BM25_QUERY.split()))
+    lits = ", ".join(f"'{t}'" for t in terms)
+    parts = []
+    for t in terms:
+        tf = f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE)"
+        df = (f"(SELECT count(*) FROM toks WHERE "
+              f"list_contains(t, '{t}'))")
+        idf = f"ln((s.n - {df} + 0.5) / ({df} + 0.5) + 1.0)"
+        parts.append(
+            f"{idf} * {tf} * 2.2 / ({tf} + 1.2 * "
+            f"(1 - 0.75 + 0.75 * len(t) / s.avgdl))")
+    score = " + ".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     w -> w != '') AS t
+  FROM documents),
+s AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks)
+SELECT doc_id, round({score}, 4) AS score
+FROM toks, s
+WHERE list_has_any(t, [{lits}])
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -2686,6 +2726,7 @@ QUERIES: dict[str, tuple] = {
     "domain_mix": (q_domain_mix, _sql_domain_mix()),
     "hash_split": (q_hash_split, _sql_hash_split()),
     "lm_perplexity": (q_lm_perplexity, SQL_lm_perplexity),
+    "bm25_search": (q_bm25_search, _sql_bm25_search()),
 }
 
 
@@ -2755,7 +2796,7 @@ _R7_DRIVER_COVERED = {
 # round — wait for round 9).
 _NEW_R8 = {
     "word_freqs", "bpe_tokens", "c4_clean", "domain_mix", "hash_split",
-    "lm_perplexity",
+    "lm_perplexity", "bm25_search",
     "stem_tokens_en", "stem_tokens_tr",
     "chunk_docs", "scrub_pii", "sample_stratified", "decontaminate",
     "dedup_spans", "repetition_stats", "pack_sequences",

@@ -234,3 +234,66 @@ def test_lm_perplexity_repetition_scores_lower_ppl(spark):
     out = {r["doc_id"]: r["ppl"]
            for r in perplexity_report(docs).collect()}
     assert out[1] < out[2]
+
+
+def _py_bm25(texts_by_id: dict, query: str, k: int):
+    import math
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    toks = {i: [w for w in ws.split(t.lower()) if w]
+            for i, t in texts_by_id.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    terms = sorted(set(query.lower().split()))
+    out = []
+    for i, t in toks.items():
+        if not set(t) & set(terms):
+            continue
+        sc = 0.0
+        for term in terms:
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            tf = float(t.count(term))
+            sc += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+        out.append((i, round(sc, 4)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("seed", [20260816, 31])
+def test_bm25_fuzz(spark, seed):
+    from dgraph_spark.operators.bm25 import bm25_search
+
+    rng = random.Random(seed)
+    vocab = ["the", "cat", "sat", "mat", "dog", "ran", "far", "zip",
+             "qux", "rare"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 30))))
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for q in ["cat dog", "rare", "zip qux the", "missingword cat"]:
+        got = [(r["doc_id"], r["score"])
+               for r in bm25_search(docs, q, k=7).collect()]
+        want = _py_bm25(dict(rows), q, 7)
+        assert got == want, (q, got, want)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    from dgraph_spark.operators.bm25 import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "common common common rare"),
+         (2, "common common common common"),
+         (3, "common other words here")],
+        "doc_id long, text string")
+    top = bm25_search(docs, "rare common", k=3).collect()
+    assert top[0]["doc_id"] == 1  # the rare term dominates
+
+
+def test_bm25_rejects_empty(spark):
+    from dgraph_spark.operators.bm25 import bm25_search
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_search(docs, "   ")
