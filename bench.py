@@ -51,6 +51,8 @@ HEADLINE = [
     "c4_clean",
     "domain_mix",
     "lm_perplexity",
+    "asof_join",
+    "interval_join",
 ]
 
 

@@ -2534,6 +2534,66 @@ FROM documents d LEFT JOIN (
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase + the latest
+    preceding click by the same user — union+window formulation (one
+    sort shuffle, no range-join blowup). Oracle: DuckDB's native
+    ASOF LEFT JOIN over the same deduped right side."""
+    from dgraph_spark.operators.asof import asof_join
+    from dgraph_spark.sources.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    buys = ev.where("event_type = 'purchase'").select(
+        "event_id", "ts", "user_id", "value")
+    clicks = ev.where("event_type = 'click'")
+    out = asof_join(buys, clicks, on="user_id", ts_col="ts",
+                    right_cols=("event_id", "value"))
+    return out.select("event_id", "user_id", "r_event_id",
+                      F.round("r_value", 2).alias("r_value"))
+
+
+SQL_asof_join = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click') WHERE rn = 1),
+buys AS (SELECT event_id, ts, user_id FROM events
+         WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, r.event_id AS r_event_id,
+       round(r.value, 2) AS r_value
+FROM buys l ASOF LEFT JOIN clicks r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+
+def q_interval_join(spark, sf_dir):
+    """Interval (range) join: click -> purchase pairs by the same user
+    within 30 minutes (operators/asof.py interval_join)."""
+    from dgraph_spark.operators.asof import interval_join
+    from dgraph_spark.sources.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.where("event_type = 'click'").select(
+        "event_id", "ts", "user_id")
+    buys = ev.where("event_type = 'purchase'").select(
+        "event_id", "ts", "user_id", "value")
+    out = interval_join(clicks, buys, on="user_id", ts_col="ts",
+                        lower="0 seconds", upper="30 minutes")
+    return out.select("event_id", F.col("r_event_id"),
+                      F.round("r_value", 2).alias("r_value"))
+
+
+SQL_interval_join = """
+SELECT c.event_id, p.event_id AS r_event_id, round(p.value, 2) AS r_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 _BM25_QUERY = "spark merge join scan"
 
 
@@ -2727,6 +2787,8 @@ QUERIES: dict[str, tuple] = {
     "hash_split": (q_hash_split, _sql_hash_split()),
     "lm_perplexity": (q_lm_perplexity, SQL_lm_perplexity),
     "bm25_search": (q_bm25_search, _sql_bm25_search()),
+    "asof_join": (q_asof_join, SQL_asof_join),
+    "interval_join": (q_interval_join, SQL_interval_join),
 }
 
 
@@ -2796,7 +2858,7 @@ _R7_DRIVER_COVERED = {
 # round — wait for round 9).
 _NEW_R8 = {
     "word_freqs", "bpe_tokens", "c4_clean", "domain_mix", "hash_split",
-    "lm_perplexity", "bm25_search",
+    "lm_perplexity", "bm25_search", "asof_join", "interval_join",
     "stem_tokens_en", "stem_tokens_tr",
     "chunk_docs", "scrub_pii", "sample_stratified", "decontaminate",
     "dedup_spans", "repetition_stats", "pack_sequences",

@@ -1,0 +1,107 @@
+"""As-of and interval (range) joins over event streams — the two
+time-series join shapes Spark has no native operator for (and the
+reference has no notion of at all; training/analytics pipelines need
+them for sessionization, attribution and feature backfill).
+
+`asof_join` — for each left row, the LATEST right row with
+``right.ts <= left.ts`` per key — uses the union+window formulation,
+NOT a range join: tag both sides, union, sort each key's timeline
+once, and carry the last right payload forward with
+``last(ignorenulls)``. That is ONE shuffle (the window sort on the
+key), zero join blowup, and state bounded by a row — the only shape
+that survives 100 TB, where a naive range join explodes to
+|left|x|right| per key before filtering. Right rows sort BEFORE left
+rows at equal timestamps (<= semantics); ties among right rows at the
+same timestamp resolve to the greatest order column.
+
+`interval_join` — all (left, right) pairs with
+``right.ts ∈ [left.ts + lower, left.ts + upper]`` per key. This one
+IS a range join (the output genuinely is the pair set); Spark executes
+the equi-key + range predicate as a hash join on the key with the
+range as a post-filter. Both functions run unchanged on streaming
+DataFrames (watermarks applied when streaming — Structured Streaming's
+stream-stream interval join contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = ("event_id", "value"),
+    tolerance: str | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Left rows + the latest preceding right row's ``right_cols``
+    (NULL when no right row precedes). ``tolerance`` (e.g. '30
+    minutes') drops matches older than ``left.ts - tolerance``,
+    matching pandas ``merge_asof``'s parameter."""
+    rsel = right.select(
+        F.col(on), F.col(ts_col),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols])
+    # dedupe right per (key, ts) to the greatest first payload column:
+    # deterministic <=-tie resolution in every engine
+    tie = Window.partitionBy(on, ts_col).orderBy(
+        F.desc(f"{prefix}{right_cols[0]}"))
+    rsel = (rsel.withColumn("_rn", F.row_number().over(tie))
+            .where(F.col("_rn") == 1).drop("_rn"))
+    lt = left.withColumn("_side", F.lit(1))
+    rt = rsel.withColumn("_side", F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (Window.partitionBy(on).orderBy(ts_col, "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rts = (F.when(F.col("_side") == 0, F.col(ts_col))
+           .otherwise(F.lit(None)))
+    u = u.select(
+        "*",
+        F.last(rts, ignorenulls=True).over(w).alias("_c_ts"),
+        *[F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w)
+           .alias(f"_c_{i}") for i, c in enumerate(right_cols)],
+    )
+    keep = F.lit(True)
+    if tolerance is not None:
+        keep = (F.col("_c_ts")
+                >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}"))
+    return (u.where(F.col("_side") == 1)
+            .select(*left.columns,
+                    F.when(keep, F.col("_c_ts"))
+                     .alias(f"{prefix}{ts_col}"),
+                    *[F.when(keep, F.col(f"_c_{i}"))
+                       .alias(f"{prefix}{c}")
+                      for i, c in enumerate(right_cols)]))
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "30 minutes",
+    watermark: str = "1 hour",
+    prefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) pairs with the right timestamp in
+    ``[left.ts + lower, left.ts + upper]`` and equal keys. On
+    streaming inputs both sides get the watermark (required for
+    Spark's stream-stream join state eviction)."""
+    lt, rt = left, right
+    if lt.isStreaming:
+        lt = lt.withWatermark(ts_col, watermark)
+    if rt.isStreaming:
+        rt = rt.withWatermark(ts_col, watermark)
+    rt = rt.select(*[F.col(c).alias(f"{prefix}{c}") for c in rt.columns])
+    cond = (
+        (lt[on] == rt[f"{prefix}{on}"])
+        & (rt[f"{prefix}{ts_col}"]
+           >= lt[ts_col] + F.expr(f"INTERVAL {lower}"))
+        & (rt[f"{prefix}{ts_col}"]
+           <= lt[ts_col] + F.expr(f"INTERVAL {upper}"))
+    )
+    return lt.join(rt, cond)

@@ -1,0 +1,116 @@
+"""As-of / interval join: engine vs pandas.merge_asof (an entirely
+independent implementation) and a naive pair enumeration. The DuckDB
+native ASOF JOIN is the driver-oracle leg (entry `asof_join`)."""
+
+import random
+
+import pandas as pd
+import pytest
+
+
+def _mk_events(rng, n_users=8, n=200):
+    rows = []
+    t = 0
+    for i in range(n):
+        t += rng.randint(1, 300)
+        rows.append((i, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t),
+                     rng.randrange(n_users), rng.choice("ab"),
+                     round(rng.uniform(0, 100), 2)))
+    return pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                       "kind", "value"])
+
+
+@pytest.mark.parametrize("seed", [20260816, 5])
+def test_asof_join_matches_pandas_merge_asof(spark, seed):
+    from dgraph_spark.operators.asof import asof_join
+
+    rng = random.Random(seed)
+    pdf = _mk_events(rng)
+    left = pdf[pdf.kind == "a"].drop(columns=["kind"])
+    right = pdf[pdf.kind == "b"].drop(columns=["kind"])
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    got = {r["event_id"]: (r["r_event_id"], r["r_value"])
+           for r in asof_join(sl, sr, on="user_id", ts_col="ts",
+                              right_cols=("event_id", "value")).collect()}
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+        suffixes=("", "_r"))
+    for _, row in exp.iterrows():
+        want = (None if pd.isna(row["event_id_r"])
+                else int(row["event_id_r"]),
+                None if pd.isna(row["value_r"]) else row["value_r"])
+        assert got[row["event_id"]] == want, row["event_id"]
+
+
+@pytest.mark.parametrize("seed", [20260816, 5])
+def test_asof_join_tolerance_matches_pandas(spark, seed):
+    from dgraph_spark.operators.asof import asof_join
+
+    rng = random.Random(seed)
+    pdf = _mk_events(rng)
+    left = pdf[pdf.kind == "a"].drop(columns=["kind"])
+    right = pdf[pdf.kind == "b"].drop(columns=["kind"])
+    got = {r["event_id"]: r["r_event_id"]
+           for r in asof_join(
+               spark.createDataFrame(left), spark.createDataFrame(right),
+               on="user_id", ts_col="ts", right_cols=("event_id",),
+               tolerance="10 minutes").collect()}
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+        tolerance=pd.Timedelta("10 minutes"), suffixes=("", "_r"))
+    for _, row in exp.iterrows():
+        want = (None if pd.isna(row["event_id_r"])
+                else int(row["event_id_r"]))
+        assert got[row["event_id"]] == want, row["event_id"]
+
+
+@pytest.mark.parametrize("seed", [20260816])
+def test_interval_join_matches_naive(spark, seed):
+    from dgraph_spark.operators.asof import interval_join
+
+    rng = random.Random(seed)
+    pdf = _mk_events(rng)
+    left = pdf[pdf.kind == "a"].drop(columns=["kind"])
+    right = pdf[pdf.kind == "b"].drop(columns=["kind"])
+    got = {(r["event_id"], r["r_event_id"]) for r in interval_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="user_id", ts_col="ts",
+        lower="0 seconds", upper="5 minutes").collect()}
+    want = set()
+    for _, l in left.iterrows():
+        for _, r in right.iterrows():
+            if (l.user_id == r.user_id and r.ts >= l.ts
+                    and r.ts <= l.ts + pd.Timedelta("5 minutes")):
+                want.add((l.event_id, r.event_id))
+    assert got == want
+
+
+def test_asof_equal_ts_is_inclusive_and_tied_to_greatest(spark):
+    from dgraph_spark.operators.asof import asof_join
+
+    ts = pd.Timestamp("2024-01-01")
+    left = spark.createDataFrame(
+        pd.DataFrame({"event_id": [1], "ts": [ts], "user_id": [7]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"event_id": [10, 11], "ts": [ts, ts],
+                      "user_id": [7, 7]}))
+    r = asof_join(left, right, right_cols=("event_id",)).collect()[0]
+    assert r["r_event_id"] == 11  # <= inclusive; tie -> greatest id
+
+
+def test_interval_join_streaming_shape(spark, tmp_path):
+    """Streaming inputs build a legal stream-stream interval join
+    (watermarks applied; plan constructs without error)."""
+    from dgraph_spark.operators.asof import interval_join
+
+    pdf = _mk_events(random.Random(1))
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).write.parquet(p)
+    schema = spark.read.parquet(p).schema
+    sl = spark.readStream.schema(schema).parquet(p)
+    sr = spark.readStream.schema(schema).parquet(p)
+    out = interval_join(sl, sr, on="user_id", ts_col="ts")
+    assert out.isStreaming
