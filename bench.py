@@ -53,6 +53,7 @@ HEADLINE = [
     "lm_perplexity",
     "asof_join",
     "interval_join",
+    "sessionize",
 ]
 
 

@@ -2594,6 +2594,37 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization rollup (operators/asof.py
+    session_stats): per (user, session) event count, duration and
+    value sum with a 30-minute gap."""
+    from dgraph_spark.operators.asof import session_stats
+    from dgraph_spark.sources.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    return session_stats(ev, gap="30 minutes")
+
+
+SQL_sessionize = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  FROM marked)
+SELECT user_id, session_seq, count(*) AS n_events,
+       date_diff('second', min(ts), max(ts)) AS dur_s,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
 _BM25_QUERY = "spark merge join scan"
 
 
@@ -2789,6 +2820,7 @@ QUERIES: dict[str, tuple] = {
     "bm25_search": (q_bm25_search, _sql_bm25_search()),
     "asof_join": (q_asof_join, SQL_asof_join),
     "interval_join": (q_interval_join, SQL_interval_join),
+    "sessionize": (q_sessionize, SQL_sessionize),
 }
 
 
@@ -2859,6 +2891,7 @@ _R7_DRIVER_COVERED = {
 _NEW_R8 = {
     "word_freqs", "bpe_tokens", "c4_clean", "domain_mix", "hash_split",
     "lm_perplexity", "bm25_search", "asof_join", "interval_join",
+    "sessionize",
     "stem_tokens_en", "stem_tokens_tr",
     "chunk_docs", "scrub_pii", "sample_stratified", "decontaminate",
     "dedup_spans", "repetition_stats", "pack_sequences",

@@ -77,6 +77,52 @@ def asof_join(
                       for i, c in enumerate(right_cols)]))
 
 
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    on: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based session assignment (the batch counterpart of the
+    streaming session window): a new session starts when the gap to
+    the key's previous event exceeds ``gap``. Adds ``session_seq``
+    (0-based per key, in (ts, order_col) order). One window shuffle on
+    the key; the running sum is the standard gaps-and-islands
+    formulation, identical in the SQL twin."""
+    w = Window.partitionBy(on).orderBy(ts_col, order_col)
+    prev = F.lag(ts_col).over(w)
+    is_new = (prev.isNull()
+              | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")))
+    return events.withColumn(
+        "session_seq",
+        F.sum(is_new.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow)) - 1)
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    on: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session rollup over `sessionize`: (key, session_seq,
+    n_events, dur_s, sum_value). Duration in whole seconds (second
+    boundaries crossed — identical semantics in Spark unix_timestamp
+    subtraction and DuckDB date_diff)."""
+    s = sessionize(events, gap=gap, on=on, ts_col=ts_col,
+                   order_col=order_col)
+    return (s.groupBy(on, "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max(ts_col))
+         - F.unix_timestamp(F.min(ts_col))).alias("dur_s"),
+        F.round(F.sum(value_col), 2).alias("sum_value"),
+    ))
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -114,3 +114,39 @@ def test_interval_join_streaming_shape(spark, tmp_path):
     sr = spark.readStream.schema(schema).parquet(p)
     out = interval_join(sl, sr, on="user_id", ts_col="ts")
     assert out.isStreaming
+
+
+@pytest.mark.parametrize("seed", [20260816, 5])
+def test_sessionize_matches_naive(spark, seed):
+    from dgraph_spark.operators.asof import sessionize
+
+    rng = random.Random(seed)
+    pdf = _mk_events(rng).drop(columns=["kind"])
+    out = {r["event_id"]: r["session_seq"]
+           for r in sessionize(
+               spark.createDataFrame(pdf), gap="5 minutes").collect()}
+    want = {}
+    for uid, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        seq, prev = -1, None
+        for _, row in grp.iterrows():
+            if prev is None or row.ts > prev + pd.Timedelta("5 minutes"):
+                seq += 1
+            want[row.event_id] = seq
+            prev = row.ts
+    assert out == want
+
+
+def test_session_stats_consistency(spark):
+    from dgraph_spark.operators.asof import session_stats, sessionize
+
+    pdf = _mk_events(random.Random(3)).drop(columns=["kind"])
+    sdf = spark.createDataFrame(pdf)
+    stats = session_stats(sdf, gap="5 minutes").collect()
+    per_event = sessionize(sdf, gap="5 minutes").collect()
+    n_by_sess = {}
+    for r in per_event:
+        k = (r["user_id"], r["session_seq"])
+        n_by_sess[k] = n_by_sess.get(k, 0) + 1
+    assert {(r["user_id"], r["session_seq"]): r["n_events"]
+            for r in stats} == n_by_sess
+    assert all(r["dur_s"] >= 0 for r in stats)
