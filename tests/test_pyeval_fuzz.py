@@ -870,3 +870,81 @@ FROM roots r LEFT JOIN cnt ON cnt.subject = r.subject
                      if not (got.get(k) == want.get(k) == duck.get(k))}
             bad.append((i, dql, str(sorted(diffs.items())[:5])))
     assert not bad, "\n\n".join(f"[{i}] {q}\ndiffs: {d}" for i, q, d in bad)
+
+
+# --------------------------------------------- shortest-path fuzz leg
+
+@pytest.mark.parametrize("seed", [20260816, 41, 88])
+def test_shortest_path_fuzz(facet_graphs, seed):
+    """Randomized differential for `shortest`: engine _weight_ vs an
+    independent python BFS (unit weights) and Dijkstra (facet
+    weights) over the same warehouse parquet. The fixed registry
+    entry pins one shape; this ranges over random endpoint pairs on
+    the cyclic friend graph, including unreachable pairs."""
+    import heapq
+
+    import duckdb
+
+    from dgraph_spark.plans import Executor
+
+    g, ng, wh = facet_graphs
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT subject, object_uid, "
+        f"CAST(map_extract(facets, 'weight')[1] AS DOUBLE) "
+        f"FROM read_parquet('{wh}/*/*.parquet', hive_partitioning=1) "
+        f"WHERE predicate = 'friend'").fetchall()
+    adj = {}
+    for s, o, wt in rows:
+        adj.setdefault(s, []).append((o, wt))
+
+    def bfs(src, dst):
+        import collections
+        if src == dst:
+            return 0.0
+        dist = {src: 0}
+        q = collections.deque([src])
+        while q:
+            u = q.popleft()
+            for v, _w in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    if v == dst:
+                        return float(dist[v])
+                    q.append(v)
+        return None
+
+    def dijkstra(src, dst):
+        if src == dst:
+            return 0.0
+        seen, pq = set(), [(0.0, src)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if u == dst:
+                return d
+            if u in seen:
+                continue
+            seen.add(u)
+            for v, wt in adj.get(u, ()):
+                if v not in seen:
+                    heapq.heappush(pq, (d + wt, v))
+        return None
+
+    ex = Executor(g)
+    rng = random.Random(seed)
+    bad = []
+    for i in range(12):
+        f, t = rng.randint(1, 40), rng.randint(1, 40)
+        weighted = i % 2 == 1
+        body = "friend @facets(weight)" if weighted else "friend"
+        res = ex.execute(
+            f"{{ path as shortest(from: {f}, to: {t}) {{ {body} }} }}")
+        paths = res.get("_path_") or []
+        got = paths[0]["_weight_"] if paths else None
+        want = dijkstra(f, t) if weighted else bfs(f, t)
+        ok = (got is None and want is None) or (
+            got is not None and want is not None
+            and abs(got - want) < 1e-6)
+        if not ok:
+            bad.append((i, f, t, weighted, got, want))
+    assert not bad, bad
