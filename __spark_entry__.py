@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dgraph_spark.entry_queries import QUERIES, entry_flagship
+from dgraph_spark.entry_queries import QUERIES, entry_flagship, resolve_sql
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,4 +31,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    return {name: resolve_sql(sql)
+            for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -2394,11 +2394,17 @@ def q_c4_clean(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), nl - 1),
-        lambda i: F.concat(
-            F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
-            F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit(""))))
+    # guard: Spark's sequence(0, -1) is DECREASING ([0, -1]), so an
+    # empty-token doc must yield an empty line list (matches the
+    # oracle's range(0, 0); same pitfall as decontaminate's shingles)
+    lines = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+                F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit(""))))
+    ).otherwise(F.array().cast("array<string>"))
     base = F.array_join(lines, "\n")
     text2 = (
         F.when(F.col("doc_id") % 37 == 0,
@@ -2812,7 +2818,7 @@ QUERIES: dict[str, tuple] = {
     "stem_tokens_hi": (_q_stem_tokens_translit("hi"),
                        _sql_stem_tokens_translit("hi")),
     "word_freqs": (q_word_freqs, SQL_word_freqs),
-    "bpe_tokens": (q_bpe_tokens, _sql_bpe_tokens()),
+    "bpe_tokens": (q_bpe_tokens, _sql_bpe_tokens),
     "c4_clean": (q_c4_clean, SQL_c4_clean),
     "domain_mix": (q_domain_mix, _sql_domain_mix()),
     "hash_split": (q_hash_split, _sql_hash_split()),
@@ -2910,4 +2916,11 @@ QUERIES = {k: QUERIES[k]
 # them with the env var set — tools/check_oracle.py and tests/
 # test_oracle.py both do, through this table.
 COMPUTED_ORACLES = {"bpe_tokens": _sql_bpe_tokens}
+
+
+def resolve_sql(sql):
+    """Oracle entries are SQL strings or zero-arg builders (computed
+    oracles that read the parquet — deferred so importing the registry
+    has no I/O side effect). Consumers call this at use time."""
+    return sql() if callable(sql) else sql
 

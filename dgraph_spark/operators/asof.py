@@ -42,6 +42,8 @@ def asof_join(
     (NULL when no right row precedes). ``tolerance`` (e.g. '30
     minutes') drops matches older than ``left.ts - tolerance``,
     matching pandas ``merge_asof``'s parameter."""
+    if not right_cols:
+        raise ValueError("right_cols must name at least one column")
     rsel = right.select(
         F.col(on), F.col(ts_col),
         *[F.col(c).alias(f"{prefix}{c}") for c in right_cols])
@@ -51,30 +53,32 @@ def asof_join(
         F.desc(f"{prefix}{right_cols[0]}"))
     rsel = (rsel.withColumn("_rn", F.row_number().over(tie))
             .where(F.col("_rn") == 1).drop("_rn"))
+    # the whole right payload rides ONE struct carried by a single
+    # last(ignorenulls): per-column carries would tear rows when a
+    # matched row's payload field is legitimately NULL (the carry
+    # would reach back to an older row for just that field)
+    rt = (rsel.select(
+        F.col(on), F.col(ts_col),
+        F.struct(F.col(ts_col).alias("ts"),
+                 *[F.col(f"{prefix}{c}").alias(c) for c in right_cols])
+         .alias("_rpay"))
+        .withColumn("_side", F.lit(0)))
     lt = left.withColumn("_side", F.lit(1))
-    rt = rsel.withColumn("_side", F.lit(0))
     u = lt.unionByName(rt, allowMissingColumns=True)
     w = (Window.partitionBy(on).orderBy(ts_col, "_side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    rts = (F.when(F.col("_side") == 0, F.col(ts_col))
-           .otherwise(F.lit(None)))
     u = u.select(
-        "*",
-        F.last(rts, ignorenulls=True).over(w).alias("_c_ts"),
-        *[F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w)
-           .alias(f"_c_{i}") for i, c in enumerate(right_cols)],
-    )
-    keep = F.lit(True)
+        "*", F.last("_rpay", ignorenulls=True).over(w).alias("_c"))
+    keep = F.col("_c").isNotNull()
     if tolerance is not None:
-        keep = (F.col("_c_ts")
-                >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}"))
+        keep = keep & (F.col("_c.ts")
+                       >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}"))
     return (u.where(F.col("_side") == 1)
             .select(*left.columns,
-                    F.when(keep, F.col("_c_ts"))
+                    F.when(keep, F.col("_c.ts"))
                      .alias(f"{prefix}{ts_col}"),
-                    *[F.when(keep, F.col(f"_c_{i}"))
-                       .alias(f"{prefix}{c}")
-                      for i, c in enumerate(right_cols)]))
+                    *[F.when(keep, F.col(f"_c.{c}"))
+                       .alias(f"{prefix}{c}") for c in right_cols]))
 
 
 def sessionize(

@@ -27,15 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dgraph_spark.operators.dedup import normalized
+from dgraph_spark.operators.dedup import norm_tokens
 
 K1 = 1.2
 B = 0.75
 
 
 def _tokens(text_col: str):
-    return F.filter(F.split(normalized(F.col(text_col)), " "),
-                    lambda t: t != "")
+    return norm_tokens(F.col(text_col))
 
 
 def bm25_search(

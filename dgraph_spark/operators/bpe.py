@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dgraph_spark.operators.dedup import normalized
+from dgraph_spark.operators.dedup import norm_tokens
 
 # end-of-word marker glued onto a word's final character so merges can
 # distinguish suffixes from mid-word contexts ("est·" vs "est")
@@ -64,9 +64,7 @@ def word_frequencies(
     full-corpus pass of BPE training. Plain exploded hash aggregation:
     partial counts combine map-side, the reduce side is bounded by
     vocabulary size, not corpus size."""
-    tok = F.explode(
-        F.filter(F.split(normalized(F.col(text_col)), " "),
-                 lambda t: t != ""))
+    tok = F.explode(norm_tokens(F.col(text_col)))
     return (docs.select(tok.alias("word"))
             .groupBy("word").agg(F.count("*").alias("freq")))
 
@@ -130,12 +128,23 @@ def bpe_train(
         raise ValueError(
             f"distinct-word table exceeds max_words={max_words}; "
             "raise min_freq to floor rare words before training")
+    return train_from_word_freqs(
+        {r["word"]: r["freq"] for r in rows}, num_merges)
+
+
+def train_from_word_freqs(
+    word_freqs: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """The driver-side merge loop over a word→frequency table (the
+    part of bpe_train after the collect; exposed so tests and callers
+    with an existing frequency table share the SAME code path).
+
+    Pair counts + incremental maintenance: each merge only touches
+    the words that contain the merged pair (occs index), so a merge
+    step costs O(words containing the pair), not O(all words)."""
     vocab: dict[tuple[str, ...], int] = {
-        _word_symbols(r["word"]): r["freq"] for r in rows if r["word"]
+        _word_symbols(w): f for w, f in word_freqs.items() if w
     }
-    # pair counts + incremental maintenance: each merge only touches
-    # the words that contain the merged pair (occs index), so a merge
-    # step costs O(words containing the pair), not O(all words).
     pairs: dict[tuple[str, str], int] = {}
     occs: dict[tuple[str, str], set[tuple[str, ...]]] = {}
     for syms, f in vocab.items():

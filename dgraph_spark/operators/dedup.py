@@ -138,6 +138,13 @@ def normalized(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+def norm_tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text — the ONE canonical
+    word spec shared by bpe/bm25/ngram_lm (ASCII \\s, matching Java's
+    regex class; worker-side twins must split the same way)."""
+    return F.filter(F.split(normalized(col), " "), lambda t: t != "")
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical (normalized) documents: (fingerprint,
     ids, cnt) for cnt > 1."""

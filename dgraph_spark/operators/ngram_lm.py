@@ -29,12 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dgraph_spark.operators.dedup import normalized
+from dgraph_spark.operators.dedup import norm_tokens
 
 
 def _tokens(text_col: str):
-    return F.filter(F.split(normalized(F.col(text_col)), " "),
-                    lambda t: t != "")
+    return norm_tokens(F.col(text_col))
 
 
 def _bigrams(t):

@@ -150,3 +150,32 @@ def test_session_stats_consistency(spark):
     assert {(r["user_id"], r["session_seq"]): r["n_events"]
             for r in stats} == n_by_sess
     assert all(r["dur_s"] >= 0 for r in stats)
+
+
+def test_asof_join_null_payload_not_torn(spark):
+    """A matched right row with a NULL payload field must yield NULL
+    for that field — not a stale value carried from an older row
+    (regression: per-column last(ignorenulls) tore rows)."""
+    from dgraph_spark.operators.asof import asof_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    left = spark.createDataFrame(
+        pd.DataFrame({"event_id": [1], "ts": [t0 + pd.Timedelta("3s")],
+                      "user_id": [1]}))
+    right = spark.createDataFrame(
+        [(10, (t0 + pd.Timedelta("1s")).to_pydatetime(), 1, 5.0),
+         (11, (t0 + pd.Timedelta("2s")).to_pydatetime(), 1, None)],
+        "event_id long, ts timestamp, user_id long, value double")
+    r = asof_join(left, right, right_cols=("event_id", "value")
+                  ).collect()[0]
+    assert r["r_event_id"] == 11 and r["r_value"] is None
+
+
+def test_asof_join_empty_right_cols_rejected(spark):
+    from dgraph_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": [1], "ts": [pd.Timestamp("2024-01-01")],
+                      "user_id": [1]}))
+    with pytest.raises(ValueError, match="right_cols"):
+        asof_join(df, df, right_cols=())

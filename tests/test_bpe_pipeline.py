@@ -31,9 +31,10 @@ def test_bpe_train_classic_example(spark):
 
 def test_bpe_train_matches_naive_trainer():
     """Incremental pair maintenance == from-scratch recount, on random
-    word-frequency tables (driver-side only: both trainers accept the
-    same dict through word_frequencies equivalence, tested below)."""
-    from dgraph_spark.operators import bpe as engine
+    word-frequency tables (driver-side only; train_from_word_freqs IS
+    bpe_train's post-collect loop, so this exercises the engine code,
+    not a copy)."""
+    from dgraph_spark.operators.bpe import train_from_word_freqs
     from tools import naive_bpe as naive
 
     rng = random.Random(7)
@@ -44,49 +45,8 @@ def test_bpe_train_matches_naive_trainer():
             w = "".join(rng.choice(alphabet)
                         for _ in range(rng.randint(1, 8)))
             wf[w] = wf.get(w, 0) + rng.randint(1, 9)
-        # engine trainer via its internal loop on an in-memory table:
-        # reuse the public path by building a one-doc-per-word corpus
-        # is slow; instead drive the engine's internals exactly as
-        # bpe_train does after collect.
-        rows = [{"word": w, "freq": f} for w, f in wf.items()]
-        merges_naive = naive.train(wf, 40)
-        merges_engine = _engine_train_from_rows(engine, rows, 40)
-        assert merges_engine == merges_naive, f"trial {trial}"
-
-
-def _engine_train_from_rows(engine, rows, num_merges):
-    """Run bpe_train's post-collect merge loop without a SparkSession
-    (the distributed part is one groupBy tested separately)."""
-    vocab = {engine._word_symbols(r["word"]): r["freq"]
-             for r in rows if r["word"]}
-    pairs, occs = {}, {}
-    for syms, f in vocab.items():
-        for p in zip(syms, syms[1:]):
-            pairs[p] = pairs.get(p, 0) + f
-            occs.setdefault(p, set()).add(syms)
-    merges = []
-    for _ in range(num_merges):
-        if not pairs:
-            break
-        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
-        merges.append(best)
-        for syms in list(occs.get(best, ())):
-            f = vocab.pop(syms)
-            for p in zip(syms, syms[1:]):
-                pairs[p] -= f
-                if pairs[p] <= 0:
-                    del pairs[p]
-                occ = occs.get(p)
-                if occ is not None:
-                    occ.discard(syms)
-                    if not occ:
-                        del occs[p]
-            merged = engine._merge_once(syms, best)
-            vocab[merged] = vocab.get(merged, 0) + f
-            for p in zip(merged, merged[1:]):
-                pairs[p] = pairs.get(p, 0) + f
-                occs.setdefault(p, set()).add(merged)
-    return merges
+        assert train_from_word_freqs(wf, 40) == naive.train(wf, 40), \
+            f"trial {trial}"
 
 
 def test_bpe_train_public_path_matches_naive(spark):
@@ -158,12 +118,17 @@ def test_bpe_encode_distributed_matches_naive(spark):
         got = out[r["doc_id"]]
         assert got["n_words"] == n_words
         assert got["n_bpe_tokens"] == n_tok
-    # spot-check one token array against the naive encoder
+    # spot-check one token array against the naive encoder, using the
+    # module's ASCII-whitespace word spec (NOT str.split, which also
+    # splits unicode whitespace)
+    import re
+
     some = rows[0]
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
     toks = []
-    for w in naive.word_frequencies([some["text"]]) and [
-            w for w in (some["text"] or "").lower().split()]:
-        toks.extend(naive.encode_word(w, merges))
+    for w in ws.split((some["text"] or "").lower()):
+        if w:
+            toks.extend(naive.encode_word(w, merges))
     assert out[some["doc_id"]]["bpe_tokens"] == toks
 
 

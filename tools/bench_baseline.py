@@ -20,7 +20,7 @@ from tools.check_oracle import TABLES
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    from dgraph_spark.entry_queries import QUERIES
+    from dgraph_spark.entry_queries import QUERIES, resolve_sql
 
     con = duckdb.connect()
     for t in TABLES:
@@ -36,6 +36,7 @@ def main() -> None:
         if name in slow_oracles and "sf0.01" not in sf_dir \
                 and "sf0.001" not in sf_dir:
             continue
+        sql = resolve_sql(sql)
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
         times[name] = round(time.perf_counter() - t0, 3)

@@ -48,7 +48,7 @@ def main():
     os.environ["DGSPARK_ORACLE_SF_DIR"] = sf_dir
 
     from dgraph_spark import get_spark
-    from dgraph_spark.entry_queries import QUERIES
+    from dgraph_spark.entry_queries import QUERIES, resolve_sql
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,6 +60,7 @@ def main():
     for name, (fn, sql) in QUERIES.items():
         if only and name not in only:
             continue
+        sql = resolve_sql(sql)
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns

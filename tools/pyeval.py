@@ -1024,21 +1024,35 @@ class PyEval:
             return _m.ceil(args[0])
         if op == "sqrt":
             import math as _m
-            return _m.sqrt(args[0])
+            # engine F.sqrt yields NaN out of domain, not an error
+            return _m.sqrt(args[0]) if args[0] >= 0 else _m.nan
         if op == "exp":
             import math as _m
             return _m.exp(args[0])
         if op == "ln":
             import math as _m
             # Go math.Log(0) = -Inf rendered as -MaxFloat64 (matches
-            # the engine's mathexpr.py special case)
+            # the engine's mathexpr.py special case); negative -> NaN
+            # like Spark's log()
             if args[0] == 0:
                 return -1.7976931348623157e308
-            return _m.log(args[0])
+            return _m.log(args[0]) if args[0] > 0 else _m.nan
         if op == "pow":
-            return float(args[0]) ** float(args[1])
+            # Spark F.pow yields NaN for negative base ^ fractional
+            # exponent (java.lang.Math.pow), never a complex number
+            try:
+                v = float(args[0]) ** float(args[1])
+            except (OverflowError, ZeroDivisionError):
+                import math as _m
+                return _m.nan
+            if isinstance(v, complex):
+                import math as _m
+                return _m.nan
+            return v
         if op == "logbase":
             import math as _m
+            if args[0] <= 0 or args[1] <= 0:
+                return _m.nan
             return _m.log(args[0]) / _m.log(args[1])
         if op == "cond":
             return args[1] if args[0] else args[2]
