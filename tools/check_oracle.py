@@ -43,8 +43,8 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    # computed oracles (bpe_tokens) read the parquet at registry-import
-    # time; point them at the sf under check before importing
+    # computed oracles (bpe_tokens) read the parquet when their lazy
+    # builder is resolved below; point them at the sf under check
     os.environ["DGSPARK_ORACLE_SF_DIR"] = sf_dir
 
     from dgraph_spark import get_spark
