@@ -51,6 +51,7 @@ HEADLINE = [
     "c4_clean",
     "domain_mix",
     "lm_perplexity",
+    "bm25_search",
     "asof_join",
     "interval_join",
     "sessionize",
