@@ -2194,25 +2194,30 @@ def q_corpus_report(spark, sf_dir):
     return corpus_report(docs)
 
 
+# DuckDB sum(BIGINT) is HUGEINT -> pandas float64; the driver's value
+# hash is dtype-sensitive (512 != 512.0), so every sum is pinned to
+# BIGINT to match Spark's LongType (commit f7bfc3a's contract).
 SQL_corpus_report = r"""
 SELECT source,
        count(*) AS n_docs,
-       sum(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')))
-         AS n_tokens,
+       CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x != ''))) AS BIGINT) AS n_tokens,
        round(avg(len(list_filter(string_split_regex(text, '\s+'),
                                  x -> x != ''))), 4) AS mean_tokens,
-       sum(length(text)) AS n_chars,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
        count(DISTINCT lang) AS n_langs
 FROM documents GROUP BY source
 """
 
 
 def q_quality_filter(spark, sf_dir):
-    """Gopher-rules document filter: keep flag + failed-rule reasons."""
+    """Gopher-rules document filter: keep flag + failed-rule reasons
+    (comma-joined — the driver's pandas canonicalizer can't hash
+    array cells, and rule order is deterministic)."""
     from dgraph_spark.operators.textstats import gopher_quality_filter
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return gopher_quality_filter(docs)
+    return gopher_quality_filter(docs, reasons_as_string=True)
 
 
 SQL_quality_filter = r"""
@@ -2251,7 +2256,8 @@ stats AS (
   FROM base b
   LEFT JOIN tok_top tt USING (doc_id)
   LEFT JOIN gram_top gt USING (doc_id))
-SELECT doc_id, len(reasons) = 0 AS keep, reasons FROM (
+SELECT doc_id, len(reasons) = 0 AS keep,
+       array_to_string(reasons, ',') AS reasons FROM (
   SELECT doc_id, list_filter([
       CASE WHEN n < 16 THEN 'too_few_tokens' END,
       CASE WHEN n > 100000 THEN 'too_many_tokens' END,
@@ -2300,6 +2306,8 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=512, stratum_col="source")
 
 
+# Window sum is HUGEINT in DuckDB -> float64 in pandas; BIGINT casts
+# keep the dtype identical to Spark's LongType (driver hash contract).
 SQL_pack_sequences = r"""
 WITH sized AS (
   SELECT source, doc_id,
@@ -2311,9 +2319,12 @@ offs AS (
          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
          - n_tokens AS tok_offset
   FROM sized)
-SELECT source, doc_id, n_tokens, tok_offset,
-       tok_offset // 512 AS first_seq,
-       (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS last_seq
+SELECT source, doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // 512 AS BIGINT) AS first_seq,
+       CAST((tok_offset + greatest(n_tokens, 1) - 1) // 512 AS BIGINT)
+         AS last_seq
 FROM offs
 """
 
@@ -2624,7 +2635,8 @@ sess AS (
          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
   FROM marked)
-SELECT user_id, session_seq, count(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
        date_diff('second', min(ts), max(ts)) AS dur_s,
        round(sum(value), 2) AS sum_value
 FROM sess GROUP BY user_id, session_seq
@@ -2644,7 +2656,11 @@ def q_bm25_search(spark, sf_dir):
 
 
 def _sql_bm25_search() -> str:
-    terms = sorted(set(_BM25_QUERY.split()))
+    # the operator's own query tokenizer (ASCII-\s + lower), so the
+    # twin can never drift from the engine's term spec
+    from dgraph_spark.operators.bm25 import query_terms
+
+    terms = query_terms(_BM25_QUERY)
     lits = ", ".join(f"'{t}'" for t in terms)
     parts = []
     for t in terms:

@@ -24,17 +24,69 @@ over the pruned scan).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dgraph_spark.operators.dedup import norm_tokens
+from dgraph_spark.operators.dedup import (
+    _ALL_CACHES, _corpus_key, norm_tokens)
 
 K1 = 1.2
 B = 0.75
 
+# ASCII-\s split + lowercase — the SAME spec as norm_tokens (Java's \s
+# class); python re's \s is Unicode-wide, so the class is explicit.
+# A query tokenized differently from the documents can silently never
+# match (e.g. non-breaking-space-separated terms).
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def query_terms(query: str) -> list[str]:
+    """Sorted distinct query terms under the document token spec."""
+    return sorted({t for t in _WS.split(query.lower()) if t})
+
+
+# (session, corpus plan hash, file snapshot, text/id cols) ->
+# {"n": int, "avgdl": float, "df": {term: int}}. The corpus-stats pass
+# (N, avgdl, per-term df) is the expensive full tokenize+aggregate; a
+# search operator re-paying it per call is wrong — stats are corpus
+# properties, so they live in the same keyed/invalidated cache family
+# as the jaccard/minhash indexes (values are scalars: nothing to
+# unpersist on eviction).
+_BM25_STATS_CACHE: dict[tuple, dict] = {}
+_ALL_CACHES.append(_BM25_STATS_CACHE)
+
 
 def _tokens(text_col: str):
     return norm_tokens(F.col(text_col))
+
+
+def _corpus_stats(docs, terms, text_col, id_col):
+    """(n, avgdl, {term: df}) with per-corpus caching: N/avgdl are paid
+    once per corpus, df once per (corpus, term) — repeat searches on
+    the same DataFrame trigger NO Spark job here. Cache misses fold
+    into ONE aggregate (missing terms only)."""
+    ck = _corpus_key(docs, "bm25stats", text_col, id_col)
+    cached = _BM25_STATS_CACHE.get(ck) if ck is not None else None
+    missing = ([t for t in terms if t not in cached["df"]]
+               if cached else terms)
+    if cached is None or missing:
+        toks = _tokens(text_col)
+        aggs = [F.sum(F.array_contains(toks, t).cast("int")).alias(f"df{i}")
+                for i, t in enumerate(missing)]
+        if cached is None:
+            aggs = [F.count("*").alias("n"),
+                    F.avg(F.size(toks)).alias("avgdl")] + aggs
+        row = docs.select(*aggs).collect()[0]
+        if cached is None:
+            cached = {"n": row["n"], "avgdl": row["avgdl"] or 0.0,
+                      "df": {}}
+            if ck is not None:
+                _BM25_STATS_CACHE[ck] = cached
+        for i, t in enumerate(missing):
+            cached["df"][t] = row[f"df{i}"] or 0
+    return cached["n"], cached["avgdl"], cached["df"]
 
 
 def bm25_search(
@@ -46,27 +98,21 @@ def bm25_search(
 ) -> DataFrame:
     """Top-``k`` documents for ``query`` by BM25: (doc_id, score),
     score desc then id asc (deterministic ties), rounded to 4
-    decimals. Two jobs: one stats aggregate (N, avgdl, df per term —
-    a single small action) and one pruned scan + top-k."""
-    terms = sorted({t for t in query.lower().split() if t})
+    decimals. At most one stats aggregate (N, avgdl, df per term —
+    cached per corpus, so repeat searches skip it) plus one pruned
+    scan + top-k."""
+    terms = query_terms(query)
     if not terms:
         raise ValueError("empty query")
-    toks = _tokens(text_col)
-    stats = docs.select(
-        F.count("*").alias("n"),
-        F.avg(F.size(toks)).alias("avgdl"),
-        *[F.sum(F.array_contains(toks, t).cast("int")).alias(f"df{i}")
-          for i, t in enumerate(terms)],
-    ).collect()[0]
-    n, avgdl = stats["n"], stats["avgdl"] or 0.0
+    n, avgdl, dfs = _corpus_stats(docs, terms, text_col, id_col)
     if n == 0:
         raise ValueError("empty corpus")
     import math
 
-    idfs = [math.log((n - stats[f"df{i}"] + 0.5)
-                     / (stats[f"df{i}"] + 0.5) + 1.0)
-            for i in range(len(terms))]
+    idfs = [math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            for t in terms]
     t_arr = F.array(*[F.lit(t) for t in terms])
+    toks = _tokens(text_col)
     base = (docs.select(F.col(id_col), toks.alias("_t"))
             .where(F.arrays_overlap(F.col("_t"), t_arr)))
     dl = F.size("_t")

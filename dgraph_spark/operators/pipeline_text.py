@@ -153,8 +153,11 @@ def pack_sequences(
     ``tokens_col`` packs by a precomputed token-count column instead
     of whitespace counts — e.g. join in ``bpe_encode``'s
     ``n_bpe_tokens`` to pack by real subword lengths."""
+    # LongType throughout: offsets overflow int32 at crawl scale, and
+    # the DuckDB twin's len()/sums are BIGINT — same pandas dtype both
+    # sides (the driver's value hash is dtype-sensitive)
     n = (F.col(tokens_col) if tokens_col is not None
-         else F.size(_ws_tokens(F.col(text_col))))
+         else F.size(_ws_tokens(F.col(text_col)))).cast("long")
     w = Window.partitionBy(stratum_col).orderBy(id_col)
     return (
         docs.select(F.col(stratum_col), F.col(id_col), n.alias("n_tokens"))

@@ -181,12 +181,18 @@ def gopher_quality_filter(
     max_dup_token_frac: float = 0.6,
     max_top_token_frac: float = 0.3,
     max_top_bigram_char_frac: float = 0.18,
+    reasons_as_string: bool = False,
 ) -> DataFrame:
     """Gopher-rules document filter (Rae et al. 2021 §A1.1): emits
     (id, keep, reasons) where ``reasons`` lists every failed rule in
     GOPHER_RULES order and ``keep`` is reasons == []. Pure column
     program over the same materialized token/bigram arrays as
-    repetition_stats — zero shuffle; filter + prune push to the scan."""
+    repetition_stats — zero shuffle; filter + prune push to the scan.
+
+    ``reasons_as_string`` emits reasons comma-joined instead of as an
+    array (rule order is deterministic, so the string is too) — for
+    consumers whose row canonicalizers can't hash list cells (the
+    correctness driver's pandas hasher is one)."""
     params = {
         "min_tokens": min_tokens,
         "max_tokens": max_tokens,
@@ -210,5 +216,6 @@ def gopher_quality_filter(
     ).select(
         id_col,
         (F.size("reasons") == 0).alias("keep"),
-        F.col("reasons"),
+        (F.array_join("reasons", ",") if reasons_as_string
+         else F.col("reasons")).alias("reasons"),
     )

@@ -245,7 +245,7 @@ def _py_bm25(texts_by_id: dict, query: str, k: int):
             for i, t in texts_by_id.items()}
     n = len(toks)
     avgdl = sum(len(t) for t in toks.values()) / n
-    terms = sorted(set(query.lower().split()))
+    terms = sorted({w for w in ws.split(query.lower()) if w})
     out = []
     for i, t in toks.items():
         if not set(t) & set(terms):
@@ -297,3 +297,52 @@ def test_bm25_rejects_empty(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty query"):
         bm25_search(docs, "   ")
+
+
+def test_bm25_corpus_stats_cached(spark):
+    """The stats pass (N, avgdl, df) is per-corpus state: the second
+    search on the same DataFrame must trigger NO Spark job inside
+    bm25_search (job count via a job group), and a new term must cost
+    exactly ONE job (df for the missing term only)."""
+    from dgraph_spark.operators.bm25 import bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, "cat dog sat rare mat"[: 3 + (i % 3) * 4]) for i in range(20)],
+        "doc_id long, text string")
+    sc = spark.sparkContext
+    group = "bm25-cache-test"
+    sc.setJobGroup(group, "bm25 cache test")
+    try:
+        def njobs():
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+
+        df1 = bm25_search(docs, "cat dog", k=3)
+        after_first = njobs()
+        assert after_first >= 1  # the stats aggregate ran
+        df2 = bm25_search(docs, "dog cat", k=3)  # same term set
+        assert njobs() == after_first  # cache hit: zero new jobs
+        df3 = bm25_search(docs, "cat sat", k=3)  # one missing term
+        after_miss = njobs()
+        assert after_miss > after_first  # df(sat) had to run
+        bm25_search(docs, "sat cat dog", k=3)  # all terms now cached
+        assert njobs() == after_miss  # zero new jobs again
+        assert [tuple(r) for r in df1.collect()] \
+            == [tuple(r) for r in df2.collect()]
+        assert df3.count() >= 0
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
+def test_bm25_query_tokenizer_matches_doc_spec(spark):
+    """Documents tokenize on ASCII whitespace only (norm_tokens):
+    a non-breaking space is PART of a token. The query tokenizer must
+    agree, or 'cat\\xa0dog' as a query could never match the document
+    token 'cat\\xa0dog'."""
+    from dgraph_spark.operators.bm25 import bm25_search, query_terms
+
+    assert query_terms("CAT\xa0dog sat") == ["cat\xa0dog", "sat"]
+    docs = spark.createDataFrame(
+        [(1, "cat\xa0dog sat"), (2, "plain words here")],
+        "doc_id long, text string")
+    top = bm25_search(docs, "cat\xa0dog", k=2).collect()
+    assert [r["doc_id"] for r in top] == [1]

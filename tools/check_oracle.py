@@ -39,6 +39,55 @@ def canon_rows(cols, rows):
     return sorted(out)
 
 
+def _dtype_kind(dt):
+    """Collapse a pandas dtype to the equivalence class the driver's
+    value hash is sensitive to. int64-vs-float64 (DuckDB HUGEINT sums)
+    is THE class that burned rounds 7 and 8; datetime resolution
+    (ns vs us) and string-vs-object are canonicalized away upstream,
+    so only the numeric/bool/datetime/object split matters."""
+    import pandas.api.types as pt
+
+    if pt.is_bool_dtype(dt):
+        return "bool"
+    if pt.is_integer_dtype(dt):
+        return "int"
+    if pt.is_float_dtype(dt):
+        return "float"
+    if pt.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "object"
+
+
+def dtype_problems(spdf, odf):
+    """The driver hashes pandas frames, and its hash is dtype-sensitive
+    (512 vs 512.0 differ) and crashes outright on unhashable cells
+    (lists). check_oracle's string canon hid both classes in round 8 —
+    these checks make the local gate as strict as the driver's."""
+    problems = []
+    for c in sorted(set(spdf.columns) & set(odf.columns)):
+        # an all-NULL column types as float64 in pandas regardless of
+        # its SQL type (recurse_depth5's sparse level columns) — the
+        # driver canonicalizes NULLs before hashing, so no signal there
+        if spdf[c].isna().all() or odf[c].isna().all():
+            continue
+        sk, ok = _dtype_kind(spdf[c].dtype), _dtype_kind(odf[c].dtype)
+        if sk != ok:
+            problems.append(f"dtype[{c}] spark={sk} oracle={ok}")
+    for side, df in (("spark", spdf), ("oracle", odf)):
+        for c in df.columns:
+            col = df[c].dropna()
+            if len(col) == 0:
+                continue
+            cell = col.iloc[0]
+            if (isinstance(cell, (list, tuple, dict, set))
+                    or type(cell).__name__ == "ndarray"):
+                problems.append(
+                    f"unhashable {side} column {c} "
+                    f"({type(cell).__name__} cells crash the "
+                    "driver's canonicalizer)")
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -76,6 +125,11 @@ def main():
                 problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
             if len(srows) != len(orows):
                 problems.append(f"rowcount {len(srows)} != {len(orows)}")
+            # dtype gate runs on separate pandas fetches so the value
+            # canon above keeps fetchall()'s python-native NULL/ts
+            # semantics
+            problems += dtype_problems(sdf.toPandas(),
+                                       con.execute(sql).df())
             if not problems:
                 a = canon_rows(scols, srows)
                 b = canon_rows(ocols, orows)
