@@ -2329,6 +2329,106 @@ FROM offs
 """
 
 
+def q_prepare_corpus(spark, sf_dir):
+    """The one-call pipeline recipe (operators/recipes.py): quality
+    filter -> exact-dedup keep-min -> hash split -> per-(source,split)
+    packing. The STAGES are individually oracled; this entry gates the
+    WIRING (semi-join keeps, loser anti-joins, composite pack keys) —
+    the only place a composition bug could hide."""
+    from dgraph_spark.operators.recipes import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return prepare_corpus(docs)["corpus"].select(
+        "doc_id", "source", "split", "n_tokens", "tok_offset",
+        "first_seq", "last_seq")
+
+
+def _sql_prepare_corpus() -> str:
+    # the split CASE comes from the same accumulation as hash_split so
+    # the hex thresholds match bit-for-bit (prepare_corpus defaults:
+    # 0.98/0.01/0.01)
+    from dgraph_spark.operators.pipeline_text import _hex_frac_literal
+
+    fracs = {"train": 0.98, "val": 0.01, "test": 0.01}
+    whens, acc = [], 0.0
+    names = list(fracs)
+    for name in names[:-1]:
+        acc += fracs[name]
+        whens.append(
+            f"WHEN substr(md5('split|' || doc_id::VARCHAR), 1, 8) "
+            f"< '{_hex_frac_literal(min(acc, 1.0))}' THEN '{name}'")
+    case = f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+    return r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^\pL\pM\pN]+'),
+                     x -> x != '') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, t, len(t) AS n, len(list_distinct(t)) AS nd,
+         length(array_to_string(t, ' ')) AS nchars
+  FROM toks),
+tok_top AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, x, count(*) AS c
+    FROM toks, UNNEST(t) AS u(x) GROUP BY doc_id, x)
+  GROUP BY doc_id),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+gram_top AS (
+  SELECT doc_id, c, g FROM (
+    SELECT doc_id, g, count(*) AS c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, g DESC) AS rn
+    FROM grams GROUP BY doc_id, g) WHERE rn = 1),
+stats AS (
+  SELECT b.doc_id, b.n,
+         CASE WHEN b.n > 0 THEN round(1.0 - b.nd / CAST(b.n AS DOUBLE), 4)
+              ELSE 0.0 END AS dupf,
+         CASE WHEN b.n > 0 THEN round(tt.topc / CAST(b.n AS DOUBLE), 4)
+              ELSE 0.0 END AS topf,
+         CASE WHEN b.n >= 2 THEN
+              round(gt.c * length(gt.g) / CAST(b.nchars AS DOUBLE), 4)
+              ELSE 0.0 END AS bigf
+  FROM base b
+  LEFT JOIN tok_top tt USING (doc_id)
+  LEFT JOIN gram_top gt USING (doc_id)),
+keepers AS (
+  SELECT doc_id FROM stats
+  WHERE NOT (n < 16 OR n > 100000 OR dupf > 0.6
+             OR topf > 0.3 OR bigf > 0.18)),
+clean0 AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN keepers USING (doc_id)),
+fp AS (
+  SELECT doc_id, source, text,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+  FROM clean0),
+winners AS (
+  SELECT doc_id, source, text, """ + case + r""" AS split
+  FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS m FROM fp)
+  WHERE doc_id = m),
+sized AS (
+  SELECT source, split, doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+           AS n_tokens
+  FROM winners),
+offs AS (
+  SELECT source, split, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source, split ORDER BY doc_id)
+         - n_tokens AS tok_offset
+  FROM sized)
+SELECT doc_id, source, split,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // 2048 AS BIGINT) AS first_seq,
+       CAST((tok_offset + greatest(n_tokens, 1) - 1) // 2048 AS BIGINT)
+         AS last_seq
+FROM offs
+"""
+
+
 def q_word_freqs(spark, sf_dir):
     """BPE's one full-corpus pass: distinct normalized words with
     frequencies (operators/bpe.py word_frequencies), top-50 by
@@ -2816,6 +2916,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_spans": (q_dedup_spans, SQL_dedup_spans),
     "repetition_stats": (q_repetition_stats, SQL_repetition_stats),
     "pack_sequences": (q_pack_sequences, SQL_pack_sequences),
+    "prepare_corpus": (q_prepare_corpus, _sql_prepare_corpus),
     "quality_filter": (q_quality_filter, SQL_quality_filter),
     "semantic_dedup": (q_semantic_dedup, SQL_semantic_dedup),
     "stream_dedup": (q_stream_dedup, SQL_stream_dedup),
@@ -2847,84 +2948,132 @@ QUERIES: dict[str, tuple] = {
 
 
 # Driver rotation: the per-round correctness harness runs a 50-entry
-# prefix; entries WITHOUT a fresh (round-7) driver row come first so
-# every registry entry gets a driver-green row no older than two
-# rounds (round-6 verdict, task 7; rotated each round). Stable within
-# each group. New entries (stem_tokens_en/tr) sort to the very front.
-_R7_DRIVER_COVERED = {
-    "after_uid",
-    "agg_math_root",
-    "allofterms",
-    "anyofterms",
-    "backup_restore",
-    "between_dates",
-    "bigfloat_agg",
-    "cascade",
-    "count_having",
-    "count_uid_root",
-    "eq_val_var",
-    "expand_all",
-    "export_roundtrip",
-    "facet_filter",
-    "facet_order",
-    "facet_var_order",
-    "fuzzy_match",
-    "geo_contains",
-    "geo_intersects",
-    "geo_near_poly",
-    "geo_within",
-    "graphql_query",
-    "groupby_q1",
-    "groupby_uid_pred",
-    "json_load_roundtrip",
-    "json_mutation_roundtrip",
-    "len_filter",
-    "level_agg_sum",
-    "math_per_uid",
-    "mutation_roundtrip",
-    "not_has",
-    "per_parent_topk",
-    "q5_local_supplier",
-    "recurse_depth5",
-    "regexp",
-    "root_eq_reverse_traversal",
-    "schema_introspect",
-    "since_math",
-    "stem_tokens_ar",
-    "stem_tokens_ckb",
-    "stem_tokens_fi",
-    "stem_tokens_hi",
-    "stem_tokens_hu",
-    "stem_tokens_nl",
-    "stem_tokens_no",
-    "stem_tokens_ro",
-    "stream_session",
-    "topk_root_order",
-    "uid_in",
-    "uid_literal",
+# prefix, so entries sort by the round of their newest GREEN driver row
+# (never-green first, ties alphabetical). _NEWEST_GREEN_ROW is baked
+# from the CORRECTNESS_r0*.json history — regenerate each round (red
+# rows do NOT advance the watermark: round 8's four oracle-contract
+# reds sort to the front of round 9's sample alongside brand-new
+# entries). With 116+ entries and a 50-slot sample, nothing should
+# ever be more than two rounds stale.
+_NEWEST_GREEN_ROW = {
+    "after_uid": 7,
+    "agg_math_root": 7,
+    "allofterms": 7,
+    "alloftext": 6,
+    "ann_lsh": 8,
+    "anyof_custom": 8,
+    "anyofterms": 7,
+    "anyoftext": 6,
+    "anyoftext_de": 6,
+    "anyoftext_es": 6,
+    "anyoftext_fr": 6,
+    "anyoftext_zh": 6,
+    "asof_join": 8,
+    "backup_restore": 7,
+    "between_dates": 7,
+    "bigfloat_agg": 7,
+    "bm25_search": 8,
+    "bpe_tokens": 8,
+    "c4_clean": 8,
+    "cascade": 7,
+    "cdc_diff": 8,
+    "chain_region_revenue": 8,
+    "chunk_docs": 8,
+    "connected_components": 6,
+    "contamination_scores": 8,
+    "count_having": 7,
+    "count_uid_root": 7,
+    "decontaminate": 8,
+    "dedup_clusters": 8,
+    "dedup_embedding_cosine": 8,
+    "dedup_embedding_lsh": 8,
+    "dedup_exact": 8,
+    "dedup_minhash_lsh": 8,
+    "dedup_ngram_jaccard": 8,
+    "dedup_simhash": 8,
+    "dedup_spans": 8,
+    "domain_mix": 8,
+    "eq_val_var": 7,
+    "expand_all": 7,
+    "export_roundtrip": 7,
+    "facet_filter": 7,
+    "facet_order": 7,
+    "facet_output": 6,
+    "facet_var_order": 7,
+    "fuzzy_match": 7,
+    "geo_contains": 7,
+    "geo_intersects": 7,
+    "geo_near_poly": 7,
+    "geo_within": 7,
+    "graphql_query": 7,
+    "groupby_q1": 7,
+    "groupby_uid_pred": 7,
+    "hash_split": 8,
+    "ignorereflex": 8,
+    "interval_join": 8,
+    "json_load_roundtrip": 7,
+    "json_mutation_roundtrip": 7,
+    "knn_batch": 8,
+    "lang_preference": 8,
+    "len_filter": 7,
+    "level_agg_sum": 7,
+    "lm_perplexity": 8,
+    "math_per_uid": 7,
+    "multimodal_audio": 8,
+    "multimodal_features": 8,
+    "multimodal_frames": 8,
+    "mutation_roundtrip": 7,
+    "ngram_search": 6,
+    "not_has": 7,
+    "order_by_val": 8,
+    "pagerank": 6,
+    "per_parent_topk": 7,
+    "q5_local_supplier": 7,
+    "recurse_depth5": 7,
+    "recurse_reach": 8,
+    "regexp": 7,
+    "repetition_stats": 8,
+    "root_eq_reverse_traversal": 7,
+    "sample_stratified": 8,
+    "schema_introspect": 7,
+    "scrub_pii": 8,
+    "semantic_dedup": 8,
+    "shortest_path": 8,
+    "similar_to": 8,
+    "similar_to_dql": 8,
+    "similar_to_uid": 8,
+    "since_math": 7,
+    "stateful_counts": 8,
+    "stem_tokens_ar": 7,
+    "stem_tokens_ckb": 7,
+    "stem_tokens_da": 6,
+    "stem_tokens_en": 8,
+    "stem_tokens_fi": 7,
+    "stem_tokens_hi": 7,
+    "stem_tokens_hu": 7,
+    "stem_tokens_it": 6,
+    "stem_tokens_nl": 7,
+    "stem_tokens_no": 7,
+    "stem_tokens_pt": 6,
+    "stem_tokens_ro": 7,
+    "stem_tokens_ru": 6,
+    "stem_tokens_sv": 6,
+    "stem_tokens_tr": 8,
+    "stream_dedup": 8,
+    "stream_session": 7,
+    "stream_sliding": 6,
+    "stream_tumbling": 8,
+    "text_stats": 8,
+    "topk_root_order": 7,
+    "uid_in": 7,
+    "uid_literal": 7,
+    "word_freqs": 8,
 }
 
-# Entries added in round 8 — never had ANY driver row, so they outrank
-# even the r6 cohort for the 50-entry prefix (the registry grew to 110;
-# 60 entries lack an r7 row, so 10 of the r6 cohort — the
-# stream_sliding + stem_tokens_it/pt/ru/sv/da tail and four more of the
-# r6 cohort, all r6-green AND re-verified by tools/check_oracle this
-# round — wait for round 9).
-_NEW_R8 = {
-    "word_freqs", "bpe_tokens", "c4_clean", "domain_mix", "hash_split",
-    "lm_perplexity", "bm25_search", "asof_join", "interval_join",
-    "sessionize",
-    "stem_tokens_en", "stem_tokens_tr",
-    "chunk_docs", "scrub_pii", "sample_stratified", "decontaminate",
-    "dedup_spans", "repetition_stats", "pack_sequences",
-    "quality_filter", "semantic_dedup", "stream_dedup",
-    "contamination_scores", "corpus_report", "knn_batch",
-}
 
 QUERIES = {k: QUERIES[k]
            for k in sorted(QUERIES,
-                           key=lambda k: (k not in _NEW_R8,
-                                          k in _R7_DRIVER_COVERED))}
+                           key=lambda k: (_NEWEST_GREEN_ROW.get(k, 0), k))}
 
 # Oracles COMPUTED from the parquet at registry-import time (VALUES
 # literals) are pinned to $DGSPARK_ORACLE_SF_DIR (default sf0.01, the

@@ -44,6 +44,17 @@ def asof_join(
     matching pandas ``merge_asof``'s parameter."""
     if not right_cols:
         raise ValueError("right_cols must name at least one column")
+    # the union+window machinery reserves helper names, and the output
+    # adds prefixed right columns — a left frame already using any of
+    # them would be silently overwritten / duplicated
+    reserved = {"_side", "_rpay", "_c", f"{prefix}{ts_col}",
+                *(f"{prefix}{c}" for c in right_cols)}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with "
+            f"internal helper / prefixed output names; rename them or "
+            f"pass a different prefix")
     rsel = right.select(
         F.col(on), F.col(ts_col),
         *[F.col(c).alias(f"{prefix}{c}") for c in right_cols])

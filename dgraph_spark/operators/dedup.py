@@ -194,11 +194,14 @@ _ALL_CACHES.append(_JACCARD_INDEX_CACHE)
 
 def _jaccard_index(
     docs: DataFrame, threshold: float, n: int, text_col: str, id_col: str
-) -> tuple[DataFrame, DataFrame, DataFrame | None, int]:
+) -> tuple[DataFrame, DataFrame, DataFrame | None, int, int]:
     """Build (or fetch) the PPJoin index for a corpus: the per-document
     prefix posting rows ``pref_sz(id, g, p, sz)``, the shingle-array
-    relation ``sh``, an optional dense-vocab bitset relation ``bm``, and
-    the corpus row count."""
+    relation ``sh``, an optional dense-vocab bitset relation ``bm``,
+    the corpus row count, and ``cand_bound`` — sum over prefix tokens g
+    of C(postings_g, 2), the exact row count of the self-join on g
+    BEFORE the length/positional filters. cand_bound is the density
+    meter: it is what actually explodes on a duplicate-dense corpus."""
     ck = _corpus_key(docs, round(threshold, 9), n, text_col, id_col)
     if ck is not None and ck in _JACCARD_INDEX_CACHE:
         return _JACCARD_INDEX_CACHE[ck]
@@ -254,10 +257,25 @@ def _jaccard_index(
         ).persist(StorageLevel.MEMORY_AND_DISK)
         bm.count()
 
-    out = (pref_sz, sh, bm, n_docs)
+    cand_bound = int(
+        pref_sz.groupBy("g").agg(F.count("*").alias("c"))
+        .agg(F.coalesce(F.sum(F.expr("c * (c - 1) / 2")), F.lit(0))
+             .alias("p")).collect()[0]["p"])
+
+    out = (pref_sz, sh, bm, n_docs, cand_bound)
     if ck is not None:
         _JACCARD_INDEX_CACHE[ck] = out
     return out
+
+
+# Candidate-density ceiling for the exact jaccard join, in prefix-join
+# rows PER DOCUMENT. Measured regimes (2-gram shingles, t=0.7): the
+# sf0.1 documents table runs at ~1.9k/doc (1.6 s), the 10x synth at
+# ~19k/doc (12 s) — both fine; growth is ~linear in corpus size on a
+# duplicate-dense corpus (replicas share shingles), so a 100x crawl
+# sits at ~200k/doc and the join output alone is ~10^13 rows. The
+# default cap is ~5x the largest measured-good regime.
+JACCARD_CANDIDATES_PER_DOC_CAP = 100_000.0
 
 
 def ngram_jaccard_pairs(
@@ -266,6 +284,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_candidates_per_doc: float | None = JACCARD_CANDIDATES_PER_DOC_CAP,
 ) -> DataFrame:
     """EXACT jaccard near-dup pairs (i < j) via prefix-filtered inverted
     index (AllPairs/PPJoin candidate filter).
@@ -277,8 +296,28 @@ def ngram_jaccard_pairs(
     touches ~near-dups only instead of squaring every frequent shingle's
     posting list (the naive index is quadratic in document frequency —
     unusable at scale). Candidates are then verified with exact jaccard.
+
+    Density guard: PPJoin is the right EXACT algorithm, but exact pair
+    output is inherently quadratic in duplicate density — on a corpus
+    past ``max_candidates_per_doc`` prefix-join rows per document this
+    raises (loudly, BEFORE launching the join) and advises
+    ``minhash_lsh_pairs``, whose banded index stays linear. Pass a
+    higher cap or None to force the exact join anyway.
     """
-    pref_sz, sh, bm, n_docs = _jaccard_index(docs, threshold, n, text_col, id_col)
+    pref_sz, sh, bm, n_docs, cand_bound = _jaccard_index(
+        docs, threshold, n, text_col, id_col)
+    if (max_candidates_per_doc is not None and n_docs > 0
+            and cand_bound / n_docs > max_candidates_per_doc):
+        raise ValueError(
+            f"ngram_jaccard_pairs: candidate density "
+            f"{cand_bound / n_docs:,.0f} prefix-join rows/doc "
+            f"({cand_bound:,} over {n_docs:,} docs) exceeds "
+            f"max_candidates_per_doc={max_candidates_per_doc:,.0f}. "
+            "This corpus is duplicate-dense: the exact join's output "
+            "is quadratic in duplicate density. Use "
+            "minhash_lsh_pairs (banded LSH, linear) instead, or pass "
+            "a higher max_candidates_per_doc / None to force the "
+            "exact join.")
 
     # PPJoin-style candidate generation, all exactness-preserving:
     #  - prefix filter: similar pairs must share a prefix shingle
@@ -714,6 +753,7 @@ def near_dup_clusters(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_candidates_per_doc: float | None = JACCARD_CANDIDATES_PER_DOC_CAP,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: the transitive closure of the exact
     jaccard pair graph, labeled by the smallest member id — the form a
@@ -723,7 +763,8 @@ def near_dup_clusters(
     member. Pair generation is the PPJoin path; the closure is
     pointer-jumped min-label propagation (same plan as
     graph_algos.connected_components, one job per round)."""
-    pairs = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
+    pairs = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col,
+                                max_candidates_per_doc)
     return min_label_closure(pairs)
 
 

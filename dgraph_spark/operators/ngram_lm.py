@@ -26,14 +26,42 @@ training-pipeline extension surface.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dgraph_spark.operators.dedup import norm_tokens
+from dgraph_spark.operators.dedup import BROADCAST_ROW_CAP, norm_tokens
 
 
 def _tokens(text_col: str):
     return norm_tokens(F.col(text_col))
+
+
+@dataclass
+class BigramLM:
+    """A trained model: persisted count tables + sizes. The table row
+    counts decide broadcast-vs-shuffle at scoring time; ``unpersist``
+    (or use as a context manager) releases the cached blocks —
+    repeated trainings in one session otherwise accumulate them."""
+
+    uni: DataFrame
+    big: DataFrame
+    vocab: int        # distinct unigrams == uni row count
+    n_bigrams: int    # distinct bigrams == big row count
+
+    def unpersist(self) -> None:
+        for df in (self.uni, self.big):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    def __enter__(self) -> "BigramLM":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
 
 
 def _bigrams(t):
@@ -47,11 +75,12 @@ def _bigrams(t):
 
 def train_bigram_lm(
     docs: DataFrame, text_col: str = "text", min_count: int = 1
-) -> tuple[DataFrame, DataFrame, int]:
-    """(unigram_counts(w1, cu), bigram_counts(w1, w2, cb), V).
-    ``min_count`` floors the bigram table (the standard lever that
-    keeps the model broadcastable at crawl scale; the smoothing
-    formula absorbs floored bigrams as unseen)."""
+) -> BigramLM:
+    """Train and return a :class:`BigramLM`. ``min_count`` floors the
+    bigram table (the standard lever that keeps the model broadcastable
+    at crawl scale; the smoothing formula absorbs floored bigrams as
+    unseen). The returned handle owns the persisted tables — call
+    ``unpersist()`` (or use it as a context manager) when done."""
     from pyspark import StorageLevel
 
     toks = docs.select(_tokens(text_col).alias("t"))
@@ -68,14 +97,13 @@ def train_bigram_lm(
     uni = uni.persist(StorageLevel.MEMORY_AND_DISK)
     big = big.persist(StorageLevel.MEMORY_AND_DISK)
     vocab = uni.count()
-    return uni, big, vocab
+    return BigramLM(uni=uni, big=big, vocab=vocab,
+                    n_bigrams=big.count())
 
 
 def lm_perplexity(
     docs: DataFrame,
-    uni: DataFrame,
-    big: DataFrame,
-    vocab: int,
+    model: BigramLM,
     alpha: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -83,14 +111,25 @@ def lm_perplexity(
     """Per-document (doc_id, n_bigrams, avg_logp, ppl) under the
     trained model; avg_logp/ppl rounded to 4 decimals (sum order is
     not deterministic across partitions — rounding puts the compare
-    far above float-sum noise)."""
+    far above float-sum noise).
+
+    The model joins broadcast only while its tables fit
+    (BROADCAST_ROW_CAP — on a real crawl the un-floored distinct-bigram
+    table is tens of billions of rows, and an unconditional broadcast
+    hint would not fail gracefully); past the cap the joins degrade to
+    shuffle joins with identical results."""
+    uni, big, vocab = model.uni, model.big, model.vocab
+    bc_big = (F.broadcast if model.n_bigrams <= BROADCAST_ROW_CAP
+              else (lambda d: d))
+    bc_uni = (F.broadcast if model.vocab <= BROADCAST_ROW_CAP
+              else (lambda d: d))
     pairs = (docs.select(F.col(id_col),
                          F.explode_outer(_bigrams(_tokens(text_col)))
                           .alias("b"))
              .select(id_col, "b.w1", "b.w2"))
     scored = (
-        pairs.join(F.broadcast(big), ["w1", "w2"], "left")
-        .join(F.broadcast(uni), ["w1"], "left")
+        pairs.join(bc_big(big), ["w1", "w2"], "left")
+        .join(bc_uni(uni), ["w1"], "left")
         .select(
             id_col,
             F.col("w1"),
@@ -123,9 +162,12 @@ def perplexity_report(
 ) -> DataFrame:
     """Convenience: train on ``lm_docs`` (default: the corpus itself —
     self-perplexity, the repetition-sensitive variant) and score
-    ``docs``."""
-    uni, big, vocab = train_bigram_lm(
+    ``docs``. The model's persisted tables stay cached for the
+    lifetime of the returned (lazy) plan; callers who train repeatedly
+    in one session should use :func:`train_bigram_lm` directly and
+    ``unpersist()`` each model when its scores are materialized."""
+    model = train_bigram_lm(
         lm_docs if lm_docs is not None else docs,
         text_col=text_col, min_count=min_count)
-    return lm_perplexity(docs, uni, big, vocab, alpha=alpha,
+    return lm_perplexity(docs, model, alpha=alpha,
                          text_col=text_col, id_col=id_col)

@@ -179,3 +179,24 @@ def test_asof_join_empty_right_cols_rejected(spark):
                       "user_id": [1]}))
     with pytest.raises(ValueError, match="right_cols"):
         asof_join(df, df, right_cols=())
+
+
+def test_asof_join_rejects_reserved_column_collisions(spark):
+    """A left frame already using an internal helper name (_side/_rpay/
+    _c) or a prefixed output name (r_ts, r_value, ...) must be refused
+    loudly — silently overwriting it corrupts the carry."""
+    from dgraph_spark.operators.asof import asof_join
+
+    import datetime
+
+    right = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 10, 1.0)],
+        "user_id long, ts timestamp, event_id long, value double")
+    for bad in ("_side", "r_ts", "r_value"):
+        left = right.withColumnRenamed("event_id", bad)
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(left, right)
+    # a non-default prefix frees the default names
+    left = right.withColumnRenamed("event_id", "r_ts")
+    out = asof_join(left, right, prefix="x_")
+    assert "x_ts" in out.columns and "r_ts" in out.columns

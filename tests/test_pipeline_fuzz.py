@@ -236,6 +236,32 @@ def test_lm_perplexity_repetition_scores_lower_ppl(spark):
     assert out[1] < out[2]
 
 
+def test_lm_broadcast_guard_degrades_to_shuffle(spark, monkeypatch):
+    """Past BROADCAST_ROW_CAP the model joins must NOT carry a
+    broadcast hint (an unconditional hint on a tens-of-billions-row
+    bigram table does not fail gracefully) — and the shuffle-join
+    scores must be identical."""
+    from dgraph_spark.operators import ngram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the dog sat on the log"),
+         (3, "one token"),
+         (4, "x")],
+        "doc_id long, text string")
+    with ngram_lm.train_bigram_lm(docs) as model:
+        assert model.n_bigrams > 0 and model.vocab > 0
+        fast = ngram_lm.lm_perplexity(docs, model)
+        assert "ResolvedHint" in \
+            fast._jdf.queryExecution().analyzed().toString()
+        monkeypatch.setattr(ngram_lm, "BROADCAST_ROW_CAP", 0)
+        slow = ngram_lm.lm_perplexity(docs, model)
+        assert "ResolvedHint" not in \
+            slow._jdf.queryExecution().analyzed().toString()
+        assert sorted(map(tuple, fast.collect())) \
+            == sorted(map(tuple, slow.collect()))
+
+
 def _py_bm25(texts_by_id: dict, query: str, k: int):
     import math
     import re

@@ -31,6 +31,26 @@ def test_ngram_jaccard_finds_planted_dups(docs):
     assert all(r["jac"] >= 0.7 for r in pairs)
 
 
+def test_ngram_jaccard_density_guard(spark):
+    """A duplicate-dense corpus must be refused LOUDLY before the
+    quadratic candidate join launches, with minhash_lsh_pairs named as
+    the linear alternative; a higher cap (or None) forces the exact
+    join."""
+    from dgraph_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 40 near-identical docs: every prefix shingle is shared by all,
+    # so the candidate bound is ~C(40,2) per posting ≈ 780/doc
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i}")
+         for i in range(40)],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(docs, 0.5, max_candidates_per_doc=10.0)
+    # escape hatch: force the exact join on the same corpus
+    forced = ngram_jaccard_pairs(docs, 0.5, max_candidates_per_doc=None)
+    assert forced.count() > 0
+
+
 def test_minhash_lsh_recall_vs_exact(docs):
     from dgraph_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 

@@ -10,9 +10,14 @@ unlikely:
   (the engine's trainer maintains counts incrementally with an
   occurrence index);
 * encoding applies the merges in learned ORDER, one full pass per
-  merge (the engine encodes greedy-by-rank; the two are equivalent
-  because a merge can neither create an earlier merge's symbols nor
-  make them newly adjacent — merging never deletes symbols).
+  merge (the engine encodes greedy-by-rank). The two are equivalent
+  UNDER AN ASSUMPTION: no merge's output string equals a component of
+  an earlier merge (if ('a','bc') and ('ab','c') both yield 'abc', a
+  later merge could recreate an earlier merge's input and
+  greedy-by-rank would re-apply it while the in-order pass has moved
+  on). `encode_word` asserts the assumption per merge list, so a
+  vocabulary that violates it fails loudly instead of silently
+  diverging from the engine.
 
 Pure Python, no Spark; used by the pytest differential legs and by
 the `bpe_tokens` registry oracle (entry_queries computes the expected
@@ -62,10 +67,48 @@ def merge_pass(syms: list[str], pair: tuple[str, str]) -> list[str]:
     return out
 
 
+def _check_order_equivalence(merges: list[tuple[str, str]]) -> None:
+    """Assert the in-order == greedy-by-rank precondition (see module
+    docstring): no merge output equals a LATER merge's component.
+    O(len(merges)) with a cached set; True for the fuzzed vocabularies
+    and every corpus the oracle has been pointed at."""
+    key = id(merges)
+    if key in _EQUIV_CHECKED:
+        return
+    outputs_so_far: set[str] = set()
+    for i, (a, b) in enumerate(merges):
+        # a component produced by an EARLIER merge is fine (that is
+        # how multi-char symbols arise); the hazard is the converse —
+        # this merge's output string being re-creatable as a later
+        # merge's component would make greedy-by-rank re-apply merge i
+        if (a + b) in outputs_so_far:
+            raise AssertionError(
+                f"merge {i} output {a + b!r} duplicates an earlier "
+                "merge's output — in-order encoding may diverge from "
+                "greedy-by-rank; oracle assumption violated")
+        outputs_so_far.add(a + b)
+    for i, (a, b) in enumerate(merges):
+        for comp in (a, b):
+            if comp in outputs_so_far:
+                prior = next(k for k, (x, y) in enumerate(merges)
+                             if x + y == comp)
+                if prior > i:
+                    raise AssertionError(
+                        f"merge {i} component {comp!r} is merge "
+                        f"{prior}'s output (later) — in-order encoding "
+                        "may diverge from greedy-by-rank; oracle "
+                        "assumption violated")
+    _EQUIV_CHECKED.add(key)
+
+
+_EQUIV_CHECKED: set[int] = set()
+
+
 def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Apply every merge in learned order (not by-rank greedy)."""
     if not word:
         return []
+    _check_order_equivalence(merges)
     syms = symbols(word)
     for pair in merges:
         if len(syms) == 1:
