@@ -55,6 +55,9 @@ HEADLINE = [
     "asof_join",
     "interval_join",
     "sessionize",
+    # round 9: the one-call pipeline recipe (stage-wiring cost on top
+    # of the individually-benched stages)
+    "prepare_corpus",
 ]
 
 
@@ -108,6 +111,27 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # iterative-trio ritual (PLANS.md "iterative-trio target — re-set
+    # with data"): same-session 8-rep MEDIANS for the three iterative
+    # queries, reported against the round-8 honest targets — absolute
+    # trio <= 2.2 s on a quiet box AND (machine-independent) 10x-data
+    # trio ratio <= 1.7x. The medians kill the absolute-vs-machine-
+    # drift ambiguity: they ride in every BENCH artifact next to
+    # loadavg, so a slow box shows up as loadavg+medians moving
+    # together, while a code regression moves medians alone.
+    import statistics
+
+    trio = {}
+    for name in ("shortest_path", "connected_components", "recurse_reach"):
+        fn, _sql = QUERIES[name]
+        reps = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            reps.append(time.perf_counter() - t0)
+        trio[name] = round(statistics.median(reps), 3)
+    trio_total = round(sum(trio.values()), 3)
+
     total = round(sum(times.values()), 3)
     # ambient context: round-7/8 showed ±20-30% machine drift between
     # sessions; recording loadavg makes the artifact interpretable
@@ -125,6 +149,15 @@ def main() -> None:
                 "sf": sf,
                 "loadavg_1m": load1,
                 "loadavg_5m": load5,
+                "trio_median_8rep": trio,
+                "trio_total_s": trio_total,
+                "trio_target_s": 2.2,
+                "trio_target_ratio_10x": 1.7,
+                # most recent measured 10x trio ratios (per query):
+                # BENCH_sf1_r08.json shortest 0.97 / cc 1.07 /
+                # recurse 1.66 — refresh via tools/scale_data.py +
+                # SPARK_GRAFT_SF_DIR=/tmp/sf1_synth when the iterative
+                # plans change
             }
         )
     )

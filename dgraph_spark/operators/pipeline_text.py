@@ -191,33 +191,46 @@ def c4_line_clean(
     filter/join runs inside whole-stage codegen. The line predicate
     avoids regex lookaround so the DuckDB twin uses the same pattern
     text.
+
+    The whole program is ONE let-bound expression (textstats._let):
+    lowered text, line array, kept array, and the keep flag are each
+    bound once, so a downstream ``.where("keep")`` — THE consumption
+    pattern for a cleaning filter — pushes to the scan as a
+    single-pass predicate instead of inlining a copy of the line
+    machinery per reference (projection aliases survive
+    CollapseProject but NOT filter pushdown; see PLANS.md round 9).
     """
-    lines = F.filter(F.split(F.col(text_col), r"\n"),
-                     lambda l: F.trim(l) != "")
-    low = F.lower(F.col(text_col))
-    doc_bad = (low.contains("{") | low.contains("}")
-               | low.contains("lorem ipsum"))
-    # materialize the line arrays once: _kept derives from the bound
-    # _lines attribute and keep/n_kept/clean_text reference both, and
-    # higher-order filters run interpreted (no codegen subexpression
-    # elimination) — SPARK-36718 keeps these non-cheap
-    # multi-referenced aliases un-inlined across the projections
-    kept = F.filter(
-        F.col("_lines"),
-        lambda l: F.trim(l).rlike(r'[.!?"]$')
-        & (F.size(F.filter(F.split(F.trim(l), r"\s+"),
-                           lambda t: t != "")) >= min_words),
-    )
-    base = (docs.select(F.col(id_col), lines.alias("_lines"),
-                        doc_bad.alias("_bad"))
-            .select(id_col, "_lines", "_bad", kept.alias("_kept")))
-    keep = (~F.col("_bad")) & (F.size("_kept") >= min_lines)
-    return base.select(
-        F.col(id_col),
-        keep.alias("keep"),
-        F.size("_lines").alias("n_lines"),
-        F.size("_kept").alias("n_kept"),
-        F.when(keep, F.array_join("_kept", "\n")).alias("clean_text"),
+    from dgraph_spark.operators.textstats import _let
+
+    c = F.col(text_col)
+
+    def line_pred(l):
+        return _let(
+            F.trim(l),
+            lambda s: s.rlike(r'[.!?"]$')
+            & (F.size(F.filter(F.split(s, r"\s+"),
+                               lambda t: t != "")) >= min_words))
+
+    fused = _let(F.lower(c), lambda low: _let(
+        F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != ""),
+        lambda lines: _let(
+            F.filter(lines, line_pred),
+            lambda kept: _let(
+                (~(low.contains("{") | low.contains("}")
+                   | low.contains("lorem ipsum")))
+                & (F.size(kept) >= min_lines),
+                lambda keep: F.struct(
+                    keep.alias("keep"),
+                    F.size(lines).alias("n_lines"),
+                    F.size(kept).alias("n_kept"),
+                    F.when(keep, F.array_join(kept, "\n"))
+                     .alias("clean_text"))))))
+    return docs.select(F.col(id_col), fused.alias("_s")).select(
+        id_col,
+        F.col("_s.keep").alias("keep"),
+        F.col("_s.n_lines").alias("n_lines"),
+        F.col("_s.n_kept").alias("n_kept"),
+        F.col("_s.clean_text").alias("clean_text"),
     )
 
 

@@ -68,15 +68,27 @@ def prepare_corpus(
                               text_col=text_col, id_col=id_col)
 
     split = hash_split(clean, split_fracs, id_col=id_col)
-    # pack each split's stream independently: stratum = (source, split)
+    # pack each split's stream independently: stratum = (source, split).
+    # The composite key is decomposed back into its parts afterwards
+    # (unit separator — not a join back to `split`, which would
+    # re-execute the whole quality+dedup chain on the second join
+    # side). Split names are dict keys with no separator in them, so
+    # taking the LAST component is exact even if a stratum value
+    # contains \x1f.
+    sep = "\x1f"
     keyed = split.withColumn(
-        "_pack_key", F.concat_ws("/", F.col(stratum_col), F.col("split")))
+        "_pack_key", F.concat_ws(sep, F.col(stratum_col), F.col("split")))
     packed = pack_sequences(keyed, budget=pack_budget,
                             stratum_col="_pack_key", text_col=text_col,
                             id_col=id_col)
-    corpus = (packed.join(split.select(id_col, stratum_col, "split"),
-                          id_col)
-              .drop("_pack_key"))
+    parts = F.split(F.col("_pack_key"), sep)
+    corpus = (packed
+              .withColumn(stratum_col, F.array_join(
+                  F.slice(parts, 1, F.size(parts) - 1), sep))
+              .withColumn("split", F.element_at(parts, -1))
+              .drop("_pack_key")
+              .select(id_col, stratum_col, "split", "n_tokens",
+                      "tok_offset", "first_seq", "last_seq"))
 
     from dgraph_spark.operators.pipeline_text import corpus_report
 

@@ -33,24 +33,54 @@ def token_count(col: Column) -> Column:
     return F.size(tokens_col(col))
 
 
-def lang_votes(col: Column, lang: str) -> Column:
+def _lang_votes(t: Column, lang: str) -> Column:
+    """Marker votes over a BOUND token array (a lambda variable or
+    cheap attribute — never pass a raw tokenizer expression)."""
     markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-    return F.size(F.filter(tokens_col(col), lambda t: F.array_contains(markers, t)))
+    return F.size(F.filter(t, lambda x: F.array_contains(markers, x)))
+
+
+def lang_votes(col: Column, lang: str) -> Column:
+    return _let(tokens_col(col), lambda t: _lang_votes(t, lang))
+
+
+def _lang_id_from(t: Column) -> Column:
+    """argmax over a bound token array; each language's vote is
+    let-bound because the argmax chain references it twice."""
+    def fold(votes):
+        best_lang = F.lit("und")
+        best_votes = F.lit(0)
+        for i, lang in enumerate(LANG_MARKERS):
+            take = votes[i] > best_votes
+            best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+            best_votes = F.when(take, votes[i]).otherwise(best_votes)
+        return best_lang
+
+    return _let(F.array(*[_lang_votes(t, lang) for lang in LANG_MARKERS]),
+                fold)
 
 
 def lang_id(col: Column) -> Column:
     """argmax of marker votes; ties or no votes -> 'und'.
     Deterministic tie-break: the languages are compared in fixed order
-    and a strictly-greater vote is required to take the lead."""
-    langs = list(LANG_MARKERS)
-    best_lang = F.lit("und")
-    best_votes = F.lit(0)
-    for lang in langs:
-        v = lang_votes(col, lang)
-        take = v > best_votes
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_votes = F.when(take, v).otherwise(best_votes)
-    return best_lang
+    and a strictly-greater vote is required to take the lead.
+    One tokenizer pass per row wherever the expression lands
+    (let-bound — see _let)."""
+    return _let(tokens_col(col), _lang_id_from)
+
+
+def _quality_from(s: Column, t: Column) -> Column:
+    """Quality score over bound normalized text + token array."""
+    chars = F.greatest(F.length(s), F.lit(1))
+    alpha = F.length(F.regexp_replace(s, r"[^a-z]", ""))
+    ntok = F.greatest(F.size(t), F.lit(1))
+    ndis = F.size(F.array_distinct(t))
+    score = (
+        0.4 * (alpha / chars)
+        + 0.3 * F.least(F.size(t) / F.lit(64.0), F.lit(1.0))
+        + 0.3 * (ndis / ntok)
+    )
+    return F.round(score, 4)
 
 
 def quality_score(col: Column) -> Column:
@@ -58,18 +88,9 @@ def quality_score(col: Column) -> Column:
       0.4 * alpha_ratio + 0.3 * clamp(tokens/64) + 0.3 * distinct_ratio
     where alpha_ratio = letters/chars, distinct_ratio = distinct tokens /
     tokens. The formula is the spec (oracle-matched)."""
-    s = normalized(col)
-    chars = F.greatest(F.length(s), F.lit(1))
-    alpha = F.length(F.regexp_replace(s, r"[^a-z]", ""))
-    toks = tokens_col(col)
-    ntok = F.greatest(F.size(toks), F.lit(1))
-    ndis = F.size(F.array_distinct(toks))
-    score = (
-        0.4 * (alpha / chars)
-        + 0.3 * F.least(F.size(toks) / F.lit(64.0), F.lit(1.0))
-        + 0.3 * (ndis / ntok)
-    )
-    return F.round(score, 4)
+    return _let(normalized(col),
+                lambda s: _let(tokens_col(col),
+                               lambda t: _quality_from(s, t)))
 
 
 def fingerprint(col: Column) -> Column:
@@ -78,14 +99,26 @@ def fingerprint(col: Column) -> Column:
 
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-pass per-document stats relation."""
+    """One-pass per-document stats relation — literally: the four
+    outputs derive from ONE let-bound (normalized, tokens) pair, so
+    the tokenizer runs once per row in the projection AND once inside
+    any filter a consumer pushes over it (before the binding, a
+    ``where(quality > x)`` predicate inlined 33 tokenizer copies)."""
     c = F.col(text_col)
-    return docs.select(
-        F.col(id_col),
-        token_count(c).alias("n_tokens"),
-        lang_id(c).alias("lang_pred"),
-        quality_score(c).alias("quality"),
-        fingerprint(c).alias("fp"),
+    fused = _let(normalized(c), lambda s: _let(
+        tokens_col(c),
+        lambda t: F.struct(
+            F.size(t).alias("n_tokens"),
+            _lang_id_from(t).alias("lang_pred"),
+            _quality_from(s, t).alias("quality"),
+            F.md5(s).alias("fp"),
+        )))
+    return docs.select(F.col(id_col), fused.alias("_s")).select(
+        id_col,
+        F.col("_s.n_tokens").alias("n_tokens"),
+        F.col("_s.lang_pred").alias("lang_pred"),
+        F.col("_s.quality").alias("quality"),
+        F.col("_s.fp").alias("fp"),
     )
 
 
@@ -103,60 +136,80 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     "top 2-gram" ties break to the struct-max (count, then
     lexicographically greatest gram) — any fixed rule works; this one
     is expressible identically in both engines. All pure column
-    expressions over a materialized token array: per-row cost is
-    O(distinct * tokens) on short web documents (bounded by chunking
-    upstream), and the operator is a narrow projection — zero shuffle
-    at any scale."""
-    base = _rep_base(docs, text_col, id_col)
-    cols = _rep_cols()
-    return base.select(
+    expressions with let-bound token/bigram arrays (_rep_struct):
+    per-row cost is O(distinct * tokens) on short web documents
+    (bounded by chunking upstream), and the operator is a narrow
+    projection — zero shuffle at any scale."""
+    s = _rep_struct(F.col(text_col))
+    return docs.select(F.col(id_col), s.alias("_s")).select(
         id_col,
-        cols["n_tokens"].alias("n_tokens"),
-        cols["dup_token_frac"].alias("dup_token_frac"),
-        cols["top_token_frac"].alias("top_token_frac"),
-        cols["top_bigram_char_frac"].alias("top_bigram_char_frac"),
+        F.col("_s.n_tokens").alias("n_tokens"),
+        F.col("_s.dup_token_frac").alias("dup_token_frac"),
+        F.col("_s.top_token_frac").alias("top_token_frac"),
+        F.col("_s.top_bigram_char_frac").alias("top_bigram_char_frac"),
     )
 
 
-def _rep_base(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Project materialized token (`t`) and bigram (`g2`) arrays: every
-    stat references them several times inside lambdas, and a bound
-    attribute is a lookup where an inlined expression would re-run the
-    tokenizer/zip_with per array element (SPARK-36718 keeps non-cheap
-    multi-referenced aliases un-inlined)."""
+def _let(val: Column, body) -> Column:
+    """Single-value let binding: evaluate ``val`` ONCE per row and
+    reference it many times in ``body`` — encoded as a one-element
+    transform, because a lambda parameter is Catalyst's only true
+    binder. Unlike a projected alias (which SPARK-36718 protects only
+    until a FILTER is pushed through the projection and inlines a
+    fresh copy of the expression per reference), a let-bound value
+    stays single-evaluation inside every inlined copy — so operators
+    built this way survive ``.where(...)`` pushdown without the
+    exponential re-evaluation that made `where(keep)` 100x the
+    projection cost."""
+    return F.get(F.transform(F.array(val), body), 0)
+
+
+def _rep_struct(text: Column) -> Column:
+    """struct(n_tokens, dup_token_frac, top_token_frac,
+    top_bigram_char_frac) for one document as a SINGLE self-contained
+    expression: token array, bigram array, and the scalar aggregates
+    are each let-bound, so the whole program costs one tokenizer pass
+    per row wherever it lands (projection, filter, join key)."""
     from dgraph_spark.operators.dedup import ordered_windows
 
-    toks = tokens_col(F.col(text_col))
-    return docs.select(F.col(id_col), toks.alias("t")).select(
-        id_col, "t", ordered_windows(F.col("t"), 2).alias("g2"))
+    def over_tokens(t):
+        def over_grams(g2):
+            n = F.size(t)
+            nd = F.size(F.array_distinct(t))
+            top_tok = F.array_max(
+                F.transform(F.array_distinct(t),
+                            lambda g: F.size(F.filter(t, lambda x: x == g))))
+            top_gram = F.array_max(
+                F.transform(
+                    F.array_distinct(g2),
+                    lambda g: F.struct(
+                        F.size(F.filter(g2, lambda x: x == g)).alias("c"),
+                        g.alias("g"))))
+            joined_len = F.length(F.array_join(t, " "))
+            scalars = F.struct(
+                n.alias("n"), nd.alias("nd"), top_tok.alias("topc"),
+                top_gram["c"].alias("gc"), top_gram["g"].alias("gg"),
+                joined_len.alias("jlen"))
 
+            def over_scalars(s):
+                return F.struct(
+                    s["n"].alias("n_tokens"),
+                    F.when(s["n"] > 0,
+                           F.round(1.0 - s["nd"] / s["n"], 4))
+                     .otherwise(F.lit(0.0)).alias("dup_token_frac"),
+                    F.when(s["n"] > 0, F.round(s["topc"] / s["n"], 4))
+                     .otherwise(F.lit(0.0)).alias("top_token_frac"),
+                    F.when(s["n"] >= 2,
+                           F.round(s["gc"] * F.length(s["gg"])
+                                   / s["jlen"], 4))
+                     .otherwise(F.lit(0.0)).alias("top_bigram_char_frac"),
+                )
 
-def _rep_cols() -> dict[str, Column]:
-    """Repetition-signal expressions over _rep_base's t/g2 columns."""
-    t, grams = F.col("t"), F.col("g2")
-    n = F.size(t)
-    nd = F.size(F.array_distinct(t))
-    top_tok = F.array_max(
-        F.transform(F.array_distinct(t),
-                    lambda g: F.size(F.filter(t, lambda x: x == g))))
-    top_gram = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.struct(
-                F.size(F.filter(grams, lambda x: x == g)).alias("c"),
-                g.alias("g"))))
-    joined_len = F.length(F.array_join(t, " "))
-    return {
-        "n_tokens": n,
-        "dup_token_frac": F.when(n > 0, F.round(1.0 - nd / n, 4))
-                           .otherwise(F.lit(0.0)),
-        "top_token_frac": F.when(n > 0, F.round(top_tok / n, 4))
-                           .otherwise(F.lit(0.0)),
-        "top_bigram_char_frac": F.when(
-            n >= 2,
-            F.round(top_gram["c"] * F.length(top_gram["g"]) / joined_len, 4),
-        ).otherwise(F.lit(0.0)),
-    }
+            return _let(scalars, over_scalars)
+
+        return _let(ordered_windows(t, 2), over_grams)
+
+    return _let(tokens_col(text), over_tokens)
 
 
 # (rule name, predicate builder) in fixed evaluation order — the rule
@@ -192,7 +245,13 @@ def gopher_quality_filter(
     ``reasons_as_string`` emits reasons comma-joined instead of as an
     array (rule order is deterministic, so the string is too) — for
     consumers whose row canonicalizers can't hash list cells (the
-    correctness driver's pandas hasher is one)."""
+    correctness driver's pandas hasher is one).
+
+    The whole rule program is ONE let-bound expression (_rep_struct +
+    _let), so ``.where("keep")`` — the recipe's hot path — pushes to
+    the parquet scan as a single-tokenizer-pass predicate instead of
+    inlining a fresh copy of the array program per rule (measured
+    100x at sf0.1 before the binding)."""
     params = {
         "min_tokens": min_tokens,
         "max_tokens": max_tokens,
@@ -200,18 +259,20 @@ def gopher_quality_filter(
         "max_top_token_frac": max_top_token_frac,
         "max_top_bigram_char_frac": max_top_bigram_char_frac,
     }
-    base = _rep_base(docs, text_col, id_col)
-    cols = _rep_cols()
-    reasons = F.filter(
-        F.array(*[
-            F.when(pred(cols, params), F.lit(name))
-             .otherwise(F.lit(None).cast("string"))
-            for name, pred in GOPHER_RULES
-        ]),
-        lambda r: r.isNotNull(),
-    )
-    return base.select(
-        id_col,
+
+    def over_stats(c):
+        return F.filter(
+            F.array(*[
+                F.when(pred(c, params), F.lit(name))
+                 .otherwise(F.lit(None).cast("string"))
+                for name, pred in GOPHER_RULES
+            ]),
+            lambda r: r.isNotNull(),
+        )
+
+    reasons = _let(_rep_struct(F.col(text_col)), over_stats)
+    return docs.select(
+        F.col(id_col),
         reasons.alias("reasons"),
     ).select(
         id_col,

@@ -37,6 +37,12 @@ def test_oracle(spark, con, name, entry):
             sql = COMPUTED_ORACLES[name]()
         finally:
             os.environ.pop("DGSPARK_ORACLE_SF_DIR", None)
+    else:
+        # sf-independent builder oracles (e.g. prepare_corpus composes
+        # its CASE thresholds from the split fractions)
+        from dgraph_spark.entry_queries import resolve_sql
+
+        sql = resolve_sql(sql)
     sdf = fn(spark, SF_SMALL)
     srows = [tuple(r) for r in sdf.collect()]
     if sql is None:
