@@ -559,3 +559,27 @@ def test_corpus_report(spark):
             out["web"]["mean_tokens"], out["web"]["n_langs"]) == (2, 5, 2.5, 2)
     assert (out["book"]["n_docs"], out["book"]["n_tokens"],
             out["book"]["n_langs"]) == (1, 1, 1)
+
+
+def test_filterable_outputs_stay_single_pass_under_pushdown(spark):
+    """Regression pin for the round-9 pushdown blowup (PLANS.md):
+    filtering on a computed keep/quality column must NOT inline a
+    copy of the tokenizer per rule reference. Before the let-binding
+    fix the pushed quality predicate contained 25 split( sites (48 s
+    at sf0.1); the bound expressions keep it at <= a handful (one per
+    surviving expression copy, each internally single-pass)."""
+    from dgraph_spark.operators.pipeline_text import c4_line_clean
+    from dgraph_spark.operators.textstats import (
+        gopher_quality_filter, text_stats)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today ok")],
+        "doc_id long, text string")
+
+    def splits(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "split(")
+
+    assert splits(gopher_quality_filter(docs).where("keep")) <= 4
+    assert splits(text_stats(docs).where("quality > 0.5")) <= 4
+    assert splits(c4_line_clean(docs).where("keep")) <= 6
