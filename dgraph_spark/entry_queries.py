@@ -2329,6 +2329,70 @@ FROM offs
 """
 
 
+def q_line_stats(spark, sf_dir):
+    """Gopher line-level repetition signals (textstats.
+    line_repetition_stats). The synthetic documents are single-line,
+    so the entry derives a multi-line corpus first by turning two
+    frequent vocabulary words into line breaks — deterministic and
+    identical in the twin (leftmost non-overlapping replace in both
+    engines)."""
+    from dgraph_spark.operators.textstats import line_repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lined = docs.withColumn(
+        "text", F.regexp_replace("text", r" (table|value) ", "\n"))
+    return line_repetition_stats(lined)
+
+
+SQL_line_stats = r"""
+WITH lined AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (table|value) ', chr(10), 'g') AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x != '') AS l
+  FROM lined),
+base AS (
+  SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS nd,
+         list_sum(list_transform(l, x -> length(x))) AS chars,
+         list_sum(list_transform(list_distinct(l),
+             d -> (len(list_filter(l, x -> x = d)) - 1) * length(d)))
+           AS dupchars
+  FROM lines)
+SELECT doc_id, CAST(n AS BIGINT) AS n_lines,
+       CASE WHEN n > 0 THEN round(1.0 - nd / CAST(n AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN chars > 0
+            THEN round(dupchars / CAST(chars AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_line_char_frac
+FROM base
+"""
+
+
+_BLOCKLIST = ["spark", "vector"]
+
+
+def q_blocklist(spark, sf_dir):
+    """C4-style phrase-blocklist filter (textstats.blocklist_filter)
+    with a two-phrase demo list that splits the corpus."""
+    from dgraph_spark.operators.textstats import blocklist_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return blocklist_filter(docs, _BLOCKLIST)
+
+
+SQL_blocklist = """
+SELECT doc_id, n_hits = 0 AS keep, n_hits FROM (
+  SELECT doc_id,
+         CAST(len(list_filter(['spark', 'vector'],
+                              p -> contains(lower(text), p))) AS BIGINT)
+           AS n_hits
+  FROM documents)
+"""
+
+
 def q_prepare_corpus(spark, sf_dir):
     """The one-call pipeline recipe (operators/recipes.py): quality
     filter -> exact-dedup keep-min -> hash split -> per-(source,split)
@@ -2917,6 +2981,8 @@ QUERIES: dict[str, tuple] = {
     "repetition_stats": (q_repetition_stats, SQL_repetition_stats),
     "pack_sequences": (q_pack_sequences, SQL_pack_sequences),
     "prepare_corpus": (q_prepare_corpus, _sql_prepare_corpus),
+    "line_stats": (q_line_stats, SQL_line_stats),
+    "blocklist": (q_blocklist, SQL_blocklist),
     "quality_filter": (q_quality_filter, SQL_quality_filter),
     "semantic_dedup": (q_semantic_dedup, SQL_semantic_dedup),
     "stream_dedup": (q_stream_dedup, SQL_stream_dedup),

@@ -280,3 +280,92 @@ def gopher_quality_filter(
         (F.array_join("reasons", ",") if reasons_as_string
          else F.col("reasons")).alias("reasons"),
     )
+
+
+def line_repetition_stats(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Gopher's LINE-level repetition signals (Rae et al. 2021 §A1.1
+    "repetition removal" at line granularity; the token/bigram
+    signals live in repetition_stats):
+
+      - n_lines             non-empty trimmed lines
+      - dup_line_frac       1 - distinct_lines/lines      (0 when none)
+      - dup_line_char_frac  chars inside REPEATED occurrences
+                            (sum over distinct lines of
+                            (count-1)*len(line)) / total line chars
+
+    Both fractions are occurrence-order-independent, so the DuckDB
+    twin is exact. One let-bound expression per row (see _let) — no
+    shuffle at any scale, filter-pushdown safe."""
+    def over_lines(lines):
+        def over_scalars(s):
+            return F.struct(
+                s["n"].cast("long").alias("n_lines"),
+                F.when(s["n"] > 0,
+                       F.round(1.0 - s["nd"] / s["n"], 4))
+                 .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+                F.when(s["chars"] > 0,
+                       F.round(s["dupchars"] / s["chars"], 4))
+                 .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+            )
+
+        n = F.size(lines)
+        nd = F.size(F.array_distinct(lines))
+        chars = F.aggregate(lines, F.lit(0).cast("long"),
+                            lambda acc, l: acc + F.length(l))
+        dupchars = F.aggregate(
+            F.array_distinct(lines), F.lit(0).cast("long"),
+            lambda acc, d: acc
+            + (F.size(F.filter(lines, lambda x: x == d)) - 1)
+            * F.length(d))
+        return _let(F.struct(n.alias("n"), nd.alias("nd"),
+                             chars.alias("chars"),
+                             dupchars.alias("dupchars")), over_scalars)
+
+    # NB: F.transform(col, F.trim) misbinds — trim's optional second
+    # parameter would receive the element INDEX; bind explicitly
+    lines_expr = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "")
+    fused = _let(lines_expr, over_lines)
+    return docs.select(F.col(id_col), fused.alias("_s")).select(
+        id_col,
+        F.col("_s.n_lines").alias("n_lines"),
+        F.col("_s.dup_line_frac").alias("dup_line_frac"),
+        F.col("_s.dup_line_char_frac").alias("dup_line_char_frac"),
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style phrase-blocklist document filter (Raffel et al. 2020
+    §2.2 applied a public "bad words" list with substring matching):
+    ``keep`` is true iff NONE of ``phrases`` occurs as a substring of
+    the lowercased text; ``n_hits`` counts matching phrases. The
+    phrase list is a broadcast-free literal array (bounded list — the
+    public lists are a few hundred entries), the match one let-bound
+    pass per row; pushdown-safe like every keep-flag operator here."""
+    if not phrases:
+        raise ValueError("empty blocklist")
+    plit = F.array(*[F.lit(p.lower()) for p in phrases])
+
+    def over_low(low):
+        def over_hits(nhits):
+            return F.struct((nhits == 0).alias("keep"),
+                            nhits.alias("n_hits"))
+
+        return _let(
+            F.size(F.filter(plit, lambda p: low.contains(p)))
+             .cast("long"),
+            over_hits)
+
+    fused = _let(F.lower(F.col(text_col)), over_low)
+    return docs.select(F.col(id_col), fused.alias("_s")).select(
+        id_col,
+        F.col("_s.keep").alias("keep"),
+        F.col("_s.n_hits").alias("n_hits"),
+    )

@@ -583,3 +583,37 @@ def test_filterable_outputs_stay_single_pass_under_pushdown(spark):
     assert splits(gopher_quality_filter(docs).where("keep")) <= 4
     assert splits(text_stats(docs).where("quality > 0.5")) <= 4
     assert splits(c4_line_clean(docs).where("keep")) <= 6
+
+
+def test_line_repetition_stats(spark):
+    from dgraph_spark.operators.textstats import line_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "aaa\naaa\nbbb"),       # one dup line: frac 1/3, chars 3/9
+         (2, "x\n\n  \ny"),          # blank/ws lines dropped
+         (3, ""),                    # empty doc -> all zeros
+         (5, "dup\ndup\ndup\nuniq")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_repetition_stats(df).collect()}
+    assert (out[1]["n_lines"], out[1]["dup_line_frac"],
+            out[1]["dup_line_char_frac"]) == (3, 0.3333, 0.3333)
+    assert out[2]["n_lines"] == 2 and out[2]["dup_line_frac"] == 0.0
+    assert (out[3]["n_lines"], out[3]["dup_line_frac"]) == (0, 0.0)
+    # doc 5: 4 lines, 2 distinct -> 0.5; dup chars 2*3=6 of 13 -> 0.4615
+    assert (out[5]["dup_line_frac"], out[5]["dup_line_char_frac"]) \
+        == (0.5, 0.4615)
+
+
+def test_blocklist_filter(spark):
+    from dgraph_spark.operators.textstats import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "a BAD word here"), (2, "all clean"), (3, "bad and worse")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in blocklist_filter(df, ["bad", "WORSE"]).collect()}
+    assert (out[1]["keep"], out[1]["n_hits"]) == (False, 1)
+    assert (out[2]["keep"], out[2]["n_hits"]) == (True, 0)
+    assert (out[3]["keep"], out[3]["n_hits"]) == (False, 2)
+    with pytest.raises(ValueError, match="empty blocklist"):
+        blocklist_filter(df, [])
