@@ -372,3 +372,51 @@ def test_bm25_query_tokenizer_matches_doc_spec(spark):
         "doc_id long, text string")
     top = bm25_search(docs, "cat\xa0dog", k=2).collect()
     assert [r["doc_id"] for r in top] == [1]
+
+
+def _py_line_stats(text: str):
+    lines = [l.strip() for l in text.split("\n")]
+    lines = [l for l in lines if l]
+    n = len(lines)
+    if n == 0:
+        return (0, 0.0, 0.0)
+    nd = len(set(lines))
+    chars = sum(len(l) for l in lines)
+    dupchars = sum((lines.count(d) - 1) * len(d) for d in set(lines))
+    return (n, round(1.0 - nd / n, 4),
+            round(dupchars / chars, 4) if chars > 0 else 0.0)
+
+
+@pytest.mark.parametrize("seed", [20260816, 77])
+def test_line_stats_fuzz(spark, seed):
+    from dgraph_spark.operators.textstats import line_repetition_stats
+
+    rng = random.Random(seed)
+    frags = ["aa bb", "cc", "dd ee ff", "  ", "", "gg"]
+    rows = [(i, "\n".join(rng.choice(frags)
+                          for _ in range(rng.randint(0, 12))))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["dup_line_frac"],
+                         r["dup_line_char_frac"])
+           for r in line_repetition_stats(docs).collect()}
+    for i, text in rows:
+        assert got[i] == _py_line_stats(text), (i, text)
+
+
+@pytest.mark.parametrize("seed", [20260816, 78])
+def test_blocklist_fuzz(spark, seed):
+    from dgraph_spark.operators.textstats import blocklist_filter
+
+    rng = random.Random(seed)
+    vocab = ["safe", "fine", "BadWord", "sketchy", "ok", "worse stuff"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 15))))
+            for i in range(120)]
+    phrases = ["badword", "worse STUFF", "absent"]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["n_hits"])
+           for r in blocklist_filter(docs, phrases).collect()}
+    for i, text in rows:
+        hits = sum(1 for p in phrases if p.lower() in text.lower())
+        assert got[i] == (hits == 0, hits), (i, text)
