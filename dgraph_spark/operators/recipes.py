@@ -1,20 +1,28 @@
-"""End-to-end training-corpus preparation: the documented composition
-of the pipeline operators, so a user gets the standard
+"""End-to-end training-corpus preparation: the standard
 quality→dedup→decontaminate→split→pack flow in one call instead of
 wiring eight operators by hand.
 
-Every stage is one of the individually-oracled operators; this module
-adds NO new semantics — it only chains them, which keeps the whole
-recipe inside the per-operator correctness gates. Scale shape is the
-sum of its parts: one aggregation for the quality stats, one
-hash-groupBy for exact dedup, a broadcast anti-join for
-decontamination, narrow transforms for split/weights, one window for
-packing.
+The SEMANTICS are exactly the composition of the individually-oracled
+operators (gopher_quality_filter → exact_duplicates keep-min →
+decontaminate → hash_split → pack_sequences → corpus_report; the
+driver entry `prepare_corpus` gates the composed output against a
+DuckDB CTE twin). The PLAN is deliberately tighter than naive
+chaining: one corpus scan computes keep/fingerprint/token-count/
+char-count in a single projection (the quality predicate is a
+let-bound expression, so it pushes to the scan as one tokenizer
+pass), exact dedup is a row_number window over the fingerprint
+(equivalent to keep-min-id, no groupBy+explode+anti-join re-scan),
+and every shuffle after the scan carries only slim columns — text
+never shuffles. Round-9 A/B: 2.6 s → ~1 s at sf0.1; the naive
+semi/anti-join chaining before the round-9 pushdown fix was 45-65 s.
+
+Scale shape: one scan + two narrow shuffles (fingerprint window,
+pack-key window) + the optional broadcast decontamination anti-join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -34,9 +42,10 @@ def prepare_corpus(
     corpus: one row per surviving document —
       (doc_id, <stratum>, split, n_tokens, tok_offset,
        first_seq, last_seq)
-    report: per-stratum dataset card of the SURVIVING corpus.
+    report: per-stratum dataset card of the SURVIVING corpus
+      (same formulas as corpus_report).
 
-    Stages (each individually driver-oracled):
+    Stage semantics (each individually driver-oracled):
       1. gopher_quality_filter  — drop rule-failing documents
       2. exact_duplicates       — keep the smallest id per dup group
       3. decontaminate          — drop benchmark n-gram overlaps
@@ -45,42 +54,70 @@ def prepare_corpus(
       5. pack_sequences         — per (stratum, split) token stream
       6. corpus_report          — the dataset card
     """
-    from dgraph_spark.operators.dedup import exact_duplicates
+    from dgraph_spark.operators.dedup import normalized
     from dgraph_spark.operators.pipeline_text import (
-        decontaminate, hash_split, pack_sequences)
-    from dgraph_spark.operators.textstats import gopher_quality_filter
+        _ws_tokens, decontaminate, hash_split, pack_sequences)
+    from dgraph_spark.operators.textstats import (
+        GOPHER_DEFAULTS, gopher_reasons_expr)
 
     split_fracs = split_fracs or {"train": 0.98, "val": 0.01,
                                   "test": 0.01}
+    text = F.col(text_col)
 
-    keep = gopher_quality_filter(
-        docs, text_col=text_col, id_col=id_col)
-    clean = docs.join(keep.where("keep").select(id_col),
-                      id_col, "left_semi")
+    # ONE corpus scan: quality predicate pushed to the scan, then a
+    # single projection computes everything downstream stages need —
+    # text itself never shuffles (decontamination is the one consumer
+    # that still needs it, so it is carried only when bench is given).
+    # The quality predicate is COMPUTE-bound (~0.3 ms/doc of
+    # interpreted HOF work), but Spark sizes scan partitions for I/O:
+    # a small corpus (one file under the 4 MB open-cost) reads as ONE
+    # partition and the whole pass runs single-core. Spread it when
+    # the scan is under-parallel — at crawl scale the input has
+    # thousands of partitions and this branch is a no-op, so the
+    # repartition never ships 100 TB anywhere. (Same pattern as the
+    # jaccard verify's compute-bound repartition, dedup.py.)
+    sc = docs.sparkSession.sparkContext
+    if (not docs.isStreaming
+            and docs.rdd.getNumPartitions()
+            < max(2, sc.defaultParallelism // 2)):
+        docs = docs.repartition(sc.defaultParallelism)
 
-    dups = exact_duplicates(clean, text_col=text_col, id_col=id_col)
-    losers = dups.select(
-        F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias(id_col))
-    clean = clean.join(losers, id_col, "left_anti")
+    keep_expr = F.size(gopher_reasons_expr(text, GOPHER_DEFAULTS)) == 0
+    slim_cols = [
+        F.col(id_col), F.col(stratum_col),
+        (F.col("lang") if "lang" in docs.columns
+         else F.lit("und")).alias("_lang"),
+        F.md5(normalized(text)).alias("_fp"),
+        F.size(_ws_tokens(text)).cast("long").alias("_nt"),
+        F.length(text).cast("long").alias("_nc"),
+    ]
+    if bench is not None:
+        slim_cols.append(text)
+    slim = docs.where(keep_expr).select(*slim_cols)
+
+    # exact dedup = keep the smallest id per normalized-text
+    # fingerprint: a row_number window over _fp, equivalent to
+    # exact_duplicates + loser anti-join but one narrow shuffle
+    fpw = Window.partitionBy("_fp").orderBy(id_col)
+    clean = (slim.withColumn("_rn", F.row_number().over(fpw))
+             .where(F.col("_rn") == 1).drop("_rn", "_fp"))
 
     if bench is not None:
         clean = decontaminate(clean, bench, n=decontaminate_n,
                               text_col=text_col, id_col=id_col)
+        clean = clean.drop(text_col)
 
     split = hash_split(clean, split_fracs, id_col=id_col)
     # pack each split's stream independently: stratum = (source, split).
-    # The composite key is decomposed back into its parts afterwards
-    # (unit separator — not a join back to `split`, which would
-    # re-execute the whole quality+dedup chain on the second join
-    # side). Split names are dict keys with no separator in them, so
-    # taking the LAST component is exact even if a stratum value
-    # contains \x1f.
+    # The composite key is decomposed back afterwards (unit separator —
+    # split names are dict keys with no separator, so taking the LAST
+    # component is exact even if a stratum value contains \x1f).
     sep = "\x1f"
     keyed = split.withColumn(
         "_pack_key", F.concat_ws(sep, F.col(stratum_col), F.col("split")))
     packed = pack_sequences(keyed, budget=pack_budget,
-                            stratum_col="_pack_key", text_col=text_col,
-                            id_col=id_col)
+                            stratum_col="_pack_key",
+                            tokens_col="_nt", id_col=id_col)
     parts = F.split(F.col("_pack_key"), sep)
     corpus = (packed
               .withColumn(stratum_col, F.array_join(
@@ -90,12 +127,13 @@ def prepare_corpus(
               .select(id_col, stratum_col, "split", "n_tokens",
                       "tok_offset", "first_seq", "last_seq"))
 
-    from dgraph_spark.operators.pipeline_text import corpus_report
-
-    rep_src = split.drop("split")
-    if "lang" not in rep_src.columns:
-        rep_src = rep_src.withColumn("lang", F.lit("und"))
-    report = corpus_report(
-        rep_src, stratum_col=stratum_col,
-        text_col=text_col, id_col=id_col)
+    # dataset card over the survivors: corpus_report's exact formulas,
+    # fed from the precomputed slim columns (no second text pass)
+    report = (clean.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.round(F.avg("_nt"), 4).alias("mean_tokens"),
+        F.sum("_nc").alias("n_chars"),
+        F.count_distinct(F.col("_lang")).alias("n_langs"),
+    ))
     return {"corpus": corpus, "report": report}

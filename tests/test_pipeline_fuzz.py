@@ -420,3 +420,45 @@ def test_blocklist_fuzz(spark, seed):
     for i, text in rows:
         hits = sum(1 for p in phrases if p.lower() in text.lower())
         assert got[i] == (hits == 0, hits), (i, text)
+
+
+def _py_rep_stats(text: str):
+    """Independent reimplementation of repetition_stats (Counter-based;
+    the engine now computes top counts via sorted max-run aggregates,
+    so this leg guards the run-length/tie-break equivalence)."""
+    import re
+    from collections import Counter
+
+    toks = [w for w in re.split(r"[\W_]+", text.lower(), flags=re.UNICODE)
+            if w]
+    n = len(toks)
+    if n == 0:
+        return (0, 0.0, 0.0, 0.0)
+    cnt = Counter(toks)
+    dupf = round(1.0 - len(cnt) / n, 4)
+    topf = round(max(cnt.values()) / n, 4)
+    if n >= 2:
+        grams = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+        mx = max(grams.values())
+        g = max(k for k, v in grams.items() if v == mx)  # tie: greatest
+        bigf = round(mx * len(g) / len(" ".join(toks)), 4)
+    else:
+        bigf = 0.0
+    return (n, dupf, topf, bigf)
+
+
+@pytest.mark.parametrize("seed", [20260816, 41])
+def test_repetition_stats_fuzz(spark, seed):
+    from dgraph_spark.operators.textstats import repetition_stats
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd"]  # tiny vocab -> many count ties
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 25))))
+            for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_token_frac"],
+                         r["top_token_frac"], r["top_bigram_char_frac"])
+           for r in repetition_stats(docs).collect()}
+    for i, text in rows:
+        assert got[i] == _py_rep_stats(text), (i, text)
