@@ -3022,33 +3022,35 @@ QUERIES: dict[str, tuple] = {
 # entries). With 116+ entries and a 50-slot sample, nothing should
 # ever be more than two rounds stale.
 _NEWEST_GREEN_ROW = {
-    "after_uid": 7,
-    "agg_math_root": 7,
-    "allofterms": 7,
-    "alloftext": 6,
+    "after_uid": 9,
+    "agg_math_root": 9,
+    "allofterms": 9,
+    "alloftext": 9,
     "ann_lsh": 8,
     "anyof_custom": 8,
-    "anyofterms": 7,
-    "anyoftext": 6,
-    "anyoftext_de": 6,
-    "anyoftext_es": 6,
-    "anyoftext_fr": 6,
-    "anyoftext_zh": 6,
+    "anyofterms": 9,
+    "anyoftext": 9,
+    "anyoftext_de": 9,
+    "anyoftext_es": 9,
+    "anyoftext_fr": 9,
+    "anyoftext_zh": 9,
     "asof_join": 8,
-    "backup_restore": 7,
-    "between_dates": 7,
-    "bigfloat_agg": 7,
+    "backup_restore": 9,
+    "between_dates": 9,
+    "bigfloat_agg": 9,
+    "blocklist": 9,
     "bm25_search": 8,
     "bpe_tokens": 8,
     "c4_clean": 8,
-    "cascade": 7,
+    "cascade": 9,
     "cdc_diff": 8,
     "chain_region_revenue": 8,
     "chunk_docs": 8,
-    "connected_components": 6,
+    "connected_components": 9,
     "contamination_scores": 8,
-    "count_having": 7,
-    "count_uid_root": 7,
+    "corpus_report": 9,
+    "count_having": 9,
+    "count_uid_root": 9,
     "decontaminate": 8,
     "dedup_clusters": 8,
     "dedup_embedding_cosine": 8,
@@ -3059,42 +3061,46 @@ _NEWEST_GREEN_ROW = {
     "dedup_simhash": 8,
     "dedup_spans": 8,
     "domain_mix": 8,
-    "eq_val_var": 7,
-    "expand_all": 7,
-    "export_roundtrip": 7,
-    "facet_filter": 7,
-    "facet_order": 7,
-    "facet_output": 6,
-    "facet_var_order": 7,
-    "fuzzy_match": 7,
-    "geo_contains": 7,
-    "geo_intersects": 7,
-    "geo_near_poly": 7,
-    "geo_within": 7,
-    "graphql_query": 7,
-    "groupby_q1": 7,
-    "groupby_uid_pred": 7,
+    "eq_val_var": 9,
+    "expand_all": 9,
+    "export_roundtrip": 9,
+    "facet_filter": 9,
+    "facet_order": 9,
+    "facet_output": 9,
+    "facet_var_order": 9,
+    "fuzzy_match": 9,
+    "geo_contains": 9,
+    "geo_intersects": 9,
+    "geo_near_poly": 9,
+    "geo_within": 9,
+    "graphql_query": 9,
+    "groupby_q1": 9,
+    "groupby_uid_pred": 9,
     "hash_split": 8,
     "ignorereflex": 8,
     "interval_join": 8,
-    "json_load_roundtrip": 7,
-    "json_mutation_roundtrip": 7,
+    "json_load_roundtrip": 9,
+    "json_mutation_roundtrip": 9,
     "knn_batch": 8,
     "lang_preference": 8,
-    "len_filter": 7,
+    "len_filter": 9,
     "level_agg_sum": 7,
+    "line_stats": 9,
     "lm_perplexity": 8,
     "math_per_uid": 7,
     "multimodal_audio": 8,
     "multimodal_features": 8,
     "multimodal_frames": 8,
     "mutation_roundtrip": 7,
-    "ngram_search": 6,
+    "ngram_search": 9,
     "not_has": 7,
     "order_by_val": 8,
-    "pagerank": 6,
+    "pack_sequences": 9,
+    "pagerank": 9,
     "per_parent_topk": 7,
+    "prepare_corpus": 9,
     "q5_local_supplier": 7,
+    "quality_filter": 9,
     "recurse_depth5": 7,
     "recurse_reach": 8,
     "regexp": 7,
@@ -3104,6 +3110,7 @@ _NEWEST_GREEN_ROW = {
     "schema_introspect": 7,
     "scrub_pii": 8,
     "semantic_dedup": 8,
+    "sessionize": 9,
     "shortest_path": 8,
     "similar_to": 8,
     "similar_to_dql": 8,
@@ -3112,22 +3119,22 @@ _NEWEST_GREEN_ROW = {
     "stateful_counts": 8,
     "stem_tokens_ar": 7,
     "stem_tokens_ckb": 7,
-    "stem_tokens_da": 6,
+    "stem_tokens_da": 9,
     "stem_tokens_en": 8,
     "stem_tokens_fi": 7,
     "stem_tokens_hi": 7,
     "stem_tokens_hu": 7,
-    "stem_tokens_it": 6,
+    "stem_tokens_it": 9,
     "stem_tokens_nl": 7,
     "stem_tokens_no": 7,
-    "stem_tokens_pt": 6,
+    "stem_tokens_pt": 9,
     "stem_tokens_ro": 7,
-    "stem_tokens_ru": 6,
-    "stem_tokens_sv": 6,
+    "stem_tokens_ru": 9,
+    "stem_tokens_sv": 9,
     "stem_tokens_tr": 8,
     "stream_dedup": 8,
     "stream_session": 7,
-    "stream_sliding": 6,
+    "stream_sliding": 9,
     "stream_tumbling": 8,
     "text_stats": 8,
     "topk_root_order": 7,

@@ -63,8 +63,15 @@ def _corpus_key(docs: DataFrame, *extra) -> tuple | None:
     """Cache key for a corpus DataFrame: (session id, plan semantic hash,
     input-file snapshot, *extra). The snapshot (sorted file paths +
     mtimes) distinguishes a rewritten parquet directory from the prior
-    contents even though the PLAN hash is identical; in-memory DataFrames
-    (no input files) are immutable so the plan hash alone suffices.
+    contents even though the PLAN hash is identical; in-memory
+    DataFrames (no input files) are immutable so the plan hash alone
+    suffices. Sources with NO file snapshot whose plan hash is also
+    data-independent (spark.read.table over a mutable catalog table,
+    JDBC) are NOT cacheable — an in-session data change would silently
+    serve stale stats — so when the snapshot is empty every leaf must
+    be immutable-by-construction: LocalRelation/Range (literal data in
+    the plan) or LogicalRDD (createDataFrame — the RDD id is part of
+    the plan hash and RDD lineage is immutable).
     Returns None when the key can't be built (no caching)."""
     try:
         sess = docs.sparkSession
@@ -80,6 +87,13 @@ def _corpus_key(docs: DataFrame, *extra) -> tuple | None:
                 snap.append((f, _os.path.getmtime(p)))
             except OSError:
                 snap.append((f, None))
+        if not snap:
+            immutable = {"LocalRelation", "LogicalRDD", "Range",
+                         "OneRowRelation"}
+            leaves = docs._jdf.queryExecution().analyzed().collectLeaves()
+            if not all(leaves.apply(i).nodeName() in immutable
+                       for i in range(leaves.size())):
+                return None
         key = (sid, docs._jdf.semanticHash(), tuple(sorted(snap))) + extra
         # A rewritten parquet dir produces a new snapshot under the same
         # (session, plan, extras); the superseded entry can never be hit

@@ -110,18 +110,30 @@ def prepare_corpus(
     split = hash_split(clean, split_fracs, id_col=id_col)
     # pack each split's stream independently: stratum = (source, split).
     # The composite key is decomposed back afterwards (unit separator —
-    # split names are dict keys with no separator, so taking the LAST
-    # component is exact even if a stratum value contains \x1f).
+    # split names are validated below to contain no separator, so
+    # taking the LAST component is exact even if a stratum value
+    # contains \x1f). A NULL stratum would be SKIPPED by concat_ws
+    # (collapsing it to '' on the way back), so it rides through as a
+    # sentinel and is restored to NULL after the decompose.
     sep = "\x1f"
+    null_stratum = "\x1e<null>\x1e"
+    bad = [k for k in split_fracs if sep in k]
+    if bad:
+        raise ValueError(f"split names must not contain {sep!r}: {bad}")
     keyed = split.withColumn(
-        "_pack_key", F.concat_ws(sep, F.col(stratum_col), F.col("split")))
+        "_pack_key",
+        F.concat_ws(sep,
+                    F.coalesce(F.col(stratum_col), F.lit(null_stratum)),
+                    F.col("split")))
     packed = pack_sequences(keyed, budget=pack_budget,
                             stratum_col="_pack_key",
                             tokens_col="_nt", id_col=id_col)
     parts = F.split(F.col("_pack_key"), sep)
+    restored = F.array_join(F.slice(parts, 1, F.size(parts) - 1), sep)
     corpus = (packed
-              .withColumn(stratum_col, F.array_join(
-                  F.slice(parts, 1, F.size(parts) - 1), sep))
+              .withColumn(stratum_col,
+                          F.when(restored == null_stratum, F.lit(None))
+                           .otherwise(restored))
               .withColumn("split", F.element_at(parts, -1))
               .drop("_pack_key")
               .select(id_col, stratum_col, "split", "n_tokens",

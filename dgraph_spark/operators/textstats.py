@@ -341,7 +341,15 @@ def line_repetition_stats(docs: DataFrame, text_col: str = "text",
 
     Both fractions are occurrence-order-independent, so the DuckDB
     twin is exact. One let-bound expression per row (see _let) — no
-    shuffle at any scale, filter-pushdown safe."""
+    shuffle at any scale, filter-pushdown safe.
+
+    dup-chars is O(n log n) per row: sort the lines, then ONE
+    aggregate pass where each line equal to its predecessor in sorted
+    order contributes its length — exactly sum over distinct lines of
+    (count-1)*len(line). (The first implementation re-filtered the
+    full array per distinct line — O(distinct x total), ~2.5e9
+    comparisons for the 50k-line boilerplate docs this filter exists
+    to catch; A/B in PLANS.md.)"""
     def over_lines(lines):
         def over_scalars(s):
             return F.struct(
@@ -359,10 +367,15 @@ def line_repetition_stats(docs: DataFrame, text_col: str = "text",
         chars = F.aggregate(lines, F.lit(0).cast("long"),
                             lambda acc, l: acc + F.length(l))
         dupchars = F.aggregate(
-            F.array_distinct(lines), F.lit(0).cast("long"),
-            lambda acc, d: acc
-            + (F.size(F.filter(lines, lambda x: x == d)) - 1)
-            * F.length(d))
+            F.array_sort(lines),
+            F.struct(F.lit(None).cast("string").alias("prev"),
+                     F.lit(0).cast("long").alias("dup")),
+            lambda acc, l: F.struct(
+                l.alias("prev"),
+                (acc["dup"] + F.when(acc["prev"].eqNullSafe(l),
+                                     F.length(l))
+                               .otherwise(F.lit(0))).alias("dup")),
+            lambda acc: acc["dup"])
         return _let(F.struct(n.alias("n"), nd.alias("nd"),
                              chars.alias("chars"),
                              dupchars.alias("dupchars")), over_scalars)

@@ -375,7 +375,10 @@ def test_bm25_query_tokenizer_matches_doc_spec(spark):
 
 
 def _py_line_stats(text: str):
-    lines = [l.strip() for l in text.split("\n")]
+    # space-only trim — the engine (F.trim) and the DuckDB twin (trim)
+    # both strip ASCII spaces, NOT tabs; str.strip() would diverge on
+    # tab-padded lines
+    lines = [l.strip(" ") for l in text.split("\n")]
     lines = [l for l in lines if l]
     n = len(lines)
     if n == 0:
@@ -392,7 +395,8 @@ def test_line_stats_fuzz(spark, seed):
     from dgraph_spark.operators.textstats import line_repetition_stats
 
     rng = random.Random(seed)
-    frags = ["aa bb", "cc", "dd ee ff", "  ", "", "gg"]
+    frags = ["aa bb", "cc", "dd ee ff", "  ", "", "gg", " \tcc ",
+             "\t", "zz\t  "]
     rows = [(i, "\n".join(rng.choice(frags)
                           for _ in range(rng.randint(0, 12))))
             for i in range(120)]

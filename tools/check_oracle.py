@@ -39,6 +39,30 @@ def canon_rows(cols, rows):
     return sorted(out)
 
 
+def _native(v):
+    """Pandas cell -> python-native value. Both legs are fetched ONCE
+    as pandas (the Spark query used to run twice: collect() for values
+    + toPandas() for the dtype gate) and their rows derived through
+    THIS one converter, so NULL/NaN/timestamp semantics stay aligned
+    between the legs by construction."""
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if type(v).__name__ == "ndarray":
+        return tuple(_native(x) for x in v.tolist())
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        return v.item()
+    return v
+
+
+def frame_rows(df):
+    return [tuple(_native(v) for v in r)
+            for r in df.itertuples(index=False, name=None)]
+
+
 def _dtype_kind(dt):
     """Collapse a pandas dtype to the equivalence class the driver's
     value hash is sensitive to. int64-vs-float64 (DuckDB HUGEINT sums)
@@ -113,23 +137,20 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
             if sql is None:
-                print(f"  {name}: rows-only ({len(srows)} rows) OK")
+                n = sdf.count()
+                print(f"  {name}: rows-only ({n} rows) OK")
                 continue
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            spdf = sdf.toPandas()          # the ONE Spark execution
+            odf = con.execute(sql).df()    # the ONE DuckDB execution
+            srows, orows = frame_rows(spdf), frame_rows(odf)
+            ocols = list(odf.columns)
             problems = []
             if sorted(scols) != sorted(ocols):
                 problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
             if len(srows) != len(orows):
                 problems.append(f"rowcount {len(srows)} != {len(orows)}")
-            # dtype gate runs on separate pandas fetches so the value
-            # canon above keeps fetchall()'s python-native NULL/ts
-            # semantics
-            problems += dtype_problems(sdf.toPandas(),
-                                       con.execute(sql).df())
+            problems += dtype_problems(spdf, odf)
             if not problems:
                 a = canon_rows(scols, srows)
                 b = canon_rows(ocols, orows)

@@ -71,8 +71,11 @@ def _check_order_equivalence(merges: list[tuple[str, str]]) -> None:
     """Assert the in-order == greedy-by-rank precondition (see module
     docstring): no merge output equals a LATER merge's component.
     O(len(merges)) with a cached set; True for the fuzzed vocabularies
-    and every corpus the oracle has been pointed at."""
-    key = id(merges)
+    and every corpus the oracle has been pointed at. Memoized by
+    CONTENT (tuple of pairs) — id() could be reused by a different
+    list after the checked one is garbage-collected, silently skipping
+    the soundness check."""
+    key = tuple(merges)
     if key in _EQUIV_CHECKED:
         return
     outputs_so_far: set[str] = set()
@@ -101,7 +104,7 @@ def _check_order_equivalence(merges: list[tuple[str, str]]) -> None:
     _EQUIV_CHECKED.add(key)
 
 
-_EQUIV_CHECKED: set[int] = set()
+_EQUIV_CHECKED: set[tuple] = set()
 
 
 def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
