@@ -62,6 +62,13 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Registry hygiene policy (round 10, README "Correctness &
+    # benchmarks"): the driver's artifact is ALWAYS the full HEADLINE
+    # run (`python bench.py`, no flags) — gate semantics unchanged.
+    # `--fast` is the in-round iteration loop: trio ritual + DuckDB
+    # anchor only (~20 s), for quick A/Bs while developing; it never
+    # replaces the driver artifact.
+    fast = "--fast" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -84,8 +91,16 @@ def main() -> None:
     g.pred("c_name").count()
     g.pred("o_totalprice").count()
 
+    ANCHOR = [
+        "between_dates", "count_having", "groupby_q1", "anyofterms",
+        "chain_region_revenue", "order_by_val", "q5_local_supplier",
+        "facet_filter", "text_stats", "sessionize",
+    ]
+    if fast:
+        ANCHOR = ANCHOR[:4]
+
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in (ANCHOR if fast else HEADLINE):
         fn, _sql = QUERIES[name]
         # one untimed warmup execution, then three timed, report the min.
         # The first run of each distinct plan shape on a fresh JVM pays
@@ -132,6 +147,34 @@ def main() -> None:
         trio[name] = round(statistics.median(reps), 3)
     trio_total = round(sum(trio.values()), 3)
 
+    # DuckDB anchor: the absolute totals drift ±25% with box load
+    # between rounds (round-9 verdict), but the Spark/DuckDB ratio of a
+    # fixed cheap-twin subset measured back-to-back IN THIS PROCESS is
+    # machine-independent — both engines see the same load. This ratio
+    # is the cross-round comparator; treat raw totals as local color.
+    import duckdb
+
+    from dgraph_spark.entry_queries import resolve_sql
+    from tools.check_oracle import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    duck_times: dict[str, float] = {}
+    for name in ANCHOR:
+        sql = resolve_sql(QUERIES[name][1])
+        con.execute(sql).fetchall()  # warm (buffer cache, query plan)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            runs.append(time.perf_counter() - t0)
+        duck_times[name] = round(min(runs), 4)
+    anchor_spark = round(sum(times[n] for n in ANCHOR), 3)
+    anchor_duck = round(sum(duck_times.values()), 3)
+    ratio = round(anchor_spark / anchor_duck, 3) if anchor_duck else None
+
     total = round(sum(times.values()), 3)
     # ambient context: round-7/8 showed ±20-30% machine drift between
     # sessions; recording loadavg makes the artifact interpretable
@@ -142,7 +185,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_query_wall_time",
+                "metric": ("fast_bench" if fast
+                           else "headline_query_wall_time"),
                 "value": total,
                 "unit": "sec",
                 "queries": times,
@@ -153,6 +197,10 @@ def main() -> None:
                 "trio_total_s": trio_total,
                 "trio_target_s": 2.2,
                 "trio_target_ratio_10x": 1.7,
+                "anchor_queries": duck_times,
+                "anchor_spark_s": anchor_spark,
+                "anchor_duckdb_s": anchor_duck,
+                "spark_vs_duckdb_ratio": ratio,
                 # most recent measured 10x trio ratios (per query):
                 # BENCH_sf1_r08.json shortest 0.97 / cc 1.07 /
                 # recurse 1.66 — refresh via tools/scale_data.py +

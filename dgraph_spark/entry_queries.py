@@ -1550,6 +1550,35 @@ WHERE (SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey
 """
 
 
+def q_len_filter_combinator(spark, sf_dir):
+    """len(v) leaves inside an AND/OR/NOT filter tree — the reference
+    evaluates len() as a constant boolean leaf of the combinator walk
+    (dql/parser.go:179 validFuncName len; query/query.go:2235-2252
+    eq(len(v), n) path), so it must compose with value filters in the
+    same tree, not just stand alone (the existing len_filter entry)."""
+    return _flat(spark, sf_dir, '''
+    { var(func: eq(n_name, "NATION_1")) {
+        v as ~in_nation @filter(type(Customer)) }
+      var(func: eq(n_name, "NATION_2")) {
+        w as ~in_nation @filter(type(Customer)) }
+      q(func: type(Region)) @filter(
+          (gt(len(v), 0) AND eq(r_name, "ASIA"))
+          OR (NOT lt(len(w), 1000000) AND eq(r_name, "EUROPE"))) {
+        r_name } }''', block="q")
+
+
+SQL_len_filter_combinator = """
+SELECT r_name FROM region
+WHERE ((SELECT count(*) FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1') > 0 AND r_name = 'ASIA')
+   OR (NOT ((SELECT count(*) FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+             WHERE n_name = 'NATION_2') < 1000000)
+       AND r_name = 'EUROPE')
+"""
+
+
 def q_facet_var_order(spark, sf_dir):
     """@facets(w as f) facet VARIABLE bound by edge target, consumed for
     ordering + output in a later block (query/query.go:1550
@@ -1780,6 +1809,28 @@ SELECT doc_id AS media_id,
          + 96 * ((n_chars % 97) + 1)) + 1023) // 1024 AS frames
 FROM documents
 """
+
+
+def q_multimodal_png(spark, sf_dir):
+    """Compressed-codec pipeline with a REAL in-container decoder: each
+    document becomes a genuine zlib-compressed CRC'd PNG (solid color
+    keyed to doc_id), and decode_png (operators/multimodal.py) must
+    walk the chunk stream, inflate, and unfilter the scanlines to
+    recover the channel means — same closed-form SQL twin as the PPM
+    entry, different codec under it."""
+    from dgraph_spark.operators.multimodal import (
+        extract_image_features, png_table_from_docs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = png_table_from_docs(docs)
+    return extract_image_features(media).select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
+SQL_multimodal_png = SQL_multimodal_features
 
 
 def q_cdc_diff(spark, sf_dir):
@@ -2891,11 +2942,14 @@ QUERIES: dict[str, tuple] = {
     "after_uid": (q_after_uid, SQL_after_uid),
     "facet_order": (q_facet_order, SQL_facet_order),
     "len_filter": (q_len_filter, SQL_len_filter),
+    "len_filter_combinator": (q_len_filter_combinator,
+                              SQL_len_filter_combinator),
     "facet_var_order": (q_facet_var_order, SQL_facet_var_order),
     "ignorereflex": (q_ignorereflex, SQL_ignorereflex),
     "anyof_custom": (q_anyof_custom, SQL_anyof_custom),
     "multimodal_features": (q_multimodal_features, SQL_multimodal_features),
     "multimodal_frames": (q_multimodal_frames, SQL_multimodal_frames),
+    "multimodal_png": (q_multimodal_png, SQL_multimodal_png),
     "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

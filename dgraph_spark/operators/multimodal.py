@@ -145,10 +145,144 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     return rate, channels, samples
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-stdlib baseline PNG decoder: chunk walk with CRC checks,
+    one zlib inflate, per-scanline unfilter (PNG spec §4.5.4 / RFC
+    2083). Supports bit depth 8, color types 0 (gray), 2 (RGB),
+    4 (gray+alpha), 6 (RGBA), no interlace; palette / 16-bit / Adam7
+    are loud rejections (plug PIL for those). Filters: None and Up are
+    fully vectorized, Sub is a per-channel-lane cumsum (mod 256
+    distributes over the addition chain), Average and Paeth are
+    per-pixel by definition (each output feeds the next input).
+    Returns HxW (gray) or HxWxC uint8."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i = 8
+    idat = bytearray()
+    w = h = depth = ct = interlace = None
+    while i + 12 <= len(data):
+        ln = int.from_bytes(data[i:i + 4], "big")
+        typ = data[i + 4:i + 8]
+        body = data[i + 8:i + 8 + ln]
+        crc = int.from_bytes(data[i + 8 + ln:i + 12 + ln], "big")
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ct, interlace = body[8], body[9], body[12]
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ct)
+    if channels is None:
+        raise NotImplementedError(
+            f"PNG color type {ct} (palette) — plug PIL into "
+            "_decode_image_bytes for palette images")
+    if depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} — only 8-bit supported in-container")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG — plug PIL")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG data length {len(raw)} != {h}x(1+{stride})")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    bpp = channels
+    recon = np.zeros((h, stride), dtype=np.int64)
+    zero = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        prior = recon[y - 1] if y else zero
+        if f == 0:
+            cur = line
+        elif f == 1:   # Sub: cumsum per channel lane
+            cur = (np.cumsum(line.reshape(w, bpp), axis=0)
+                   .reshape(stride))
+        elif f == 2:   # Up
+            cur = line + prior
+        elif f in (3, 4):  # Average / Paeth: sequential along x
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0        # left
+                b = prior[x]                               # up
+                if f == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) \
+                        else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        recon[y] = cur & 0xFF
+    img = recon.astype(np.uint8).reshape(h, w, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0 scanlines, one IDAT) for fixture
+    and media-table synthesis; output round-trips through decode_png
+    and any spec-conforming decoder."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w, channels = img.shape[0], img.shape[1], 1
+        flat = img.reshape(h, w)
+    else:
+        h, w, channels = img.shape
+        flat = img.reshape(h, w * channels)
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (len(body).to_bytes(4, "big") + typ + body
+                + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes((8, ct, 0, 0, 0)))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
 _MAGICS = {
-    b"\xff\xd8\xff": "jpeg", b"\x89PNG": "png", b"GIF8": "gif",
+    b"\xff\xd8\xff": "jpeg", b"GIF8": "gif",
     b"RIFF": "riff", b"\x00\x00\x00": "mp4?",
 }
+
+
+def _pil_decode(data: bytes):
+    """Optional compressed-codec path: when pillow is importable,
+    decode JPEG/GIF/anything PIL knows into the same ndarray contract;
+    otherwise None (caller raises the loud in-container rejection).
+    This sandbox ships no pillow (verified round 10), so the pure-numpy
+    decoders above remain the tested path; a production image crawl
+    installs pillow and this branch lights up with no code change."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+    img = Image.open(io.BytesIO(data))
+    if img.mode not in ("L", "LA", "RGB", "RGBA"):
+        img = img.convert("RGB")
+    return np.asarray(img)
 
 
 def _decode_image_bytes(data: bytes):
@@ -160,14 +294,23 @@ def _decode_image_bytes(data: bytes):
         img = decode_ppm(data)
     elif data[:2] == b"BM":
         img = decode_bmp(data)
+    elif data[:8] == _PNG_SIG:
+        img = decode_png(data)
     else:
-        kind = next((k for m, k in _MAGICS.items() if data.startswith(m)),
-                    "unknown")
-        raise NotImplementedError(
-            f"no in-container decoder for {kind!r} payloads — plug "
-            "PIL/libvips into _decode_image_bytes for compressed codecs")
+        img = _pil_decode(data)
+        if img is None:
+            kind = next((k for m, k in _MAGICS.items()
+                         if data.startswith(m)), "unknown")
+            raise NotImplementedError(
+                f"no in-container decoder for {kind!r} payloads — "
+                "install pillow (enables the _pil_decode branch) or "
+                "plug libvips into _decode_image_bytes")
     if img.ndim == 2:  # grayscale: replicate into channels
         img = np.stack([img] * 3, axis=-1)
+    elif img.shape[-1] == 2:  # gray+alpha: replicate luma, drop alpha
+        img = np.stack([img[..., 0]] * 3, axis=-1)
+    elif img.shape[-1] == 4:  # RGBA: drop alpha
+        img = img[..., :3]
     h, w = img.shape[0], img.shape[1]
     means = img.reshape(-1, 3).mean(axis=0)
     luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
@@ -296,6 +439,35 @@ def media_table_from_docs(docs: DataFrame, text_col: str = "text",
 
     src = docs.select(F.col(id_col), F.col("n_chars"))
     return src.mapInPandas(build, MEDIA_SCHEMA)
+
+
+def png_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL (zlib-compressed, CRC'd) PNG per document with
+    the same closed-form pixel statistics as media_table_from_docs's
+    PPMs: width 32, height (n_chars % 97) + 1, solid color
+    (id%256, 7id%256, 13id%256). decode_png must walk the chunks,
+    inflate, and unfilter to recover the channel means — the SQL twin
+    is shared with the PPM entry."""
+    W = 32
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "media": [], "mime": [],
+                   "meta": []}
+            for did, nch in zip(pdf[id_col], pdf["n_chars"]):
+                h = int(nch) % 97 + 1
+                rgb = (int(did) % 256, int(did) * 7 % 256,
+                       int(did) * 13 % 256)
+                img = np.tile(np.array(rgb, dtype=np.uint8), (h, W, 1))
+                out["media_id"].append(int(did))
+                out["kind"].append("image")
+                out["media"].append(encode_png(img))
+                out["mime"].append("image/png")
+                out["meta"].append('{"synthetic": true}')
+            yield pd.DataFrame(out)
+
+    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+        build, MEDIA_SCHEMA)
 
 
 def audio_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

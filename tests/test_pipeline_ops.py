@@ -247,10 +247,152 @@ def test_multimodal_real_decoders():
     rate, ch, got = decode_wav(wav)
     assert (rate, ch) == (8000, 1) and got.tolist() == samples.tolist()
 
-    # compressed codecs fail loudly with the detected container
+    # compressed codecs without an in-container decoder fail loudly
+    # with the detected container (pillow absent in this sandbox —
+    # when importable, _pil_decode handles these instead)
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError, match="jpeg"):
-        _decode_image_bytes(b"\xff\xd8\xff\xe0rest")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="jpeg"):
+            _decode_image_bytes(b"\xff\xd8\xff\xe0rest")
+
+
+def test_png_roundtrip_all_color_types():
+    """encode_png(filter-0) -> decode_png recovers every supported
+    color type exactly (gray / gray+alpha / RGB / RGBA)."""
+    import numpy as np
+
+    from dgraph_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(20260816)
+    for shape in [(5, 7), (5, 7, 2), (5, 7, 3), (5, 7, 4), (1, 1, 3),
+                  (97, 32, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_png(encode_png(img))
+        assert got.shape == img.shape
+        assert np.array_equal(got, img), shape
+
+
+def _png_with_filters(img, ftypes):
+    """Independent FORWARD filterer (PNG spec §4.5.4, written from the
+    spec, not from decode_png): applies the given per-row filter types
+    and assembles a full PNG, so decode_png's unfilter is checked
+    against a reference implementation of the inverse direction."""
+    import zlib
+
+    import numpy as np
+
+    h, w, c = img.shape
+    stride, bpp = w * c, c
+    recon = img.reshape(h, stride).astype(int)
+    raw = b""
+    for y, f in enumerate(ftypes):
+        cur = recon[y]
+        prior = recon[y - 1] if y else np.zeros(stride, int)
+        left = np.concatenate([np.zeros(bpp, int), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, int), prior[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prior
+        elif f == 3:
+            filt = cur - ((left + prior) // 2)
+        elif f == 4:
+            p = left + prior - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc = np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, upleft))
+            filt = cur - pred
+        raw += bytes([f]) + bytes((filt % 256).astype(np.uint8))
+
+    def chunk(typ, body):
+        return (len(body).to_bytes(4, "big") + typ + body
+                + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes((8, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0, 0)))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_unfilter_all_filter_types():
+    """decode_png vs the independent forward filterer: every filter
+    type 0-4, including rows mixing them, on random RGB / RGBA / gray
+    images (gradient + noise so Sub/Avg/Paeth deltas are nontrivial)."""
+    import numpy as np
+
+    from dgraph_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        img = (rng.integers(0, 256, size=(9, 6, c)).astype(np.uint8))
+        for f in range(5):
+            got = decode_png(_png_with_filters(img, [f] * 9))
+            want = img[:, :, 0] if c == 1 else img
+            assert np.array_equal(got, want), (c, f)
+        mixed = [0, 1, 2, 3, 4, 4, 3, 2, 1]
+        got = decode_png(_png_with_filters(img, mixed))
+        want = img[:, :, 0] if c == 1 else img
+        assert np.array_equal(got, want), (c, "mixed")
+
+
+def test_png_loud_rejections():
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dgraph_spark.operators.multimodal import decode_png, encode_png
+
+    ok = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+
+    def patched_ihdr(**kw):
+        w, h = 2, 2
+        fields = {"depth": 8, "ct": 2, "interlace": 0} | kw
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes((fields["depth"], fields["ct"], 0, 0,
+                         fields["interlace"])))
+        chunk = ((13).to_bytes(4, "big") + b"IHDR" + ihdr
+                 + (zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+                 .to_bytes(4, "big"))
+        sig_end = 8 + 12 + 13
+        return ok[:8] + chunk + ok[sig_end:]
+
+    with _pytest.raises(NotImplementedError, match="palette"):
+        decode_png(patched_ihdr(ct=3))
+    with _pytest.raises(NotImplementedError, match="bit depth 16"):
+        decode_png(patched_ihdr(depth=16))
+    with _pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(patched_ihdr(interlace=1))
+    corrupted = ok[:20] + bytes([ok[20] ^ 0xFF]) + ok[21:]
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(corrupted)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK" * 4)
+
+
+def test_png_media_table_matches_ppm(spark):
+    """The PNG media table decodes to the SAME features as the PPM
+    table (same closed-form stats, different codec underneath)."""
+    from dgraph_spark.operators.multimodal import (
+        extract_image_features, media_table_from_docs,
+        png_table_from_docs)
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (i * 37 % 200 + 1)) for i in range(1, 13)],
+        "doc_id long, text string").withColumn("n_chars",
+                                               F.length("text"))
+    cols = ["media_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+    a = {tuple(r) for r in extract_image_features(
+        media_table_from_docs(docs)).select(cols).collect()}
+    b = {tuple(r) for r in extract_image_features(
+        png_table_from_docs(docs)).select(cols).collect()}
+    assert a == b and len(a) == 12
 
 
 def test_multimodal_audio_features(spark):

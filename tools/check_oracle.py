@@ -49,6 +49,11 @@ def _native(v):
 
     if v is None or v is pd.NaT:
         return None
+    # pandas renders NULLs as NaN (DuckDB .df() even for string
+    # columns; Spark toPandas for numeric ones) — collapse to None on
+    # BOTH legs, which is also the driver canonicalizer's behavior
+    if isinstance(v, float) and math.isnan(v):
+        return None
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime()
     if type(v).__name__ == "ndarray":

@@ -20,7 +20,8 @@ OFF = 100_000_000  # per-replica key offset; stays far below the uid tag space
 
 
 def main(out: str = "/tmp/sf1_synth", src: str = "/root/testdata/sf0.1",
-         copies: int = 10) -> None:
+         copies: int | str = 10) -> None:
+    copies = int(copies)
     from pyspark.sql import functions as F
 
     from dgraph_spark import get_spark
@@ -79,16 +80,17 @@ def main(out: str = "/tmp/sf1_synth", src: str = "/root/testdata/sf0.1",
         "embeddings": lambda df, i: df.select(
             shift("vec_id", i), "embedding", "label"),
     }
+    nparts = 8 if copies <= 10 else 32
     for t, fn in plans.items():
         df = spark.read.parquet(f"{src}/{t}.parquet")
-        reps(df, fn).repartition(8).write.mode("overwrite").parquet(
+        reps(df, fn).repartition(nparts).write.mode("overwrite").parquet(
             f"{out}/{t}.parquet")
 
     ev = read_events(spark, src)
     reps(ev, lambda df, i: df.select(
         shift("event_id", i), "ts", shift("user_id", i), "event_type",
-        "value", "props")).repartition(8).write.mode("overwrite").parquet(
-        f"{out}/events.parquet")
+        "value", "props")).repartition(nparts).write.mode(
+        "overwrite").parquet(f"{out}/events.parquet")
     print(f"# wrote {copies}x replicas of {src} to {out}", file=sys.stderr)
 
 
