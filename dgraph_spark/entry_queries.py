@@ -1791,6 +1791,26 @@ FROM documents
 """
 
 
+def q_multimodal_flac(spark, sf_dir):
+    """Lossless-compressed-audio pipeline with a REAL in-container
+    decoder (operators/flaccodec.py: STREAMINFO walk, frame-header
+    CRC-8, FIXED-prediction subframes, rice residual decode, frame
+    CRC-16): each document becomes a native FLAC stream of the same
+    square wave as the WAV entry — lossless, so the closed-form RMS
+    oracle is shared verbatim."""
+    from dgraph_spark.operators.multimodal import (extract_audio_features,
+                                                   flac_table_from_docs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = flac_table_from_docs(docs)
+    return extract_audio_features(media).select(
+        "media_id", "sample_rate", "channels", "n_samples",
+        F.round("rms", 6).alias("rms"))
+
+
+SQL_multimodal_flac = SQL_multimodal_audio
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling stub over the binary column: one pseudo-frame per
     1 KiB chunk (operators/multimodal.py:103); per-media frame counts."""
@@ -1831,6 +1851,37 @@ def q_multimodal_png(spark, sf_dir):
 
 
 SQL_multimodal_png = SQL_multimodal_features
+
+
+def q_multimodal_jpeg(spark, sf_dir):
+    """Entropy-coded-codec pipeline with a REAL in-container baseline
+    JPEG decoder (operators/jpegcodec.py: marker walk, Huffman decode,
+    dequantize, IDCT, MCU crop): each document becomes a genuine
+    Huffman-coded grayscale JPEG of solid value doc_id % 256. The
+    fixture's exact-roundtrip quant table (DC step 8 divides the flat
+    block's DC = 8*(v-128) exactly) keeps the SQL twin closed-form;
+    grayscale replicates into all three channel means."""
+    from dgraph_spark.operators.multimodal import (
+        extract_image_features, jpeg_table_from_docs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = jpeg_table_from_docs(docs)
+    return extract_image_features(media).select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
+SQL_multimodal_jpeg = """
+SELECT doc_id AS media_id,
+       32 AS width,
+       (n_chars % 97) + 1 AS height,
+       round((doc_id % 256)::DOUBLE, 6) AS mean_r,
+       round((doc_id % 256)::DOUBLE, 6) AS mean_g,
+       round((doc_id % 256)::DOUBLE, 6) AS mean_b
+FROM documents
+"""
 
 
 def q_cdc_diff(spark, sf_dir):
@@ -2950,6 +3001,8 @@ QUERIES: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, SQL_multimodal_features),
     "multimodal_frames": (q_multimodal_frames, SQL_multimodal_frames),
     "multimodal_png": (q_multimodal_png, SQL_multimodal_png),
+    "multimodal_jpeg": (q_multimodal_jpeg, SQL_multimodal_jpeg),
+    "multimodal_flac": (q_multimodal_flac, SQL_multimodal_flac),
     "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

@@ -1,13 +1,14 @@
 """Multimodal columns: images/audio/video as opaque binary columns with
 typed metadata, processed via Arrow-batched mapInPandas.
 
-The image decode kernels are REAL pure-numpy decoders for the
-container-friendly formats (netpbm P5/P6, uncompressed BMP, PCM16 WAV):
-header parse -> numpy frombuffer -> channel statistics. Compressed
-codecs (JPEG/PNG/H.264) need external libraries this container doesn't
-ship; those payloads raise NotImplementedError with the detected magic,
-and a production deployment plugs PIL/libvips/pyav into the same
-(media_id, media) -> features contract.
+The image decode kernels are REAL pure-numpy decoders: netpbm P5/P6,
+uncompressed BMP, PCM16 WAV, zlib PNG (all filter types), and baseline
+JPEG (jpegcodec.py: Huffman + IDCT + chroma upsampling + restart
+markers) — the formats a real crawl actually contains. Codecs beyond
+that scope (progressive JPEG, palette PNG, GIF, H.264) raise
+NotImplementedError with the detected magic unless pillow is installed
+(_pil_decode lights up), and a production deployment plugs
+PIL/libvips/pyav into the same (media_id, media) -> features contract.
 
 At 100 TB the binary column dominates I/O; the operators below only
 touch (media_id, media) so parquet column pruning keeps unrelated scans
@@ -296,6 +297,9 @@ def _decode_image_bytes(data: bytes):
         img = decode_bmp(data)
     elif data[:8] == _PNG_SIG:
         img = decode_png(data)
+    elif data[:3] == b"\xff\xd8\xff":
+        from dgraph_spark.operators.jpegcodec import decode_jpeg
+        img = decode_jpeg(data)
     else:
         img = _pil_decode(data)
         if img is None:
@@ -388,8 +392,23 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
+def _decode_audio_bytes(data: bytes):
+    """Dispatch on magic bytes: RIFF/WAVE -> decode_wav, native FLAC ->
+    flaccodec.decode_flac (lossless, so the same closed-form oracle
+    holds for either container of the same samples)."""
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    if data[:4] == b"fLaC":
+        from dgraph_spark.operators.flaccodec import decode_flac
+        return decode_flac(data)
+    raise NotImplementedError(
+        "no in-container audio decoder for this payload — WAV and "
+        "native FLAC are supported; plug soundfile/libsndfile for "
+        "MP3/Ogg/AAC")
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
-    """media(media_id, media) of PCM16 WAV payloads ->
+    """media(media_id, media) of PCM16 WAV or native FLAC payloads ->
     (media_id, sample_rate, channels, n_samples, rms)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -397,7 +416,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             out = {"media_id": [], "sample_rate": [], "channels": [],
                    "n_samples": [], "rms": []}
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                rate, ch, samples = decode_wav(bytes(blob))
+                rate, ch, samples = _decode_audio_bytes(bytes(blob))
                 out["media_id"].append(mid)
                 out["sample_rate"].append(rate)
                 out["channels"].append(ch)
@@ -463,6 +482,67 @@ def png_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["kind"].append("image")
                 out["media"].append(encode_png(img))
                 out["mime"].append("image/png")
+                out["meta"].append('{"synthetic": true}')
+            yield pd.DataFrame(out)
+
+    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+        build, MEDIA_SCHEMA)
+
+
+def flac_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL native-FLAC stream per document with the SAME
+    sample content as audio_table_from_docs's WAVs (8 kHz mono square
+    wave, amplitude doc_id % 1000, (n_chars % 50 + 1) * 16 samples).
+    FLAC is lossless, so decode_flac recovers the samples bit-exactly
+    and the entry shares the WAV oracle's closed-form RMS twin — the
+    decoder walks STREAMINFO, frame headers (CRC-8), FIXED-prediction
+    subframes, rice residuals, and the frame CRC-16 to get there."""
+    from dgraph_spark.operators.flaccodec import encode_flac
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "media": [], "mime": [],
+                   "meta": []}
+            for did, nch in zip(pdf[id_col], pdf["n_chars"]):
+                n = (int(nch) % 50 + 1) * 16
+                amp = int(did) % 1000
+                samples = np.empty(n, dtype=np.int64)
+                samples[0::2] = amp
+                samples[1::2] = -amp
+                out["media_id"].append(int(did))
+                out["kind"].append("audio")
+                out["media"].append(encode_flac(samples, 8000, 1))
+                out["mime"].append("audio/flac")
+                out["meta"].append('{"synthetic": true}')
+            yield pd.DataFrame(out)
+
+    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+        build, MEDIA_SCHEMA)
+
+
+def jpeg_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL baseline JPEG per document: grayscale solid
+    value doc_id % 256, width 32, height (n_chars % 97) + 1, Huffman
+    entropy coding with the exact-roundtrip quant table (jpegcodec
+    QTABLE_EXACT: a flat block's only nonzero DCT coefficient is
+    DC = 8*(v-128), which the DC quant step of 8 divides exactly), so
+    decode_jpeg recovers the value bit-exactly and the channel means
+    have a closed-form SQL twin: mean_r = mean_g = mean_b = id % 256."""
+    from dgraph_spark.operators.jpegcodec import encode_jpeg_gray
+
+    W = 32
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "media": [], "mime": [],
+                   "meta": []}
+            for did, nch in zip(pdf[id_col], pdf["n_chars"]):
+                h = int(nch) % 97 + 1
+                img = np.full((h, W), int(did) % 256, dtype=np.uint8)
+                out["media_id"].append(int(did))
+                out["kind"].append("image")
+                out["media"].append(encode_jpeg_gray(img))
+                out["mime"].append("image/jpeg")
                 out["meta"].append('{"synthetic": true}')
             yield pd.DataFrame(out)
 

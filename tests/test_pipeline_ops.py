@@ -247,15 +247,16 @@ def test_multimodal_real_decoders():
     rate, ch, got = decode_wav(wav)
     assert (rate, ch) == (8000, 1) and got.tolist() == samples.tolist()
 
-    # compressed codecs without an in-container decoder fail loudly
-    # with the detected container (pillow absent in this sandbox —
-    # when importable, _pil_decode handles these instead)
+    # codecs without an in-container decoder fail loudly with the
+    # detected container (pillow absent in this sandbox — when
+    # importable, _pil_decode handles these instead; JPEG now has a
+    # real in-container decoder, see test_jpeg_* below)
     import pytest as _pytest
     try:
         import PIL  # noqa: F401
     except ImportError:
-        with _pytest.raises(NotImplementedError, match="jpeg"):
-            _decode_image_bytes(b"\xff\xd8\xff\xe0rest")
+        with _pytest.raises(NotImplementedError, match="gif"):
+            _decode_image_bytes(b"GIF89a" + b"\x00" * 16)
 
 
 def test_png_roundtrip_all_color_types():
@@ -392,6 +393,173 @@ def test_png_media_table_matches_ppm(spark):
         media_table_from_docs(docs)).select(cols).collect()}
     b = {tuple(r) for r in extract_image_features(
         png_table_from_docs(docs)).select(cols).collect()}
+    assert a == b and len(a) == 12
+
+
+def test_jpeg_solid_exact_roundtrip():
+    """Solid-value grayscale + QTABLE_EXACT (DC quant 8) round-trips
+    BIT-EXACTLY through the full Huffman + IDCT path — the property the
+    multimodal_jpeg oracle entry relies on (a flat block's only nonzero
+    coefficient is DC = 8*(v-128), exactly divisible by the step)."""
+    import numpy as np
+
+    from dgraph_spark.operators.jpegcodec import (decode_jpeg,
+                                                  encode_jpeg_gray)
+
+    for v in (0, 7, 128, 129, 200, 255):
+        for shape in ((13, 32), (8, 8), (1, 1), (97, 32)):
+            img = np.full(shape, v, dtype=np.uint8)
+            got = decode_jpeg(encode_jpeg_gray(img))
+            assert got.shape == shape
+            assert (got == v).all(), (v, shape)
+
+
+def test_jpeg_gray_lossy_roundtrip_bounded():
+    """Random grayscale through encode->decode stays within the error
+    bound implied by the quantization table (coarse bound: the max
+    per-sample reconstruction error of independently-rounded
+    coefficients, sum(q)/2 spread across the orthonormal basis — use a
+    generous empirical ceiling instead of the tight analytic one)."""
+    import numpy as np
+
+    from dgraph_spark.operators.jpegcodec import (decode_jpeg,
+                                                  encode_jpeg_gray)
+
+    rng = np.random.default_rng(20260816)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg_gray(img))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 64
+
+
+def test_jpeg_color_444_and_420_and_restart():
+    """Color round-trips: 4:4:4 on a smooth gradient is near-exact;
+    4:2:0 exercises chroma downsample/upsample; a 2-MCU restart
+    interval exercises DRI/RSTn resync + DC predictor reset."""
+    import numpy as np
+
+    from dgraph_spark.operators.jpegcodec import (decode_jpeg,
+                                                  encode_jpeg_color)
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack([(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg_color(img, "444"))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 24
+
+    got = decode_jpeg(encode_jpeg_color(img, "420"))
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 48
+
+    got_rst = decode_jpeg(encode_jpeg_color(img, "420",
+                                            restart_interval=2))
+    assert np.array_equal(got_rst,
+                          decode_jpeg(encode_jpeg_color(img, "420")))
+
+    # non-multiple-of-MCU dims: encoder pads, decoder must crop back
+    odd = img[:21, :33]
+    got = decode_jpeg(encode_jpeg_color(odd, "420"))
+    assert got.shape == odd.shape
+
+
+def test_jpeg_loud_rejections():
+    import numpy as np
+    import pytest as _pytest
+
+    from dgraph_spark.operators.jpegcodec import (decode_jpeg,
+                                                  encode_jpeg_gray)
+
+    ok = encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
+    # flip SOF0 (FFC0) into progressive SOF2 (FFC2)
+    sof = ok.index(b"\xff\xc0")
+    prog = ok[:sof] + b"\xff\xc2" + ok[sof + 2:]
+    with _pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(prog)
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"JUNK" * 4)
+    with _pytest.raises(ValueError, match="missing SOS"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_jpeg_media_table_matches_oracle(spark):
+    """jpeg_table_from_docs -> extract_image_features recovers the
+    closed-form stats (grayscale v = doc_id %% 256 replicated into all
+    three channels) through the real entropy-coded bitstream."""
+    from dgraph_spark.operators.multimodal import (
+        extract_image_features, jpeg_table_from_docs)
+
+    docs = spark.createDataFrame(
+        [(i * 23, "x" * (i * 37 % 200 + 1)) for i in range(1, 13)],
+        "doc_id long, text string").withColumn("n_chars",
+                                               F.length("text"))
+    rows = extract_image_features(jpeg_table_from_docs(docs)).collect()
+    assert len(rows) == 12
+    for r in rows:
+        v = float(r["media_id"] % 256)
+        assert r["width"] == 32
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (v, v, v), r
+
+
+def test_flac_lossless_roundtrip():
+    """encode_flac -> decode_flac is bit-exact (lossless codec):
+    square waves, random noise (worst case for the fixed predictor),
+    sine, stereo interleave, multi-frame streams, tiny inputs."""
+    import numpy as np
+
+    from dgraph_spark.operators.flaccodec import decode_flac, encode_flac
+
+    rng = np.random.default_rng(20260816)
+    cases = [
+        (np.tile(np.array([777, -777], dtype=np.int64), 400), 1, 4096),
+        (rng.integers(-32768, 32768, 10000, dtype=np.int64), 1, 2048),
+        (rng.integers(-32768, 32768, 2 * 4396, dtype=np.int64), 2, 4096),
+        ((3000 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000))
+         .astype(np.int64), 1, 4096),
+        (np.array([100], dtype=np.int64), 1, 4096),
+        (np.array([100, -200], dtype=np.int64), 1, 4096),
+        (np.zeros(500, dtype=np.int64), 1, 4096),
+    ]
+    for samples, ch, bs in cases:
+        rate, got_ch, got = decode_flac(
+            encode_flac(samples, 8000, ch, blocksize=bs))
+        assert rate == 8000 and got_ch == ch
+        assert np.array_equal(got, samples), (ch, bs, len(samples))
+
+
+def test_flac_crc_and_rejections():
+    import numpy as np
+    import pytest as _pytest
+
+    from dgraph_spark.operators.flaccodec import decode_flac, encode_flac
+
+    ok = encode_flac(np.arange(100, dtype=np.int64), 8000, 1)
+    # flip the stored frame CRC-16 (last two bytes of the stream)
+    corrupt = bytearray(ok)
+    corrupt[-1] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(corrupt))
+    with _pytest.raises(NotImplementedError, match="Ogg"):
+        decode_flac(b"OggS" + b"\x00" * 32)
+    with _pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"JUNK" * 8)
+
+
+def test_flac_media_table_matches_wav(spark):
+    """flac_table_from_docs decodes to the SAME audio features as
+    audio_table_from_docs (same samples, lossless codec underneath)."""
+    from dgraph_spark.operators.multimodal import (
+        audio_table_from_docs, extract_audio_features,
+        flac_table_from_docs)
+
+    docs = spark.createDataFrame(
+        [(i * 23, "x" * (i * 37 % 200 + 1)) for i in range(1, 13)],
+        "doc_id long, text string").withColumn("n_chars",
+                                               F.length("text"))
+    cols = ["media_id", "sample_rate", "channels", "n_samples", "rms"]
+    a = {tuple(r) for r in extract_audio_features(
+        audio_table_from_docs(docs)).select(cols).collect()}
+    b = {tuple(r) for r in extract_audio_features(
+        flac_table_from_docs(docs)).select(cols).collect()}
     assert a == b and len(a) == 12
 
 
