@@ -1884,6 +1884,36 @@ FROM documents
 """
 
 
+def q_multimodal_gif(spark, sf_dir):
+    """LZW-codec pipeline with a REAL in-container GIF decoder
+    (operators/multimodal.py decode_gif: variable-width LSB-first LZW,
+    clear/EOI handling, palette lookup, interlace): each document
+    becomes a genuine GIF89a checkerboard of two id-keyed palette
+    colors; width 32 is even so each channel mean is exactly the
+    two-color average — closed-form for the SQL twin."""
+    from dgraph_spark.operators.multimodal import (
+        extract_image_features, gif_table_from_docs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = gif_table_from_docs(docs)
+    return extract_image_features(media).select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
+SQL_multimodal_gif = """
+SELECT doc_id AS media_id,
+       32 AS width,
+       (n_chars % 97) + 1 AS height,
+       round((doc_id % 256 + doc_id * 3 % 256) / 2.0, 6) AS mean_r,
+       round((doc_id * 7 % 256 + doc_id * 5 % 256) / 2.0, 6) AS mean_g,
+       round((doc_id * 13 % 256 + doc_id * 11 % 256) / 2.0, 6) AS mean_b
+FROM documents
+"""
+
+
 def q_cdc_diff(spark, sf_dir):
     """CDC egress payload: the set/del change events between two graph
     snapshots (worker/cdc.go:44-260 txn set/del event lists), here from
@@ -3003,6 +3033,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_png": (q_multimodal_png, SQL_multimodal_png),
     "multimodal_jpeg": (q_multimodal_jpeg, SQL_multimodal_jpeg),
     "multimodal_flac": (q_multimodal_flac, SQL_multimodal_flac),
+    "multimodal_gif": (q_multimodal_gif, SQL_multimodal_gif),
     "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

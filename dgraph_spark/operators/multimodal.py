@@ -153,8 +153,9 @@ def decode_png(data: bytes) -> np.ndarray:
     """Pure-stdlib baseline PNG decoder: chunk walk with CRC checks,
     one zlib inflate, per-scanline unfilter (PNG spec §4.5.4 / RFC
     2083). Supports bit depth 8, color types 0 (gray), 2 (RGB),
-    4 (gray+alpha), 6 (RGBA), no interlace; palette / 16-bit / Adam7
-    are loud rejections (plug PIL for those). Filters: None and Up are
+    3 (palette, 8-bit indices via PLTE lookup), 4 (gray+alpha),
+    6 (RGBA), no interlace; 16-bit / sub-byte-depth / Adam7 are loud
+    rejections (plug PIL for those). Filters: None and Up are
     fully vectorized, Sub is a per-channel-lane cumsum (mod 256
     distributes over the addition chain), Average and Paeth are
     per-pixel by definition (each output feeds the next input).
@@ -166,6 +167,7 @@ def decode_png(data: bytes) -> np.ndarray:
     i = 8
     idat = bytearray()
     w = h = depth = ct = interlace = None
+    plte = None
     while i + 12 <= len(data):
         ln = int.from_bytes(data[i:i + 4], "big")
         typ = data[i + 4:i + 8]
@@ -177,6 +179,8 @@ def decode_png(data: bytes) -> np.ndarray:
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             depth, ct, interlace = body[8], body[9], body[12]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
@@ -184,11 +188,11 @@ def decode_png(data: bytes) -> np.ndarray:
         i += 12 + ln
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ct)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
     if channels is None:
-        raise NotImplementedError(
-            f"PNG color type {ct} (palette) — plug PIL into "
-            "_decode_image_bytes for palette images")
+        raise NotImplementedError(f"PNG color type {ct} — plug PIL")
+    if ct == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if depth != 8:
         raise NotImplementedError(
             f"PNG bit depth {depth} — only 8-bit supported in-container")
@@ -232,6 +236,11 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {f}")
         recon[y] = cur & 0xFF
     img = recon.astype(np.uint8).reshape(h, w, channels)
+    if ct == 3:  # palette indices -> RGB lookup
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
     return img[:, :, 0] if channels == 1 else img
 
 
@@ -259,6 +268,187 @@ def encode_png(img: np.ndarray) -> bytes:
             + bytes((8, ct, 0, 0, 0)))
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a decoder (first frame): logical screen descriptor,
+    global/local color tables, LZW decompression (GIF spec appendix F:
+    variable-width codes LSB-first, clear/EOI codes), interlace
+    de-scrambling. Returns HxWx3 uint8 RGB of the first image block;
+    transparency collapses onto the palette color (features here are
+    RGB statistics, not compositing)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, i).reshape(-1, 3)
+        i += n * 3
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:                 # extension: label + sub-blocks
+            i += 2
+            while data[i]:
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x3B:               # trailer
+            break
+        elif b == 0x2C:               # image descriptor
+            w = int.from_bytes(data[i + 5:i + 7], "little")
+            h = int.from_bytes(data[i + 7:i + 9], "little")
+            iflags = data[i + 9]
+            i += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(data, np.uint8, n * 3, i).reshape(-1, 3)
+                i += n * 3
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = data[i]
+            i += 1
+            lzw = bytearray()
+            while data[i]:
+                lzw += data[i + 1:i + 1 + data[i]]
+                i += 1 + data[i]
+            i += 1
+            idx = _lzw_decode(bytes(lzw), min_code, w * h)
+            if iflags & 0x40:         # interlaced: 4-pass row order
+                rows = np.asarray(idx, dtype=np.int64).reshape(h, w)
+                order = np.concatenate([np.arange(0, h, 8),
+                                        np.arange(4, h, 8),
+                                        np.arange(2, h, 4),
+                                        np.arange(1, h, 2)])
+                out = np.empty_like(rows)
+                out[order] = rows
+                rows = out
+            else:
+                rows = np.asarray(idx, dtype=np.int64).reshape(h, w)
+            if int(rows.max(initial=0)) >= len(ct):
+                raise ValueError("GIF color index out of range")
+            del sw, sh
+            return ct[rows]
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02X} at {i}")
+    raise ValueError("GIF contains no image block")
+
+
+def _lzw_decode(data: bytes, min_code: int, expected: int) -> list[int]:
+    """GIF-variant LZW: codes are LSB-first across bytes; the table
+    holds 2^min_code roots + CLEAR + EOI and grows to 12-bit codes."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return eoi                # truncated stream: stop
+        byte, bit = divmod(bitpos, 8)
+        v = int.from_bytes(data[byte:byte + 3], "little") >> bit
+        bitpos += width
+        return v & ((1 << width) - 1)
+
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = min_code + 1
+    prev: list[int] | None = None
+    while len(out) < expected:
+        code = read_code(width)
+        if code == clear:
+            table = [[k] for k in range(clear)] + [[], []]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW stream starts with invalid code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out.extend(entry)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out[:expected]
+
+
+def encode_gif(img: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder for fixtures: img is HxW palette
+    indices, palette is Nx3 uint8 (N padded to a power of two). Emits
+    valid LZW in pass-through mode (each pixel as its own root code
+    with a CLEAR before the table would overflow) — decoders, including
+    decode_gif, handle this standard degenerate stream."""
+    h, w = img.shape
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | ((bits - 1) & 7), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2C" + b"\x00" * 4 + w.to_bytes(2, "little") \
+        + h.to_bytes(2, "little") + b"\x00"
+    min_code = max(2, bits)
+    clear = 1 << min_code
+    eoi = clear + 1
+    # pack LSB-first while SIMULATING the decoder's table growth (no
+    # entry is added for the first data code after a CLEAR; one entry
+    # per data code after that; width grows at table_len == 2^width)
+    acc = 0
+    nbits = 0
+    buf = bytearray()
+
+    def emit(c: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    table_len = clear + 2
+    fresh = True
+    emit(clear, width)
+    for px in img.reshape(-1):
+        emit(int(px), width)
+        if fresh:
+            fresh = False
+        else:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+        if table_len >= 4094:         # re-CLEAR before the 12-bit cap
+            emit(clear, width)
+            width = min_code + 1
+            table_len = clear + 2
+            fresh = True
+    emit(eoi, width)
+    if nbits:
+        buf.append(acc & 0xFF)
+    out += bytes([min_code])
+    for j in range(0, len(buf), 255):
+        blk = buf[j:j + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3B"
+    return bytes(out)
 
 
 _MAGICS = {
@@ -300,6 +490,8 @@ def _decode_image_bytes(data: bytes):
     elif data[:3] == b"\xff\xd8\xff":
         from dgraph_spark.operators.jpegcodec import decode_jpeg
         img = decode_jpeg(data)
+    elif data[:4] == b"GIF8":
+        img = decode_gif(data)
     else:
         img = _pil_decode(data)
         if img is None:
@@ -482,6 +674,40 @@ def png_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["kind"].append("image")
                 out["media"].append(encode_png(img))
                 out["mime"].append("image/png")
+                out["meta"].append('{"synthetic": true}')
+            yield pd.DataFrame(out)
+
+    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+        build, MEDIA_SCHEMA)
+
+
+def gif_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL GIF89a per document: width 32, height
+    (n_chars % 97) + 1, a two-color checkerboard of palette entries
+    c1 = (id%256, 7id%256, 13id%256) and c2 = (3id%256, 5id%256,
+    11id%256). decode_gif must LZW-decompress and palette-look-up to
+    recover the channel means; width 32 is even, so every row is half
+    c1 / half c2 and the means are (c1+c2)/2 exactly — closed-form for
+    the SQL twin."""
+    W = 32
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "media": [], "mime": [],
+                   "meta": []}
+            for did, nch in zip(pdf[id_col], pdf["n_chars"]):
+                h = int(nch) % 97 + 1
+                d = int(did)
+                pal = np.array(
+                    [[d % 256, d * 7 % 256, d * 13 % 256],
+                     [d * 3 % 256, d * 5 % 256, d * 11 % 256]],
+                    dtype=np.uint8)
+                yy, xx = np.mgrid[0:h, 0:W]
+                idx = ((yy + xx) % 2).astype(np.uint8)
+                out["media_id"].append(d)
+                out["kind"].append("image")
+                out["media"].append(encode_gif(idx, pal))
+                out["mime"].append("image/gif")
                 out["meta"].append('{"synthetic": true}')
             yield pd.DataFrame(out)
 

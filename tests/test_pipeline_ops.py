@@ -249,14 +249,14 @@ def test_multimodal_real_decoders():
 
     # codecs without an in-container decoder fail loudly with the
     # detected container (pillow absent in this sandbox — when
-    # importable, _pil_decode handles these instead; JPEG now has a
-    # real in-container decoder, see test_jpeg_* below)
+    # importable, _pil_decode handles these instead; JPEG/GIF now
+    # have real in-container decoders, see test_jpeg_*/test_gif_*)
     import pytest as _pytest
     try:
         import PIL  # noqa: F401
     except ImportError:
-        with _pytest.raises(NotImplementedError, match="gif"):
-            _decode_image_bytes(b"GIF89a" + b"\x00" * 16)
+        with _pytest.raises(NotImplementedError, match="mp4"):
+            _decode_image_bytes(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 8)
 
 
 def test_png_roundtrip_all_color_types():
@@ -364,8 +364,12 @@ def test_png_loud_rejections():
         sig_end = 8 + 12 + 13
         return ok[:8] + chunk + ok[sig_end:]
 
-    with _pytest.raises(NotImplementedError, match="palette"):
+    # ct=3 is now SUPPORTED given a PLTE chunk; without one it's a
+    # malformed-stream error, not a capability rejection
+    with _pytest.raises(ValueError, match="missing PLTE"):
         decode_png(patched_ihdr(ct=3))
+    with _pytest.raises(NotImplementedError, match="color type 7"):
+        decode_png(patched_ihdr(ct=7))
     with _pytest.raises(NotImplementedError, match="bit depth 16"):
         decode_png(patched_ihdr(depth=16))
     with _pytest.raises(NotImplementedError, match="interlace"):
@@ -394,6 +398,149 @@ def test_png_media_table_matches_ppm(spark):
     b = {tuple(r) for r in extract_image_features(
         png_table_from_docs(docs)).select(cols).collect()}
     assert a == b and len(a) == 12
+
+
+def test_png_palette_decode():
+    """Hand-assembled palette (color type 3) PNG: 8-bit indices +
+    PLTE lookup must recover the exact RGB raster."""
+    import zlib
+
+    import numpy as np
+
+    from dgraph_spark.operators.multimodal import decode_png
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                        [7, 42, 99]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    h, w = idx.shape
+
+    def chunk(typ, body):
+        return (len(body).to_bytes(4, "big") + typ + body
+                + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes((8, 3, 0, 0, 0)))
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", palette.tobytes())
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert np.array_equal(got, palette[idx])
+
+    # out-of-range index is a loud stream error
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 9
+    raw = b"".join(b"\x00" + bad_idx[y].tobytes() for y in range(h))
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", palette.tobytes())
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+
+
+def _lzw_compress(indices, min_code):
+    """Independent FORWARD GIF-LZW compressor (spec appendix F,
+    written from the spec, not from decode_gif): real string-table
+    compression with variable code widths, so the decoder is checked
+    against genuinely compressed streams, not just the encoder's
+    pass-through mode."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = []
+    acc = nbits = 0
+    buf = bytearray()
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(k,): k for k in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    emit(clear, width)
+    prefix = ()
+    for px in indices:
+        cand = prefix + (int(px),)
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4095:
+            emit(clear, width)
+            table = {(k,): k for k in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        prefix = (int(px),)
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def test_gif_roundtrip_and_real_lzw():
+    """decode_gif on the fixture encoder's pass-through streams AND on
+    genuinely compressed streams from the independent forward LZW."""
+    import numpy as np
+
+    from dgraph_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(20260816)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    # repetitive data (LZW-friendly) + noise
+    rep = np.tile(np.arange(16, dtype=np.uint8), 400).reshape(80, 80)
+    noise = rng.integers(0, 256, (33, 41)).astype(np.uint8)
+    for idx in (rep, noise):
+        h, w = idx.shape
+        got = decode_gif(encode_gif(idx, pal))
+        assert np.array_equal(got, pal[idx.astype(int)]), "pass-through"
+        # hand-assemble a GIF whose data section is REAL LZW
+        min_code = 8
+        lzw = _lzw_compress(idx.reshape(-1), min_code)
+        gif = bytearray(b"GIF89a")
+        gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        gif += bytes([0x87, 0, 0]) + pal.tobytes()
+        gif += b"\x2C" + b"\x00" * 4 + w.to_bytes(2, "little") \
+            + h.to_bytes(2, "little") + b"\x00" + bytes([min_code])
+        for j in range(0, len(lzw), 255):
+            blk = lzw[j:j + 255]
+            gif += bytes([len(blk)]) + blk
+        gif += b"\x00\x3B"
+        got = decode_gif(bytes(gif))
+        assert np.array_equal(got, pal[idx.astype(int)]), "real LZW"
+
+
+def test_gif_interlaced():
+    """Interlace flag: rows arrive in 4-pass order and must be
+    de-scrambled back to raster order."""
+    import numpy as np
+
+    from dgraph_spark.operators.multimodal import decode_gif, encode_gif
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = (np.arange(13)[:, None] % 16 * np.ones(5, dtype=int)[None, :]
+           ).astype(np.uint8)
+    h = 13
+    order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                            np.arange(2, h, 4), np.arange(1, h, 2)])
+    scrambled = idx[order]            # rows in interlace transmit order
+    gif = bytearray(encode_gif(scrambled, pal))
+    # flip the interlace bit in the image descriptor (offset: header 6
+    # + lsd 7 + gct 16*3 = 61; descriptor flags at 61 + 9)
+    assert gif[61] == 0x2C
+    gif[61 + 9] |= 0x40
+    got = decode_gif(bytes(gif))
+    assert np.array_equal(got, pal[idx.astype(int)])
 
 
 def test_jpeg_solid_exact_roundtrip():
