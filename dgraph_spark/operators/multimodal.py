@@ -152,10 +152,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def decode_png(data: bytes) -> np.ndarray:
     """Pure-stdlib baseline PNG decoder: chunk walk with CRC checks,
     one zlib inflate, per-scanline unfilter (PNG spec §4.5.4 / RFC
-    2083). Supports bit depth 8, color types 0 (gray), 2 (RGB),
-    3 (palette, 8-bit indices via PLTE lookup), 4 (gray+alpha),
-    6 (RGBA), no interlace; 16-bit / sub-byte-depth / Adam7 are loud
-    rejections (plug PIL for those). Filters: None and Up are
+    2083). Supports bit depths 8 and 16 (16-bit keeps the high byte —
+    the features downstream are 8-bit statistics), color types 0
+    (gray), 2 (RGB), 3 (palette, 8-bit indices via PLTE lookup),
+    4 (gray+alpha), 6 (RGBA), no interlace; sub-byte depths / Adam7
+    are loud rejections (plug PIL for those). Filters: None and Up are
     fully vectorized, Sub is a per-channel-lane cumsum (mod 256
     distributes over the addition chain), Average and Paeth are
     per-pixel by definition (each output feeds the next input).
@@ -193,18 +194,20 @@ def decode_png(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"PNG color type {ct} — plug PIL")
     if ct == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    if depth != 8:
+    if depth not in (8, 16) or (depth == 16 and ct == 3):
         raise NotImplementedError(
-            f"PNG bit depth {depth} — only 8-bit supported in-container")
+            f"PNG bit depth {depth} (ct {ct}) — only 8/16-bit "
+            "non-palette supported in-container")
     if interlace:
         raise NotImplementedError("Adam7-interlaced PNG — plug PIL")
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
+    sb = depth // 8                    # bytes per sample
+    stride = w * channels * sb
     if len(raw) != h * (1 + stride):
         raise ValueError(
             f"PNG data length {len(raw)} != {h}x(1+{stride})")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
-    bpp = channels
+    bpp = channels * sb                # filters act on BYTES (§4.5.4)
     recon = np.zeros((h, stride), dtype=np.int64)
     zero = np.zeros(stride, dtype=np.int64)
     for y in range(h):
@@ -235,7 +238,10 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"PNG filter type {f}")
         recon[y] = cur & 0xFF
-    img = recon.astype(np.uint8).reshape(h, w, channels)
+    if sb == 2:   # 16-bit big-endian samples: keep the high byte
+        img = recon.astype(np.uint8).reshape(h, w, channels, 2)[..., 0]
+    else:
+        img = recon.astype(np.uint8).reshape(h, w, channels)
     if ct == 3:  # palette indices -> RGB lookup
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):

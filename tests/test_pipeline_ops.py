@@ -370,8 +370,8 @@ def test_png_loud_rejections():
         decode_png(patched_ihdr(ct=3))
     with _pytest.raises(NotImplementedError, match="color type 7"):
         decode_png(patched_ihdr(ct=7))
-    with _pytest.raises(NotImplementedError, match="bit depth 16"):
-        decode_png(patched_ihdr(depth=16))
+    with _pytest.raises(NotImplementedError, match="bit depth 4"):
+        decode_png(patched_ihdr(depth=4))
     with _pytest.raises(NotImplementedError, match="interlace"):
         decode_png(patched_ihdr(interlace=1))
     corrupted = ok[:20] + bytes([ok[20] ^ 0xFF]) + ok[21:]
@@ -541,6 +541,44 @@ def test_gif_interlaced():
     gif[61 + 9] |= 0x40
     got = decode_gif(bytes(gif))
     assert np.array_equal(got, pal[idx.astype(int)])
+
+
+def test_png_16bit_decode():
+    """Hand-assembled 16-bit gray + RGB PNGs (big-endian samples,
+    filter 0 and filter 1 rows): decoder unfilters at byte granularity
+    and returns the high byte of each sample."""
+    import zlib
+
+    import numpy as np
+
+    from dgraph_spark.operators.multimodal import decode_png
+
+    def chunk(typ, body):
+        return (len(body).to_bytes(4, "big") + typ + body
+                + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    rng = np.random.default_rng(11)
+    for channels, ct in ((1, 0), (3, 2)):
+        vals = rng.integers(0, 1 << 16, (4, 5, channels)).astype(">u2")
+        raw = b""
+        for y in range(4):
+            line = vals[y].tobytes()
+            if y % 2 == 0:
+                raw += b"\x00" + line
+            else:           # Sub filter at byte granularity
+                arr = np.frombuffer(line, np.uint8).astype(int)
+                bpp = channels * 2
+                filt = arr.copy()
+                filt[bpp:] = (arr[bpp:] - arr[:-bpp]) % 256
+                raw += b"\x01" + bytes(filt.astype(np.uint8))
+        ihdr = ((5).to_bytes(4, "big") + (4).to_bytes(4, "big")
+                + bytes((16, ct, 0, 0, 0)))
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        got = decode_png(png)
+        want = (vals >> 8).astype(np.uint8)
+        want = want[:, :, 0] if channels == 1 else want
+        assert np.array_equal(got, want), ct
 
 
 def test_jpeg_solid_exact_roundtrip():

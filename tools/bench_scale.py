@@ -21,14 +21,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCALE_SET = [
+    # iterative core (the queries whose design must survive scale-up)
     "shortest_path",
     "connected_components",
     "recurse_reach",
+    # composed pipeline + dedup family
     "prepare_corpus",
     "dedup_exact",
     "dedup_minhash_lsh",
+    # windows / ordering
     "sessionize",
     "order_by_val",
+    # join-input-bound DQL (both join sides grow with sf)
+    "q5_local_supplier",
+    "chain_region_revenue",
+    "cascade",
+    # tokenizer / search / scoring tier
+    "anyoftext",
+    "bm25_search",
+    "lm_perplexity",
+    "quality_filter",
+    "line_stats",
 ]
 
 
