@@ -149,18 +149,57 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering (PNG spec §4.5.4) over one image or
+    Adam7 sub-image: ``raw`` is h rows of (filter byte + stride bytes).
+    None/Up are vectorized, Sub is a per-byte-lane cumsum (mod 256
+    distributes over the addition chain), Average/Paeth are per-pixel
+    by definition (each output feeds the next input). Returns (h,
+    stride) int64 in [0, 255]."""
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    zero = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        prior = recon[y - 1] if y else zero
+        if f == 0:
+            cur = line
+        elif f == 1:   # Sub: cumsum per byte lane
+            cur = (np.cumsum(line.reshape(stride // bpp, bpp), axis=0)
+                   .reshape(stride))
+        elif f == 2:   # Up
+            cur = line + prior
+        elif f in (3, 4):  # Average / Paeth: sequential along x
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0        # left
+                b = prior[x]                               # up
+                if f == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) \
+                        else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        recon[y] = cur & 0xFF
+    return recon
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Pure-stdlib baseline PNG decoder: chunk walk with CRC checks,
     one zlib inflate, per-scanline unfilter (PNG spec §4.5.4 / RFC
     2083). Supports bit depths 8 and 16 (16-bit keeps the high byte —
     the features downstream are 8-bit statistics), color types 0
     (gray), 2 (RGB), 3 (palette, 8-bit indices via PLTE lookup),
-    4 (gray+alpha), 6 (RGBA), no interlace; sub-byte depths / Adam7
-    are loud rejections (plug PIL for those). Filters: None and Up are
-    fully vectorized, Sub is a per-channel-lane cumsum (mod 256
-    distributes over the addition chain), Average and Paeth are
-    per-pixel by definition (each output feeds the next input).
-    Returns HxW (gray) or HxWxC uint8."""
+    4 (gray+alpha), 6 (RGBA), and Adam7 interlacing (7 sequential
+    sub-images, each filtered independently); sub-byte depths are loud
+    rejections (plug PIL for those). Filtering is undone by
+    _png_unfilter. Returns HxW (gray) or HxWxC uint8."""
     import zlib
 
     if data[:8] != _PNG_SIG:
@@ -198,50 +237,40 @@ def decode_png(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"PNG bit depth {depth} (ct {ct}) — only 8/16-bit "
             "non-palette supported in-container")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG — plug PIL")
     raw = zlib.decompress(bytes(idat))
     sb = depth // 8                    # bytes per sample
-    stride = w * channels * sb
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"PNG data length {len(raw)} != {h}x(1+{stride})")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     bpp = channels * sb                # filters act on BYTES (§4.5.4)
-    recon = np.zeros((h, stride), dtype=np.int64)
-    zero = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        f = int(rows[y, 0])
-        line = rows[y, 1:].astype(np.int64)
-        prior = recon[y - 1] if y else zero
-        if f == 0:
-            cur = line
-        elif f == 1:   # Sub: cumsum per channel lane
-            cur = (np.cumsum(line.reshape(w, bpp), axis=0)
-                   .reshape(stride))
-        elif f == 2:   # Up
-            cur = line + prior
-        elif f in (3, 4):  # Average / Paeth: sequential along x
-            cur = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0        # left
-                b = prior[x]                               # up
-                if f == 3:
-                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = prior[x - bpp] if x >= bpp else 0  # up-left
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) \
-                        else (b if pb <= pc else c)
-                    cur[x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {f}")
-        recon[y] = cur & 0xFF
-    if sb == 2:   # 16-bit big-endian samples: keep the high byte
-        img = recon.astype(np.uint8).reshape(h, w, channels, 2)[..., 0]
+    if not interlace:
+        stride = w * channels * sb
+        if len(raw) != h * (1 + stride):
+            raise ValueError(
+                f"PNG data length {len(raw)} != {h}x(1+{stride})")
+        recon = _png_unfilter(raw, h, stride, bpp)
+        samples = recon.reshape(h, w, channels, sb)
+    elif interlace == 1:               # Adam7: 7 sub-images, sequential
+        samples = np.zeros((h, w, channels, sb), dtype=np.int64)
+        off = 0
+        for x0, dx, y0, dy in ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8),
+                               (2, 4, 0, 4), (0, 2, 2, 4), (1, 2, 0, 2),
+                               (0, 1, 1, 2)):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * channels * sb
+            sub = raw[off:off + ph * (1 + stride)]
+            off += ph * (1 + stride)
+            if len(sub) != ph * (1 + stride):
+                raise ValueError("PNG interlaced data truncated")
+            recon = _png_unfilter(sub, ph, stride, bpp)
+            samples[y0::dy, x0::dx] = recon.reshape(ph, pw, channels, sb)
+        if off != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
     else:
-        img = recon.astype(np.uint8).reshape(h, w, channels)
+        raise NotImplementedError(f"PNG interlace method {interlace}")
+    # 16-bit big-endian samples: keep the high byte (features are
+    # 8-bit statistics); for 8-bit the byte axis has length 1
+    img = samples[..., 0].astype(np.uint8)
     if ct == 3:  # palette indices -> RGB lookup
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):

@@ -372,8 +372,8 @@ def test_png_loud_rejections():
         decode_png(patched_ihdr(ct=7))
     with _pytest.raises(NotImplementedError, match="bit depth 4"):
         decode_png(patched_ihdr(depth=4))
-    with _pytest.raises(NotImplementedError, match="interlace"):
-        decode_png(patched_ihdr(interlace=1))
+    with _pytest.raises(NotImplementedError, match="interlace method 2"):
+        decode_png(patched_ihdr(interlace=2))
     corrupted = ok[:20] + bytes([ok[20] ^ 0xFF]) + ok[21:]
     with _pytest.raises(ValueError, match="CRC"):
         decode_png(corrupted)
@@ -541,6 +541,57 @@ def test_gif_interlaced():
     gif[61 + 9] |= 0x40
     got = decode_gif(bytes(gif))
     assert np.array_equal(got, pal[idx.astype(int)])
+
+
+def test_png_adam7_interlaced():
+    """Independent FORWARD Adam7 interlacer (PNG spec §8.2, written
+    from the spec): split the image into the 7 passes, filter each
+    sub-image (mixing filter types), assemble — decode_png must
+    de-interlace back to the exact raster."""
+    import zlib
+
+    import numpy as np
+
+    from dgraph_spark.operators.multimodal import decode_png
+
+    def chunk(typ, body):
+        return (len(body).to_bytes(4, "big") + typ + body
+                + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    passes = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+              (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+    rng = np.random.default_rng(13)
+    for h, w, channels, ct in ((13, 11, 3, 2), (9, 17, 1, 0),
+                               (8, 8, 4, 6), (1, 1, 3, 2),
+                               (3, 5, 2, 4)):
+        img = rng.integers(0, 256, (h, w, channels)).astype(np.uint8)
+        raw = b""
+        for x0, dx, y0, dy in passes:
+            sub = img[y0::dy, x0::dx]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            flat = sub.reshape(ph, pw * channels).astype(int)
+            for y in range(ph):
+                f = (y + x0) % 3      # mix filters 0/1/2 across rows
+                line = flat[y]
+                if f == 0:
+                    filt = line
+                elif f == 1:
+                    left = np.concatenate(
+                        [np.zeros(channels, int), line[:-channels]])
+                    filt = line - left
+                else:
+                    prior = flat[y - 1] if y else np.zeros_like(line)
+                    filt = line - prior
+                raw += bytes([f]) + bytes((filt % 256).astype(np.uint8))
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes((8, ct, 0, 0, 1)))
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        got = decode_png(png)
+        want = img[:, :, 0] if channels == 1 else img
+        assert np.array_equal(got, want), (h, w, ct)
 
 
 def test_png_16bit_decode():
