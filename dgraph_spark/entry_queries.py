@@ -1884,6 +1884,27 @@ FROM documents
 """
 
 
+def q_multimodal_tiff(spark, sf_dir):
+    """Strip-layout codec pipeline with a REAL in-container TIFF
+    decoder (operators/multimodal.py decode_tiff: IFD walk, PackBits
+    decompression, photometric handling): each document becomes a
+    genuine PackBits-compressed TIFF with the PPM entry's solid color,
+    sharing its closed-form SQL twin."""
+    from dgraph_spark.operators.multimodal import (
+        extract_image_features, tiff_table_from_docs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = tiff_table_from_docs(docs)
+    return extract_image_features(media).select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
+SQL_multimodal_tiff = SQL_multimodal_features
+
+
 def q_multimodal_gif(spark, sf_dir):
     """LZW-codec pipeline with a REAL in-container GIF decoder
     (operators/multimodal.py decode_gif: variable-width LSB-first LZW,
@@ -3034,6 +3055,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_jpeg": (q_multimodal_jpeg, SQL_multimodal_jpeg),
     "multimodal_flac": (q_multimodal_flac, SQL_multimodal_flac),
     "multimodal_gif": (q_multimodal_gif, SQL_multimodal_gif),
+    "multimodal_tiff": (q_multimodal_tiff, SQL_multimodal_tiff),
     "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

@@ -216,6 +216,7 @@ def decode_flac(data: bytes) -> tuple[int, int, np.ndarray]:
     if info is None:
         raise ValueError("FLAC missing STREAMINFO")
     s_rate, s_channels, s_bps, s_total = info
+    rate = s_rate
     chunks = []
     got = 0
     while i < len(data) and (s_total == 0 or got < s_total):

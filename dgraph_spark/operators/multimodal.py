@@ -1,14 +1,16 @@
 """Multimodal columns: images/audio/video as opaque binary columns with
 typed metadata, processed via Arrow-batched mapInPandas.
 
-The image decode kernels are REAL pure-numpy decoders: netpbm P5/P6,
-uncompressed BMP, PCM16 WAV, zlib PNG (all filter types), and baseline
-JPEG (jpegcodec.py: Huffman + IDCT + chroma upsampling + restart
-markers) — the formats a real crawl actually contains. Codecs beyond
-that scope (progressive JPEG, palette PNG, GIF, H.264) raise
-NotImplementedError with the detected magic unless pillow is installed
-(_pil_decode lights up), and a production deployment plugs
-PIL/libvips/pyav into the same (media_id, media) -> features contract.
+The decode kernels are REAL pure-numpy decoders: netpbm P5/P6,
+uncompressed BMP, PCM16 WAV, PNG (all filter types, palette, 16-bit,
+Adam7), baseline JPEG (jpegcodec.py: Huffman + IDCT + chroma
+upsampling + restart markers), GIF (LZW + interlace), TIFF (strips,
+PackBits, both byte orders), and native FLAC (flaccodec.py) — the
+formats a real crawl actually contains. Codecs beyond that scope
+(progressive JPEG, TIFF-LZW, H.264, MP3) raise NotImplementedError
+with the detected magic unless pillow is installed (_pil_decode
+lights up), and a production deployment plugs PIL/libvips/pyav into
+the same (media_id, media) -> features contract.
 
 At 100 TB the binary column dominates I/O; the operators below only
 touch (media_id, media) so parquet column pruning keeps unrelated scans
@@ -305,6 +307,147 @@ def encode_png(img: np.ndarray) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
 
+def _packbits(data: bytes, expected: int) -> bytes:
+    """Apple PackBits decompression (TIFF spec §9): n in [0,127] →
+    copy n+1 literal bytes; n in [-127,-1] → repeat next byte 1-n
+    times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i:i + 1] * (257 - n)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("PackBits stream truncated")
+    return bytes(out[:expected])
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF decoder (spec 6.0): both byte orders, first IFD,
+    8-bit chunky gray (photometric 0/1, white-is-zero inverted) or
+    RGB(A), strip layout, compression none (1) or PackBits (32773).
+    LZW/JPEG-in-TIFF, tiles, and planar layout raise loudly."""
+    if data[:4] == b"II*\x00":
+        bo = "little"
+    elif data[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    ifd = u(data[4:8])
+    n = u(data[ifd:ifd + 2])
+    tags: dict[int, list[int]] = {}
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        tag = u(data[e:e + 2])
+        typ = u(data[e + 2:e + 4])
+        cnt = u(data[e + 4:e + 8])
+        size = _TYPE_SIZE.get(typ, 1)
+        total = size * cnt
+        off = e + 8 if total <= 4 else u(data[e + 8:e + 12])
+        vals = [u(data[off + j * size:off + (j + 1) * size])
+                for j in range(cnt if typ != 5 else 0)]
+        tags[tag] = vals
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}")
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    rps = tags.get(278, [h])[0] or h
+    planar = tags.get(284, [1])[0]
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits} — plug PIL")
+    if planar != 1:
+        raise NotImplementedError("TIFF planar layout — plug PIL")
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (LZW/JPEG/deflate) — plug PIL")
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo} — plug PIL")
+    raster = bytearray()
+    rows_left = h
+    for off, cnt in zip(offsets, counts):
+        rows = min(rps, rows_left)
+        rows_left -= rows
+        strip = data[off:off + cnt]
+        if comp == 32773:
+            strip = _packbits(strip, rows * w * spp)
+        raster += strip[:rows * w * spp]
+    if len(raster) != h * w * spp:
+        raise ValueError("TIFF strip data does not cover the raster")
+    img = np.frombuffer(bytes(raster), np.uint8).reshape(h, w, spp)
+    if photo == 0:                    # white-is-zero: invert
+        img = 255 - img
+    if spp == 1:
+        return img[:, :, 0]
+    return img[:, :, :3] if spp >= 3 else img[:, :, 0]
+
+
+def encode_tiff(img: np.ndarray, packbits: bool = False) -> bytes:
+    """Minimal little-endian TIFF encoder (one strip, chunky, 8-bit
+    gray or RGB; optional PackBits) for fixtures and media tables."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    raw = img.tobytes()
+    if packbits:
+        out = bytearray()
+        i = 0
+        while i < len(raw):          # naive: runs of equal bytes, else literals
+            j = i
+            while j + 1 < len(raw) and raw[j + 1] == raw[i] and j - i < 127:
+                j += 1
+            if j > i:
+                out += bytes([257 - (j - i + 1), raw[i]])
+                i = j + 1
+            else:
+                k = i
+                while (k + 1 < len(raw) and k - i < 127
+                       and not (k + 2 < len(raw)
+                                and raw[k + 1] == raw[k + 2] == raw[k])):
+                    k += 1
+                out += bytes([k - i]) + raw[i:k + 1]
+                i = k + 1
+        raw = bytes(out)
+    strip_off = 8
+    ifd_off = strip_off + len(raw)
+    if ifd_off % 2:
+        raw += b"\x00"
+        ifd_off += 1
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, 32773 if packbits else 1),
+        (262, 3, 1, 1 if spp == 1 else 2),
+        (273, 4, 1, strip_off), (277, 3, 1, spp), (278, 3, 1, h),
+        (279, 4, 1, len(raw)),
+    ]
+    if spp == 3:                      # BitsPerSample needs 3 SHORTs
+        bps_off = ifd_off + 2 + 12 * len(entries) + 4
+        entries[2] = (258, 3, 3, bps_off)
+    ifd = len(entries).to_bytes(2, "little")
+    for tag, typ, cnt, val in entries:
+        ifd += (tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+                + cnt.to_bytes(4, "little") + val.to_bytes(4, "little"))
+    ifd += (0).to_bytes(4, "little")  # no next IFD
+    extra = (8).to_bytes(2, "little") * 3 if spp == 3 else b""
+    return (b"II*\x00" + ifd_off.to_bytes(4, "little") + raw + ifd + extra)
+
+
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF87a/89a decoder (first frame): logical screen descriptor,
     global/local color tables, LZW decompression (GIF spec appendix F:
@@ -527,6 +670,8 @@ def _decode_image_bytes(data: bytes):
         img = decode_jpeg(data)
     elif data[:4] == b"GIF8":
         img = decode_gif(data)
+    elif data[:4] in (b"II*\x00", b"MM\x00*"):
+        img = decode_tiff(data)
     else:
         img = _pil_decode(data)
         if img is None:
@@ -709,6 +854,35 @@ def png_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["kind"].append("image")
                 out["media"].append(encode_png(img))
                 out["mime"].append("image/png")
+                out["meta"].append('{"synthetic": true}')
+            yield pd.DataFrame(out)
+
+    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+        build, MEDIA_SCHEMA)
+
+
+def tiff_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL PackBits-compressed TIFF per document with the
+    same closed-form pixel statistics as the PPM/PNG tables: width 32,
+    height (n_chars % 97) + 1, solid color (id%256, 7id%256, 13id%256).
+    decode_tiff must walk the IFD, decompress the strip, and
+    de-interleave to recover the channel means — the SQL twin is shared
+    with the PPM entry."""
+    W = 32
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "media": [], "mime": [],
+                   "meta": []}
+            for did, nch in zip(pdf[id_col], pdf["n_chars"]):
+                h = int(nch) % 97 + 1
+                rgb = (int(did) % 256, int(did) * 7 % 256,
+                       int(did) * 13 % 256)
+                img = np.tile(np.array(rgb, dtype=np.uint8), (h, W, 1))
+                out["media_id"].append(int(did))
+                out["kind"].append("image")
+                out["media"].append(encode_tiff(img, packbits=True))
+                out["mime"].append("image/tiff")
                 out["meta"].append('{"synthetic": true}')
             yield pd.DataFrame(out)
 

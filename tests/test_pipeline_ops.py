@@ -632,6 +632,64 @@ def test_png_16bit_decode():
         assert np.array_equal(got, want), ct
 
 
+def test_tiff_roundtrip_and_packbits():
+    """decode_tiff on the fixture encoder's streams: gray + RGB,
+    uncompressed + PackBits, plus a hand-built big-endian variant and
+    white-is-zero inversion."""
+    import numpy as np
+
+    from dgraph_spark.operators.multimodal import (_packbits, decode_tiff,
+                                                   encode_tiff)
+
+    rng = np.random.default_rng(20260816)
+    gray = rng.integers(0, 256, (9, 14)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (7, 5, 3)).astype(np.uint8)
+    # runs of equal bytes exercise PackBits run packing
+    runs = np.repeat(np.arange(12, dtype=np.uint8), 17).reshape(12, 17)
+    for img in (gray, rgb, runs):
+        for pb in (False, True):
+            got = decode_tiff(encode_tiff(img, packbits=pb))
+            assert np.array_equal(got, img), (img.shape, pb)
+
+    # independent PackBits vector (TIFF 6.0 spec §9 worked example):
+    # FE AA | 02 80 00 2A | FD AA | 03 80 00 2A 22 | F7 AA
+    spec_in = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    spec_out = (b"\xAA" * 3 + b"\x80\x00\x2A" + b"\xAA" * 4
+                + b"\x80\x00\x2A\x22" + b"\xAA" * 10)
+    assert _packbits(spec_in, len(spec_out)) == spec_out
+
+    # big-endian (MM) + white-is-zero: build by byte-swapping the
+    # little-endian fixture's multi-byte fields is fiddly; instead
+    # hand-assemble a minimal 2x2 gray MM file
+    w = h = 2
+    raw = bytes([10, 20, 30, 40])
+    ifd_off = 8 + len(raw)
+    entries = [(256, 3, 1, w << 16), (257, 3, 1, h << 16),
+               (258, 3, 1, 8 << 16), (259, 3, 1, 1 << 16),
+               (262, 3, 1, 0 << 16),          # white-is-zero
+               (273, 4, 1, 8), (277, 3, 1, 1 << 16),
+               (278, 3, 1, h << 16), (279, 4, 1, len(raw))]
+    ifd = len(entries).to_bytes(2, "big")
+    for tag, typ, cnt, val in entries:
+        ifd += (tag.to_bytes(2, "big") + typ.to_bytes(2, "big")
+                + cnt.to_bytes(4, "big") + val.to_bytes(4, "big"))
+    ifd += (0).to_bytes(4, "big")
+    tif = b"MM\x00*" + ifd_off.to_bytes(4, "big") + raw + ifd
+    got = decode_tiff(tif)
+    assert np.array_equal(got, 255 - np.array([[10, 20], [30, 40]],
+                                              dtype=np.uint8))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"JUNK" * 4)
+    lzw = bytearray(encode_tiff(gray))
+    # flip the compression tag value (259) to 5 (LZW)
+    comp_at = lzw.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    lzw[comp_at + 8] = 5
+    with _pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(lzw))
+
+
 def test_jpeg_solid_exact_roundtrip():
     """Solid-value grayscale + QTABLE_EXACT (DC quant 8) round-trips
     BIT-EXACTLY through the full Huffman + IDCT path — the property the
