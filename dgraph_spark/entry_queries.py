@@ -1884,6 +1884,33 @@ FROM documents
 """
 
 
+def q_multimodal_video(spark, sf_dir):
+    """Video-container pipeline with a REAL ISO-BMFF parser
+    (operators/multimodal.py parse_mp4_meta: box-tree walk with 32/
+    64-bit sizes, mvhd v0/v1 duration, tkhd 16.16 fixed-point dims):
+    each document becomes a container-valid MP4 whose metadata is
+    id-keyed and closed-form for the SQL twin. Codec payloads stay
+    opaque (frame work plugs pyav into sample_frames)."""
+    from dgraph_spark.operators.multimodal import (extract_video_metadata,
+                                                   video_table_from_docs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = video_table_from_docs(docs)
+    return extract_video_metadata(media).select(
+        "media_id", F.round("duration_s", 6).alias("duration_s"),
+        "width", "height", "n_tracks")
+
+
+SQL_multimodal_video = """
+SELECT doc_id AS media_id,
+       round((n_chars % 600) / 10.0, 6) AS duration_s,
+       16 * (doc_id % 90 + 1) AS width,
+       16 * (doc_id % 50 + 1) AS height,
+       1 AS n_tracks
+FROM documents
+"""
+
+
 def q_multimodal_tiff(spark, sf_dir):
     """Strip-layout codec pipeline with a REAL in-container TIFF
     decoder (operators/multimodal.py decode_tiff: IFD walk, PackBits
@@ -3056,6 +3083,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_flac": (q_multimodal_flac, SQL_multimodal_flac),
     "multimodal_gif": (q_multimodal_gif, SQL_multimodal_gif),
     "multimodal_tiff": (q_multimodal_tiff, SQL_multimodal_tiff),
+    "multimodal_video": (q_multimodal_video, SQL_multimodal_video),
     "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

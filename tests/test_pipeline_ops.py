@@ -857,6 +857,72 @@ def test_flac_media_table_matches_wav(spark):
     assert a == b and len(a) == 12
 
 
+def test_mp4_meta_parse():
+    """parse_mp4_meta on the fixture builder AND on hand-tweaked
+    variants: mvhd version 1 (64-bit duration), 64-bit box largesize,
+    multi-track, and loud rejection of non-BMFF payloads."""
+    import numpy as np
+
+    from dgraph_spark.operators.multimodal import (_mp4_box, build_mp4,
+                                                   parse_mp4_meta)
+
+    dur, w, h, nt = parse_mp4_meta(build_mp4(12.3, 640, 480))
+    assert (round(dur, 6), w, h, nt) == (12.3, 640, 480, 1)
+
+    dur, w, h, nt = parse_mp4_meta(build_mp4(0.5, 1920, 1080,
+                                             n_tracks=3))
+    assert (dur, w, h, nt) == (0.5, 1920, 1080, 3)
+
+    # mvhd version 1: 64-bit creation/modification/duration
+    scale, d64 = 90000, 90000 * 7
+    mvhd = (b"\x01" + b"\x00" * 3 + b"\x00" * 16
+            + scale.to_bytes(4, "big") + d64.to_bytes(8, "big")
+            + b"\x00" * 80)
+    payload = (_mp4_box(b"ftyp", b"isom\x00\x00\x02\x00")
+               + _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd)))
+    dur, w, h, nt = parse_mp4_meta(payload)
+    assert (dur, nt) == (7.0, 0)
+
+    # 64-bit largesize box wrapping moov
+    moov_body = _mp4_box(b"mvhd", (b"\x00" + b"\x00" * 3 + b"\x00" * 8
+                                   + (1000).to_bytes(4, "big")
+                                   + (2500).to_bytes(4, "big")
+                                   + b"\x00" * 80))
+    big = ((1).to_bytes(4, "big") + b"moov"
+           + (16 + len(moov_body)).to_bytes(8, "big") + moov_body)
+    payload = _mp4_box(b"ftyp", b"isom") + big
+    dur, _, _, _ = parse_mp4_meta(payload)
+    assert dur == 2.5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_meta(b"RIFFxxxxWAVE")
+    with _pytest.raises(ValueError, match="overruns"):
+        bad = _mp4_box(b"ftyp", b"isom") + (999).to_bytes(4, "big") + b"moov"
+        parse_mp4_meta(bad + b"\x00" * 4)
+
+
+def test_video_media_table(spark):
+    """video_table_from_docs -> extract_video_metadata recovers the
+    closed-form id-keyed container metadata."""
+    from dgraph_spark.operators.multimodal import (extract_video_metadata,
+                                                   video_table_from_docs)
+
+    docs = spark.createDataFrame(
+        [(i * 23, "x" * (i * 37 % 200 + 1)) for i in range(1, 13)],
+        "doc_id long, text string").withColumn("n_chars",
+                                               F.length("text"))
+    rows = extract_video_metadata(video_table_from_docs(docs)).collect()
+    assert len(rows) == 12
+    for r in rows:
+        d = r["media_id"]
+        nch = (d // 23) * 37 % 200 + 1
+        assert r["width"] == 16 * (d % 90 + 1)
+        assert r["height"] == 16 * (d % 50 + 1)
+        assert r["n_tracks"] == 1
+        assert abs(r["duration_s"] - (nch % 600) / 10.0) < 1e-9
+
+
 def test_multimodal_audio_features(spark):
     import numpy as np
 
