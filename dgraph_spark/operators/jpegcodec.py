@@ -261,6 +261,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError(f"precision {body[0]} — plug PIL")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            if w * h > (1 << 28) or w == 0 or h == 0:
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} out of sane range "
+                    "(corrupt header or decompression bomb)")
             ncomp = body[5]
             comps = []
             for c in range(ncomp):
@@ -306,6 +310,14 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac,
     pred = [0] * len(comps)
     nmcu = mcux * mcuy
     for mi in range(nmcu):
+        # reaching a non-RST marker (EOI, next SOS, ...) with MCUs
+        # still owed means the entropy data ended early — corrupt or
+        # truncated stream (also stops header-declared phantom MCUs
+        # from being "decoded" out of zero padding at O(w*h) cost)
+        if rd.marker is not None and not (0xD0 <= rd.marker <= 0xD7):
+            raise ValueError(
+                f"JPEG entropy data ended at MCU {mi}/{nmcu} "
+                "(truncated or corrupt stream)")
         if restart_interval and mi and mi % restart_interval == 0:
             rd.restart()
             pred = [0] * len(comps)

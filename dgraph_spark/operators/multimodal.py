@@ -239,9 +239,19 @@ def decode_png(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"PNG bit depth {depth} (ct {ct}) — only 8/16-bit "
             "non-palette supported in-container")
-    raw = zlib.decompress(bytes(idat))
+    if w * h > (1 << 28) or w == 0 or h == 0:
+        raise ValueError(
+            f"PNG dimensions {w}x{h} out of sane range "
+            "(corrupt header or decompression bomb)")
     sb = depth // 8                    # bytes per sample
     bpp = channels * sb                # filters act on BYTES (§4.5.4)
+    # inflate capped by the declared raster size (+ per-pass filter
+    # bytes; Adam7 has <= h+7 extra rows) so a zlib bomb can't exceed
+    # what the dimensions justify
+    cap = w * h * bpp + 2 * (h + 8)
+    raw = zlib.decompressobj().decompress(bytes(idat), cap + 1)
+    if len(raw) > cap:
+        raise ValueError("PNG inflated data exceeds declared dimensions")
     if not interlace:
         stride = w * channels * sb
         if len(raw) != h * (1 + stride):
@@ -354,6 +364,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
         size = _TYPE_SIZE.get(typ, 1)
         total = size * cnt
         off = e + 8 if total <= 4 else u(data[e + 8:e + 12])
+        # a corrupt count can claim 4G values — bound by the file
+        if total > 4 and off + total > len(data):
+            raise ValueError(
+                f"TIFF tag {tag} value array overruns the file "
+                f"({cnt} x {size} bytes at {off})")
         vals = [u(data[off + j * size:off + (j + 1) * size])
                 for j in range(cnt if typ != 5 else 0)]
         tags[tag] = vals
@@ -478,6 +493,10 @@ def decode_gif(data: bytes) -> np.ndarray:
         elif b == 0x2C:               # image descriptor
             w = int.from_bytes(data[i + 5:i + 7], "little")
             h = int.from_bytes(data[i + 7:i + 9], "little")
+            if w * h > (1 << 28) or w == 0 or h == 0:
+                raise ValueError(
+                    f"GIF dimensions {w}x{h} out of sane range "
+                    "(corrupt header or decompression bomb)")
             iflags = data[i + 9]
             i += 10
             ct = gct
@@ -654,24 +673,43 @@ def _pil_decode(data: bytes):
     return np.asarray(img)
 
 
+def _well_typed(decoder, data: bytes, kind: str):
+    """Run a decoder with the error contract a 100 TB crawl needs:
+    corrupt bytes surface as ValueError (truncated streams otherwise
+    leak IndexError from slicing, zlib.error from inflate, etc. —
+    exception types the skip/raise policy below must classify)."""
+    import zlib
+
+    try:
+        return decoder(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, OverflowError, zlib.error,
+            MemoryError) as e:
+        raise ValueError(
+            f"corrupt {kind} payload: {type(e).__name__}: {e}") from e
+
+
 def _decode_image_bytes(data: bytes):
     """Dispatch on magic bytes to a real decoder; returns
-    (width, height, mean_r, mean_g, mean_b, 16-bin luma histogram)."""
+    (width, height, mean_r, mean_g, mean_b, 16-bin luma histogram).
+    Raises ValueError for corrupt payloads, NotImplementedError for
+    recognized-but-unsupported codecs."""
     if not data:
         raise ValueError("empty media payload")
     if data[:2] in (b"P6", b"P5"):
-        img = decode_ppm(data)
+        img = _well_typed(decode_ppm, data, "netpbm")
     elif data[:2] == b"BM":
-        img = decode_bmp(data)
+        img = _well_typed(decode_bmp, data, "bmp")
     elif data[:8] == _PNG_SIG:
-        img = decode_png(data)
+        img = _well_typed(decode_png, data, "png")
     elif data[:3] == b"\xff\xd8\xff":
         from dgraph_spark.operators.jpegcodec import decode_jpeg
-        img = decode_jpeg(data)
+        img = _well_typed(decode_jpeg, data, "jpeg")
     elif data[:4] == b"GIF8":
-        img = decode_gif(data)
+        img = _well_typed(decode_gif, data, "gif")
     elif data[:4] in (b"II*\x00", b"MM\x00*"):
-        img = decode_tiff(data)
+        img = _well_typed(decode_tiff, data, "tiff")
     else:
         img = _pil_decode(data)
         if img is None:
@@ -697,11 +735,21 @@ def _decode_image_bytes(data: bytes):
             [float(x) for x in hist])
 
 
-def extract_image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
+def extract_image_features(media: DataFrame, batch_hint: int = 0,
+                           on_error: str = "raise") -> DataFrame:
     """media(media_id, media, ...) -> (media_id, width, height, mean_r/g/b,
     feature). mapInPandas streams Arrow record batches; each batch decodes
     independently (CPU-bound — at scale, repartition so one task's batches
-    fit executor memory alongside the decode workspace)."""
+    fit executor memory alongside the decode workspace).
+
+    on_error: 'raise' (default — correctness/oracle mode: any bad blob
+    fails the job) or 'skip' (crawl mode: corrupt/unsupported payloads
+    are dropped; a 100 TB crawl ALWAYS contains some, and one bad file
+    must not kill a 10k-task job — count skips by anti-joining the
+    output against the input)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', "
+                         f"got {on_error!r}")
     cols = media.select("media_id", "media")
     if batch_hint:
         cols = cols.repartition(batch_hint)
@@ -711,7 +759,12 @@ def extract_image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
             out = {"media_id": [], "width": [], "height": [], "mean_r": [],
                    "mean_g": [], "mean_b": [], "feature": []}
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                w, h, mr, mg, mb, feat = _decode_image_bytes(bytes(blob))
+                try:
+                    w, h, mr, mg, mb, feat = _decode_image_bytes(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    if on_error == "skip":
+                        continue
+                    raise
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -719,7 +772,8 @@ def extract_image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                 out["mean_g"].append(mg)
                 out["mean_b"].append(mb)
                 out["feature"].append(feat)
-            yield pd.DataFrame(out)
+            if out["media_id"]:   # empty frame breaks Arrow list cols
+                yield pd.DataFrame(out)
 
     return cols.mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
 
@@ -767,28 +821,39 @@ AUDIO_FEATURES_SCHEMA = StructType(
 def _decode_audio_bytes(data: bytes):
     """Dispatch on magic bytes: RIFF/WAVE -> decode_wav, native FLAC ->
     flaccodec.decode_flac (lossless, so the same closed-form oracle
-    holds for either container of the same samples)."""
+    holds for either container of the same samples). Same error
+    contract as _decode_image_bytes."""
     if data[:4] == b"RIFF":
-        return decode_wav(data)
+        return _well_typed(decode_wav, data, "wav")
     if data[:4] == b"fLaC":
         from dgraph_spark.operators.flaccodec import decode_flac
-        return decode_flac(data)
+        return _well_typed(decode_flac, data, "flac")
     raise NotImplementedError(
         "no in-container audio decoder for this payload — WAV and "
         "native FLAC are supported; plug soundfile/libsndfile for "
         "MP3/Ogg/AAC")
 
 
-def extract_audio_features(media: DataFrame) -> DataFrame:
+def extract_audio_features(media: DataFrame,
+                           on_error: str = "raise") -> DataFrame:
     """media(media_id, media) of PCM16 WAV or native FLAC payloads ->
-    (media_id, sample_rate, channels, n_samples, rms)."""
+    (media_id, sample_rate, channels, n_samples, rms). on_error as in
+    extract_image_features ('raise' | 'skip')."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', "
+                         f"got {on_error!r}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "sample_rate": [], "channels": [],
                    "n_samples": [], "rms": []}
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                rate, ch, samples = _decode_audio_bytes(bytes(blob))
+                try:
+                    rate, ch, samples = _decode_audio_bytes(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    if on_error == "skip":
+                        continue
+                    raise
                 out["media_id"].append(mid)
                 out["sample_rate"].append(rate)
                 out["channels"].append(ch)
@@ -796,7 +861,8 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 out["rms"].append(
                     float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
                     if len(samples) else 0.0)
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
 
     return media.select("media_id", "media").mapInPandas(
         decode, AUDIO_FEATURES_SCHEMA)

@@ -923,6 +923,105 @@ def test_video_media_table(spark):
         assert abs(r["duration_s"] - (nch % 600) / 10.0) < 1e-9
 
 
+def test_codec_corruption_fuzz():
+    """A 100 TB crawl always contains corrupt files: every decoder,
+    fed random single-byte flips and truncations of valid fixtures,
+    must either succeed or raise ValueError/NotImplementedError — no
+    IndexError/zlib.error/KeyError leaks, no unbounded work from
+    corrupt headers (dimension/inflate guards)."""
+    import signal
+
+    import numpy as np
+
+    from dgraph_spark.operators.flaccodec import encode_flac
+    from dgraph_spark.operators.jpegcodec import (encode_jpeg_color,
+                                                  encode_jpeg_gray)
+    from dgraph_spark.operators.multimodal import (_decode_audio_bytes,
+                                                   _decode_image_bytes,
+                                                   encode_gif, encode_png,
+                                                   encode_tiff)
+
+    rng = np.random.default_rng(20260817)
+    img = rng.integers(0, 256, (9, 12, 3)).astype(np.uint8)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (9, 12)).astype(np.uint8)
+    samples = rng.integers(-3000, 3000, 500, dtype=np.int64)
+    wav_fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+               + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+               + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    wav_data = samples.astype("<i2").tobytes()
+    wav = (b"RIFF" + (36 + len(wav_data)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little") + wav_fmt
+           + b"data" + len(wav_data).to_bytes(4, "little") + wav_data)
+    fixtures = [
+        (_decode_image_bytes, b"P6\n12 9\n255\n" + img.tobytes()),
+        (_decode_image_bytes, encode_png(img)),
+        (_decode_image_bytes, encode_jpeg_gray(img[:, :, 0])),
+        (_decode_image_bytes, encode_jpeg_color(img, "420")),
+        (_decode_image_bytes, encode_gif(idx, pal)),
+        (_decode_image_bytes, encode_tiff(img, packbits=True)),
+        (_decode_audio_bytes, wav),
+        (_decode_audio_bytes, encode_flac(samples, 8000, 1)),
+    ]
+
+    def alarm(sig, frm):
+        raise AssertionError("decoder hung on corrupt input")
+
+    old = signal.signal(signal.SIGALRM, alarm)
+    try:
+        for decode, blob in fixtures:
+            for _ in range(120):
+                b = bytearray(blob)
+                k = int(rng.integers(0, len(b)))
+                b[k] ^= int(rng.integers(1, 256))
+                signal.alarm(20)
+                try:
+                    decode(bytes(b))
+                except (ValueError, NotImplementedError):
+                    pass
+                finally:
+                    signal.alarm(0)
+            for _ in range(40):       # truncations
+                cut = int(rng.integers(0, len(blob)))
+                signal.alarm(20)
+                try:
+                    decode(bytes(blob[:cut]))
+                except (ValueError, NotImplementedError):
+                    pass
+                finally:
+                    signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
+
+
+def test_extract_features_on_error_skip(spark):
+    """on_error='skip' drops corrupt blobs instead of failing the job;
+    on_error='raise' (the default, oracle mode) propagates."""
+    import pytest as _pytest
+
+    from dgraph_spark.operators.multimodal import (encode_png,
+                                                   extract_audio_features,
+                                                   extract_image_features)
+    import numpy as np
+
+    good = encode_png(np.full((4, 4, 3), 7, dtype=np.uint8))
+    bad = good[:20] + bytes([good[20] ^ 0xFF]) + good[21:]  # CRC break
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad)),
+         (3, bytearray(b"GIF89a\x00\x00"))],
+        "media_id long, media binary")
+    kept = extract_image_features(media, on_error="skip").collect()
+    assert [r["media_id"] for r in kept] == [1]
+    with _pytest.raises(Exception):
+        extract_image_features(media).collect()
+
+    audio = spark.createDataFrame(
+        [(1, bytearray(b"fLaCjunkjunkjunk"))], "media_id long, media binary")
+    assert extract_audio_features(audio, on_error="skip").count() == 0
+    with _pytest.raises(ValueError, match="on_error"):
+        extract_image_features(media, on_error="null")
+
+
 def test_multimodal_audio_features(spark):
     import numpy as np
 
