@@ -1884,6 +1884,43 @@ FROM documents
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (WET-generation step) with a REAL
+    stdlib-parser block model (operators/htmlextract.py): each document
+    is wrapped in a genuine HTML page (head with script/style payloads,
+    link-only nav/footer chrome, body paragraphs), and the extractor
+    must strip the chrome by link density and recover exactly the
+    whitespace-collapsed text plus closed-form block/link counts."""
+    from dgraph_spark.operators.htmlextract import (html_extract,
+                                                    html_table_from_docs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = html_table_from_docs(docs)
+    return html_extract(pages).select(
+        "doc_id", "text", "n_blocks", "n_links",
+        F.round("link_density", 6).alias("link_density"))
+
+
+SQL_html_extract = """
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS collapsed,
+         length(regexp_replace(text, '[ \t\n\r]+', '', 'g')) AS nchars,
+         4 * (doc_id % 5 + 1) + 5 AS link_chars
+  FROM documents
+)
+SELECT doc_id,
+       collapsed AS text,
+       CASE WHEN collapsed = '' THEN 0
+            ELSE CAST(ceil(array_length(string_split(collapsed, ' '))
+                           / 12.0) AS BIGINT) END AS n_blocks,
+       doc_id % 5 + 2 AS n_links,
+       round(link_chars / (link_chars + nchars)::DOUBLE, 6)
+         AS link_density
+FROM base
+"""
+
+
 def q_multimodal_video(spark, sf_dir):
     """Video-container pipeline with a REAL ISO-BMFF parser
     (operators/multimodal.py parse_mp4_meta: box-tree walk with 32/
@@ -3084,6 +3121,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_gif": (q_multimodal_gif, SQL_multimodal_gif),
     "multimodal_tiff": (q_multimodal_tiff, SQL_multimodal_tiff),
     "multimodal_video": (q_multimodal_video, SQL_multimodal_video),
+    "html_extract": (q_html_extract, SQL_html_extract),
     "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

@@ -923,6 +923,68 @@ def test_video_media_table(spark):
         assert abs(r["duration_s"] - (nch % 600) / 10.0) < 1e-9
 
 
+def test_html_extract_messy():
+    """extract_text_py on adversarial real-world shapes: unclosed
+    tags, nested skip-subtrees, entities, attribute soup, link-dense
+    blocks dropped, empty/None input."""
+    from dgraph_spark.operators.htmlextract import extract_text_py
+
+    txt, nb, nl, dens = extract_text_py(
+        '<div class="a" data-x="<p>">Real <b>content</b> here'
+        "<script>document.write('<p>fake</p>')</script>"
+        "<div>more text</div>")
+    assert txt == "Real content here more text"
+    assert nb == 2 and nl == 0
+
+    # nav chrome dropped by link density, its links still counted
+    txt, nb, nl, _ = extract_text_py(
+        '<ul><li><a href="/1">one</a></li><li><a href="/2">two</a></li>'
+        "</ul><p>body text stays</p>")
+    assert txt == "body text stays" and nl == 2
+
+    # entities + an in-sentence anchor + unclosed <p>
+    txt, _, nl, _ = extract_text_py(
+        "<p>a &lt;tag&gt; &amp; more<p>second paragraph with plenty of "
+        'surrounding prose so that the <a href="x">short link</a> stays '
+        "well under the link-density threshold and the block is kept</p>")
+    assert "a <tag> & more" in txt and "second paragraph" in txt
+    assert "short link" in txt  # low density: kept
+    assert nl == 1
+
+    # style/noscript/template subtrees vanish
+    txt, _, _, _ = extract_text_py(
+        "<style>.x{content:'hi'}</style><noscript>no js</noscript>"
+        "<template><p>tpl</p></template><p>visible</p>")
+    assert txt == "visible"
+
+    assert extract_text_py("") == ("", 0, 0, 0.0)
+    assert extract_text_py(None) == ("", 0, 0, 0.0)
+
+    # all-link document: everything dropped, density 1.0
+    txt, nb, nl, dens = extract_text_py('<a href="/x">only link</a>')
+    assert txt == "" and nl == 1 and dens == 1.0
+
+
+def test_html_extract_spark_roundtrip(spark):
+    """html_table_from_docs wraps text in a page with chrome; the
+    extractor recovers the collapsed text and closed-form counts."""
+    from dgraph_spark.operators.htmlextract import (html_extract,
+                                                    html_table_from_docs)
+
+    docs = spark.createDataFrame(
+        [(7, "alpha beta <gamma> & delta " * 5),
+         (12, "one\ntwo\tthree  four"),
+         (13, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            html_extract(html_table_from_docs(docs)).collect()}
+    assert rows[7]["text"] == ("alpha beta <gamma> & delta " * 5).strip()
+    assert rows[7]["n_links"] == 7 % 5 + 2
+    assert rows[12]["text"] == "one two three four"
+    assert rows[12]["n_blocks"] == 1
+    assert rows[13]["text"] == "" and rows[13]["n_blocks"] == 0
+
+
 def test_codec_corruption_fuzz():
     """A 100 TB crawl always contains corrupt files: every decoder,
     fed random single-byte flips and truncations of valid fixtures,
