@@ -1884,6 +1884,43 @@ FROM documents
 """
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (operators/urls.py, pure codegen
+    expressions): dirty URLs are synthesized from doc_id (mixed-case
+    scheme/host, default ports, tracking params, unsorted query,
+    fragment) and the canonicalizer must produce the closed-form
+    canonical string the DuckDB twin writes directly."""
+    from dgraph_spark.operators.urls import canonical_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://"))
+             .otherwise(F.lit("HTTPS://")),
+            F.lit("WWW.Example"), (F.col("doc_id") % 3).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".COM:80"))
+             .otherwise(F.lit(".COM:443")),
+            F.lit("/Path"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/page?utm_source=feed&z=26&b="),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit("&a=1&utm_medium=x&fbclid=abc#Frag"),
+            F.col("doc_id").cast("string")).alias("url"))
+    return dirty.select(
+        "doc_id", canonical_url("url").alias("url_canon"))
+
+
+SQL_url_canonical = """
+SELECT doc_id,
+       concat(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END,
+              '://www.example', (doc_id % 3)::VARCHAR, '.com',
+              '/Path', (doc_id % 7)::VARCHAR,
+              '/page?a=1&b=', (doc_id % 11)::VARCHAR, '&z=26')
+         AS url_canon
+FROM documents
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> text extraction (WET-generation step) with a REAL
     stdlib-parser block model (operators/htmlextract.py): each document
@@ -3122,6 +3159,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_tiff": (q_multimodal_tiff, SQL_multimodal_tiff),
     "multimodal_video": (q_multimodal_video, SQL_multimodal_video),
     "html_extract": (q_html_extract, SQL_html_extract),
+    "url_canonical": (q_url_canonical, SQL_url_canonical),
     "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

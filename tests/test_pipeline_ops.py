@@ -923,6 +923,48 @@ def test_video_media_table(spark):
         assert abs(r["duration_s"] - (nch % 600) / 10.0) < 1e-9
 
 
+def test_canonical_url_cases(spark):
+    """Documented canonicalization contract, case by case."""
+    from dgraph_spark.operators.urls import canonical_url
+
+    cases = [
+        ("HTTP://EXAMPLE.com:80/A/B?z=1&a=2#frag",
+         "http://example.com/A/B?a=2&z=1"),
+        ("https://Host.COM:443", "https://host.com/"),
+        ("https://host.com:8443/x", "https://host.com:8443/x"),  # non-default port kept
+        ("http://h.com/p?utm_source=a&utm_medium=b&fbclid=c&gclid=d",
+         "http://h.com/p"),
+        ("http://h.com/p?b=2&a=1&utm_campaign=x&msclkid=9",
+         "http://h.com/p?a=1&b=2"),
+        ("ftp://Files.Example.com/Pub", "ftp://files.example.com/Pub"),
+        ("http://h.com?a=1", "http://h.com/?a=1"),  # empty path -> /
+        ("not a url at all", "not a url at all"),   # passthrough
+        ("relative/path?x=1", "relative/path?x=1"), # no scheme
+        ("http://h.com/p?a=1&&b=2", "http://h.com/p?a=1&b=2"),  # empty param
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
+
+
+def test_url_dedup(spark):
+    """url_dedup keeps one row per canonical form, min-url rep."""
+    from dgraph_spark.operators.urls import url_dedup
+
+    df = spark.createDataFrame(
+        [("HTTP://A.com:80/x?b=1&a=2&utm_source=s",),
+         ("http://a.com/x?a=2&b=1",),
+         ("http://a.com/x?a=2&b=1#frag",),
+         ("http://b.com/y",)], "url string")
+    kept = url_dedup(df, "url").collect()
+    assert len(kept) == 2
+    by_canon = {r["canonical_url"]: r["url"] for r in kept}
+    assert by_canon["http://a.com/x?a=2&b=1"] == \
+        "HTTP://A.com:80/x?b=1&a=2&utm_source=s"  # min() of the three
+    assert "http://b.com/y" in by_canon
+
+
 def test_html_extract_messy():
     """extract_text_py on adversarial real-world shapes: unclosed
     tags, nested skip-subtrees, entities, attribute soup, link-dense
