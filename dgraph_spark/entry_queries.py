@@ -1884,6 +1884,57 @@ FROM documents
 """
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container round-trip (sources/warc.py): each document is
+    framed as a REAL one-record .warc.gz member (header block,
+    Content-Length framing, HTTP response wrapper, gzip) and parsed
+    back; the parsed status/URI/payload-size are closed-form."""
+    from dgraph_spark.sources.warc import build_warc, parse_warc_bytes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "warc_type": [], "target_uri": [],
+                   "http_status": [], "n_payload_bytes": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                blob = build_warc([{
+                    "warc_type": "response",
+                    "target_uri": f"http://example.com/doc/{d}",
+                    "content_type": "text/html",
+                    "http_status": 200 + d % 300,
+                    "payload": (text or "").encode("utf-8")}])
+                (rec,) = parse_warc_bytes(blob)
+                out["doc_id"].append(d)
+                out["warc_type"].append(rec["warc_type"])
+                out["target_uri"].append(rec["target_uri"])
+                out["http_status"].append(rec["http_status"])
+                out["n_payload_bytes"].append(len(rec["payload"]))
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("warc_type", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("http_status", LongType()),
+        StructField("n_payload_bytes", LongType())])
+    return docs.select("doc_id", "text").mapInPandas(run, schema)
+
+
+SQL_warc_roundtrip = """
+SELECT doc_id,
+       'response' AS warc_type,
+       concat('http://example.com/doc/', doc_id::VARCHAR) AS target_uri,
+       200 + doc_id % 300 AS http_status,
+       octet_length(encode(text)) AS n_payload_bytes
+FROM documents
+"""
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization (operators/urls.py, pure codegen
     expressions): dirty URLs are synthesized from doc_id (mixed-case
@@ -3160,6 +3211,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_video": (q_multimodal_video, SQL_multimodal_video),
     "html_extract": (q_html_extract, SQL_html_extract),
     "url_canonical": (q_url_canonical, SQL_url_canonical),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_warc_roundtrip),
     "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

@@ -923,6 +923,60 @@ def test_video_media_table(spark):
         assert abs(r["duration_s"] - (nch % 600) / 10.0) < 1e-9
 
 
+def test_warc_parse_and_read(spark, tmp_path):
+    """build_warc -> parse_warc_bytes round-trip (gzipped multi-member
+    and plain), HTTP header split, and the Spark binaryFile-backed
+    read_warc over a directory of .warc.gz files."""
+    from dgraph_spark.sources.warc import (build_warc, parse_warc_bytes,
+                                           read_warc)
+
+    recs = [
+        {"warc_type": "warcinfo", "target_uri": "",
+         "content_type": "application/warc-fields",
+         "payload": b"software: test\r\n"},
+        {"warc_type": "response", "target_uri": "http://a.com/x",
+         "content_type": "text/html", "http_status": 200,
+         "payload": b"<html>hello</html>"},
+        {"warc_type": "request", "target_uri": "http://a.com/x",
+         "content_type": "application/http;msgtype=request",
+         "payload": b"GET /x HTTP/1.1\r\n\r\n"},
+        {"warc_type": "response", "target_uri": "http://a.com/404",
+         "content_type": "text/html", "http_status": 404,
+         "payload": b"gone"},
+    ]
+    for gz in (True, False):
+        got = parse_warc_bytes(build_warc(recs, gzipped=gz))
+        assert [r["warc_type"] for r in got] == \
+            ["warcinfo", "response", "request", "response"]
+        assert got[1]["http_status"] == 200
+        assert got[1]["payload"] == b"<html>hello</html>"  # HTTP split
+        assert got[2]["http_status"] is None
+        assert got[3]["http_status"] == 404
+        assert got[3]["payload"] == b"gone"
+
+    # two files through the Spark reader
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(build_warc(recs[:2]))
+    (d / "b.warc.gz").write_bytes(build_warc(recs[2:]))
+    df = read_warc(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == 4
+    by_uri = sorted((r["warc_type"], r["target_uri"]) for r in rows)
+    assert ("response", "http://a.com/404") in by_uri
+    statuses = {r["target_uri"]: r["http_status"] for r in rows
+                if r["warc_type"] == "response"}
+    assert statuses == {"http://a.com/x": 200, "http://a.com/404": 404}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="version line"):
+        parse_warc_bytes(b"NOTWARC/1.1\r\n\r\n\r\n\r\n")
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_warc_bytes(
+            b"WARC/1.1\r\nWARC-Type: response\r\n"
+            b"Content-Length: 999\r\n\r\nshort")
+
+
 def test_canonical_url_cases(spark):
     """Documented canonicalization contract, case by case."""
     from dgraph_spark.operators.urls import canonical_url
