@@ -1884,6 +1884,42 @@ FROM documents
 """
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt politeness filter (operators/robots.py, RFC 9309):
+    per-domain robots with prefix/wildcard/anchor rules are parsed to
+    a rules table and urls are judged by broadcast-join + longest-
+    match argmax; the fixture picks each document's path from four
+    cases whose verdicts are closed-form."""
+    from dgraph_spark.operators.robots import robots_filter, robots_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 20).cast("string"))
+         .alias("domain"),
+        F.element_at(
+            F.array(F.lit("/a"), F.lit("/private/x"),
+                    F.lit("/private/ok/y"), F.lit("/tmp/z")),
+            (F.col("doc_id") % 4 + 1).cast("int")).alias("path"))
+    txt = ("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+           "Disallow: /tmp/*\nAllow: /tmp/keep$\n")
+    robots = urls.select("domain").distinct().withColumn(
+        "robots_txt", F.lit(txt))
+    out = robots_filter(urls, robots_rules(robots))
+    return out.select("doc_id", "domain", "path", "allowed")
+
+
+SQL_robots_filter = """
+SELECT doc_id,
+       concat('d', (doc_id % 20)::VARCHAR) AS domain,
+       CASE doc_id % 4 WHEN 0 THEN '/a' WHEN 1 THEN '/private/x'
+            WHEN 2 THEN '/private/ok/y' ELSE '/tmp/z' END AS path,
+       CASE doc_id % 4 WHEN 0 THEN true WHEN 1 THEN false
+            WHEN 2 THEN true ELSE false END AS allowed
+FROM documents
+"""
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round-trip (sources/warc.py): each document is
     framed as a REAL one-record .warc.gz member (header block,
@@ -3212,6 +3248,7 @@ QUERIES: dict[str, tuple] = {
     "html_extract": (q_html_extract, SQL_html_extract),
     "url_canonical": (q_url_canonical, SQL_url_canonical),
     "warc_roundtrip": (q_warc_roundtrip, SQL_warc_roundtrip),
+    "robots_filter": (q_robots_filter, SQL_robots_filter),
     "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

@@ -1,0 +1,136 @@
+"""robots.txt evaluation (RFC 9309 Robots Exclusion Protocol) — the
+crawl-politeness filter between URL discovery and fetching.
+
+Parsing happens once per robots.txt (driver or mapInPandas — there
+are ~millions of domains, not billions), producing a rules table
+(domain, directive, path_pattern, rule_len, regex). Evaluation is a
+broadcast-or-shuffle join urls x rules on domain plus a longest-match
+argmax per URL — pure DataFrame ops, RFC semantics:
+
+  - rules match as path prefixes with '*' wildcards and '$' end anchor
+  - the most specific (longest pattern) matching rule wins
+  - on a tie, allow wins
+  - no matching rule => allowed
+
+Only the '*' user-agent group (or a caller-chosen agent) is
+evaluated; agent-group selection happens at parse time.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RULES_SCHEMA = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("allow", BooleanType()),
+        StructField("pattern", StringType()),
+        StructField("rule_len", LongType()),
+        StructField("rule_regex", StringType()),
+    ]
+)
+
+
+def _rule_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> anchored Java/RE2-safe regex:
+    '*' matches any chars, a trailing '$' anchors the end."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    parts = [re.escape(p) for p in body.split("*")]
+    return "^" + ".*".join(parts) + ("$" if anchored else "")
+
+
+def parse_robots(text: str, agent: str = "*") -> list[dict]:
+    """One robots.txt -> the rule list of the group matching ``agent``
+    (falling back to the '*' group). Unknown directives are ignored;
+    a group ends at the next user-agent line after rules began."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    in_rules = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                groups.append((agents, rules))
+                agents, rules, in_rules = [], [], False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_rules = True
+            if val:                    # empty disallow = allow all: no rule
+                rules.append((key == "allow", val))
+    if agents or rules:
+        groups.append((agents, rules))
+    want = agent.lower()
+    chosen = None
+    for agents, rules in groups:
+        if want != "*" and any(a == want for a in agents):
+            chosen = rules
+            break
+    if chosen is None:
+        for agents, rules in groups:
+            if "*" in agents:
+                chosen = rules
+                break
+    return [{"allow": a, "pattern": p, "rule_len": len(p),
+             "rule_regex": _rule_regex(p)} for a, p in (chosen or [])]
+
+
+def robots_rules(robots: DataFrame, domain_col: str = "domain",
+                 text_col: str = "robots_txt",
+                 agent: str = "*") -> DataFrame:
+    """(domain, robots_txt) -> exploded rules table (RULES_SCHEMA)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in RULES_SCHEMA.fields}
+            for dom, txt in zip(pdf[domain_col], pdf[text_col]):
+                for r in parse_robots(txt, agent):
+                    out["domain"].append(dom)
+                    out["allow"].append(r["allow"])
+                    out["pattern"].append(r["pattern"])
+                    out["rule_len"].append(r["rule_len"])
+                    out["rule_regex"].append(r["rule_regex"])
+            if out["domain"]:
+                yield pd.DataFrame(out)
+
+    return robots.select(domain_col, text_col).mapInPandas(
+        run, RULES_SCHEMA)
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame,
+                  domain_col: str = "domain",
+                  path_col: str = "path") -> DataFrame:
+    """urls + boolean ``allowed`` by RFC 9309 longest-match. The rules
+    side is small (rules per domain, not pages per domain) — broadcast
+    it; matching is one rlike + one per-URL argmax window."""
+    matched = (urls.join(F.broadcast(rules), on=domain_col, how="left")
+               .withColumn("_m", F.col("rule_regex").isNotNull() &
+                           F.expr(f"{path_col} rlike rule_regex")))
+    # best = max (rule_len, allow) over matching rules; no match => allow
+    best = (matched.groupBy(*urls.columns).agg(
+        F.max(F.when(F.col("_m"),
+                     F.struct(F.col("rule_len"),
+                              F.col("allow").cast("int").alias("a"))))
+        .alias("_best")))
+    return best.withColumn(
+        "allowed",
+        F.when(F.col("_best").isNull(), F.lit(True))
+        .otherwise(F.col("_best.a") == 1)).drop("_best")

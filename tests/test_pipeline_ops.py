@@ -923,6 +923,35 @@ def test_video_media_table(spark):
         assert abs(r["duration_s"] - (nch % 600) / 10.0) < 1e-9
 
 
+def test_robots_parse_and_filter(spark):
+    """RFC 9309 semantics end-to-end: group selection, wildcard and
+    end-anchor patterns, longest-match with allow-wins ties, and the
+    no-rules / no-robots default-allow paths."""
+    from dgraph_spark.operators.robots import (parse_robots, robots_filter,
+                                               robots_rules)
+
+    txt = ("User-agent: special\nDisallow: /\n\n"
+           "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+           "Disallow: /tmp/*\nAllow: /tmp/keep$\n"
+           "Allow: /private/x\nDisallow: /private/x\n")  # tie: allow wins
+    assert [(r["allow"], r["pattern"]) for r in
+            parse_robots(txt, agent="special")] == [(False, "/")]
+
+    robots = spark.createDataFrame(
+        [("a.com", txt), ("empty.com", "")],
+        "domain string, robots_txt string")
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/pub"), (2, "a.com", "/private/y"),
+         (3, "a.com", "/private/ok/z"), (4, "a.com", "/tmp/any"),
+         (5, "a.com", "/tmp/keep"), (6, "a.com", "/private/x"),
+         (7, "empty.com", "/anything"), (8, "norobots.com", "/x")],
+        "doc_id long, domain string, path string")
+    got = {r["doc_id"]: r["allowed"] for r in
+           robots_filter(urls, robots_rules(robots)).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: True,
+                   6: True, 7: True, 8: True}
+
+
 def test_warc_parse_and_read(spark, tmp_path):
     """build_warc -> parse_warc_bytes round-trip (gzipped multi-member
     and plain), HTTP header split, and the Spark binaryFile-backed
