@@ -1920,6 +1920,59 @@ FROM documents
 """
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap discovery feed (operators/robots.py parse_sitemap):
+    each document becomes a genuine namespaced <urlset> with
+    (doc_id % 4 + 1) entries whose loc/lastmod/priority are id-keyed —
+    the exploded table is closed-form for the DuckDB twin."""
+    from dgraph_spark.operators.robots import sitemap_urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def build(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {"domain": [], "sitemap_xml": [], "doc_id": []}
+            for did in pdf["doc_id"]:
+                d = int(did)
+                urls = "".join(
+                    f"<url><loc>http://d{d % 20}.com/p/{d}/{k}</loc>"
+                    f"<lastmod>2026-01-{(d + k) % 28 + 1:02d}</lastmod>"
+                    f"<priority>0.{k + 1}</priority></url>"
+                    for k in range(d % 4 + 1))
+                xml = ('<?xml version="1.0"?><urlset xmlns='
+                       '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                       f"{urls}</urlset>")
+                out["domain"].append(f"d{d % 20}.com")
+                out["sitemap_xml"].append(xml)
+                out["doc_id"].append(d)
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    maps = docs.select("doc_id").mapInPandas(build, StructType([
+        StructField("domain", StringType()),
+        StructField("sitemap_xml", StringType()),
+        StructField("doc_id", LongType())]))
+    parsed = sitemap_urls(maps)
+    return parsed.select(
+        "domain", "loc", "lastmod", "priority",
+        F.col("is_index").cast("boolean").alias("is_index"))
+
+
+SQL_sitemap_urls = """
+SELECT concat('d', (doc_id % 20)::VARCHAR, '.com') AS domain,
+       concat('http://d', (doc_id % 20)::VARCHAR, '.com/p/',
+              doc_id::VARCHAR, '/', k::VARCHAR) AS loc,
+       concat('2026-01-', lpad(((doc_id + k) % 28 + 1)::VARCHAR, 2, '0'))
+         AS lastmod,
+       concat('0.', (k + 1)::VARCHAR) AS priority,
+       false AS is_index
+FROM documents, (SELECT unnest(range(4)) AS k)
+WHERE k < doc_id % 4 + 1
+"""
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round-trip (sources/warc.py): each document is
     framed as a REAL one-record .warc.gz member (header block,
@@ -3249,6 +3302,7 @@ QUERIES: dict[str, tuple] = {
     "url_canonical": (q_url_canonical, SQL_url_canonical),
     "warc_roundtrip": (q_warc_roundtrip, SQL_warc_roundtrip),
     "robots_filter": (q_robots_filter, SQL_robots_filter),
+    "sitemap_urls": (q_sitemap_urls, SQL_sitemap_urls),
     "multimodal_audio": (q_multimodal_audio, SQL_multimodal_audio),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

@@ -93,6 +93,74 @@ def parse_robots(text: str, agent: str = "*") -> list[dict]:
              "rule_regex": _rule_regex(p)} for a, p in (chosen or [])]
 
 
+SITEMAP_SCHEMA = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("loc", StringType()),
+        StructField("lastmod", StringType()),
+        StructField("changefreq", StringType()),
+        StructField("priority", StringType()),
+        StructField("is_index", BooleanType()),
+    ]
+)
+
+
+def parse_sitemap(xml_text: str) -> list[dict]:
+    """sitemaps.org XML -> url entries. Handles both <urlset> (leaf
+    sitemaps, entries carry loc/lastmod/changefreq/priority) and
+    <sitemapindex> (index files whose <sitemap><loc> point at child
+    sitemaps; flagged is_index=True so a crawler can recurse).
+    Namespaced and namespace-less documents both parse."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml_text or "")
+    except ET.ParseError as e:
+        raise ValueError(f"sitemap XML parse error: {e}") from e
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    kind = local(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        raise ValueError(f"not a sitemap document (root <{root.tag}>)")
+    out = []
+    for el in root:
+        if local(el.tag) not in ("url", "sitemap"):
+            continue
+        fields = {local(c.tag): (c.text or "").strip() for c in el}
+        if not fields.get("loc"):
+            continue
+        out.append({
+            "loc": fields["loc"],
+            "lastmod": fields.get("lastmod") or None,
+            "changefreq": fields.get("changefreq") or None,
+            "priority": fields.get("priority") or None,
+            "is_index": kind == "sitemapindex",
+        })
+    return out
+
+
+def sitemap_urls(sitemaps: DataFrame, domain_col: str = "domain",
+                 xml_col: str = "sitemap_xml") -> DataFrame:
+    """(domain, sitemap_xml) -> exploded url table (SITEMAP_SCHEMA) —
+    the crawl-frontier discovery feed, one narrow map per sitemap."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in SITEMAP_SCHEMA.fields}
+            for dom, xml_text in zip(pdf[domain_col], pdf[xml_col]):
+                for rec in parse_sitemap(xml_text):
+                    out["domain"].append(dom)
+                    for k, v in rec.items():
+                        out[k].append(v)
+            if out["domain"]:
+                yield pd.DataFrame(out)
+
+    return sitemaps.select(domain_col, xml_col).mapInPandas(
+        run, SITEMAP_SCHEMA)
+
+
 def robots_rules(robots: DataFrame, domain_col: str = "domain",
                  text_col: str = "robots_txt",
                  agent: str = "*") -> DataFrame:

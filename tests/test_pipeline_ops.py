@@ -952,6 +952,46 @@ def test_robots_parse_and_filter(spark):
                    6: True, 7: True, 8: True}
 
 
+def test_sitemap_parse(spark):
+    """parse_sitemap on namespaced urlsets, namespace-less documents,
+    sitemapindex recursion flags, and malformed XML."""
+    import pytest as _pytest
+
+    from dgraph_spark.operators.robots import parse_sitemap, sitemap_urls
+
+    ns = ('<?xml version="1.0"?><urlset xmlns='
+          '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+          "<url><loc>http://a.com/1</loc><lastmod>2026-01-02</lastmod>"
+          "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+          "<url><loc>http://a.com/2</loc></url></urlset>")
+    got = parse_sitemap(ns)
+    assert [r["loc"] for r in got] == ["http://a.com/1", "http://a.com/2"]
+    assert got[0]["changefreq"] == "daily" and got[1]["lastmod"] is None
+    assert not got[0]["is_index"]
+
+    plain = ("<urlset><url><loc>http://b.com/x</loc></url>"
+             "<url><junk/></url></urlset>")       # entry without loc skipped
+    assert [r["loc"] for r in parse_sitemap(plain)] == ["http://b.com/x"]
+
+    index = ('<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+             'sitemap/0.9"><sitemap><loc>http://a.com/s1.xml</loc>'
+             "</sitemap></sitemapindex>")
+    (rec,) = parse_sitemap(index)
+    assert rec["is_index"] and rec["loc"] == "http://a.com/s1.xml"
+
+    with _pytest.raises(ValueError, match="parse error"):
+        parse_sitemap("<urlset><url></urlset>")
+    with _pytest.raises(ValueError, match="not a sitemap"):
+        parse_sitemap("<html></html>")
+
+    maps = spark.createDataFrame([("a.com", ns), ("b.com", plain)],
+                                 "domain string, sitemap_xml string")
+    rows = sitemap_urls(maps).collect()
+    assert {(r["domain"], r["loc"]) for r in rows} == {
+        ("a.com", "http://a.com/1"), ("a.com", "http://a.com/2"),
+        ("b.com", "http://b.com/x")}
+
+
 def test_warc_parse_and_read(spark, tmp_path):
     """build_warc -> parse_warc_bytes round-trip (gzipped multi-member
     and plain), HTTP header split, and the Spark binaryFile-backed
