@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dgraph_spark.operators.dedup import (
-    _ALL_CACHES, _corpus_key, norm_tokens)
+    _ALL_CACHES, _corpus_key, compute_spread, nopush, norm_tokens)
 
 K1 = 1.2
 B = 0.75
@@ -78,7 +78,9 @@ def _corpus_stats(docs, terms, text_col, id_col):
         if cached is None:
             aggs = [F.count("*").alias("n"),
                     F.avg(F.size(toks)).alias("avgdl")] + aggs
-        row = docs.select(*aggs).collect()[0]
+        # compute_spread: the partial aggregate tokenizes every document
+        # where the scan runs — single-core on a one-file corpus
+        row = compute_spread(docs).select(*aggs).collect()[0]
         if cached is None:
             cached = {"n": row["n"], "avgdl": row["avgdl"] or 0.0,
                       "df": {}}
@@ -113,8 +115,12 @@ def bm25_search(
             for t in terms]
     t_arr = F.array(*[F.lit(t) for t in terms])
     toks = _tokens(text_col)
-    base = (docs.select(F.col(id_col), toks.alias("_t"))
-            .where(F.arrays_overlap(F.col("_t"), t_arr)))
+    # compute_spread + nopush: keep the tokenizer in ONE parallel
+    # projection — pushed down, the overlap test inlines a second
+    # tokenizer copy into the (single-task, on a one-file corpus)
+    # scan filter (round-10 plan audit)
+    base = (compute_spread(docs).select(F.col(id_col), toks.alias("_t"))
+            .where(nopush(F.arrays_overlap(F.col("_t"), t_arr))))
     dl = F.size("_t")
     score = None
     for t, idf in zip(terms, idfs):

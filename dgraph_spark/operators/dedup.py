@@ -147,6 +147,48 @@ def _materialized_shingles(
     return _SHINGLE_CACHE[key]
 
 
+def compute_spread(df: DataFrame) -> DataFrame:
+    """Round-robin-spread an under-parallel DataFrame for a COMPUTE-
+    bound consumer (tokenizer/shingle/codec expressions at ~0.1-1 ms
+    per row). Spark sizes scan partitions for I/O (maxPartitionBytes),
+    so a small corpus — one parquet file with one row group — reads as
+    ONE task and the whole per-row program runs single-core no matter
+    how many cores the session has. When the input already has
+    reasonable parallelism (any real crawl-scale table) this is a
+    no-op, so the exchange never ships big data anywhere.
+    Scale-adaptive by construction: the trigger and the target are both
+    derived from defaultParallelism, not from a local constant."""
+    sc = df.sparkSession.sparkContext
+    if (not df.isStreaming
+            and df.rdd.getNumPartitions()
+            < max(2, sc.defaultParallelism // 2)):
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
+def nopush(cond: Column) -> Column:
+    """Pushdown barrier for an expensive deterministic predicate:
+    ``when(monotonically_increasing_id() >= 0, cond).otherwise(true)``
+    is semantically identical to ``cond`` (the id is always >= 0), but
+    the branch condition is nondeterministic, so the WHOLE expression
+    is nondeterministic and PushPredicateThroughNonJoin cannot move it
+    below a compute_spread Exchange or inline it through a Project.
+
+    Without this, ``spread.where(expensive)`` is silently rewritten to
+    ``where(expensive).spread`` — the predicate lands on the single
+    scan task and the repartition spreads rows that are already
+    filtered (measured on prepare_corpus: the whole Gopher predicate
+    ran single-core at the scan; plans/r10/). A second benefit on
+    filter-over-projection shapes: pushdown INLINES the projected
+    expression into the scan filter (SPARK-36718 protects aliases from
+    collapse, not from pushdown), so un-let-bound programs like the
+    shingle zip_with were being evaluated once in the pushed filter
+    and again in the surviving projection; the barrier keeps them
+    single-evaluation."""
+    return (F.when(F.monotonically_increasing_id() >= 0, cond)
+            .otherwise(F.lit(True)))
+
+
 def normalized(col: Column) -> Column:
     """Lowercase + collapse whitespace — the canonical text form."""
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
@@ -178,7 +220,13 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     return (
         docs.repartition(par)
         .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
-        .where(F.size("sh") > 0)
+        # nopush: without the barrier this size-guard is pushed below
+        # the repartition AND inlines the whole shingle program into a
+        # scan-side filter (single task, and the zip_with re-splits the
+        # text per reference) — shingling then runs twice, once
+        # single-core. With it: one parallel evaluation in the
+        # projection, the guard tests the materialized column.
+        .where(nopush(F.size("sh") > 0))
     )
 
 

@@ -31,7 +31,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dgraph_spark.operators.dedup import BROADCAST_ROW_CAP, norm_tokens
+from dgraph_spark.operators.dedup import (BROADCAST_ROW_CAP, compute_spread,
+                                          norm_tokens)
 
 
 def _tokens(text_col: str):
@@ -83,7 +84,10 @@ def train_bigram_lm(
     ``unpersist()`` (or use it as a context manager) when done."""
     from pyspark import StorageLevel
 
-    toks = docs.select(_tokens(text_col).alias("t"))
+    # compute_spread: tokenization is the expensive step of both count
+    # passes; a single-file corpus otherwise tokenizes twice on one
+    # scan task (round-10 measurement; no-op at crawl scale)
+    toks = compute_spread(docs).select(_tokens(text_col).alias("t"))
     uni = (toks.select(F.explode("t").alias("w1"))
            .groupBy("w1").agg(F.count("*").alias("cu")))
     big = (toks.select(F.explode(_bigrams(F.col("t"))).alias("b"))
@@ -123,9 +127,10 @@ def lm_perplexity(
               else (lambda d: d))
     bc_uni = (F.broadcast if model.vocab <= BROADCAST_ROW_CAP
               else (lambda d: d))
-    pairs = (docs.select(F.col(id_col),
-                         F.explode_outer(_bigrams(_tokens(text_col)))
-                          .alias("b"))
+    pairs = (compute_spread(docs)
+             .select(F.col(id_col),
+                     F.explode_outer(_bigrams(_tokens(text_col)))
+                      .alias("b"))
              .select(id_col, "b.w1", "b.w2"))
     scored = (
         pairs.join(bc_big(big), ["w1", "w2"], "left")

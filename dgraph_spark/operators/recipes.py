@@ -54,7 +54,8 @@ def prepare_corpus(
       5. pack_sequences         — per (stratum, split) token stream
       6. corpus_report          — the dataset card
     """
-    from dgraph_spark.operators.dedup import normalized
+    from dgraph_spark.operators.dedup import (compute_spread, nopush,
+                                              normalized)
     from dgraph_spark.operators.pipeline_text import (
         _ws_tokens, decontaminate, hash_split, pack_sequences)
     from dgraph_spark.operators.textstats import (
@@ -64,25 +65,27 @@ def prepare_corpus(
                                   "test": 0.01}
     text = F.col(text_col)
 
-    # ONE corpus scan: quality predicate pushed to the scan, then a
-    # single projection computes everything downstream stages need —
-    # text itself never shuffles (decontamination is the one consumer
-    # that still needs it, so it is carried only when bench is given).
-    # The quality predicate is COMPUTE-bound (~0.3 ms/doc of
-    # interpreted HOF work), but Spark sizes scan partitions for I/O:
-    # a small corpus (one file under the 4 MB open-cost) reads as ONE
-    # partition and the whole pass runs single-core. Spread it when
-    # the scan is under-parallel — at crawl scale the input has
-    # thousands of partitions and this branch is a no-op, so the
-    # repartition never ships 100 TB anywhere. (Same pattern as the
-    # jaccard verify's compute-bound repartition, dedup.py.)
-    sc = docs.sparkSession.sparkContext
-    if (not docs.isStreaming
-            and docs.rdd.getNumPartitions()
-            < max(2, sc.defaultParallelism // 2)):
-        docs = docs.repartition(sc.defaultParallelism)
+    # ONE corpus scan: a single projection computes everything
+    # downstream stages need — text itself never shuffles
+    # (decontamination is the one consumer that still needs it, so it
+    # is carried only when bench is given). The quality predicate is
+    # COMPUTE-bound (~0.3 ms/doc of interpreted HOF work), but Spark
+    # sizes scan partitions for I/O: a small corpus (one file under
+    # the 4 MB open-cost) reads as ONE partition and the whole pass
+    # runs single-core. Spread it when the scan is under-parallel —
+    # at crawl scale the input has thousands of partitions and
+    # compute_spread is a no-op, so the repartition never ships
+    # 100 TB anywhere.
+    spread = compute_spread(docs)
 
     keep_expr = F.size(gopher_reasons_expr(text, GOPHER_DEFAULTS)) == 0
+    if spread is not docs:
+        # the barrier keeps the (expensive) quality predicate ABOVE the
+        # spread exchange — round 10 found Catalyst pushing it back to
+        # the single scan task, which made the repartition useless (the
+        # whole Gopher pass ran single-core; plans/r10/ A/B)
+        keep_expr = nopush(keep_expr)
+    docs = spread
     slim_cols = [
         F.col(id_col), F.col(stratum_col),
         (F.col("lang") if "lang" in docs.columns
