@@ -844,24 +844,49 @@ def min_label_closure(pairs: DataFrame) -> DataFrame:
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "cluster", F.col("id"))
-    prev_sum = None
-    for _ in range(20):
-        neigh = sym.join(labels, sym.a == labels.id, "inner").select(
+
+    def _round(lbl: DataFrame) -> DataFrame:
+        neigh = sym.join(lbl, sym.a == lbl.id, "inner").select(
             F.col("b").alias("id"), "cluster")
-        propagated = (labels.unionByName(neigh).groupBy("id")
+        propagated = (lbl.unionByName(neigh).groupBy("id")
                       .agg(F.min("cluster").alias("cluster")))
         roots = propagated.select(F.col("id").alias("cluster"),
                                   F.col("cluster").alias("_root"))
-        labels = (propagated.join(roots, "cluster", "left")
-                  .select("id", F.least(F.coalesce(F.col("_root"),
-                                                   F.col("cluster")),
-                                        F.col("cluster")).alias("cluster"))
-                  .localCheckpoint(eager=False))
-        cur = labels.agg(F.sum(F.col("cluster").cast("decimal(38,0)"))
-                         ).collect()[0][0]
-        if cur == prev_sum:
-            break
-        prev_sum = cur
+        return (propagated.join(roots, "cluster", "left")
+                .select("id", F.least(F.coalesce(F.col("_root"),
+                                                 F.col("cluster")),
+                                      F.col("cluster")).alias("cluster"))
+                .localCheckpoint(eager=False))
+
+    def _sum(lbl: DataFrame) -> DataFrame:
+        return lbl.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s"))
+
+    # Rounds run in PAIRS with one probe action per pair, under the
+    # small-loop conf (round 10, same ritual as connected_components:
+    # labels are per-node nonincreasing under min-propagation, so equal
+    # consecutive label sums prove the second round changed nothing;
+    # the pair graph is threshold-bounded and tiny relative to the
+    # corpus, so the default shuffle width was pure per-round overhead).
+    from dgraph_spark.model import SmallLoopConf
+
+    loop_conf = SmallLoopConf(pairs.sparkSession)
+    prev_sum = None
+    try:
+        loop_conf.adapt(sym.count())
+        for _ in range(0, 20, 2):
+            l1 = _round(labels)
+            l2 = _round(l1)
+            s1, s2 = [r["s"] for r in
+                      _sum(l1).unionAll(_sum(l2)).collect()]
+            if s1 == prev_sum:
+                break
+            if s1 == s2:
+                labels = l2
+                break
+            labels, prev_sum = l2, s2
+    finally:
+        loop_conf.exit()
     return labels.select(
         "id", "cluster", (F.col("id") == F.col("cluster")).alias("keep"))
 

@@ -31,8 +31,21 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dgraph_spark.operators.dedup import (BROADCAST_ROW_CAP, compute_spread,
+from dgraph_spark.operators.dedup import (_ALL_CACHES, BROADCAST_ROW_CAP,
+                                          _corpus_key, compute_spread,
                                           norm_tokens)
+
+# (session id, corpus plan hash, file snapshot, text col, min_count) ->
+# (counts_base, uni, big, vocab, n_bigrams). The trained model is a
+# corpus property like the BM25 stats and the jaccard/minhash indexes:
+# in the CCNet deployment the LM is trained ONCE (on a clean reference
+# corpus) and reused for every scoring pass, so perplexity_report
+# re-training per call was pure overhead. Same keyed/invalidated cache
+# family (_corpus_key: a rewritten parquet dir or uncacheable source
+# produces a miss), values carry the persisted DataFrames so eviction
+# unpersists them (dedup._drop_entry).
+_LM_CACHE: dict[tuple, tuple] = {}
+_ALL_CACHES.append(_LM_CACHE)
 
 
 def _tokens(text_col: str):
@@ -50,9 +63,12 @@ class BigramLM:
     big: DataFrame
     vocab: int        # distinct unigrams == uni row count
     n_bigrams: int    # distinct bigrams == big row count
+    base: DataFrame | None = None   # the one persisted counts relation
 
     def unpersist(self) -> None:
-        for df in (self.uni, self.big):
+        for df in (self.uni, self.big, self.base):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
@@ -84,25 +100,31 @@ def train_bigram_lm(
     ``unpersist()`` (or use it as a context manager) when done."""
     from pyspark import StorageLevel
 
-    # compute_spread: tokenization is the expensive step of both count
-    # passes; a single-file corpus otherwise tokenizes twice on one
-    # scan task (round-10 measurement; no-op at crawl scale)
-    toks = compute_spread(docs).select(_tokens(text_col).alias("t"))
-    uni = (toks.select(F.explode("t").alias("w1"))
-           .groupBy("w1").agg(F.count("*").alias("cu")))
-    big = (toks.select(F.explode(_bigrams(F.col("t"))).alias("b"))
-           .select("b.w1", "b.w2")
-           .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
+    # ONE corpus pass for BOTH count tables (round 10; was one
+    # tokenize+explode+aggregate pipeline per table): a single explode
+    # emits the unigram rows as (w, NULL) next to the bigram rows
+    # (w1, w2), one hash aggregation counts them all, and the uni/big
+    # tables are null-partitioned views of the one persisted result.
+    # compute_spread parallelizes the tokenizer on a one-file corpus
+    # (no-op at crawl scale).
+    t = F.col("t")
+    unis = F.transform(t, lambda w: F.struct(
+        w.alias("w1"), F.lit(None).cast("string").alias("w2")))
+    rows = (compute_spread(docs)
+            .select(_tokens(text_col).alias("t"))
+            .select(F.explode(F.concat(unis, _bigrams(t))).alias("b"))
+            .select("b.w1", "b.w2"))
+    counts = (rows.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    uni = (counts.where(F.col("w2").isNull())
+           .select("w1", F.col("c").alias("cu")))
+    big = (counts.where(F.col("w2").isNotNull())
+           .select("w1", "w2", F.col("c").alias("cb")))
     if min_count > 1:
         big = big.where(F.col("cb") >= min_count)
-    # the model tables are re-read by every scoring join and the
-    # vocab count materializes uni anyway — persist both so training
-    # runs the corpus scan once, not once per consumer
-    uni = uni.persist(StorageLevel.MEMORY_AND_DISK)
-    big = big.persist(StorageLevel.MEMORY_AND_DISK)
-    vocab = uni.count()
+    vocab = uni.count()   # materializes the one persisted pipeline
     return BigramLM(uni=uni, big=big, vocab=vocab,
-                    n_bigrams=big.count())
+                    n_bigrams=big.count(), base=counts)
 
 
 def lm_perplexity(
@@ -167,12 +189,26 @@ def perplexity_report(
 ) -> DataFrame:
     """Convenience: train on ``lm_docs`` (default: the corpus itself —
     self-perplexity, the repetition-sensitive variant) and score
-    ``docs``. The model's persisted tables stay cached for the
-    lifetime of the returned (lazy) plan; callers who train repeatedly
-    in one session should use :func:`train_bigram_lm` directly and
-    ``unpersist()`` each model when its scores are materialized."""
-    model = train_bigram_lm(
-        lm_docs if lm_docs is not None else docs,
-        text_col=text_col, min_count=min_count)
+    ``docs``. The trained model is cached per (corpus, min_count) in
+    the same keyed/invalidated family as the BM25 stats and dedup
+    indexes — the CCNet deployment trains once and scores everything,
+    so repeat reports over the same training corpus skip the training
+    jobs entirely. Uncacheable sources (no file snapshot AND mutable
+    leaves — see dedup._corpus_key) train per call as before; those
+    callers should use :func:`train_bigram_lm` directly and
+    ``unpersist()`` the model when its scores are materialized."""
+    train_docs = lm_docs if lm_docs is not None else docs
+    ck = _corpus_key(train_docs, "bigram_lm", text_col, min_count)
+    cached = _LM_CACHE.get(ck) if ck is not None else None
+    if cached is None:
+        model = train_bigram_lm(train_docs, text_col=text_col,
+                                min_count=min_count)
+        if ck is not None:
+            _LM_CACHE[ck] = (model.base, model.uni, model.big,
+                             model.vocab, model.n_bigrams)
+    else:
+        base, uni, big, vocab, n_bigrams = cached
+        model = BigramLM(uni=uni, big=big, vocab=vocab,
+                         n_bigrams=n_bigrams, base=base)
     return lm_perplexity(docs, model, alpha=alpha,
                          text_col=text_col, id_col=id_col)

@@ -187,18 +187,36 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
                   domain_col: str = "domain",
                   path_col: str = "path") -> DataFrame:
     """urls + boolean ``allowed`` by RFC 9309 longest-match. The rules
-    side is small (rules per domain, not pages per domain) — broadcast
-    it; matching is one rlike + one per-URL argmax window."""
-    matched = (urls.join(F.broadcast(rules), on=domain_col, how="left")
-               .withColumn("_m", F.col("rule_regex").isNotNull() &
-                           F.expr(f"{path_col} rlike rule_regex")))
-    # best = max (rule_len, allow) over matching rules; no match => allow
-    best = (matched.groupBy(*urls.columns).agg(
-        F.max(F.when(F.col("_m"),
-                     F.struct(F.col("rule_len"),
-                              F.col("allow").cast("int").alias("a"))))
-        .alias("_best")))
-    return best.withColumn(
-        "allowed",
-        F.when(F.col("_best").isNull(), F.lit(True))
-        .otherwise(F.col("_best.a") == 1)).drop("_best")
+    side is small (rules per domain, not pages per domain): aggregate
+    it to ONE row per domain carrying the rule array, broadcast-join,
+    and evaluate the longest-match argmax per URL with an array
+    ``filter`` + ``array_max`` over (rule_len, allow) structs.
+
+    Plan shape (round 10): zero exchanges on the url side — the first
+    version exploded urls x rules through the broadcast join and then
+    re-aggregated with ``groupBy(*urls.columns)``, a full-table hash
+    shuffle keyed on every column (including path strings) just to
+    undo the join fan-out. Folding the fan-out into a per-row array
+    expression deletes that exchange outright (guide: remove shuffles,
+    not speed them up); the only shuffle left is the tiny per-domain
+    rules aggregation that feeds the broadcast."""
+    per_dom = rules.groupBy(domain_col).agg(
+        F.collect_list(F.struct("rule_len", "allow", "rule_regex"))
+         .alias("_rules"))
+    matched = F.filter(
+        F.coalesce(F.col("_rules"),
+                   F.array().cast("array<struct<rule_len:bigint,"
+                                  "allow:boolean,rule_regex:string>>")),
+        lambda r: F.rlike(F.col(path_col), r["rule_regex"]))
+    # best = max (rule_len, allow) over matching rules (struct order ==
+    # longest pattern, allow wins ties); empty -> NULL -> no rule -> allow
+    best = F.array_max(F.transform(
+        matched, lambda r: F.struct(r["rule_len"].alias("rule_len"),
+                                    r["allow"].cast("int").alias("a"))))
+    return (urls.join(F.broadcast(per_dom), on=domain_col, how="left")
+            .withColumn("_best", best)
+            .withColumn(
+                "allowed",
+                F.when(F.col("_best").isNull(), F.lit(True))
+                .otherwise(F.col("_best.a") == 1))
+            .drop("_rules", "_best"))
