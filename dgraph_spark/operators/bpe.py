@@ -65,6 +65,10 @@ def word_frequencies(
     partial counts combine map-side, the reduce side is bounded by
     vocabulary size, not corpus size."""
     tok = F.explode(norm_tokens(F.col(text_col)))
+    # NO compute_spread here: measured REGRESSION at sf0.1 (0.32 s ->
+    # 0.52 s median) — plain tokenize is ~10 us/doc, cheaper than the
+    # exchange + extra stage it would buy (round 10 A/B; contrast the
+    # Gopher predicate at ~0.35 ms/doc where the spread wins 2-4x)
     return (docs.select(tok.alias("word"))
             .groupBy("word").agg(F.count("*").alias("freq")))
 
@@ -259,4 +263,9 @@ def bpe_encode(
                 cols["bpe_tokens"] = out_toks
             yield pd.DataFrame(cols)
 
+    # NO compute_spread here: measured REGRESSION at sf0.1 (0.34 s ->
+    # 0.51 s median, round-10 A/B) — the per-batch word memo makes the
+    # Python encode loop cheaper than the exchange + 32-task fan-out
+    # on a small corpus, and at crawl scale the input is already
+    # parallel so the spread would be a no-op anyway.
     return docs.select(id_col, text_col).mapInPandas(run, schema)

@@ -140,8 +140,14 @@ def html_extract(docs: DataFrame, html_col: str = "html",
             if out["doc_id"]:
                 yield pd.DataFrame(out)
 
-    return docs.select(F.col(id_col).alias(id_col),
-                       F.col(html_col)).mapInPandas(run, EXTRACT_SCHEMA)
+    from dgraph_spark.operators.dedup import compute_spread
+
+    # compute_spread: stdlib HTML parsing is CPU-bound Python; a
+    # one-file page table otherwise parses on a single task (round 10;
+    # no-op at crawl scale where WARC inputs are thousands of files)
+    return compute_spread(
+        docs.select(F.col(id_col).alias(id_col), F.col(html_col))
+    ).mapInPandas(run, EXTRACT_SCHEMA)
 
 
 def html_table_from_docs(docs: DataFrame, text_col: str = "text",

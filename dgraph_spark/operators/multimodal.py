@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from dgraph_spark.operators.dedup import compute_spread
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -753,6 +755,10 @@ def extract_image_features(media: DataFrame, batch_hint: int = 0,
     cols = media.select("media_id", "media")
     if batch_hint:
         cols = cols.repartition(batch_hint)
+    else:
+        # decode is CPU-bound Python; a one-file media table otherwise
+        # decodes on a single task (round 10; no-op at crawl scale)
+        cols = compute_spread(cols)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -804,7 +810,8 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
                     out["frame"].append(data[i : i + every_n_bytes])
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "media").mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+    return compute_spread(media.select("media_id", "media")).mapInPandas(
+        sample, FRAME_SAMPLE_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = StructType(
@@ -864,7 +871,7 @@ def extract_audio_features(media: DataFrame,
             if out["media_id"]:
                 yield pd.DataFrame(out)
 
-    return media.select("media_id", "media").mapInPandas(
+    return compute_spread(media.select("media_id", "media")).mapInPandas(
         decode, AUDIO_FEATURES_SCHEMA)
 
 
@@ -949,7 +956,7 @@ def extract_video_metadata(media: DataFrame) -> DataFrame:
                 out["n_tracks"].append(nt)
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "media").mapInPandas(
+    return compute_spread(media.select("media_id", "media")).mapInPandas(
         parse, VIDEO_META_SCHEMA)
 
 

@@ -157,7 +157,11 @@ def sitemap_urls(sitemaps: DataFrame, domain_col: str = "domain",
             if out["domain"]:
                 yield pd.DataFrame(out)
 
-    return sitemaps.select(domain_col, xml_col).mapInPandas(
+    from dgraph_spark.operators.dedup import compute_spread
+
+    # XML parsing is CPU-bound Python; spread an under-parallel
+    # sitemap table (round 10; no-op at crawl scale)
+    return compute_spread(sitemaps.select(domain_col, xml_col)).mapInPandas(
         run, SITEMAP_SCHEMA)
 
 
@@ -179,7 +183,9 @@ def robots_rules(robots: DataFrame, domain_col: str = "domain",
             if out["domain"]:
                 yield pd.DataFrame(out)
 
-    return robots.select(domain_col, text_col).mapInPandas(
+    from dgraph_spark.operators.dedup import compute_spread
+
+    return compute_spread(robots.select(domain_col, text_col)).mapInPandas(
         run, RULES_SCHEMA)
 
 
