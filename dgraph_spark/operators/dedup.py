@@ -216,9 +216,8 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, sh) with the CPU-bound shingling spread across cores — a
     single small parquet file otherwise runs the whole corpus in one
     task."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.repartition(par)
+        compute_spread(docs)
         .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
         # nopush: without the barrier this size-guard is pushed below
         # the repartition AND inlines the whole shingle program into a
