@@ -930,9 +930,8 @@ def duplicate_spans(
     DuckDB oracle compares span values directly."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), TERM_SPLIT_RE),
                     lambda t: t != "")
-    par = docs.sparkSession.sparkContext.defaultParallelism
     per_doc = (
-        docs.repartition(par)
+        compute_spread(docs)
         .select(F.col(id_col).alias("id"), toks.alias("toks"))
         .select("id", F.explode(ordered_windows(F.col("toks"), n)).alias("span"))
     )
