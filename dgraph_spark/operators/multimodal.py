@@ -26,8 +26,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from dgraph_spark.operators.dedup import compute_spread
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -38,6 +36,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from dgraph_spark.operators.dedup import compute_spread
 
 MEDIA_SCHEMA = StructType(
     [
