@@ -60,6 +60,47 @@ HEADLINE = [
     "prepare_corpus",
 ]
 
+# Queries whose first execution in a fresh process builds a
+# _corpus_key-cached artifact (shingle/jaccard/minhash indexes, BM25
+# stats, the bigram-LM model): the untimed warmup pays that build, the
+# timed runs measure steady-state. Round 11 (VERDICT #3): the artifact
+# ALSO records the cold first execution for these, so round-over-round
+# deltas can't silently ride a cache-boundary shift again.
+CORPUS_CACHED = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "bm25_search",
+    "lm_perplexity",
+]
+
+
+def _parallel_probe(spark, sf_dir):
+    """Scaling probe (round 11, VERDICT #1 'make the driver-visible
+    scaling gate discriminative'): a FIXED amount of compute-bound work
+    — 32 replicas of the documents corpus through the trigram-shingle
+    program — spread over the session's cores by the engine's own
+    compute_spread. The work is constant in core count (replication is
+    a literal 32, not defaultParallelism), so the 8-vs-32-core time
+    ratio of this entry measures parallelism directly; every other
+    sf0.1 HEADLINE query is scheduling-floor-bound at this SF and reads
+    ~1.0 regardless of cores. Computes from parquet on every call —
+    nothing on this path is cached. The replica tag is concatenated
+    into the hashed text so the per-replica program cannot be hoisted
+    below the explode."""
+    from pyspark.sql import functions as F
+
+    from dgraph_spark.operators.dedup import compute_spread, word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    reps = F.explode(F.array(*[F.lit(i) for i in range(32)])).alias("r")
+    salted = F.concat(F.col("text"), F.lit(" "), F.col("r").cast("string"))
+    return (
+        compute_spread(docs)
+        .select(reps, "text")
+        .select(F.size(word_shingles(salted, 3)).alias("n"))
+        .agg(F.sum("n").alias("total_shingles"))
+    )
+
 
 def main() -> None:
     # Registry hygiene policy (round 10, README "Correctness &
@@ -100,8 +141,13 @@ def main() -> None:
         ANCHOR = ANCHOR[:4]
 
     times: dict[str, float] = {}
-    for name in (ANCHOR if fast else HEADLINE):
-        fn, _sql = QUERIES[name]
+    cold: dict[str, float] = {}
+    bench_list = ANCHOR if fast else (HEADLINE + ["parallel_probe_32x"])
+    for name in bench_list:
+        if name == "parallel_probe_32x":
+            fn = _parallel_probe
+        else:
+            fn, _sql = QUERIES[name]
         # one untimed warmup execution, then three timed, report the min.
         # The first run of each distinct plan shape on a fresh JVM pays
         # one-time JIT + whole-stage-codegen (Janino) compilation and
@@ -111,8 +157,15 @@ def main() -> None:
         # steady-state, which is what the timed runs measure. No query
         # RESULT is cached anywhere: every execution re-runs the full
         # plan against parquet (warmup and timed runs produce identical
-        # row counts precisely because nothing is memoized).
+        # row counts precisely because nothing is memoized). For the
+        # CORPUS_CACHED queries the warmup additionally builds the
+        # in-process index/model; its wall time is recorded as
+        # cold_first_run_s (round 11 — timed-region honesty; the
+        # steady-state methodology itself is unchanged).
+        t0 = time.perf_counter()
         fn(spark, sf_dir).count()
+        if name in CORPUS_CACHED:
+            cold[name] = round(time.perf_counter() - t0, 3)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -190,6 +243,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                # cold (index/model-building) first executions of the
+                # corpus-cache-backed queries — see CORPUS_CACHED
+                "cold_first_run_s": cold,
                 "sf": sf,
                 "loadavg_1m": load1,
                 "loadavg_5m": load5,
