@@ -228,7 +228,11 @@ def main() -> None:
     anchor_duck = round(sum(duck_times.values()), 3)
     ratio = round(anchor_spark / anchor_duck, 3) if anchor_duck else None
 
-    total = round(sum(times.values()), 3)
+    # `value` stays the sum of the HEADLINE set ONLY: the scaling
+    # probe is an ADDED entry in `queries` (allowed by the contract),
+    # and folding it into the headline total would make round-over-
+    # round totals incomparable (the probe is deliberately expensive).
+    total = round(sum(times[n] for n in HEADLINE if n in times), 3)
     # ambient context: round-7/8 showed ±20-30% machine drift between
     # sessions; recording loadavg makes the artifact interpretable
     try:

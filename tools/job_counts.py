@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _n_jobs(spark) -> int:
-    return spark._jsparkSession.sharedState().statusStore().jobsList(None).size()
+    # total jobs submitted so far (DAGScheduler's monotone job counter)
+    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
 
 
 def main() -> None:
