@@ -77,27 +77,41 @@ CORPUS_CACHED = [
 def _parallel_probe(spark, sf_dir):
     """Scaling probe (round 11, VERDICT #1 'make the driver-visible
     scaling gate discriminative'): a FIXED amount of compute-bound work
-    — 32 replicas of the documents corpus through the trigram-shingle
+    — 128 replicas of the documents corpus through the trigram-shingle
     program — spread over the session's cores by the engine's own
     compute_spread. The work is constant in core count (replication is
-    a literal 32, not defaultParallelism), so the 8-vs-32-core time
+    a literal 128, not defaultParallelism), so the 8-vs-32-core time
     ratio of this entry measures parallelism directly; every other
     sf0.1 HEADLINE query is scheduling-floor-bound at this SF and reads
     ~1.0 regardless of cores. Computes from parquet on every call —
     nothing on this path is cached. The replica tag is concatenated
     into the hashed text so the per-replica program cannot be hoisted
-    below the explode."""
+    below the explode.
+
+    Two shape constraints, both load-bearing:
+      * the bench times ``df.count()``, and count() PRUNES any column
+        it can prove unused — a global ``agg(sum(n))`` would let the
+        optimizer delete the whole shingle program from the timed plan
+        (measured: a pruned probe reads ~0.25 s at EVERY core count).
+        Grouping by a key DERIVED from the computed value (n % 7) makes
+        the row count depend on every n, so nothing can be pruned.
+      * the replicas come from ``sequence()``, not a 128-literal array
+        (same semantics, constant-size plan).
+    Measured this round (quiet box): 3.90 s at 32 cores vs 9.53 s at
+    8 cores — ratio 2.45 (memory-bandwidth-bound past ~16 cores, so
+    sub-4x; a defeated spread or a serialized plan reads ~1.0)."""
     from pyspark.sql import functions as F
 
     from dgraph_spark.operators.dedup import compute_spread, word_shingles
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
-    reps = F.explode(F.array(*[F.lit(i) for i in range(32)])).alias("r")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(127))).alias("r")
     salted = F.concat(F.col("text"), F.lit(" "), F.col("r").cast("string"))
     return (
         compute_spread(docs)
         .select(reps, "text")
         .select(F.size(word_shingles(salted, 3)).alias("n"))
+        .groupBy((F.col("n") % 7).alias("k"))
         .agg(F.sum("n").alias("total_shingles"))
     )
 
@@ -142,9 +156,9 @@ def main() -> None:
 
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
-    bench_list = ANCHOR if fast else (HEADLINE + ["parallel_probe_32x"])
+    bench_list = ANCHOR if fast else (HEADLINE + ["parallel_probe_128x"])
     for name in bench_list:
-        if name == "parallel_probe_32x":
+        if name == "parallel_probe_128x":
             fn = _parallel_probe
         else:
             fn, _sql = QUERIES[name]

@@ -987,17 +987,26 @@ def duplicate_spans(
     documents, with (span, n_docs, n_occ).
 
     Plan shape: tokenize + window per row (narrow, no shuffle), explode,
-    ONE hash aggregation. Map-side partial agg collapses
-    within-document repeats before the shuffle; the min_docs filter
-    runs post-agg. At 100 TB the span groupBy is the only shuffle, so
-    (round 11, guide §2.3 "shuffle keys and metadata instead of
-    payloads") it is keyed on TWO independent xxhash64 values of the
+    ONE aggregation. Map-side partial agg collapses within-document
+    repeats before the shuffle; the min_docs filter runs post-agg.
+    The groupBy is keyed on TWO independent xxhash64 values of the
     span — 128 bits, collision-free at any realistic corpus size —
-    instead of the raw n-token text: the span string now crosses the
-    exchange only inside the min() partial state (once per group per
-    map partition), not on every (group, doc) row of the
-    count_distinct expansion. Within a hash group every span value is
-    identical, so min(span) IS the span and the output is unchanged."""
+    instead of the raw n-token text (round 11, guide §2.3). Honest
+    accounting of what that buys (plan-verified): shuffle BYTES are
+    roughly unchanged — the span still crosses the first exchange once
+    per (group, doc) row, as the min() partial state instead of the
+    key — but grouping now hashes/compares/sorts 16-byte fixed-width
+    keys instead of variable-length ~10-token strings, and the
+    min(string) buffer flips the plan HashAggregate → SortAggregate
+    (streams; no string-keyed hash map per partition). Measured
+    (interleaved in-process 6-rep medians, round 11): 2.02 → 1.80 s at
+    sf0.1, 3.3 → 3.05 s at sf1, identical output. The
+    decide-small-then-rejoin alternative (counts by hash only,
+    broadcast survivors back onto a recomputed span stream) measured
+    ~1.55x SLOWER at both SFs — the second tokenize pass costs more
+    than the narrow shuffle saves. Within a hash group every span
+    value is identical, so min(span) IS the span and the output is
+    unchanged."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), TERM_SPLIT_RE),
                     lambda t: t != "")
     per_doc = (
