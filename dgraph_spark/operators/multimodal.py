@@ -1007,7 +1007,8 @@ def video_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["meta"].append('{"synthetic": true}')
             yield pd.DataFrame(out)
 
-    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+    return compute_spread(
+        docs.select(F.col(id_col), F.col("n_chars"))).mapInPandas(
         build, MEDIA_SCHEMA)
 
 
@@ -1037,7 +1038,7 @@ def media_table_from_docs(docs: DataFrame, text_col: str = "text",
                 out["meta"].append('{"synthetic": true}')
             yield pd.DataFrame(out)
 
-    src = docs.select(F.col(id_col), F.col("n_chars"))
+    src = compute_spread(docs.select(F.col(id_col), F.col("n_chars")))
     return src.mapInPandas(build, MEDIA_SCHEMA)
 
 
@@ -1066,7 +1067,8 @@ def png_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["meta"].append('{"synthetic": true}')
             yield pd.DataFrame(out)
 
-    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+    return compute_spread(
+        docs.select(F.col(id_col), F.col("n_chars"))).mapInPandas(
         build, MEDIA_SCHEMA)
 
 
@@ -1095,7 +1097,8 @@ def tiff_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["meta"].append('{"synthetic": true}')
             yield pd.DataFrame(out)
 
-    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+    return compute_spread(
+        docs.select(F.col(id_col), F.col("n_chars"))).mapInPandas(
         build, MEDIA_SCHEMA)
 
 
@@ -1129,7 +1132,8 @@ def gif_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["meta"].append('{"synthetic": true}')
             yield pd.DataFrame(out)
 
-    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+    return compute_spread(
+        docs.select(F.col(id_col), F.col("n_chars"))).mapInPandas(
         build, MEDIA_SCHEMA)
 
 
@@ -1160,7 +1164,8 @@ def flac_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["meta"].append('{"synthetic": true}')
             yield pd.DataFrame(out)
 
-    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+    return compute_spread(
+        docs.select(F.col(id_col), F.col("n_chars"))).mapInPandas(
         build, MEDIA_SCHEMA)
 
 
@@ -1190,7 +1195,8 @@ def jpeg_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["meta"].append('{"synthetic": true}')
             yield pd.DataFrame(out)
 
-    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+    return compute_spread(
+        docs.select(F.col(id_col), F.col("n_chars"))).mapInPandas(
         build, MEDIA_SCHEMA)
 
 
@@ -1227,5 +1233,6 @@ def audio_table_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["meta"].append('{"synthetic": true}')
             yield pd.DataFrame(out)
 
-    return docs.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+    return compute_spread(
+        docs.select(F.col(id_col), F.col("n_chars"))).mapInPandas(
         build, MEDIA_SCHEMA)

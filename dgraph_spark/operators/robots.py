@@ -32,6 +32,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# robots_filter broadcasts the per-domain rule aggregate only while its
+# raw source is under this many input bytes (see the gate in
+# robots_filter); past it the join degrades to a shuffle join with
+# identical results. Well under the driver/broadcast hard caps.
+ROBOTS_BROADCAST_BYTE_CAP = 512 * 1024 * 1024
+
 RULES_SCHEMA = StructType(
     [
         StructField("domain", StringType()),
@@ -209,6 +215,17 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     per_dom = rules.groupBy(domain_col).agg(
         F.collect_list(F.struct("rule_len", "allow", "rule_regex"))
          .alias("_rules"))
+    # Broadcast only while the rules side is plausibly driver-sized: at
+    # crawl scale (millions of domains x rule arrays) an unconditional
+    # hint can exceed broadcast/driver memory. The gate is the input-
+    # file byte size of the rules relation (no extra action; the
+    # per-domain aggregate is strictly smaller than its raw source) —
+    # in-memory rule fixtures have no files and keep the broadcast.
+    from dgraph_spark.operators.dedup import _input_bytes
+
+    rule_bytes = _input_bytes(rules)
+    bcast = (F.broadcast if rule_bytes is None
+             or rule_bytes <= ROBOTS_BROADCAST_BYTE_CAP else (lambda d: d))
     matched = F.filter(
         F.coalesce(F.col("_rules"),
                    F.array().cast("array<struct<rule_len:bigint,"
@@ -219,7 +236,7 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     best = F.array_max(F.transform(
         matched, lambda r: F.struct(r["rule_len"].alias("rule_len"),
                                     r["allow"].cast("int").alias("a"))))
-    return (urls.join(F.broadcast(per_dom), on=domain_col, how="left")
+    return (urls.join(bcast(per_dom), on=domain_col, how="left")
             .withColumn("_best", best)
             .withColumn(
                 "allowed",

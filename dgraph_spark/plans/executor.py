@@ -130,6 +130,13 @@ class Level:
     # parent level (None at root) — used to propagate value variables
     # upward along the path (query/query.go:1143 transformTo)
     parent: "Level | None" = None
+    # round 11: True when this level's edge DSTs are PROVABLY unique
+    # (reverse traversal of a single-valued predicate from a distinct
+    # parent set): _nodes/var-binding then skip the distinct shuffle —
+    # on all-broadcast DQL plans that distinct's HashAggregate+Exchange
+    # is the only exchange in the query (guide §2.4 "a distinct on data
+    # that is already unique")
+    dst_unique: bool = False
 
 
 class Executor:
@@ -681,7 +688,8 @@ class Executor:
 
     # ============================================================== descent
     def _descend(self, block: Block, frontier: DataFrame, root: bool,
-                 parent: "Level | None" = None) -> Level:
+                 parent: "Level | None" = None,
+                 dst_unique: bool = False) -> Level:
         """frontier: DataFrame with column _dst (+ _src when child level).
 
         Applies sort/pagination (unless deferred for cascade), registers
@@ -693,6 +701,7 @@ class Executor:
         subtree_cascade = _has_cascade(block)
         level = Level(block=block, edges=frontier, defer_pagination=subtree_cascade)
         level.parent = parent
+        level.dst_unique = dst_unique
 
         # facet variables @facets(w as weight): registered BEFORE any
         # child descends so math() at this or deeper levels can resolve
@@ -725,7 +734,8 @@ class Executor:
 
         # register block-level uid variable (DestUIDs)
         if block.var:
-            self.env[block.var] = level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+            vdom = level.edges.select(F.col(DST).alias(SUBJECT))
+            self.env[block.var] = vdom if dst_unique else vdom.distinct()
             self.var_edges[block.var] = level.edges
             self.var_level[block.var] = level
             self.var_kind[block.var] = "block"
@@ -902,7 +912,18 @@ class Executor:
             else:
                 ch = self._apply_filter(child.filter, ch)
 
-        lvl = self._descend(child, ch, root=False, parent=parent)
+        # DST uniqueness proof (round 11): a REVERSE traversal of a
+        # single-valued (non-list) predicate maps each forward-subject
+        # to exactly one forward-object, so from a DISTINCT parent set
+        # (parent_uids is always distinct; the @ignorereflex PATH form
+        # is not — a parent repeats per path) every dst appears at most
+        # once. Filters/facet-filters/pagination only subset rows, so
+        # the property survives _descend.
+        dst_unique = (bool(child.reverse)
+                      and not self.g.schema.get(pred).list
+                      and PATH not in parent.edges.columns)
+        lvl = self._descend(child, ch, root=False, parent=parent,
+                            dst_unique=dst_unique)
         return lvl
 
     def _register_attr_var(self, attr: Attr, nodes: DataFrame, level: Level) -> None:
@@ -1775,7 +1796,8 @@ class Executor:
         num_edges = 0  # cumulative traversed edges (query/recurse.go:150)
         # levels_by (depth, branch hash) -> Level, for tree assembly
         level_of: dict[tuple[int, int], Level] = {(0, ROOT_BH): top}
-        for d in range(1, depth):
+        def _mk_step(fr: DataFrame) -> DataFrame:
+            nonlocal taken
             step_cols = [
                 F.col("_bh").alias("_pbh"),
                 F.xxhash64(F.col("_bh"), F.col("_pred")).alias("_bh"),
@@ -1786,7 +1808,7 @@ class Executor:
             if want_facets and FACETS in tagged.columns:
                 step_cols.append(F.col(FACETS))
             step = (
-                front.join(tagged, SUBJECT, "inner")
+                fr.join(tagged, SUBJECT, "inner")
                 .select(*step_cols)
                 # dedup on the edge identity only — the facets MAP column
                 # is not comparable (and is functionally determined by
@@ -1811,56 +1833,62 @@ class Executor:
                 prev = self.env.get(f"__rec_{var}")
                 self.env[f"__rec_{var}"] = (
                     part if prev is None else prev.unionByName(part))
-            # ONE driver action: which branch prefixes extended this
-            # round? (piggybacks the edge count for the query-edge guard)
-            branches = step.groupBy("_pbh", "_pred", "_bh").count().collect()
-            if not branches:
+            return step
+
+        def _branches_df(step: DataFrame) -> DataFrame:
+            return step.groupBy("_pbh", "_pred", "_bh").count()
+
+        # Rounds run in PAIRS outside expand_mode (round 11, the same
+        # probe-batching ritual as shortest_path/connected_components):
+        # round d+1's frontier is pure lineage over round d's
+        # lazily-checkpointed step, so BOTH branch summaries can ride
+        # ONE collect — halving the driver actions of the depth loop.
+        # expand_mode stays one-round-at-a-time (each round's collected
+        # types decide the next round's edge relation). If round d is
+        # empty, round d+1 is empty by construction (empty frontier
+        # joins to nothing) — the wasted lineage is never a wrong answer.
+        d = 1
+        while d < depth:
+            paired = (not expand_mode) and (d + 1 < depth)
+            step = _mk_step(front)
+            if paired:
+                front2 = step.select("_bh", F.col(DST).alias(SUBJECT)).distinct()
+                step2 = _mk_step(front2)
+                rows = (_branches_df(step).withColumn("_r", F.lit(0))
+                        .unionByName(_branches_df(step2).withColumn("_r", F.lit(1)))
+                        .collect())
+                rounds = [(step, [r for r in rows if r["_r"] == 0]),
+                          (step2, [r for r in rows if r["_r"] == 1])]
+            else:
+                # ONE driver action: which branch prefixes extended this
+                # round? (piggybacks the edge count for the edge guard)
+                rounds = [(step, _branches_df(step).collect())]
+            stop = False
+            for step, branches in rounds:
+                if not branches:
+                    stop = True
+                    break
+                num_edges += sum(r["count"] for r in branches)
+                if num_edges > self.limit_query_edge:
+                    raise ResourceLimitError(
+                        f"Exceeded query edge limit = {self.limit_query_edge}. "
+                        f"Found {num_edges} edges.")
+                round_attrs = top.attr_items
+                if expand_mode:
+                    sc, up = _typed_preds(step.select(F.col(DST).alias(SUBJECT)).distinct())
+                    round_attrs = sc
+                    new_preds = list(dict.fromkeys(uid_preds + up))
+                    nt = _build_tagged(new_preds)
+                    if nt is not None:
+                        tagged = nt
+                self._recurse_round_levels(
+                    d, step, branches, round_attrs, tag_of, spec_of_tag,
+                    level_of)
+                front = step.select("_bh", F.col(DST).alias(SUBJECT)).distinct()
+                visited = visited.unionByName(front.select(SUBJECT))
+                d += 1
+            if stop:
                 break
-            num_edges += sum(r["count"] for r in branches)
-            if num_edges > self.limit_query_edge:
-                raise ResourceLimitError(
-                    f"Exceeded query edge limit = {self.limit_query_edge}. "
-                    f"Found {num_edges} edges.")
-            round_attrs = top.attr_items
-            if expand_mode:
-                sc, up = _typed_preds(step.select(F.col(DST).alias(SUBJECT)).distinct())
-                round_attrs = sc
-                new_preds = list(dict.fromkeys(uid_preds + up))
-                nt = _build_tagged(new_preds)
-                if nt is not None:
-                    tagged = nt
-            for row in sorted(branches, key=lambda r: (r["_pbh"], r["_pred"])):
-                parent = level_of.get((d - 1, row["_pbh"]))
-                if parent is None:
-                    continue
-                tag = row["_pred"]
-                pred, rev = tag_of[tag]
-                spec = spec_of_tag.get(tag)
-                sub = Block(alias=tag, attr=pred, reverse=rev, facets=spec)
-                ecols = [SRC, DST] + ([FACETS] if FACETS in step.columns else [])
-                e = step.where(F.col("_bh") == row["_bh"]).select(*ecols)
-                if spec is not None and spec.order and FACETS in e.columns:
-                    # @facets(orderasc/desc: f) under @recurse: rank the
-                    # round's edges per parent by the typed facet value
-                    # (query/recurse.go applies the facet sort per level)
-                    okeys = []
-                    for o in spec.order:
-                        texpr, _agg, kind = self._typed_facet(e, o.key)
-                        if kind == "bool":
-                            continue  # nonsortable (types/sort.go)
-                        okeys.append(texpr.desc_nulls_last() if o.desc
-                                     else texpr.asc_nulls_last())
-                    okeys.append(F.col(DST).asc())
-                    e = e.withColumn(RANK, F.row_number().over(
-                        Window.partitionBy(SRC).orderBy(*okeys)))
-                else:
-                    e = e.withColumn(RANK, F.col(DST))
-                lvl = Level(block=sub, edges=e)
-                lvl.attr_items = list(round_attrs)
-                parent.children.append(lvl)
-                level_of[(d, row["_bh"])] = lvl
-            front = step.select("_bh", F.col(DST).alias(SUBJECT)).distinct()
-            visited = visited.unionByName(front.select(SUBJECT))
         for a in top.attr_items:
             if a.var:
                 # `a as name` under @recurse: the value var spans every
@@ -1873,6 +1901,42 @@ class Executor:
                 acc = self.spark.createDataFrame([], f"{SUBJECT} long")
             self.env[var] = acc.distinct()
         return top
+
+    def _recurse_round_levels(self, d: int, step: DataFrame, branches,
+                              round_attrs, tag_of: dict,
+                              spec_of_tag: dict, level_of: dict) -> None:
+        """Driver-side Level-tree assembly for one @recurse round from
+        its collected (parent branch, pred, branch) summary rows."""
+        for row in sorted(branches, key=lambda r: (r["_pbh"], r["_pred"])):
+            parent = level_of.get((d - 1, row["_pbh"]))
+            if parent is None:
+                continue
+            tag = row["_pred"]
+            pred, rev = tag_of[tag]
+            spec = spec_of_tag.get(tag)
+            sub = Block(alias=tag, attr=pred, reverse=rev, facets=spec)
+            ecols = [SRC, DST] + ([FACETS] if FACETS in step.columns else [])
+            e = step.where(F.col("_bh") == row["_bh"]).select(*ecols)
+            if spec is not None and spec.order and FACETS in e.columns:
+                # @facets(orderasc/desc: f) under @recurse: rank the
+                # round's edges per parent by the typed facet value
+                # (query/recurse.go applies the facet sort per level)
+                okeys = []
+                for o in spec.order:
+                    texpr, _agg, kind = self._typed_facet(e, o.key)
+                    if kind == "bool":
+                        continue  # nonsortable (types/sort.go)
+                    okeys.append(texpr.desc_nulls_last() if o.desc
+                                 else texpr.asc_nulls_last())
+                okeys.append(F.col(DST).asc())
+                e = e.withColumn(RANK, F.row_number().over(
+                    Window.partitionBy(SRC).orderBy(*okeys)))
+            else:
+                e = e.withColumn(RANK, F.col(DST))
+            lvl = Level(block=sub, edges=e)
+            lvl.attr_items = list(round_attrs)
+            parent.children.append(lvl)
+            level_of[(d, row["_bh"])] = lvl
 
     # ============================================================= shortest
     def _run_shortest(self, block: Block) -> Level | None:
@@ -2945,10 +3009,12 @@ class Executor:
     def _nodes(self, level: Level) -> DataFrame:
         """Distinct node set of a level. Root frontiers are unique by
         construction (root functions dedup; fused scans have one row per
-        node) — skip the distinct shuffle there."""
+        node) — skip the distinct shuffle there; likewise for levels
+        whose DSTs are provably unique (Level.dst_unique, round 11)."""
         if SRC not in level.edges.columns:
             return level.edges.select(F.col(DST).alias(SUBJECT))
-        return level.edges.select(F.col(DST).alias(SUBJECT)).distinct()
+        sel = level.edges.select(F.col(DST).alias(SUBJECT))
+        return sel if level.dst_unique else sel.distinct()
 
     def _groupby_build(self, level: Level, per_parent: bool
                        ) -> tuple[DataFrame, list[str], list[tuple[str, bool]], list[str]]:
@@ -3273,7 +3339,18 @@ class Executor:
                 ce_cols.append(F.col(ecol).alias(out))
                 child_skip.add(a.out_name)
             ce = c_edges.select(*ce_cols)
-            frame = frame.join(ce, uid_col, "inner")
+            if (depth == 0 and list(frame.columns) == [uid_col]
+                    and SRC not in level.edges.columns):
+                # Root-frame elision (round 11): the bare root frontier
+                # is a DISTINCT uid set by construction, and every child
+                # edge src was derived by semi-joining that same
+                # frontier (ce.src ⊆ frame, each matching exactly one
+                # frame row) — the assembly join is an identity. Start
+                # from the child edges instead and drop one full copy of
+                # the root lineage from the plan.
+                frame = ce
+            else:
+                frame = frame.join(ce, uid_col, "inner")
             frame, _ = self._flat_level(child, frame, child_uid, depth + 1, skip=child_skip)
         return frame, uid_col
 

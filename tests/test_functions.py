@@ -119,6 +119,7 @@ def test_zh_fulltext_analyzer(spark):
         ["\u67e5\u8868", "spark"]
 
 
+@pytest.mark.slow
 def test_remaining_snowball_languages(spark):
     """da/nl/fi/hu/no/ro/sv/tr complete the reference's snowball set
     (tok/stemmers.go:33-50); ja/ko route through the CJK segmenter."""

@@ -39,6 +39,7 @@ def golden(spark, tmp_path_factory):
     return load_graph(spark, wh), wh
 
 
+@pytest.mark.slow
 def test_21million_corpus_executes(golden):
     from dgraph_spark.plans import Executor
 

@@ -469,6 +469,7 @@ def _cases():
     return yaml.safe_load(open(_CASES_PATH))
 
 
+@pytest.mark.slow
 def test_ldbc_corpus_executes(ldbc_graph):
     """All 19 LDBC IS/IC queries parse, plan, and execute."""
     from dgraph_spark.plans import Executor
@@ -540,7 +541,8 @@ def test_ldbc_synth_message_pages(spark, qname):
     _check_synth(spark, qname)
 
 
-@pytest.mark.parametrize("qname", ["q13", "q12", "q16", "q18"])
+@pytest.mark.parametrize("qname", [
+    pytest.param("q13", marks=pytest.mark.slow), "q12", "q16", "q18"])
 def test_ldbc_synth_ranked_aggregates(spark, qname):
     """IC07/IC06/IC10/IC12: like-pages with facet rendering, co-tag
     counts, interest scores (count-of-empty == 0), and reply-count
@@ -548,7 +550,8 @@ def test_ldbc_synth_ranked_aggregates(spark, qname):
     _check_synth(spark, qname)
 
 
-@pytest.mark.parametrize("qname", ["q8", "q17"])
+@pytest.mark.parametrize("qname", [
+    pytest.param("q8", marks=pytest.mark.slow), "q17"])
 def test_ldbc_synth_friend_networks(spark, qname):
     """IC01/IC11: 14-pattern 3-hop distance classification (fixture
     self-checked by an independent dict-BFS in ldbc_fixtures) and

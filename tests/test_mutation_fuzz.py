@@ -135,7 +135,9 @@ def _gen_doc(rng, model):
     return doc
 
 
-@pytest.mark.parametrize("seed", [20260815, 31, 77])
+@pytest.mark.parametrize("seed", [
+    31, pytest.param(20260815, marks=pytest.mark.slow),
+    pytest.param(77, marks=pytest.mark.slow)])
 def test_mutation_differential_fuzz(spark, seed):
     rng = random.Random(seed)
     base = spark.createDataFrame(

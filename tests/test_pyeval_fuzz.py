@@ -25,6 +25,15 @@ pytestmark = pytest.mark.skipif(
     reason="reference goldendata corpus not available")
 
 
+def _seed_params(*seeds):
+    """First seed runs in the default suite; the rest are the slow tier
+    (DGSPARK_SLOW_TESTS=1) — one seed per family keeps the differential
+    net in every run while the driver-gated default stays inside its
+    window. Seeds are independent; order carries no meaning."""
+    return [seeds[0]] + [pytest.param(s, marks=pytest.mark.slow)
+                         for s in seeds[1:]]
+
+
 @pytest.fixture(scope="module")
 def golden(spark, tmp_path_factory):
     wh = str(tmp_path_factory.mktemp("goldendata_fz") / "parquet")
@@ -263,6 +272,7 @@ def _facet_templates(rng: random.Random):
     return out
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [20260815, 7, 99])
 def test_facet_differential_fuzz(facet_graphs, seed):
     """Facet filter / output / ordering — the family the r6 facet
@@ -347,7 +357,7 @@ def _sql_leg_templates(rng: random.Random, words: list[str]):
     return out
 
 
-@pytest.mark.parametrize("seed", [20260815, 7, 99])
+@pytest.mark.parametrize("seed", _seed_params(20260815, 7, 99))
 def test_three_way_sql_fuzz(golden, naive, words, seed):
     """Engine vs pyeval vs DuckDB SQL on the same randomized params —
     the SQL leg shares NO code with the engine (not even the parser)."""
@@ -373,7 +383,7 @@ def test_three_way_sql_fuzz(golden, naive, words, seed):
         for i, q, a, b, c in bad)
 
 
-@pytest.mark.parametrize("seed", [20260815, 7, 99])
+@pytest.mark.parametrize("seed", _seed_params(99, 20260815, 7))
 def test_pyeval_differential_fuzz(golden, naive, words, seed):
     from dgraph_spark.plans import Executor
     from tools.pyeval import PyEval
@@ -390,7 +400,7 @@ def test_pyeval_differential_fuzz(golden, naive, words, seed):
         f"[{i}] {q}\nengine: {a}\nnaive : {b}" for i, q, a, b in bad)
 
 
-@pytest.mark.parametrize("seed", [20260815, 7, 99])
+@pytest.mark.parametrize("seed", _seed_params(7, 20260815, 99))
 def test_facet_sql_three_way(facet_graphs, seed):
     """Engine vs pyeval vs DuckDB on facet-filter, facet-output and
     nested-output shapes. The SQL leg reads the warehouse parquet
@@ -547,7 +557,7 @@ def _parse_dt(v):
         .replace(tzinfo=None)
 
 
-@pytest.mark.parametrize("seed", [20260815, 7, 99])
+@pytest.mark.parametrize("seed", _seed_params(7, 20260815, 99))
 def test_groupby_rootagg_sql_three_way(golden, naive, words, seed):
     """@groupby(value pred) and root min/max/sum(val(v)) get their own
     DuckDB leg: these families previously had only the two legs that
@@ -631,7 +641,7 @@ def test_groupby_rootagg_sql_three_way(golden, naive, words, seed):
         for i, q, a, b, c in bad)
 
 
-@pytest.mark.parametrize("seed", [20260815, 7, 99])
+@pytest.mark.parametrize("seed", _seed_params(7, 20260815, 99))
 def test_lang_chain_sql_three_way(golden, naive, words, seed):
     """@lang fallback chains get a DuckDB leg: rank = position in the
     chain, '.' = untagged then any tagged (alphabetical tiebreak) —
@@ -695,7 +705,7 @@ SELECT format('0x{{:x}}', subject), v FROM ranked WHERE rn = 1
     assert not bad, "\n\n".join(f"[{i}] {q}\ndiffs: {d}" for i, q, d in bad)
 
 
-@pytest.mark.parametrize("seed", [20260816, 13, 55])
+@pytest.mark.parametrize("seed", _seed_params(20260816, 13, 55))
 def test_recurse_sql_three_way(facet_graphs, seed):
     """@recurse gets a DuckDB recursive-CTE leg — the last fuzz family
     that had only two legs (engine + pyeval, shared parser). The SQL
@@ -813,7 +823,7 @@ FROM reach WHERE d >= 1
         for i, q, a, b, c in bad)
 
 
-@pytest.mark.parametrize("seed", [20260816, 13, 55])
+@pytest.mark.parametrize("seed", _seed_params(55, 20260816, 13))
 def test_math_sql_three_way(golden, naive, words, seed):
     """math() chains over count vars get a DuckDB leg (previously
     engine + pyeval only): per-root integer arithmetic re-derived in
@@ -874,6 +884,7 @@ FROM roots r LEFT JOIN cnt ON cnt.subject = r.subject
 
 # --------------------------------------------- shortest-path fuzz leg
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [20260816, 41, 88])
 def test_shortest_path_fuzz(facet_graphs, seed):
     """Randomized differential for `shortest`: engine _weight_ vs an

@@ -352,8 +352,10 @@ def test_porter_departures():
         assert _py_stages(EN_SPEC_PG, EN_SPEC_PG["stages"], w) == want
 
 
-@pytest.mark.parametrize("lang", ["da", "no", "sv", "ru", "nl", "ro",
-                                  "fi", "hu", "en", "tr"])
+@pytest.mark.parametrize("lang", [
+    "da", "no", "sv", "ru", "nl",
+    pytest.param("ro", marks=pytest.mark.slow), "fi",
+    pytest.param("hu", marks=pytest.mark.slow), "en", "tr"])
 def test_three_backend_agreement(spark, lang):
     import duckdb
     import pyspark.sql.functions as F

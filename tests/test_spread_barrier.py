@@ -145,3 +145,115 @@ def test_train_bigram_lm_counts_match_naive(spark):
         assert big == dict(exp_big)
         assert m.vocab == len(exp_uni)
         assert m.n_bigrams == len(exp_big)
+
+
+# ---------------------------------------------------------- round 11:
+# trigger matrix for the hardened compute_spread (partition probe via
+# queryExecution().toRdd(), fat-partition byte clause, Connect-safe
+# degrade) — VERDICT r10 #7.
+
+def test_compute_spread_fat_partition_trigger(spark, monkeypatch):
+    import dgraph_spark.operators.dedup as dd
+
+    par = spark.sparkContext.defaultParallelism
+    if par < 4:
+        pytest.skip("needs defaultParallelism >= 4")
+    n = max(2, par // 2)  # clears the //2 trigger, still below par
+    df = _docs(spark).repartition(n)
+    # no file inputs -> byte probe unknown -> no spread (status quo)
+    assert dd.compute_spread(df) is df
+    # few-but-fat partitions: avg bytes/partition over the threshold
+    monkeypatch.setattr(
+        dd, "_input_bytes",
+        lambda _df: (dd.SPREAD_FAT_PARTITION_BYTES + 1) * n)
+    spread = dd.compute_spread(df)
+    assert spread is not df
+    assert spread.rdd.getNumPartitions() == par
+
+
+def test_compute_spread_fat_but_fully_parallel_stays(spark, monkeypatch):
+    import dgraph_spark.operators.dedup as dd
+
+    par = spark.sparkContext.defaultParallelism
+    df = _docs(spark).repartition(par)
+    monkeypatch.setattr(
+        dd, "_input_bytes",
+        lambda _df: (dd.SPREAD_FAT_PARTITION_BYTES + 1) * par * 10)
+    # at defaultParallelism partitions there is no idle capacity to win
+    assert dd.compute_spread(df) is df
+
+
+def test_compute_spread_thin_midrange_stays(spark, monkeypatch):
+    import dgraph_spark.operators.dedup as dd
+
+    par = spark.sparkContext.defaultParallelism
+    if par < 4:
+        pytest.skip("needs defaultParallelism >= 4")
+    df = _docs(spark).repartition(max(2, par // 2))
+    monkeypatch.setattr(dd, "_input_bytes", lambda _df: 1024)  # thin
+    assert dd.compute_spread(df) is df
+
+
+def test_compute_spread_probe_failure_degrades_to_noop(spark, monkeypatch):
+    import dgraph_spark.operators.dedup as dd
+
+    def boom(_df):
+        raise RuntimeError("no classic SparkContext (Connect)")
+
+    monkeypatch.setattr(dd, "_partition_count", boom)
+    df = _docs(spark)
+    # Connect-style probe failure: return the input unchanged instead
+    # of erroring (mirrors _corpus_key's degrade-to-uncached behavior)
+    assert dd.compute_spread(df) is df
+
+
+def test_input_bytes_matches_on_disk_sizes(spark, tmp_path):
+    import os
+
+    import dgraph_spark.operators.dedup as dd
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).write.mode("overwrite").parquet(p)
+    expect = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(p) for f in fs if f.endswith(".parquet"))
+    got = dd._input_bytes(spark.read.parquet(p))
+    assert got == expect and got > 0
+    # in-memory relations have no input files
+    assert dd._input_bytes(_docs(spark)) is None
+
+
+def test_robots_filter_shuffle_fallback_matches_broadcast(spark, monkeypatch):
+    import dgraph_spark.operators.dedup as dd
+    from dgraph_spark.operators.robots import robots_filter, robots_rules
+
+    urls = spark.createDataFrame(
+        [(i, f"d{i % 3}", p) for i, p in
+         enumerate(["/a", "/private/x", "/private/ok/y", "/tmp/z"] * 3)],
+        "doc_id long, domain string, path string")
+    robots = spark.createDataFrame(
+        [(f"d{k}",
+          "User-agent: *\nDisallow: /private\nAllow: /private/ok\n")
+         for k in range(3)],
+        "domain string, robots_txt string")
+    rules = robots_rules(robots)
+    a = sorted((r["doc_id"], r["allowed"])
+               for r in robots_filter(urls, rules).collect())
+    # simulate a crawl-scale rules table: byte gate refuses the hint
+    monkeypatch.setattr(dd, "_input_bytes", lambda _df: 10**12)
+    b = sorted((r["doc_id"], r["allowed"])
+               for r in robots_filter(urls, rules).collect())
+    assert a == b
+
+
+def test_lm_cache_is_lru_bounded(spark):
+    import dgraph_spark.operators.ngram_lm as lm
+
+    start = len(lm._LM_CACHE)
+    for k in range(lm.LM_CACHE_MAX_ENTRIES + 2):
+        docs = spark.createDataFrame(
+            [(i, f"tok{k} a b c d{i}") for i in range(6)],
+            "doc_id long, text string")
+        lm.perplexity_report(docs).count()
+    assert len(lm._LM_CACHE) <= lm.LM_CACHE_MAX_ENTRIES
+    assert start <= lm.LM_CACHE_MAX_ENTRIES
