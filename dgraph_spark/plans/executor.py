@@ -137,6 +137,14 @@ class Level:
     # is the only exchange in the query (guide §2.4 "a distinct on data
     # that is already unique")
     dst_unique: bool = False
+    # round 11: pure replay of this level's edge pipeline (anchor join
+    # -> facet filter -> @filter -> pagination) against an arbitrary
+    # anchor relation that carries extra columns. _flat_level uses it
+    # as a compiler let-binding: anchoring the child edges on the
+    # already-built parent frame removes the assembly re-join and the
+    # duplicated parent-lineage subtree it would replan. Returns None
+    # on column-name collisions (caller falls back to the join).
+    edge_rebuild: "callable | None" = None
 
 
 class Executor:
@@ -618,6 +626,9 @@ class Executor:
             alive = survivors(level)
             level.edges = e.join(alive.select(F.col(SUBJECT).alias(DST)),
                                  DST, "left_semi")
+            # the pruned edge set diverges from what a replay closure
+            # would rebuild — never let one survive a rewrite
+            level.edge_rebuild = None
             for ch in level.children:
                 prune(ch, alive)
 
@@ -897,19 +908,24 @@ class Executor:
             )
 
         # facet filter on the edge (@facets(eq(k, v)))
+        fcond = None
         if child.facets is not None and child.facets.filter is not None and "facets" in ch.columns:
-            ch = ch.where(self._facet_cond(child.facets.filter))
+            fcond = self._facet_cond(child.facets.filter)
+            ch = ch.where(fcond)
 
+        inrow_cond = None
+        semi_filter = False
         if child.filter is not None:
             # type(T) leaves compile to free uid-range predicates even
             # with no in-row columns, so always try the in-row compile
-            cond = FuncCompiler(self.g, self.env).inrow_condition(
+            inrow_cond = FuncCompiler(self.g, self.env).inrow_condition(
                 child.filter, dst_h or "", set(inrow_cols), DST)
-            if cond is not None:
+            if inrow_cond is not None:
                 # filter evaluated in-row during the edge join — no node
                 # table re-scan, no semi-join stage
-                ch = ch.where(cond)
+                ch = ch.where(inrow_cond)
             else:
+                semi_filter = True
                 ch = self._apply_filter(child.filter, ch)
 
         # DST uniqueness proof (round 11): a REVERSE traversal of a
@@ -924,7 +940,66 @@ class Executor:
                       and PATH not in parent.edges.columns)
         lvl = self._descend(child, ch, root=False, parent=parent,
                             dst_unique=dst_unique)
+        if (PATH not in parent.edges.columns and child.recurse is None
+                and not lvl.defer_pagination):
+            # the pipeline above is a pure function of the parent uid
+            # set — capture a replay closure so _flat_level can anchor
+            # it on the assembled parent frame (compiler let-binding;
+            # see Level.edge_rebuild). @ignorereflex carries per-path
+            # state and @cascade rewrites level.edges after the fact,
+            # so neither may capture.
+            lvl.edge_rebuild = self._make_edge_rebuild(
+                child, edges, list(facet_cols), fcond, inrow_cond, semi_filter)
         return lvl
+
+    def _make_edge_rebuild(self, block: Block, edges: DataFrame,
+                           facet_cols: list, fcond, inrow_cond,
+                           semi_filter: bool):
+        """Replay closure for one child level's edge pipeline (edge join
+        -> @facets filter -> @filter -> sort/pagination) against an
+        anchor relation whose `uid_col` holds the DISTINCT parent uids,
+        with arbitrary extra columns riding along (Level.edge_rebuild).
+
+        The captured filter Columns (fcond/inrow_cond) are unresolved
+        expressions and replay verbatim; env-dependent steps (value-var
+        semi-join filters, var/scalar order keys in _sort_paginate)
+        replay against a SNAPSHOT of the var env taken at build time, so
+        later env mutation (e.g. @cascade var rebinding from another
+        block) cannot change what this level already computed. Returns
+        None when an anchor column would collide with a pipeline name —
+        the caller falls back to the plain assembly join."""
+        env_snap = dict(self.env)
+        edge_cols = set(edges.columns)
+        reserved = {SUBJECT, OBJECT, SRC, DST, RANK, PATH, FACETS,
+                    "_frank", "_total", "_pid", "_lr", "_off"}
+
+        def rebuild(anchor: DataFrame, uid_col: str) -> DataFrame | None:
+            extra = [c for c in anchor.columns if c != uid_col]
+            for c in extra:
+                if (c in edge_cols or c in reserved
+                        or c.startswith("_a_") or c.startswith("_ok")):
+                    return None
+            a = anchor.select(F.col(uid_col).alias(SUBJECT),
+                              *[F.col(c) for c in extra])
+            saved = self.env
+            self.env = env_snap
+            try:
+                ch = a.join(edges, SUBJECT, "inner").select(
+                    F.col(SUBJECT).alias(SRC), F.col(OBJECT).alias(DST),
+                    *facet_cols, *[F.col(c) for c in extra],
+                )
+                if fcond is not None:
+                    ch = ch.where(fcond)
+                if inrow_cond is not None:
+                    ch = ch.where(inrow_cond)
+                elif semi_filter:
+                    ch = self._apply_filter(block.filter, ch)
+                ch = self._sort_paginate(block, ch, root=False)
+            finally:
+                self.env = saved
+            return ch
+
+        return rebuild
 
     def _register_attr_var(self, attr: Attr, nodes: DataFrame, level: Level) -> None:
         """`v as age` / `x as count(p)` / math var — value-variable defs
@@ -3216,7 +3291,12 @@ class Executor:
             skip = {a.out_name for a, _ in items}
         else:
             frame = level.edges.select(F.col(DST).alias("_uid0"))
-        frame, _ = self._flat_level(level, frame, "_uid0", depth=0, skip=skip)
+        # root anchors are distinct by construction (fused scans have one
+        # row per node; root frontiers dedup) — except recurse levels,
+        # whose edge union carries _src and may repeat dsts
+        anchor_unique = level.fused is not None or SRC not in level.edges.columns
+        frame, _ = self._flat_level(level, frame, "_uid0", depth=0, skip=skip,
+                                    anchor_unique=anchor_unique)
         drop = [c for c in frame.columns if c.startswith("_uid")]
         return frame.drop(*drop)
 
@@ -3262,7 +3342,13 @@ class Executor:
         return batch, rest
 
     def _flat_level(self, level: Level, frame: DataFrame, uid_col: str, depth: int,
-                    skip: set[str] | None = None):
+                    skip: set[str] | None = None, anchor_unique: bool = False):
+        """anchor_unique: True when `frame[uid_col]` is provably distinct
+        (exactly this level's node set, one row each) — the precondition
+        for replaying a child's edge pipeline directly on the frame via
+        Level.edge_rebuild instead of re-joining its separately-derived
+        edges (per-parent pagination windows partition by src, so a
+        duplicated anchor row would corrupt ranks)."""
         skip = skip or set()
         nodes = self._nodes(level)
         # var name -> column already present in `frame` (for math elision)
@@ -3292,6 +3378,10 @@ class Executor:
             col_df, out, _multi = self._attr_output(attr, nodes, level)
             if col_df is None:
                 continue
+            if _multi:
+                # list-valued attr join fans the frame out: uid_col rows
+                # are no longer distinct
+                anchor_unique = False
             if out in frame.columns:
                 # same predicate selected at several levels (e.g. recurse):
                 # disambiguate deterministically by depth
@@ -3314,6 +3404,8 @@ class Executor:
                 col_df, out2, _m = self._attr_output(attr, nodes, level)
                 if col_df is None:
                     continue
+                if _m:
+                    anchor_unique = False
                 frame = frame.join(
                     col_df.withColumnRenamed(SUBJECT, uid_col), uid_col, "left"
                 )
@@ -3338,20 +3430,38 @@ class Executor:
                     out = f"{out}_l{depth + 1}"
                 ce_cols.append(F.col(ecol).alias(out))
                 child_skip.add(a.out_name)
-            ce = c_edges.select(*ce_cols)
-            if (depth == 0 and list(frame.columns) == [uid_col]
-                    and SRC not in level.edges.columns):
-                # Root-frame elision (round 11): the bare root frontier
-                # is a DISTINCT uid set by construction, and every child
-                # edge src was derived by semi-joining that same
-                # frontier (ce.src ⊆ frame, each matching exactly one
-                # frame row) — the assembly join is an identity. Start
-                # from the child edges instead and drop one full copy of
-                # the root lineage from the plan.
-                frame = ce
+            bare = (depth == 0 and list(frame.columns) == [uid_col]
+                    and SRC not in level.edges.columns)
+            rebuilt = None
+            if not bare and anchor_unique and child.edge_rebuild is not None:
+                # Child-edge let-binding (round 11): replay the child's
+                # edge pipeline anchored on the frame itself instead of
+                # joining its separately-derived edges — the parent
+                # lineage subtree plans ONCE instead of once per child
+                # relation (None = column collision, fall back).
+                rebuilt = child.edge_rebuild(frame, uid_col)
+            if rebuilt is not None:
+                keep = [F.col(c) for c in frame.columns if c != uid_col]
+                frame = rebuilt.select(ce_cols[0], *keep, *ce_cols[1:])
             else:
-                frame = frame.join(ce, uid_col, "inner")
-            frame, _ = self._flat_level(child, frame, child_uid, depth + 1, skip=child_skip)
+                ce = c_edges.select(*ce_cols)
+                if bare:
+                    # Root-frame elision (round 11): the bare root frontier
+                    # is a DISTINCT uid set by construction, and every child
+                    # edge src was derived by semi-joining that same
+                    # frontier (ce.src ⊆ frame, each matching exactly one
+                    # frame row) — the assembly join is an identity. Start
+                    # from the child edges instead and drop one full copy of
+                    # the root lineage from the plan.
+                    frame = ce
+                else:
+                    frame = frame.join(ce, uid_col, "inner")
+            child_unique = anchor_unique and child.dst_unique
+            # joining this child's edges fans uid_col out — later siblings
+            # must not treat the frame as a distinct parent anchor
+            anchor_unique = False
+            frame, _ = self._flat_level(child, frame, child_uid, depth + 1,
+                                        skip=child_skip, anchor_unique=child_unique)
         return frame, uid_col
 
 
