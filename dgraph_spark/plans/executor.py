@@ -972,9 +972,21 @@ class Executor:
         edge_cols = set(edges.columns)
         reserved = {SUBJECT, OBJECT, SRC, DST, RANK, PATH, FACETS,
                     "_frank", "_total", "_pid", "_lr", "_off"}
+        # per-parent sort/pagination forces a hash exchange + sort on the
+        # rebuilt rows; anchor extras riding through it make every window
+        # row wider, which costs MORE than the duplicated parent
+        # derivation saves (measured round 11: per_parent_topk exec
+        # 1.02->1.13 s at sf1-synth with c_name through the topk window).
+        # Paginated children therefore only rebuild off a bare anchor.
+        paginated = (block.first is not None or block.offset is not None
+                     or block.after is not None or bool(block.order)
+                     or (block.facets is not None
+                         and bool(block.facets.order)))
 
         def rebuild(anchor: DataFrame, uid_col: str) -> DataFrame | None:
             extra = [c for c in anchor.columns if c != uid_col]
+            if extra and paginated:
+                return None
             for c in extra:
                 if (c in edge_cols or c in reserved
                         or c.startswith("_a_") or c.startswith("_ok")):
@@ -994,7 +1006,12 @@ class Executor:
                     ch = ch.where(inrow_cond)
                 elif semi_filter:
                     ch = self._apply_filter(block.filter, ch)
-                ch = self._sort_paginate(block, ch, root=False)
+                if paginated:
+                    ch = self._sort_paginate(block, ch, root=False)
+                # unpaginated levels skip the replay: _sort_paginate
+                # would only add the _rank window, which flat assembly
+                # never reads (Catalyst prunes it from the original edge
+                # relation too) — skipping saves its py4j construction
             finally:
                 self.env = saved
             return ch

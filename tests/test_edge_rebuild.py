@@ -21,6 +21,15 @@ QUERY_TOPK = '''
     }
 } }'''
 
+# unpaginated chain: every child level qualifies for the let-binding
+QUERY_CHAIN = '''
+{ q(func: eq(n_name, "NATION_1")) {
+    cust: ~in_nation @filter(type(Customer)) {
+      c_name
+      placed { o_totalprice }
+    }
+} }'''
+
 
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
@@ -43,7 +52,7 @@ def _stripped(graph, monkeypatch):
 
 
 def test_rebuild_plans_parent_lineage_once(executor):
-    plan = _optimized(executor.execute_flat(QUERY_TOPK))
+    plan = _optimized(executor.execute_flat(QUERY_CHAIN))
     # before the let-binding the root lineage planned twice (once in the
     # frame, once inside the child edge relation)
     assert plan.count("nation.parquet") == 1
@@ -51,11 +60,20 @@ def test_rebuild_plans_parent_lineage_once(executor):
     assert plan.count("orders.parquet") == 1
 
 
+def test_paginated_child_with_extras_falls_back(executor):
+    # anchor extras (c_name) riding through the per-parent topk window
+    # widen every sorted/shuffled row — measured net-negative (round
+    # 11) — so a paginated child only rebuilds off a bare anchor
+    plan = _optimized(executor.execute_flat(QUERY_TOPK))
+    assert plan.count("nation.parquet") == 2
+
+
 def test_rebuild_matches_fallback_rows(executor, graph, monkeypatch):
-    on = _rows(executor.execute_flat(QUERY_TOPK))
-    off = _rows(_stripped(graph, monkeypatch).execute_flat(QUERY_TOPK))
-    assert len(on) > 0
-    assert on == off
+    for q in (QUERY_CHAIN, QUERY_TOPK):
+        on = _rows(executor.execute_flat(q))
+        off = _rows(_stripped(graph, monkeypatch).execute_flat(q))
+        assert len(on) > 0
+        assert on == off
 
 
 def test_rebuild_respects_per_parent_pagination(executor):
@@ -92,7 +110,7 @@ def test_column_collision_falls_back(executor, graph, monkeypatch):
     { q(func: eq(n_name, "NATION_1")) {
         cust: ~in_nation @filter(type(Customer)) {
           subject: c_name
-          placed (first: 2, orderdesc: o_totalprice) { o_totalprice }
+          placed { o_totalprice }
         }
     } }'''
     df = executor.execute_flat(q)
