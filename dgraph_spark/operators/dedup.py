@@ -330,9 +330,15 @@ def _jaccard_index(
 
     sh, n_docs = _materialized_shingles(docs, text_col, id_col, n)
     # global document frequency per shingle; (df, g) IS the rarest-first
-    # total order — no global row_number/sort needed
+    # total order — no global row_number/sort needed. df_rank is read
+    # three times during the build (the ranked join, the vocab probe,
+    # the bitset dictionary): persist it for the build's duration so
+    # the posting explode+aggregate runs ONCE instead of per consumer
+    # (round 11 — the cold index build is now artifact-visible as
+    # cold_first_run_s, guide §5 "reused AND expensive to recompute").
     posting_all = sh.select("id", F.explode("sh").alias("g"))
-    df_rank = posting_all.groupBy("g").agg(F.count("*").alias("df"))
+    df_rank = posting_all.groupBy("g").agg(F.count("*").alias("df")).persist(
+        StorageLevel.MEMORY_AND_DISK)
     ranked = (
         posting_all.join(df_rank, "g")
         .groupBy("id")
@@ -347,7 +353,20 @@ def _jaccard_index(
         StorageLevel.MEMORY_AND_DISK)
     pref_sz.count()
 
-    vocab = df_rank.count()
+    # vocab (dictionary size — the dense/sparse decision) and
+    # cand_bound (the density meter) ride ONE collect, keyed by an
+    # explicit marker (union output order is not contractual — same
+    # ritual as min_label_closure's probe): both sub-plans read only
+    # persisted relations, so fusing them saves a driver round trip,
+    # not recompute.
+    probe = {r["k"]: r["v"] for r in (
+        df_rank.agg(F.count("*").alias("v")).withColumn("k", F.lit(1))
+        .unionAll(
+            pref_sz.groupBy("g").agg(F.count("*").alias("c"))
+            .agg(F.coalesce(F.sum(F.expr("c * (c - 1) / 2")), F.lit(0))
+                 .cast("long").alias("v")).withColumn("k", F.lit(2)))
+        .collect())}
+    vocab, cand_bound = int(probe[1]), int(probe[2])
     bm = None
     if vocab <= 131_072:
         # DENSE-VOCABULARY bitsets: when the global shingle dictionary is
@@ -360,6 +379,13 @@ def _jaccard_index(
         # less CPU per candidate. Dictionary + bitsets stay bounded
         # (<=2k longs/doc); sparse corpora (real text at 100 TB, vocab
         # >> 131k) verify against the shingle arrays instead.
+        # Assembly (round 11): two-level bit_or — word w of the bitset
+        # is bit_or(1 << gid%64) over the doc's gids with gid div 64 =
+        # w. bit_or partial-aggregates map-side, so the exchange
+        # carries <= nw rows per doc instead of every posting (the old
+        # collect_list shipped each (id, gid) row — no map-side
+        # combine), and the builtin replaces the O(nw * |ids|)
+        # interpreted aggregate/filter loop per document.
         from pyspark.sql.window import Window
 
         nw = (vocab + 63) // 64
@@ -367,22 +393,24 @@ def _jaccard_index(
             "gid", F.row_number().over(Window.orderBy("g")) - 1)
         bm = (
             posting_all.join(F.broadcast(dict_df), "g")
+            .groupBy("id", F.expr("gid div 64").alias("w"))
+            .agg(F.expr("bit_or(shiftleft(1L, int(gid % 64)))").alias("word"),
+                 F.count("*").alias("c"))
             .groupBy("id")
-            .agg(F.collect_list("gid").alias("ids"))
-            .selectExpr(
-                "id",
-                "size(ids) as sz",
-                f"transform(sequence(0, {nw - 1}), w -> "
-                "aggregate(filter(ids, i -> i div 64 = w), 0L, "
-                "(acc, i) -> acc | shiftleft(1L, int(i % 64)))) as bm",
-            )
+            .agg(F.map_from_entries(
+                     F.collect_list(F.struct("w", "word"))).alias("m"),
+                 F.sum("c").cast("int").alias("sz"))
+            .select(
+                "id", "sz",
+                F.expr(f"transform(sequence(0, {nw - 1}), "
+                       "w -> coalesce(m[w], 0L))").alias("bm"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
         bm.count()
 
-    cand_bound = int(
-        pref_sz.groupBy("g").agg(F.count("*").alias("c"))
-        .agg(F.coalesce(F.sum(F.expr("c * (c - 1) / 2")), F.lit(0))
-             .alias("p")).collect()[0]["p"])
+    # pref_sz and bm are materialized; the build-scoped frequency
+    # relation is no longer reachable from any consumer plan's
+    # execution (persisted parents never recompute their lineage)
+    df_rank.unpersist()
 
     out = (pref_sz, sh, bm, n_docs, cand_bound)
     if ck is not None:

@@ -60,6 +60,64 @@ def test_minhash_lsh_recall_vs_exact(docs):
     assert len(lsh) >= 0.8 * len(exact)  # banded LSH recall at 0.7
 
 
+def test_jaccard_dense_bitset_assembly(spark):
+    """Pin the dense-vocabulary bitset index against a Python reference
+    (round 11: the bitset is assembled with a two-level bit_or partial
+    aggregation instead of collect_list + an interpreted per-word HOF —
+    the words must be bit-identical, and the dense verify must match
+    brute-force jaccard over the same shingle sets)."""
+    import re
+
+    from dgraph_spark.operators.dedup import (_jaccard_index,
+                                              invalidate_dedup_caches,
+                                              ngram_jaccard_pairs)
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a lazy dog"),
+        (3, "pack my box with five dozen liquor jugs"),
+        (4, "pack my box with five dozen liquor jugs today"),
+        (5, "completely unrelated text about spark plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 2
+    pref_sz, sh, bm, n_docs, _ = _jaccard_index(docs, 0.5, n,
+                                                "text", "doc_id")
+    assert bm is not None, "tiny vocab must take the dense path"
+
+    def shingles(text):
+        # ASCII-only fixture, so \W+ matches the engine's
+        # TERM_SPLIT_RE ([^\p{L}\p{M}\p{N}]+) on these rows
+        toks = [t for t in re.split(r"[^0-9a-zA-Z]+", text.lower()) if t]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    ref_sets = {i: shingles(t) for i, t in rows}
+    vocab = sorted(set().union(*ref_sets.values()))
+    gid = {g: k for k, g in enumerate(vocab)}
+    nw = (len(vocab) + 63) // 64
+
+    for r in bm.collect():
+        want = [0] * nw
+        for g in ref_sets[r["id"]]:
+            want[gid[g] // 64] |= 1 << (gid[g] % 64)
+        got = [w if w >= 0 else w + (1 << 64) for w in r["bm"]]
+        assert got == want, f"bitset mismatch for doc {r['id']}"
+        assert r["sz"] == len(ref_sets[r["id"]])
+
+    # end-to-end: the dense verify equals brute-force jaccard
+    got_pairs = {(r["i"], r["j"]): r["jac"]
+                 for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    want_pairs = {}
+    for i, a in ref_sets.items():
+        for j, b in ref_sets.items():
+            if i < j:
+                jac = len(a & b) / len(a | b)
+                if jac >= 0.5:
+                    want_pairs[(i, j)] = round(jac, 4)
+    assert got_pairs == want_pairs
+    invalidate_dedup_caches()
+
+
 def test_simhash_pairs(docs):
     from dgraph_spark.operators.dedup import simhash_near_pairs
 
