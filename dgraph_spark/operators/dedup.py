@@ -475,8 +475,22 @@ def ngram_jaccard_pairs(
     #  - positional filter: with first shared prefix positions (pa, pb),
     #    the overlap can be at most 1 + min(|A|-pa, |B|-pb); it must reach
     #    alpha = ceil(t/(1+t) * (|A|+|B|))
-    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("sza") + F.col("szb")))
-    ubound = 1 + F.least(F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb"))
+    #
+    # The positional filter runs PER JOIN ROW, before pair dedup (round
+    # 11, guide §2.3 "shuffle fewer bytes"): both prefix lists are
+    # sliced from the SAME (df, g) total order, so for any two shared
+    # tokens their relative position agrees in both docs — the first
+    # shared token minimizes pa and pb SIMULTANEOUSLY, and its per-row
+    # bound equals the old min(pa)/min(pb) aggregated bound exactly
+    # (every other shared token's bound is tighter). Filtering rows
+    # before the exchange therefore keeps exactly the pairs the old
+    # post-aggregation filter kept, while the exchange carries bare
+    # 16-byte (i, j) rows into a map-side-combinable distinct instead
+    # of 40-byte rows plus four aggregation buffers per group.
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("a.sz") + F.col("b.sz")))
+    ubound = 1 + F.least(F.col("a.sz") - F.col("a.p"),
+                         F.col("b.sz") - F.col("b.p"))
     cand = (
         pref_sz.alias("a")
         .join(pref_sz.alias("b"), "g")
@@ -484,14 +498,10 @@ def ngram_jaccard_pairs(
             (F.col("a.id") < F.col("b.id"))
             & (F.col("a.sz") >= threshold * F.col("b.sz"))
             & (F.col("b.sz") >= threshold * F.col("a.sz"))
+            & (ubound >= alpha)
         )
-        .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
-        .agg(
-            F.min(F.col("a.p")).alias("pa"), F.min(F.col("b.p")).alias("pb"),
-            F.first(F.col("a.sz")).alias("sza"), F.first(F.col("b.sz")).alias("szb"),
-        )
-        .where(ubound >= alpha)
-        .select("i", "j")
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .distinct()
     )
     # verify is compute-bound, not byte-bound: spread it wide so AQE's
     # byte-based coalescing doesn't serialize millions of array

@@ -78,6 +78,12 @@ def test_jaccard_dense_bitset_assembly(spark):
         (3, "pack my box with five dozen liquor jugs"),
         (4, "pack my box with five dozen liquor jugs today"),
         (5, "completely unrelated text about spark plans"),
+        # 6/7 share exactly one rare shingle ("shared token") and
+        # nothing else: they pass the prefix filter (candidate pair)
+        # but must be pruned — the per-row positional/length filters
+        # and the verify may not let a low-jaccard pair through
+        (6, "alpha beta gamma delta epsilon shared token one two"),
+        (7, "red orange yellow green blue shared token nine ten"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     n = 2
