@@ -744,22 +744,26 @@ def simhash_near_pairs(
             )
         ).alias("band", "key"),
     )
-    cand = (
+    # the Hamming check runs in the join condition (round 11; honest
+    # plan accounting: Catalyst was ALREADY pushing the post-distinct
+    # filter through the aggregate into the join — non-near collisions
+    # never crossed the exchange in either form). What the explicit
+    # form buys (guide §2.3): the dedup exchange carries (i, j, dist)
+    # instead of (i, j, ha, hb) — one fewer long per row — and
+    # bit_count is no longer recomputed from the carried signatures
+    # after the aggregation. Filter-then-distinct == distinct-then-
+    # filter (dist is a pure function of the pair).
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
-        .where(F.col("a.id") < F.col("b.id"))
+        .where((F.col("a.id") < F.col("b.id")) & (dist <= max_hamming))
         .select(
             F.col("a.id").alias("i"),
             F.col("b.id").alias("j"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            dist.alias("dist"),
         )
         .distinct()
-    )
-    return (
-        cand.withColumn("dist", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .where(F.col("dist") <= max_hamming)
-        .select("i", "j", "dist")
     )
 
 
